@@ -1,0 +1,283 @@
+"""QueryParams → DataFrame compiler (the reference's param-application layer).
+
+Implements, with the reference's silent-ignore semantics:
+
+- L1 dynamic multi-column sort: runtime ``orders=[(name, is_desc), ...]``;
+  keys on non-orderable columns silently dropped; NULLS LAST always;
+  **effective keys emitted in spec-declaration order, not request order**
+  (doc-02.md:124-133, FIXTURES.md G3).
+- L2 orderTarget redirection: request on ``name`` sorts by its
+  ``order_target`` sibling (Sample05.scala:29, doc-02.md:130-133).
+- L3 paging: ``drop/take`` and 1-based ``page_index/page_size``
+  (SlickParam, doc-02.md:135) → Spark ``offset``/``limit`` (pushed down by
+  Catalyst's LimitPushDown; deterministic only atop a total order).
+- L4 default sort direction: ``default_desc`` consumed when an order
+  request omits direction (``orders=["name"]``).
+- P3/P4 pruning: hidden (``visible=False``) columns are dropped from the
+  output but remain usable as sort keys (doc-02.md:144-167) — we orderBy
+  *before* the final projection, and Catalyst still prunes the scan.
+- P5-P8 filters: runtime dict ``{"name": {"like": "%x%"}, "age": {"eq": 3}}``
+  compiled against each column's declared filter capabilities; unknown
+  columns/operators ignored (doc-01.md:148-152, Sample09.scala:31-56).
+- P6 optional predicate conjunction: absent params produce no filter node
+  at all (Sample04.scala:7-16).
+
+Pre-flight validation accumulates all problems (AtomicException analog)
+instead of failing one at a time — see ubw_spark.core.errors.
+
+Scale notes: everything here compiles to a single declarative plan —
+filter → orderBy → offset/limit → project — so Catalyst gets full
+pushdown/pruning freedom.  A global orderBy is a range-partitioned
+shuffle; at 100 TB paging deep into a total order is inherently
+expensive, so ``limit`` without deep offset stays cheap
+(TakeOrderedAndProject) while deep offsets should be re-expressed as
+keyset pagination by the caller (predicate on the last-seen sort key —
+also expressible with these same params).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ubw_spark.core.errors import ErrorAccumulator
+from ubw_spark.core.spec import ColumnSpec, QuerySpec
+
+# The filter-operator whitelist (P7).  `like` additionally requires the
+# column to be declared likeable.
+_FILTER_OPS: dict[str, Any] = {
+    "eq": lambda c, v: c == F.lit(v),
+    "ne": lambda c, v: c != F.lit(v),
+    "gt": lambda c, v: c > F.lit(v),
+    "ge": lambda c, v: c >= F.lit(v),
+    "lt": lambda c, v: c < F.lit(v),
+    "le": lambda c, v: c <= F.lit(v),
+    "like": lambda c, v: c.like(v),
+    "in": lambda c, v: c.isin(list(v)),
+    "between": lambda c, v: c.between(v[0], v[1]),
+    "isnull": lambda c, v: c.isNull() if v else c.isNotNull(),
+}
+
+
+@dataclass(frozen=True)
+class QueryParams:
+    """Runtime parameters applied to a QuerySpec — all optional."""
+
+    orders: tuple = ()  # [(name, is_desc)] or [name] (uses default_desc)
+    filters: dict[str, dict[str, Any]] = field(default_factory=dict)
+    drop: int | None = None
+    take: int | None = None
+    page_index: int | None = None  # 1-based
+    page_size: int | None = None
+    select: tuple | None = None  # list-driven projection (P4); None = all
+
+    def __init__(
+        self,
+        orders: list | tuple = (),
+        filters: dict[str, dict[str, Any]] | None = None,
+        drop: int | None = None,
+        take: int | None = None,
+        page_index: int | None = None,
+        page_size: int | None = None,
+        select: list | tuple | None = None,
+    ):
+        object.__setattr__(self, "orders", tuple(orders))
+        object.__setattr__(self, "filters", dict(filters or {}))
+        object.__setattr__(self, "drop", drop)
+        object.__setattr__(self, "take", take)
+        object.__setattr__(self, "page_index", page_index)
+        object.__setattr__(self, "page_size", page_size)
+        object.__setattr__(
+            self, "select", tuple(select) if select is not None else None
+        )
+
+    def offset_limit(self) -> tuple[int | None, int | None]:
+        if self.page_index is not None and self.page_size is not None:
+            return (self.page_index - 1) * self.page_size, self.page_size
+        return self.drop, self.take
+
+
+def _normalize_orders(orders: tuple) -> list[tuple[str, bool | None]]:
+    out: list[tuple[str, bool | None]] = []
+    for o in orders:
+        if isinstance(o, str):
+            out.append((o, None))  # direction from spec default (L4)
+        else:
+            name, is_desc = o
+            out.append((name, bool(is_desc)))
+    return out
+
+
+def _effective_order_keys(
+    spec: QuerySpec, orders: tuple
+) -> list[tuple[ColumnSpec, bool]]:
+    """Resolve requested order keys to (target spec, is_desc) pairs.
+
+    Redirects through order_target, drops keys whose target is not
+    orderable (silent-ignore), and — matching the reference's generated
+    SQL (doc-02.md:130) — returns keys in *spec declaration order*.
+    """
+    smap = spec.spec_map()
+    requested: dict[str, bool] = {}
+    for name, is_desc in _normalize_orders(orders):
+        s = smap.get(name)
+        if s is None:
+            continue  # unknown column: ignore
+        if s.order_target is not None:
+            # Declaring a redirect is itself the orderability opt-in.
+            target = smap.get(s.order_target)
+            if target is None:
+                continue
+        elif s.orderable:
+            target = s
+        else:
+            continue  # non-orderable, no redirect: silently dropped
+        direction = is_desc if is_desc is not None else target.default_desc
+        requested.setdefault(target.name, direction)
+    # re-emit in declaration order
+    return [
+        (s, requested[s.name]) for s in spec.columns if s.name in requested
+    ]
+
+
+def compile_filters(
+    spec: QuerySpec, filters: dict[str, dict[str, Any]]
+) -> Column | None:
+    """Compile the runtime filter dict to one conjunctive predicate.
+
+    Silent-ignore: unknown columns, non-filterable columns, undeclared
+    operators, and `like` on non-likeable columns all contribute nothing
+    (doc-01.md:148-152).  Returns None when no predicate applies (P6 —
+    no Filter node at all).
+    """
+    smap = spec.spec_map()
+    preds: list[Column] = []
+    for name, ops in (filters or {}).items():
+        s = smap.get(name)
+        if s is None or not s.filterable:
+            continue
+        base = s.column()  # aliased; comparisons use the expression
+        for op, operand in ops.items():
+            fn = _FILTER_OPS.get(op)
+            if fn is None:
+                continue
+            if op == "like" and not s.likeable:
+                continue
+            preds.append(fn(_strip_alias(s), operand))
+    if not preds:
+        return None
+    return reduce(lambda a, b: a & b, preds)
+
+
+def _strip_alias(s: ColumnSpec) -> Column:
+    c = F.col(s.name) if s.expr is None else (
+        F.col(s.expr) if isinstance(s.expr, str) else s.expr
+    )
+    if s.default is not None:
+        c = F.coalesce(c, F.lit(s.default))
+    return c
+
+
+def validate_params(spec: QuerySpec, params: QueryParams) -> list[str]:
+    """Pre-flight check returning ALL problems (U2 analog).  The engine's
+    default behavior is silent-ignore per the reference; this is the
+    opt-in strict mode for clients that want the accumulated report."""
+    acc = ErrorAccumulator()
+    smap = spec.spec_map()
+    for name, is_desc in _normalize_orders(params.orders):
+        s = smap.get(name)
+        if s is None:
+            acc.add(f"order key '{name}' is not a declared column")
+        elif not s.orderable and s.order_target is None:
+            acc.add(f"order key '{name}' is not orderable")
+        elif s.order_target is not None and s.order_target not in smap:
+            acc.add(
+                f"order key '{name}' redirects to unknown column "
+                f"'{s.order_target}'"
+            )
+    for name, ops in params.filters.items():
+        s = smap.get(name)
+        if s is None:
+            acc.add(f"filter column '{name}' is not a declared column")
+            continue
+        if not s.filterable:
+            acc.add(f"filter column '{name}' is not filterable")
+            continue
+        for op in ops:
+            if op not in _FILTER_OPS:
+                acc.add(f"filter operator '{op}' on '{name}' is unknown")
+            elif op == "like" and not s.likeable:
+                acc.add(f"column '{name}' does not allow 'like'")
+    return acc.problems
+
+
+def apply_params(
+    df: DataFrame,
+    spec: QuerySpec,
+    params: QueryParams | None = None,
+    *,
+    strict: bool = False,
+) -> DataFrame:
+    """Compile (base df, spec, params) → final DataFrame.
+
+    Plan shape: project-all-spec-columns → filter → orderBy →
+    offset/limit → project-visible.  Hidden sort keys work because the
+    outer projection happens after orderBy; Catalyst's ColumnPruning
+    still reaches the scan.
+    """
+    params = params or QueryParams()
+    if strict:
+        acc = ErrorAccumulator()
+        acc.problems = validate_params(spec, params)
+        acc.raise_if_any()
+
+    eff_spec = spec.restrict(list(params.select) if params.select else None)
+    # Keep every declared column in scope for filters and hidden sort keys.
+    out = spec.frame(df, all_columns=True)
+
+    pred = _rebind_pred_to_projection(spec, params.filters)
+    if pred is not None:
+        out = out.where(pred)
+
+    keys = _effective_order_keys(spec, params.orders)
+    if keys:
+        out = out.orderBy(
+            *[
+                (F.col(s.name).desc_nulls_last() if d else F.col(s.name).asc_nulls_last())
+                for s, d in keys
+            ]
+        )
+
+    offset, limit = params.offset_limit()
+    if offset:
+        out = out.offset(offset)
+    if limit is not None:
+        out = out.limit(limit)
+
+    visible = [c.name for c in eff_spec.visible_columns()]
+    return out.select(*visible)
+
+
+def _rebind_pred_to_projection(
+    spec: QuerySpec, filters: dict[str, dict[str, Any]]
+) -> Column | None:
+    """Filters run on the projected frame, so operands compare against the
+    *output* columns (post-rename, post-default) by name.  Returns None
+    when nothing applies (P6: no Filter node at all)."""
+    smap = spec.spec_map()
+    preds: list[Column] = []
+    for name, ops in (filters or {}).items():
+        s = smap.get(name)
+        if s is None or not s.filterable:
+            continue
+        c = F.col(s.name)
+        for op, operand in ops.items():
+            fn = _FILTER_OPS.get(op)
+            if fn is None or (op == "like" and not s.likeable):
+                continue
+            preds.append(fn(c, operand))
+    return reduce(lambda a, b: a & b, preds) if preds else None

@@ -1,0 +1,95 @@
+"""Sources (S1-S3, S6): typed scans, schema-on-read dynamic tables,
+literal rows, multi-format readers.
+
+- S1 typed scan (Models.scala:14-24) → ``read_table``: parquet by name.
+- S2 dynamic table (Models.scala:26-36, Sample08.scala:25-33,
+  doc-03.md:71-84): table known only by name, columns conjured from
+  runtime (name, type) pairs → ``dynamic_table``: select+cast from a
+  string-driven column list.  Casting to narrower types is explicit and
+  visible in the plan; Catalyst still pushes the projection to the scan.
+- S3 literal rows (Helper.scala:19-21) → ``literal_rows``.
+- S6 CSV/JSON/JDBC (doc-01.md:113-115) → ``read_dir`` format dispatch.
+
+Scale: readers never infer schema on huge trees when an explicit schema
+is given (schema inference is a full extra pass at 100 TB); partition
+discovery and predicate pushdown stay with the DataSource V2 parquet
+reader.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, *, fmt: str = "parquet"
+) -> DataFrame:
+    """Scan one named table under a dataset directory."""
+    path = os.path.join(sf_dir, f"{name}.{ 'parquet' if fmt == 'parquet' else fmt }")
+    return spark.read.format(fmt).load(path)
+
+
+def read_dir(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Generic multi-format reader (parquet/csv/json/orc/jdbc)."""
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+_TYPE_ALIASES: dict[str, T.DataType] = {
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "smallint": T.ShortType(),
+    "tinyint": T.ByteType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def dynamic_table(
+    df: DataFrame, columns: Sequence[tuple[str, str]]
+) -> DataFrame:
+    """S2: schema-on-read projection from runtime (name, type) strings.
+
+    The reference's SimpleTable conjures `column[Long]("id")` at query
+    time; here the same request is ``[("id","bigint"),("name","string")]``.
+    Unknown type strings fall back to Spark's DDL parser so nested types
+    (``array<float>``, ``struct<...>``) work too.
+    """
+    cols = []
+    for name, type_str in columns:
+        dt = _TYPE_ALIASES.get(type_str.lower())
+        if dt is None:
+            dt = T._parse_datatype_string(type_str)
+        cols.append(F.col(name).cast(dt).alias(name))
+    return df.select(*cols)
+
+
+def literal_rows(
+    spark: SparkSession,
+    rows: Sequence[tuple],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """S3: in-memory seed rows with an explicit schema."""
+    return spark.createDataFrame(list(rows), schema)
