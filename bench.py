@@ -1,0 +1,73 @@
+"""Benchmark runner — the driver executes this per round.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully (noop sink — no driver-side collect cost, no
+files written) so the measured time is scan + compute + shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_cube",
+    "window_topk_per_group",
+    "engine_param_query",
+    "dedup_exact",
+    "text_quality_score",
+    "sim_cosine_topk",
+    "events_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from ubw_spark.queries import REGISTRY
+    from ubw_spark.session import get_session
+
+    spark = get_session(
+        "ubw_spark-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    # warm the JVM + parquet footers with one tiny action
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        qd = REGISTRY[name]
+        t0 = time.time()
+        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

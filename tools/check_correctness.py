@@ -1,0 +1,113 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 and compares against its
+``oracle_sql()`` via DuckDB: row count, column-name set, and an
+order-insensitive value comparison (columns sorted by name, rows sorted
+by string form).  Exit code 1 on any mismatch.
+
+Usage: python tools/check_correctness.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round-trip normalize to kill -0.0 / 1e-13 drift
+        return repr(round(v, 6))
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return out
+
+
+def main() -> int:
+    from __spark_entry__ import oracle_sql, queries
+    from ubw_spark.session import get_session
+
+    only = set(sys.argv[1:])
+    spark = get_session("check-correctness", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs, oracles = queries(), oracle_sql()
+    failures, passed, rows_only = [], 0, 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            sp_cols = df.columns
+            sp_rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            failures.append((name, f"spark error: {e}"))
+            print(f"FAIL {name}: spark error: {e}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            rows_only += 1
+            print(f"rows {name}: {len(sp_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
+            continue
+        try:
+            res = con.execute(sql)
+            du_cols = [d[0] for d in res.description]
+            du_rows = res.fetchall()
+        except Exception as e:
+            failures.append((name, f"duckdb error: {e}"))
+            print(f"FAIL {name}: duckdb error: {e}")
+            continue
+        problems = []
+        if sorted(sp_cols) != sorted(du_cols):
+            problems.append(f"schema: spark={sorted(sp_cols)} duckdb={sorted(du_cols)}")
+        if len(sp_rows) != len(du_rows):
+            problems.append(f"rowcount: spark={len(sp_rows)} duckdb={len(du_rows)}")
+        if not problems:
+            a = norm_rows(sp_cols, sp_rows)
+            b = norm_rows(du_cols, du_rows)
+            if a != b:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            failures.append((name, "; ".join(problems)))
+            print(f"FAIL {name}: {'; '.join(problems)}")
+        else:
+            passed += 1
+            print(f"ok   {name}: {len(sp_rows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

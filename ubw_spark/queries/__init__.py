@@ -1,0 +1,24 @@
+"""Query inventory — one entry per implemented operator (SURVEY.md §2).
+
+Each query is registered with a Spark implementation ``(spark, sf_dir) ->
+DataFrame`` and (where SQL-expressible) a DuckDB oracle SQL string over
+the same tables.  The driver's correctness gate runs both at sf0.01 and
+compares row count + schema + order-insensitive value hash.
+
+Conventions keeping the comparison stable:
+- every computed column is aliased identically in Spark and SQL;
+- floating-point aggregates are rounded (4 dp) on BOTH sides;
+- timestamps cross the boundary as formatted strings;
+- every top-k query has a unique total order (tiebreak on a key).
+"""
+
+from ubw_spark.queries.registry import REGISTRY, register, QueryDef
+
+# import for registration side effects
+from ubw_spark.queries import engine  # noqa: F401
+from ubw_spark.queries import relational  # noqa: F401
+from ubw_spark.queries import textops  # noqa: F401
+from ubw_spark.queries import similarity  # noqa: F401
+from ubw_spark.queries import events  # noqa: F401
+
+__all__ = ["REGISTRY", "register", "QueryDef"]

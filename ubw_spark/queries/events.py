@@ -1,0 +1,140 @@
+"""Time-windowed aggregations over `events` — the batch twins of the
+streaming operators (SURVEY §2.9 is net-new vs the reference).
+
+Each query here is the exact batch semantics of a Structured Streaming
+pipeline in ubw_spark.streaming: tumbling/sliding windows via
+``F.window``, sessionization via the gap rule.  Running them in batch
+against a SQL oracle proves the window math; the streaming tests then
+prove the same plans run incrementally with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ubw_spark.queries.registry import register, table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("events", "window", "streaming"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (F.window — identical operator batch or
+    stream; in streaming add withWatermark and state cleanup is free)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    WITH g AS (SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events),
+         e AS (SELECT b AS ws, value FROM g
+               UNION ALL
+               SELECT b - INTERVAL '30 minutes' AS ws, value FROM g)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+    FROM e GROUP BY ws
+    """,
+    tags=("events", "window", "streaming"),
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour length, 30 min slide — each event belongs
+    to 2 windows (Spark expands rows by length/slide; shuffle volume
+    scales by that factor, so keep the ratio small at 100 TB)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # value is 2-decimal money: exact integer cents sidesteps the
+            # round-half ambiguity that a float avg/round would hit.
+            F.round(F.sum("value") * 100, 0).cast("long").alias("total_cents"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _FMT).alias("window_start"),
+            "n",
+            "total_cents",
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           round(sum(value), 4) AS session_value,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("events", "window", "streaming"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via the lag/cumsum rule —
+    one shuffle on user_id, then two window passes in the same sort
+    order (no second shuffle).  The streaming twin uses
+    F.session_window which merges windows in state instead."""
+    ev = table(spark, sf_dir, "events")
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    gap = F.lag("ts").over(order)
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            gap.isNull()
+            | ((F.col("ts").cast("long") - gap.cast("long")) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+        F.date_format(F.min("ts"), _FMT).alias("session_start"),
+    )

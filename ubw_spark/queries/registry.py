@@ -1,0 +1,48 @@
+"""Registry mapping query names to (Spark impl, DuckDB oracle SQL)."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QueryDef(name, fn, oracle, tags)
+        return fn
+
+    return deco
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
+        # default; read the nanos as long and truncate to micros so the
+        # values match engines that read nanos-as-timestamp (DuckDB).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
