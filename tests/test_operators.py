@@ -1,0 +1,136 @@
+"""Operator-level tests: dedup, similarity (incl. LSH recall), temporal
+joins, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators import (
+    asof_join,
+    brute_force_topk,
+    exact_dedup,
+    extract_features,
+    lsh_ann_topk,
+    minhash_dedup_pairs,
+    range_join,
+    simhash_near_pairs,
+    simhash_signature,
+    word_shingles,
+)
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "HELLO   world"), (3, "hello world"), (4, "other")],
+        "id bigint, text string",
+    )
+    kept = sorted(r["id"] for r in exact_dedup(df, "id", "text").collect())
+    # exact match on normalized text: 1 and 3 dedup; 2 differs (inner spaces)
+    assert kept == [1, 2, 4]
+
+
+def test_word_shingles_k2(spark):
+    df = spark.createDataFrame([("a b c d",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 2).alias("s")).collect()[0]["s"]
+    assert out == ["a b", "b c", "c d"]
+
+
+def test_minhash_finds_planted_near_dup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    # plant a near-duplicate of doc 0 (drop its last word)
+    base = docs.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("bigint").alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 6)").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(base)
+    pairs = minhash_dedup_pairs(corpus, "doc_id", "text", threshold=0.6)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 100000) in found
+
+
+def test_simhash_near_pairs_on_planted_dup(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river edge"),
+        (3, "completely different words about spark query engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = simhash_signature(df, "doc_id", "text")
+    pairs = simhash_near_pairs(sig, "doc_id", max_hamming=16, prefix_bits=16)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in found
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_lsh_ann_recall_vs_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_ann_topk(emb, queries, k=5, dim=64, bits=4, tables=16)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 200, "p2"), (2, 50, "p3")],
+        "user_id bigint, t bigint, pid string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "pid")
+    right = spark.createDataFrame(
+        [(1, 90, "c1"), (1, 150, "c2"), (1, 300, "c3"), (3, 10, "c4")],
+        "user_id bigint, t bigint, cid string",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "cid")
+    out = asof_join(left, right, on="ts", by=["user_id"], right_cols=["cid"])
+    got = {r["pid"]: r["cid_right"] for r in out.collect()}
+    # p1@100 → c1@90; p2@200 → c2@150 (c3@300 is later); p3 user 2 → none
+    assert got == {"p1": "c1", "p2": "c2", "p3": None}
+
+
+def test_asof_join_equal_ts_included(spark):
+    left = spark.createDataFrame([(1, 100, "p")], "user_id bigint, t bigint, pid string")
+    left = left.select("user_id", F.timestamp_seconds("t").alias("ts"), "pid")
+    right = spark.createDataFrame([(1, 100, "c")], "user_id bigint, t bigint, cid string")
+    right = right.select("user_id", F.timestamp_seconds("t").alias("ts"), "cid")
+    out = asof_join(left, right, on="ts", by=["user_id"], right_cols=["cid"])
+    assert out.collect()[0]["cid_right"] == "c"
+
+
+def test_range_join_bounds(spark):
+    left = spark.createDataFrame(
+        [(1, 1000, "L")], "k bigint, t bigint, side string"
+    ).select("k", F.timestamp_seconds("t").alias("lts"), "side")
+    right = spark.createDataFrame(
+        [(1, 399, "too_early"), (1, 400, "edge_lo"), (1, 1000, "edge_hi"),
+         (1, 1001, "too_late"), (2, 500, "wrong_key")],
+        "k bigint, t bigint, tag string",
+    ).select("k", F.timestamp_seconds("t").alias("rts"), "tag")
+    out = range_join(
+        left, right, key="k", left_ts="lts", right_ts="rts",
+        lower_seconds=600, upper_seconds=0,
+    )
+    tags = sorted(r["tag"] for r in out.collect())
+    assert tags == ["edge_hi", "edge_lo"]
+
+
+def test_multimodal_features_deterministic_unit_norm(spark):
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "xyz")], "doc_id bigint, text string"
+    ).withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    f1 = extract_features(df, "doc_id", "payload", feature_dim=16).collect()
+    f2 = extract_features(df, "doc_id", "payload", feature_dim=16).collect()
+    assert sorted(map(str, f1)) == sorted(map(str, f2))  # deterministic
+    for r in f1:
+        assert len(r["feature"]) == 16
+        norm = sum(x * x for x in r["feature"]) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+
+
+def test_multimodal_real_codec_raises(spark):
+    from ubw_spark.operators.multimodal import decode_batches
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    df = df.withColumn("payload", F.encode(F.col("text"), "utf-8"))
+    out = decode_batches(df, "doc_id", "payload", codec="real")
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        out.collect()

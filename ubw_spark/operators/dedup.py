@@ -1,0 +1,249 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash.
+
+Built for the 100 TB posture:
+
+- **exact**: shuffle only (fingerprint, id) pairs — document bodies never
+  move; the keep-set semi-joins back.
+- **MinHash-LSH**: per-row signature computation is pure array
+  expressions (JVM codegen, no Python, no explode until banding); the
+  only shuffle is the band-bucket self-join, whose fanout is bounded by
+  bucket size.  O(N²) never appears.
+- **SimHash**: vectorized pandas_udf (numpy bit-twiddling is genuinely
+  not expressible in Spark SQL), Arrow-batched; candidates via banded
+  prefix buckets like LSH.
+
+Hashing is md5-based and engine-portable (same values in DuckDB SQL), so
+the whole MinHash pipeline is oracle-checkable — see
+ubw_spark/queries/scale_ops.py.
+"""
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row (min id) per distinct normalized text."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    keep = (
+        df.select(fp.alias("__fp"), F.col(id_col))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def word_shingles(text: Column, k: int = 1) -> Column:
+    """Distinct k-word shingles of a text column (array expr, no explode).
+
+    k=1 → word set; k≥2 → sliding windows via sequence+element_at."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    if k == 1:
+        return F.array_distinct(toks)
+    n = F.size(toks)
+    win = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(win)
+
+
+def portable_hash(s: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative BIGINT — identical in
+    any engine with md5 (unlike xxhash64/murmur)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def _hash_params(i: int) -> tuple[int, int]:
+    """Closed-form (a, b) for the i-th universal hash — closed form so a
+    SQL oracle can regenerate them: a=2i+1 (odd), b=104729·i+17."""
+    return 2 * i + 1, 104_729 * i + 17
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature as an array<bigint> of length num_hashes.
+
+    sig[i] = min over shingles s of (a_i·h(s) + b_i) mod P — all inside
+    one row: transform over hash index, array_min over shingle hashes."""
+    hv = F.transform(shingles, portable_hash)
+    mins = []
+    for i in range(num_hashes):
+        a, b = _hash_params(i)
+        mins.append(
+            F.array_min(
+                F.transform(hv, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+            )
+        )
+    return F.array(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    bands: int = 32,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_key).
+
+    Returns distinct (id_a, id_b) with id_a < id_b.  Shuffle volume is
+    O(N·bands) small keys; pair fanout bounded by bucket occupancy —
+    the LSH guarantee, not a prayer.  Collision probability per pair is
+    1-(1-j^r)^b for Jaccard j."""
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
+    banded = df.select(F.col(id_col), F.col(sig_col).alias("__sig"), band_idx)
+    key = F.concat_ws(
+        ",",
+        F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band),
+    )
+    banded = banded.select(id_col, "__band", key.alias("__key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 1,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
+    candidates → exact-Jaccard verification ≥ threshold.
+
+    Returns (id_a, id_b, jaccard).  The exact verification joins shingle
+    sets back only for candidate pairs (LSH-bounded), so the quadratic
+    kernel never touches non-candidates."""
+    sh = df.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), k).alias("__sh"),
+    )
+    sig = sh.select(
+        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    )
+    cands = lsh_candidate_pairs(
+        sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    jac = inter / union
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .where(jac >= threshold)
+        .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def simhash_signature(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per document via a vectorized pandas_udf.
+
+    numpy does the bit unpacking/summing (not expressible as Spark SQL
+    without a 64-way expression blowup); Arrow batches keep the transfer
+    columnar.  Token hashing uses the same md5-based portable hash as
+    MinHash so results are deterministic everywhere."""
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    # NOTE: the signature must use real (non-string) annotations — this
+    # module must not enable postponed annotation evaluation, or
+    # pandas_udf cannot introspect the Series hints.
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for row, text in enumerate(texts):
+            toks = set((text or "").strip().lower().split())
+            if not toks:
+                continue
+            acc = np.zeros(bits, dtype=np.int64)
+            for t in toks:
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                )
+                bit_arr = np.array(
+                    [(h >> i) & 1 for i in range(bits)], dtype=np.int64
+                )
+                acc += 2 * bit_arr - 1
+            sig = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    sig |= 1 << i
+            # store as signed 64-bit
+            if sig >= 1 << 63:
+                sig -= 1 << 64
+            out[row] = sig
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    sig_df: DataFrame, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+) -> DataFrame:
+    """Candidate pairs whose simhash agrees on a 16-bit prefix band
+    (4 rotated bands), verified by exact Hamming distance ≤ max_hamming.
+    Same banded-join scale shape as MinHash-LSH."""
+    bands = 64 // prefix_bits
+    mask = (1 << prefix_bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("b"),
+            F.shiftrightunsigned(F.col("simhash"), i * prefix_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("k"),
+        )
+        for i in range(bands)
+    ]
+    banded = (
+        sig_df.select(id_col, "simhash", F.explode(F.array(*band_structs)).alias("__tb"))
+        .withColumn("__band", F.col("__tb.b"))
+        .withColumn("__key", F.col("__tb.k"))
+        .drop("__tb")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(hamming <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,152 @@
+"""Similarity search operators over embedding columns (array<float>).
+
+- ``brute_force_topk``: exact cosine top-k — broadcast the query set,
+  stream the corpus once, per-query window top-k.  The correctness
+  baseline and the right tool when |queries| is small.
+- ``hyperplane_lsh_buckets`` / ``lsh_ann_topk``: random-hyperplane LSH —
+  sign-bit bucket keys computed as native array expressions against a
+  fixed (seeded) hyperplane matrix shipped as literals.  Candidates are
+  corpus rows sharing a bucket with the query in ANY of ``tables``
+  independent hash tables; exact cosine re-ranks candidates only.
+  At 100 TB: bucketing is map-only; the join shuffles on compact
+  (table, bucket) keys; per-bucket fanout is the tunable knob
+  (more bits → smaller buckets → lower recall, higher precision).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns (float64 math)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(v: Column) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        )
+
+    return dot / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k: (qid, vec_id, cos_sim) for each query row."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    )
+    scored = corpus.join(broadcast(q), F.col(id_col) != F.col("qid")).select(
+        "qid",
+        id_col,
+        F.round(cosine_col(F.col("__qv"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplanes(dim: int, bits: int, tables: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((tables, bits, dim))
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Add (``lsh_table``, ``lsh_bucket``) — one output row per hash
+    table (explode factor = tables).
+
+    The bucket key packs the sign bits of <v, h_j> for the table's
+    ``bits`` hyperplanes.  Hyperplanes are literals in the plan (seeded),
+    so executors need no broadcast variable and the plan is fully
+    deterministic."""
+    planes = _hyperplanes(dim, bits, tables, seed)
+    per_table = []
+    for t in range(tables):
+        bit_terms = []
+        for j in range(bits):
+            coeffs = F.array(*[F.lit(float(c)) for c in planes[t, j]])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bit_terms.append(
+                F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            )
+        bucket = bit_terms[0]
+        for term in bit_terms[1:]:
+            bucket = bucket + term
+        per_table.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    return (
+        df.withColumn("__tb", F.explode(F.array(*per_table)))
+        .withColumn("lsh_table", F.col("__tb.t"))
+        .withColumn("lsh_bucket", F.col("__tb.b"))
+        .drop("__tb")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query
+    in ≥1 table; exact cosine re-ranks candidates only."""
+    cb = hyperplane_lsh_buckets(corpus, vec_col, dim, bits, tables, seed)
+    qb = hyperplane_lsh_buckets(queries, vec_col, dim, bits, tables, seed).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        "lsh_table",
+        "lsh_bucket",
+    )
+    cands = (
+        cb.join(broadcast(qb), ["lsh_table", "lsh_bucket"])
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", "__qv", id_col, vec_col)
+        .distinct()
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        F.round(cosine_col(F.col("__qv"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -20,5 +20,6 @@ from ubw_spark.queries import relational  # noqa: F401
 from ubw_spark.queries import textops  # noqa: F401
 from ubw_spark.queries import similarity  # noqa: F401
 from ubw_spark.queries import events  # noqa: F401
+from ubw_spark.queries import scale_ops  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "QueryDef"]

@@ -1,0 +1,196 @@
+"""Queries for the scale operators: MinHash-LSH dedup, SimHash, LSH ANN,
+as-of / range joins, multimodal plumbing.
+
+dedup_minhash_lsh has a FULL SQL oracle: the md5-based portable hashing
+in ubw_spark.operators.dedup makes every stage (shingle → signature →
+band → candidate → verify) reproducible in DuckDB.  SimHash and
+hyperplane-LSH are rows-only (pandas_udf / literal hyperplane matrices
+aren't sensibly expressible in SQL); their quality is asserted in tests
+(recall vs brute force) instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+    simhash_signature,
+)
+from ubw_spark.operators.multimodal import extract_features, with_payload_metadata
+from ubw_spark.operators.similarity import lsh_ann_topk
+from ubw_spark.operators.temporal import asof_join, range_join
+from ubw_spark.queries.registry import register, table
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS s
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(u.s2), 1, 8))::BIGINT AS hv
+          FROM sh, unnest(sh.s) AS u(s2)),
+    sig AS (SELECT doc_id, p.i,
+                   min(((2 * p.i + 1) * hv + 104729 * p.i + 17) % 2147483647) AS m
+            FROM h CROSS JOIN generate_series(0, 63) AS p(i)
+            GROUP BY doc_id, p.i),
+    band AS (SELECT doc_id, i // 2 AS bj,
+                    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+             FROM sig GROUP BY doc_id, i // 2),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM band a JOIN band b
+               ON a.bj = b.bj AND a.key = b.key AND a.doc_id < b.doc_id),
+    j AS (SELECT c.id_a, c.id_b,
+                 len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
+                      JOIN sh sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.4
+    """,
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs (64 hashes, 32 bands × 2 rows,
+    verify Jaccard ≥ 0.4) — the 100 TB dedup path, oracled end-to-end."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(
+        d, "doc_id", "text",
+        k=1, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4,
+    )
+
+
+@register("simhash_pairs", oracle=None, tags=("dedup", "lsh"))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (Hamming ≤ 12 over 64 bits, banded
+    16-bit prefixes).  Rows-only: the signature is a vectorized
+    pandas_udf; determinism is still guaranteed (md5-based token hash)."""
+    d = table(spark, sf_dir, "documents")
+    sig = simhash_signature(d, "doc_id", "text")
+    return simhash_near_pairs(sig, "doc_id", max_hamming=12, prefix_bits=16)
+
+
+@register("sim_lsh_ann_topk", oracle=None, tags=("similarity", "lsh"))
+def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 for 5 query vectors.  Rows-only;
+    tests assert recall ≥ threshold vs the brute-force oracle query."""
+    emb = table(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb,
+        emb.where(F.col("vec_id") < 5),
+        k=5,
+        dim=64,
+        bits=4,
+        tables=16,
+    )
+
+
+@register(
+    "asof_join_last_click",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.event_id AS click_id,
+           round(c.value, 4) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "temporal"),
+)
+def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ← most recent prior click of the same
+    user.  Single shuffle + ordered window carry-forward (operators.
+    temporal.asof_join); oracle is DuckDB's native ASOF JOIN."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases, clicks, on="ts", by=["user_id"],
+        right_cols=["event_id", "value"],
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("event_id_right").alias("click_id"),
+        F.round("value_right", 4).alias("click_value"),
+    )
+
+
+@register(
+    "range_join_errors_before_purchase",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           count(*) AS n_errors
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id
+     AND e.ts >= p.ts - INTERVAL '30 minutes' AND e.ts <= p.ts
+    GROUP BY 1
+    """,
+    tags=("join", "temporal"),
+)
+def range_join_errors_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: errors within the 30 min before each purchase
+    (bin-bucketed equi-join, operators.temporal.range_join — 3× fanout,
+    never per-key cartesian)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", F.col("ts").alias("e_ts")
+    )
+    joined = range_join(
+        purchases, errors, key="user_id",
+        left_ts="p_ts", right_ts="e_ts",
+        lower_seconds=1800, upper_seconds=0,
+    )
+    return joined.groupBy("purchase_id").agg(F.count(F.lit(1)).alias("n_errors"))
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           'image' AS media_type,
+           sha256(text) AS payload_sha
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing: documents→synthetic binary payloads with
+    the typed metadata struct (operators.multimodal); byte lengths and
+    digests verified against the oracle."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    with_meta = with_payload_metadata(d, "payload", media_type="image")
+    return with_meta.select(
+        "doc_id",
+        F.col("payload_meta.n_bytes").alias("n_bytes"),
+        F.col("payload_meta.media_type").alias("media_type"),
+        F.sha2(F.col("text"), 256).alias("payload_sha"),
+    )
+
+
+@register("multimodal_features", oracle=None, tags=("multimodal",))
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode path (deterministic fake codec): payload →
+    fixed-size L2-normalized feature vectors.  Rows-only; tests assert
+    determinism and unit norms."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    return extract_features(d, "doc_id", "payload", feature_dim=16)
