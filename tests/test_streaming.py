@@ -1,0 +1,106 @@
+"""Streaming tests: stream output == batch output on the same files,
+session windows, custom stateful operator, incremental file arrival."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.streaming import (
+    read_stream,
+    run_to_memory,
+    session_window_agg,
+    stateful_running_totals,
+    tumbling_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-materialized as a clean micro-timestamp parquet dir
+    (the raw file uses TIMESTAMP(NANOS) which the streaming file source
+    can't read directly)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return out
+
+
+def batch_events(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    stream = read_stream(spark, events_dir)
+    agg = tumbling_window_agg(stream, group_extra=["event_type"])
+    result = run_to_memory(agg, "tumbling_test")()
+    batch = tumbling_window_agg(
+        batch_events(spark, events_dir), group_extra=["event_type"]
+    )
+    got = {tuple(map(str, r)) for r in result.collect()}
+    want = {tuple(map(str, r)) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_session_window_runs(spark, events_dir):
+    stream = read_stream(spark, events_dir)
+    agg = session_window_agg(stream, gap="30 minutes")
+    result = run_to_memory(agg, "session_test")()
+    batch = session_window_agg(batch_events(spark, events_dir))
+    assert result.count() == batch.count() > 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    stream = read_stream(spark, events_dir)
+    out = stateful_running_totals(stream)
+    result = run_to_memory(out, "stateful_test", output_mode="update")()
+    # final state per user == batch sum/count
+    batch = (
+        batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("total"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["user_id"]: (round(r["total"], 4), r["n"]) for r in result.collect()}
+    for r in batch.collect():
+        assert got[r["user_id"]] == (round(r["total"], 4), r["n"])
+
+
+def test_incremental_file_arrival(spark, events_dir, tmp_path):
+    """Two files arriving in sequence → watermark-filtered append output
+    grows across micro-batches (real incremental processing, not one
+    big batch)."""
+    inc_dir = str(tmp_path / "inc")
+    os.makedirs(inc_dir)
+    src = [f for f in os.listdir(events_dir) if f.endswith(".parquet")]
+    df = spark.read.parquet(events_dir)
+    jan_first_half = df.where(F.dayofmonth("ts") <= 15)
+    jan_second_half = df.where(F.dayofmonth("ts") > 15)
+    jan_first_half.coalesce(1).write.mode("overwrite").parquet(inc_dir + "/batch")
+    for f in os.listdir(inc_dir + "/batch"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{inc_dir}/batch/{f}", f"{inc_dir}/{f}")
+    shutil.rmtree(inc_dir + "/batch")
+
+    stream = read_stream(spark, inc_dir)
+    agg = tumbling_window_agg(stream, window="1 day", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("inc_test")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.table("inc_test").count()
+
+    jan_second_half.coalesce(1).write.mode("overwrite").parquet(inc_dir + "/batch2")
+    for f in os.listdir(inc_dir + "/batch2"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{inc_dir}/batch2/{f}", f"{inc_dir}/b2_{f}")
+    shutil.rmtree(inc_dir + "/batch2")
+    q.processAllAvailable()
+    n2 = spark.table("inc_test").count()
+    q.stop()
+    assert n2 > n1 > 0

@@ -1,0 +1,19 @@
+from ubw_spark.streaming.stages import (
+    read_stream,
+    tumbling_window_agg,
+    sliding_window_agg,
+    session_window_agg,
+    stateful_running_totals,
+    run_to_memory,
+    write_stream_parquet,
+)
+
+__all__ = [
+    "read_stream",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "stateful_running_totals",
+    "run_to_memory",
+    "write_stream_parquet",
+]

@@ -1,0 +1,182 @@
+"""Structured Streaming over the same stage surface as batch.
+
+The reference is strictly batch (SURVEY §2.9) — streaming is net-new.
+Because an engine stage is just ``DataFrame → DataFrame``, the batch
+window operators in ubw_spark.queries.events and these streaming stages
+share their aggregation expressions; only the source (``readStream``)
+and sink (``writeStream`` + watermark) differ.  Correctness strategy:
+the batch twin of every streaming stage is oracle-checked against
+DuckDB; tests then assert stream output == batch output on the same
+files (file source, processAllAvailable).
+
+Scale posture: watermarks bound state (no unbounded window state at
+100 TB/day); ``stateful_running_totals`` shows applyInPandasWithState
+for semantics the built-in windows can't express; sinks use
+``foreachBatch`` or native parquet with checkpointing.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | T.StructType = EVENTS_SCHEMA,
+    fmt: str = "parquet",
+    **options,
+) -> DataFrame:
+    """File-source stream (each new file = one micro-batch input)."""
+    r = spark.readStream.format(fmt).schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_extra: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling-window counts/sums; watermark bounds state retention."""
+    wm = df.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(F.window(ts_col, window), *(group_extra or []))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            *(group_extra or []),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    wm = df.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(F.window(ts_col, window, slide))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+
+
+def session_window_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session windows (gap-merged in state when streaming)."""
+    wm = df.withWatermark(ts_col, watermark)
+    return (
+        wm.groupBy(F.session_window(ts_col, gap), key)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col(key),
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+_STATE_SCHEMA = "total double, n bigint"
+_OUT_SCHEMA = "user_id bigint, total double, n bigint"
+
+
+def stateful_running_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (total, count) across micro-batches — the escape hatch for
+    state machines the built-in windows can't express.
+
+    State is one small tuple per key (bounded memory); timeouts would
+    evict idle keys in production."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        total, n = state.get if state.exists else (0.0, 0)
+        for pdf in pdfs:
+            total += float(pdf["value"].sum())
+            n += int(len(pdf))
+        state.update((total, n))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total": [total], "n": [n]}
+        )
+
+    return (
+        df.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> Callable[[], DataFrame]:
+    """Test/debug sink: run the stream into an in-memory table until all
+    available data is processed; returns a thunk for the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    spark = stream_df.sparkSession
+    return lambda: spark.table(name)
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    trigger_once: bool = True,
+):
+    """Production sink shape: parquet + checkpoint; availableNow trigger
+    processes the backlog then stops (batch-like incremental runs)."""
+    w = (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
