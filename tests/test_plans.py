@@ -1,0 +1,101 @@
+"""Physical-plan regression tests: pushdown, pruning, broadcast, top-k,
+shuffle counts.  These encode the 100 TB posture — a refactor that
+breaks one of these properties fails here, not on the cluster."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.plans import (
+    assert_plan,
+    has_broadcast_join,
+    has_take_ordered,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from ubw_spark.queries import REGISTRY
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return REGISTRY[name].fn(spark, sf_dir)
+
+    return run
+
+
+def test_engine_params_push_filters_to_scan(q):
+    df = q("engine_param_query")
+    pf = " ".join(pushed_filters(df))
+    assert "c_mktsegment" in pf  # LIKE pushed as StringContains-ish
+    assert "c_acctbal" in pf  # gt pushed
+
+
+def test_engine_params_prune_scan_columns(q):
+    # query touches custkey/name/acctbal/mktsegment only — the scan must
+    # not read anything else even though customer has 5 columns
+    df = q("engine_param_query")
+    for cols in read_schema_columns(df):
+        assert cols <= {"c_custkey", "c_name", "c_acctbal", "c_mktsegment"}
+
+
+def test_q1_scan_pruned_and_filter_pushed(q):
+    df = q("q1_pricing_summary")
+    assert_plan(
+        df,
+        pushed=["l_shipdate"],
+        max_shuffles=1,  # single groupBy shuffle (partial agg map-side)
+        scan_cols_at_most={
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate",
+        },
+    )
+
+
+def test_q3_broadcasts_dims_and_takes_topk(q):
+    df = q("q3_shipping_priority")
+    assert has_broadcast_join(df)
+    assert has_take_ordered(df)
+
+
+def test_q5_star_join_broadcasts(q):
+    df = q("q5_local_supplier_volume")
+    assert has_broadcast_join(df)
+    # one shuffle for orders⋈lineitem + one for the final groupBy is the
+    # acceptable ceiling; dims must not add shuffles
+    assert shuffle_count(df) <= 4
+
+
+def test_topk_global_is_take_ordered_not_sort(q):
+    df = q("topk_global")
+    assert has_take_ordered(df)
+    assert shuffle_count(df) == 0  # per-partition heaps + driver merge
+
+
+def test_minhash_shuffles_bounded(q):
+    # signature computation is map-only; shuffles come only from the
+    # band self-join + distinct + verify joins
+    df = q("dedup_minhash_lsh")
+    assert shuffle_count(df) <= 8
+
+
+def test_window_topk_single_shuffle(q):
+    df = q("window_topk_per_group")
+    assert shuffle_count(df) == 1  # partitionBy o_custkey, sort in place
+
+
+def test_paging_no_global_sort_when_limited(spark, sf_dir):
+    """order+limit through the param compiler must stay TakeOrdered."""
+    from ubw_spark import ColumnSpec, QueryParams, QuerySpec, apply_params
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spec = QuerySpec(
+        [
+            ColumnSpec("key", expr="c_custkey", orderable=True),
+            ColumnSpec("bal", expr="c_acctbal", orderable=True),
+        ]
+    )
+    df = apply_params(
+        cust, spec, QueryParams(orders=[("bal", True)], take=20)
+    )
+    assert has_take_ordered(df)

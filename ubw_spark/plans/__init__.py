@@ -1,0 +1,19 @@
+from ubw_spark.plans.inspect import (
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+    has_broadcast_join,
+    has_take_ordered,
+    shuffle_count,
+    assert_plan,
+)
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "has_broadcast_join",
+    "has_take_ordered",
+    "shuffle_count",
+    "assert_plan",
+]

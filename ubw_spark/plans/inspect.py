@@ -1,0 +1,101 @@
+"""Physical-plan inspection and assertion helpers.
+
+The engine's scale posture is enforced, not hoped for: tests assert that
+filters reach the parquet scan (PushedFilters), scans read only needed
+columns (ReadSchema), small dims broadcast, order+limit compiles to
+TakeOrderedAndProject, and shuffle counts stay at the expected minimum.
+A plan regression (e.g. a refactor that breaks pushdown) fails CI, not
+the 1000-executor run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _explain(df: DataFrame, mode: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return _explain(df, "formatted")
+
+
+def simple_plan(df: DataFrame) -> str:
+    return _explain(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's scans."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[(.*?)\]", formatted_plan(df)):
+        if m.group(1).strip():
+            out.extend(f.strip() for f in m.group(1).split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[set[str]]:
+    """Column sets actually read by each scan (pruning check)."""
+    cols: list[set[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<(.*?)>", formatted_plan(df)):
+        fields = m.group(1)
+        cols.append(
+            {f.split(":")[0].strip() for f in fields.split(",") if ":" in f}
+        )
+    return cols
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in simple_plan(df)
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of real shuffle exchanges in the physical plan —
+    BroadcastExchange is deliberately excluded (a broadcast moves one
+    small table to every executor; it is the thing we use to AVOID a
+    shuffle).  Fewer exchanges == less data movement at any scale."""
+    return len(re.findall(r"(?<!Broadcast)Exchange", simple_plan(df)))
+
+
+def assert_plan(
+    df: DataFrame,
+    *,
+    pushed: list[str] | None = None,
+    max_shuffles: int | None = None,
+    broadcast: bool | None = None,
+    take_ordered: bool | None = None,
+    scan_cols_at_most: set[str] | None = None,
+) -> None:
+    """Raise AssertionError listing every violated expectation."""
+    problems: list[str] = []
+    if pushed is not None:
+        have = " ".join(pushed_filters(df))
+        for frag in pushed:
+            if frag not in have:
+                problems.append(f"expected pushed filter fragment '{frag}' in [{have}]")
+    if max_shuffles is not None and shuffle_count(df) > max_shuffles:
+        problems.append(
+            f"plan has {shuffle_count(df)} shuffles, expected <= {max_shuffles}"
+        )
+    if broadcast is not None and has_broadcast_join(df) != broadcast:
+        problems.append(f"broadcast join expected={broadcast}")
+    if take_ordered is not None and has_take_ordered(df) != take_ordered:
+        problems.append(f"TakeOrderedAndProject expected={take_ordered}")
+    if scan_cols_at_most is not None:
+        for s in read_schema_columns(df):
+            extra = s - scan_cols_at_most
+            if extra:
+                problems.append(f"scan reads unexpected columns: {sorted(extra)}")
+    if problems:
+        raise AssertionError("; ".join(problems))

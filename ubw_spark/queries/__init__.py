@@ -21,5 +21,6 @@ from ubw_spark.queries import textops  # noqa: F401
 from ubw_spark.queries import similarity  # noqa: F401
 from ubw_spark.queries import events  # noqa: F401
 from ubw_spark.queries import scale_ops  # noqa: F401
+from ubw_spark.queries import pipeline_q  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "QueryDef"]

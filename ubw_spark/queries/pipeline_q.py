@@ -1,0 +1,55 @@
+"""Pipeline-composition query (C1-C6): a multi-stage Channel-style flow
+compiled to ONE Catalyst plan — filter pushdown crosses stage
+boundaries exactly as if the user wrote a single expression."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.pipeline import Pipeline
+from ubw_spark.queries.registry import register, table
+
+
+@register(
+    "engine_pipeline_stages",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS total_discount_amt
+    FROM lineitem
+    WHERE l_quantity > 40 AND l_discount > 0.02
+    GROUP BY l_returnflag
+    """,
+    tags=("engine", "pipeline"),
+)
+def engine_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Channel-style stages (filter → derive → aggregate) composed
+    with .transform semantics; Catalyst folds them into one plan with
+    both filters pushed into the scan."""
+    p = Pipeline()
+    p.append(
+        lambda df: df.where(F.col("l_quantity") > 40), name="qty_filter"
+    )
+    p.append(
+        lambda df: df.where(F.col("l_discount") > 0.02).withColumn(
+            "discount_amt",
+            F.col("l_extendedprice").cast("decimal(12,4)")
+            * F.col("l_discount").cast("decimal(12,4)"),
+        ),
+        name="derive_discount",
+        requires=["l_discount", "l_extendedprice"],
+    )
+    p.append(
+        lambda df: df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("discount_amt"), 2)
+            .cast("double")
+            .alias("total_discount_amt"),
+        ),
+        name="agg",
+        requires=["discount_amt"],
+    )
+    return p.run(table(spark, sf_dir, "lineitem"))
