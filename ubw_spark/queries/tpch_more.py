@@ -1,0 +1,262 @@
+"""Additional TPC-H-shaped queries widening agg/join/predicate coverage
+(Q4/Q6/Q7/Q10/Q12/Q14 analogs adapted to the synthetic star schema).
+
+Same discipline as relational.py: DECIMAL for money sums, broadcast for
+dims, explicit aliases, deterministic top-k tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ubw_spark.queries.registry import register, table
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(12,4)")
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "agg"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 shape: EXISTS → left-semi join (no fanout), then small agg."""
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * CAST(l_discount AS DECIMAL(12,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("agg",),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: pure filter+agg — every predicate must reach the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                  JOIN orders   ON o_orderkey = l_orderkey
+                  JOIN customer ON c_custkey = o_custkey
+                  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_1', 'NATION_2') AND n2.n_name IN ('NATION_1', 'NATION_2')
+      AND n1.n_name <> n2.n_name
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("join", "agg"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: two nation lookups with different roles (self-join of
+    the dim — both broadcast) + year bucketing."""
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    customer = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                          * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+             AS revenue,
+           round(c_acctbal, 2) AS c_acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 shape: returned-items revenue per customer, global top 20."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_shipmode_priority",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    tags=("join", "agg"),
+)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: conditional counts (case-when inside sum)."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(round(
+             100.00 * sum(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(l_extendedprice AS DECIMAL(12,4))
+                               * (1 - CAST(l_discount AS DECIMAL(12,4)))
+                          ELSE 0 END)
+             / sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * (1 - CAST(l_discount AS DECIMAL(12,4)))), 4) AS DOUBLE)
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    tags=("join", "agg"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: ratio of conditional to total revenue (part broadcast).
+
+    The division of two exact decimals is rounded at 4 dp; both engines
+    divide the same exact operands so the doubles agree bit-for-bit."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    disc = _dec("l_extendedprice") * (1 - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(
+        F.lit(0).cast("decimal(12,4)")
+    )
+    return (
+        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(disc), 4)
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
