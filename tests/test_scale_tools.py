@@ -1,0 +1,122 @@
+"""Scale-tooling tests: salted aggregation/join equivalence, bucketed
+co-located joins (no shuffle), approximate aggregates vs exact,
+CSV round-trip, upsert semantics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.skew import salted_groupby_agg, salted_join
+from ubw_spark.plans import shuffle_count
+from ubw_spark.sources.writers import upsert, write_bucketed, write_table
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    """90% of rows share key 'hot'."""
+    hot = spark.range(9000).select(
+        F.lit("hot").alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    cold = spark.range(1000).select(
+        F.concat(F.lit("cold"), F.col("id") % 50).alias("k"),
+        F.col("id").cast("double").alias("v"),
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_matches_plain(spark, skewed_df):
+    plain = {
+        r["k"]: (r["total"], r["n"], round(r["mean"], 6))
+        for r in skewed_df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.avg("v").alias("mean"),
+        )
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["total"], r["n"], round(r["mean"], 6))
+        for r in salted_groupby_agg(
+            skewed_df,
+            ["k"],
+            {"total": ("sum", "v"), "n": ("count", "v"), "mean": ("avg", "v")},
+            salt_buckets=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_rejects_non_algebraic(spark, skewed_df):
+    with pytest.raises(ValueError, match="non-algebraic"):
+        salted_groupby_agg(skewed_df, ["k"], {"m": ("median", "v")})
+
+
+def test_salted_join_matches_plain(spark, skewed_df):
+    dim = spark.createDataFrame(
+        [("hot", "HOT"), ("cold1", "C1"), ("cold7", "C7")], "k string, label string"
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in skewed_df.join(dim, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["label"])
+        for r in salted_join(skewed_df, dim, "k", salt_buckets=8).collect()
+    )
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(10000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        write_bucketed(a, "bkt_a", ["k"], num_buckets=8)
+        write_bucketed(b, "bkt_b", ["k"], num_buckets=8)
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        assert shuffle_count(joined) == 0, "bucketed join must be co-located"
+        assert joined.count() == 10000
+        # sanity: the same join on unbucketed frames DOES shuffle
+        assert shuffle_count(a.join(b, "k")) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    approx = li.select(
+        F.approx_count_distinct("l_orderkey", rsd=0.02)
+    ).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b", 2.5), (2, None, -1.0)], "id bigint, s string, v double"
+    )
+    path = str(tmp_path / "csv_out")
+    write_table(df, path, fmt="csv", mode="overwrite")
+    back = (
+        spark.read.format("csv")
+        .schema("id bigint, s string, v double")
+        .load(path)
+    )
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_upsert_semantics(spark):
+    target = spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "id bigint, val string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "new2"), (4, "new4")], "id bigint, val string"
+    )
+    merged = {r["id"]: r["val"] for r in upsert(target, updates, ["id"]).collect()}
+    assert merged == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}

@@ -239,7 +239,7 @@ def apply_params(
     # Keep every declared column in scope for filters and hidden sort keys.
     out = spec.frame(df, all_columns=True)
 
-    pred = _rebind_pred_to_projection(spec, params.filters)
+    pred = _rebind_pred_to_projection(spec, params.filters, dict(out.dtypes))
     if pred is not None:
         out = out.where(pred)
 
@@ -262,8 +262,60 @@ def apply_params(
     return out.select(*visible)
 
 
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double")
+
+
+def _coerce_operand(dtype: str, v: Any) -> tuple[bool, Any]:
+    """Coerce a JSON-layer operand to the column's type.  Returns
+    (ok, coerced).  Un-coercible operands make the predicate a silent
+    no-op — the reference's contract for out-of-range filter params
+    (doc-01.md:148-152) — instead of an ANSI runtime cast error."""
+    base = dtype.split("(")[0]
+    try:
+        if base in _NUMERIC_TYPES or base == "decimal":
+            if isinstance(v, bool) or v is None:
+                return False, None
+            if isinstance(v, (int, float)):
+                return True, v
+            if isinstance(v, str) and v.strip():
+                f = float(v)
+                return True, int(f) if f.is_integer() and base not in ("float", "double") else f
+            return False, None
+        if base == "string":
+            return (v is not None), None if v is None else str(v)
+        if base in ("date", "timestamp", "timestamp_ntz"):
+            return isinstance(v, str) and bool(v.strip()), v
+        if base == "boolean":
+            return isinstance(v, bool), v
+        return True, v  # exotic types: pass through
+    except (TypeError, ValueError):
+        return False, None
+
+
+def _coerce_for_op(dtype: str, op: str, operand: Any) -> tuple[bool, Any]:
+    if op == "isnull":
+        return isinstance(operand, bool), operand
+    if op in ("in", "between"):
+        if not isinstance(operand, (list, tuple)):
+            return False, None
+        if op == "between" and len(operand) != 2:
+            return False, None
+        out = []
+        for v in operand:
+            ok, cv = _coerce_operand(dtype, v)
+            if not ok:
+                return False, None
+            out.append(cv)
+        return True, out
+    if op == "like":
+        return isinstance(operand, str), operand
+    return _coerce_operand(dtype, operand)
+
+
 def _rebind_pred_to_projection(
-    spec: QuerySpec, filters: dict[str, dict[str, Any]]
+    spec: QuerySpec,
+    filters: dict[str, dict[str, Any]],
+    dtypes: dict[str, str],
 ) -> Column | None:
     """Filters run on the projected frame, so operands compare against the
     *output* columns (post-rename, post-default) by name.  Returns None
@@ -274,10 +326,16 @@ def _rebind_pred_to_projection(
         s = smap.get(name)
         if s is None or not s.filterable:
             continue
+        if not isinstance(ops, dict):
+            continue
         c = F.col(s.name)
+        dtype = dtypes.get(s.name, "string")
         for op, operand in ops.items():
             fn = _FILTER_OPS.get(op)
             if fn is None or (op == "like" and not s.likeable):
                 continue
-            preds.append(fn(c, operand))
+            ok, coerced = _coerce_for_op(dtype, op, operand)
+            if not ok:
+                continue
+            preds.append(fn(c, coerced))
     return reduce(lambda a, b: a & b, preds) if preds else None

@@ -40,6 +40,28 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 32,
+    *,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    sort_by: Sequence[str] = (),
+) -> None:
+    """Bucketed managed table (saveAsTable — bucket metadata needs the
+    catalog).  Two tables bucketed identically on their join key join
+    WITHOUT any shuffle: the co-located join is the single biggest
+    repeated-join win at 100 TB (pay one layout shuffle at write time,
+    amortize over every subsequent join).  Demonstrated in
+    tests/test_sources.py::test_bucketed_join_has_no_shuffle."""
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(name)
+
+
 def upsert(
     target: DataFrame, updates: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
