@@ -1,0 +1,238 @@
+"""JSON-driven query compiler — the reference's pain-point #7:
+"generate a SQL plan from a complex JSON describing the table",
+including inter-table joins, multi-dimensional aggregation, dynamic
+filters/orders/paging (doc-01.md:136-158; dynamic-table motivation
+doc-03.md:71-84).
+
+A single dict describes the whole query::
+
+    {
+      "from": "lineitem",
+      "joins": [{"table": "orders", "on": [["l_orderkey", "o_orderkey"]],
+                 "how": "inner", "broadcast": false}],
+      "columns": [
+        {"name": "flag", "expr": "l_returnflag"},
+        {"name": "rev",  "fn": "mul", "args": [
+            {"expr": "l_extendedprice"},
+            {"fn": "sub", "args": [{"lit": 1}, {"expr": "l_discount"}]}]}
+      ],
+      "group_by": ["flag"],
+      "aggs": [{"name": "total_rev", "fn": "sum", "arg": "rev"},
+               {"name": "n", "fn": "count"}],
+      "filters": {"flag": {"eq": "R"}},       # QueryParams filter DSL
+      "orders": [["total_rev", true]],
+      "take": 10
+    }
+
+Safety: expressions are data, not code — only the whitelisted ``_FNS``
+vocabulary is reachable, so a hostile JSON cannot escape into arbitrary
+SQL/py (no expr() strings).  Validation accumulates every problem
+(unknown table/column/function) before any execution, like the
+reference's AtomicException (AtomicGen.scala:18-37).
+
+Scale: the compiler only *declares* the plan — joins/aggs land in
+Catalyst exactly as hand-written DataFrame code would, with optional
+per-join broadcast hints from the JSON.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast as _broadcast
+
+from ubw_spark.core.errors import ErrorAccumulator
+from ubw_spark.core.spec import ColumnSpec, QuerySpec
+from ubw_spark.params import QueryParams, apply_params
+
+# The scalar-function vocabulary reachable from JSON (§2.8 surface).
+_FNS: dict[str, Callable[..., Column]] = {
+    "add": lambda a, b: a + b,
+    "sub": lambda a, b: a - b,
+    "mul": lambda a, b: a * b,
+    "div": lambda a, b: a / b,
+    "neg": lambda a: -a,
+    "abs": F.abs,
+    # scale variants instead of int-literal plumbing: JSON stays data-only
+    "round2": lambda a: F.round(a, 2),
+    "round4": lambda a: F.round(a, 4),
+    "coalesce": F.coalesce,
+    "concat": F.concat,
+    "concat_ws": lambda *args: F.concat_ws("-", *args),
+    "upper": F.upper,
+    "lower": F.lower,
+    "trim": F.trim,
+    "length": F.length,
+    "year": F.year,
+    "month": F.month,
+    "day": F.dayofmonth,
+    "cast_double": lambda a: a.cast("double"),
+    "cast_long": lambda a: a.cast("long"),
+    "cast_decimal": lambda a: a.cast("decimal(12,4)"),
+    "when": lambda cond, t, f: F.when(cond, t).otherwise(f),
+    "gt": lambda a, b: a > b,
+    "lt": lambda a, b: a < b,
+    "eq": lambda a, b: a == b,
+}
+
+_AGGS: dict[str, Callable[..., Column]] = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": lambda c=None: F.count(F.lit(1)) if c is None else F.count(c),
+    "count_distinct": F.countDistinct,
+}
+
+
+def _compile_expr(node: Any, acc: ErrorAccumulator, path: str) -> Column:
+    """Recursively compile an expression node: {"expr": col} |
+    {"lit": v} | {"fn": name, "args": [...]} | bare string = column."""
+    if isinstance(node, str):
+        return F.col(node)
+    if not isinstance(node, dict):
+        acc.add(f"{path}: expression node must be str or object, got {type(node).__name__}")
+        return F.lit(None)
+    if "expr" in node:
+        return F.col(node["expr"])
+    if "lit" in node:
+        return F.lit(node["lit"])
+    if "fn" in node:
+        fn = _FNS.get(node["fn"])
+        if fn is None:
+            acc.add(f"{path}: unknown function '{node['fn']}'")
+            return F.lit(None)
+        args = [
+            _compile_expr(a, acc, f"{path}.args[{i}]")
+            for i, a in enumerate(node.get("args", []))
+        ]
+        try:
+            return fn(*args)
+        except TypeError as e:
+            acc.add(f"{path}: bad arity for '{node['fn']}': {e}")
+            return F.lit(None)
+    acc.add(f"{path}: expression object needs 'expr', 'lit' or 'fn'")
+    return F.lit(None)
+
+
+def compile_json_query(
+    spark: SparkSession,
+    spec: dict[str, Any],
+    tables: Callable[[str], DataFrame],
+) -> DataFrame:
+    """Compile the JSON query description to a DataFrame.
+
+    ``tables`` resolves a table name to a DataFrame (injection point for
+    catalogs / sf_dir readers).  Raises SpecValidationError listing ALL
+    problems found during compilation."""
+    acc = ErrorAccumulator()
+
+    base_name = spec.get("from")
+    if not base_name:
+        acc.add("'from' table is required")
+        acc.raise_if_any()
+    try:
+        df = tables(base_name)
+    except Exception as e:
+        acc.add(f"cannot resolve table '{base_name}': {e}")
+        acc.raise_if_any()
+
+    available = set(df.columns)
+    for j_i, join in enumerate(spec.get("joins", [])):
+        jname = join.get("table")
+        try:
+            right = tables(jname)
+        except Exception as e:
+            acc.add(f"joins[{j_i}]: cannot resolve table '{jname}': {e}")
+            continue
+        on = join.get("on", [])
+        if not on:
+            acc.add(f"joins[{j_i}]: 'on' pairs required (no implicit cross joins)")
+            continue
+        conds = []
+        for pair in on:
+            lcol, rcol = pair
+            if lcol not in available:
+                acc.add(f"joins[{j_i}]: left key '{lcol}' not in scope")
+            if rcol not in right.columns:
+                acc.add(f"joins[{j_i}]: right key '{rcol}' not in '{jname}'")
+            conds.append(F.col(lcol) == F.col(rcol))
+        if acc.problems:
+            continue
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        rhs = _broadcast(right) if join.get("broadcast") else right
+        df = df.join(rhs, cond, join.get("how", "inner"))
+        available |= set(right.columns)
+
+    # derived/selected columns
+    col_specs: list[ColumnSpec] = []
+    for c_i, cdef in enumerate(spec.get("columns", [])):
+        name = cdef.get("name")
+        if not name:
+            acc.add(f"columns[{c_i}]: 'name' required")
+            continue
+        if "expr" in cdef and not ("fn" in cdef or "lit" in cdef):
+            src = cdef["expr"]
+            if src not in available:
+                acc.add(f"columns[{c_i}]: source column '{src}' not in scope")
+            expr: Column | None = F.col(src)
+        else:
+            expr = _compile_expr(
+                {k: v for k, v in cdef.items() if k != "name"},
+                acc,
+                f"columns[{c_i}]",
+            )
+        col_specs.append(
+            ColumnSpec(
+                name,
+                expr=expr,
+                orderable=bool(cdef.get("orderable", True)),
+                filterable=bool(cdef.get("filterable", True)),
+                likeable=bool(cdef.get("likeable", True)),
+                describe=cdef.get("describe"),
+                visible=bool(cdef.get("visible", True)),
+            )
+        )
+    acc.raise_if_any()
+
+    projected = df.select(*[cs.column() for cs in col_specs])
+
+    # aggregation block (multi-dimensional: list of dims incl. none)
+    group_by = spec.get("group_by")
+    aggs = spec.get("aggs", [])
+    if aggs:
+        agg_cols = []
+        for a_i, adef in enumerate(aggs):
+            fn = _AGGS.get(adef.get("fn"))
+            if fn is None:
+                acc.add(f"aggs[{a_i}]: unknown aggregate '{adef.get('fn')}'")
+                continue
+            arg = adef.get("arg")
+            col = fn(arg) if arg is not None else fn()
+            agg_cols.append(col.alias(adef.get("name", f"agg{a_i}")))
+        acc.raise_if_any()
+        if group_by:
+            projected = projected.groupBy(*group_by).agg(*agg_cols)
+        else:
+            projected = projected.agg(*agg_cols)
+
+    # runtime params: filters / orders / paging reuse the param compiler
+    out_spec = QuerySpec(
+        [
+            ColumnSpec(c, orderable=True, filterable=True, likeable=True)
+            for c in projected.columns
+        ]
+    )
+    params = QueryParams(
+        orders=[tuple(o) if isinstance(o, list) else o for o in spec.get("orders", [])],
+        filters=spec.get("filters", {}),
+        drop=spec.get("drop"),
+        take=spec.get("take"),
+        page_index=spec.get("page_index"),
+        page_size=spec.get("page_size"),
+    )
+    return apply_params(projected, out_spec, params)
