@@ -120,3 +120,11 @@ def test_upsert_semantics(spark):
     )
     merged = {r["id"]: r["val"] for r in upsert(target, updates, ["id"]).collect()}
     assert merged == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
+
+
+def test_excel_gate_raises_clear_error(spark):
+    from ubw_spark.sources.excel import write_excel
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
+    with pytest.raises(ImportError, match="openpyxl|spark-excel"):
+        write_excel(df, "/tmp/never_written.xlsx")
