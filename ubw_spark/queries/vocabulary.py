@@ -1,0 +1,115 @@
+"""Vocabulary-completing queries: regexp functions, the SQL API entry
+(spark.sql over temp views — GROUPING SETS), exact percentiles, and
+range-frame windows.
+
+The reference exposes host-language escape hatches instead of a function
+library (SURVEY §2.8); the engine's vocabulary is Spark's own, and these
+queries pin down the cross-engine-stable subset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ubw_spark.queries.registry import register, table
+
+
+@register(
+    "scalar_regexp_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           len(regexp_split_to_array(text, 'the')) - 1 AS the_count,
+           regexp_replace(text, '\d+', '#', 'g') AS digits_masked,
+           regexp_matches(text, '^[a-z]') AS starts_lower
+    FROM documents WHERE doc_id < 200
+    """,
+    tags=("scalar", "text"),
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp vocabulary on the RE2∩Java-compatible subset (character
+    classes, anchors, quantifiers — no lookarounds/backrefs, which RE2
+    lacks)."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        (F.size(F.split("text", "the")) - 1).alias("the_count"),
+        F.regexp_replace("text", r"\d+", "#").alias("digits_masked"),
+        F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("agg", "sql"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry point: same engine, SQL text in — registered
+    temp views make every table available to raw SQL users (the
+    reference's JSON-driven-SQL audience often wants plain SQL too)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT c_mktsegment,
+           round(percentile_cont(0.5) WITHIN GROUP (ORDER BY c_acctbal), 4) AS p50,
+           round(percentile_cont(0.95) WITHIN GROUP (ORDER BY c_acctbal), 4) AS p95
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("agg",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles (Spark `percentile` == SQL
+    percentile_cont).  At 100 TB switch to approx_percentile — exact
+    percentiles need a per-group sort; the approximate sketch merges."""
+    c = table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                          RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+             AS orders_30d
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event-time seconds: orders per customer in the
+    trailing 30 days — the value-based frame rowsBetween can't express."""
+    o = table(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ: no direct →long cast in Spark 4;
+    # go through timestamp (session is UTC, so epoch seconds agree).
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-2_592_000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.count(F.lit(1)).over(w).alias("orders_30d"),
+    )
