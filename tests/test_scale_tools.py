@@ -2,6 +2,8 @@
 co-located joins (no shuffle), approximate aggregates vs exact,
 CSV round-trip, upsert semantics."""
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -128,3 +130,27 @@ def test_excel_gate_raises_clear_error(spark):
     df = spark.createDataFrame([(1, "a")], "id bigint, s string")
     with pytest.raises(ImportError, match="openpyxl|spark-excel"):
         write_excel(df, "/tmp/never_written.xlsx")
+
+
+def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
+    """Date-partitioned layout + a date filter → the scan lists only the
+    matching partition directories (PartitionFilters), not the whole
+    table — the other half of pushdown at 100 TB."""
+    from ubw_spark.plans import formatted_plan
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    path = str(tmp_path / "events_by_day")
+    write_table(
+        ev.withColumn("day", F.to_date("ts")),
+        path,
+        mode="overwrite",
+        partition_by=["day"],
+    )
+    back = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    plan = formatted_plan(back)
+    assert "PartitionFilters" in plan and "day" in plan.split("PartitionFilters")[1][:200]
+    assert back.count() > 0
+    n_days = len([d for d in os.listdir(path) if d.startswith("day=")])
+    assert n_days >= 25  # one dir per day of January

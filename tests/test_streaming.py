@@ -104,3 +104,34 @@ def test_incremental_file_arrival(spark, events_dir, tmp_path):
     n2 = spark.table("inc_test").count()
     q.stop()
     assert n2 > n1 > 0
+
+
+def test_stream_dedup_drops_replayed_events(spark, events_dir, tmp_path):
+    """The same file content arriving twice (replay) must not double
+    output counts: dropDuplicates state absorbs the second delivery."""
+    import glob
+
+    from ubw_spark.streaming.stages import stream_dedup
+
+    inc_dir = str(tmp_path / "replay")
+    os.makedirs(inc_dir)
+    src = glob.glob(f"{events_dir}/*.parquet")[0]
+    shutil.copy(src, f"{inc_dir}/first.parquet")
+
+    stream = read_stream(spark, inc_dir)
+    deduped = stream_dedup(stream, ["event_id"], watermark="365 days")
+    counts = deduped.groupBy().count()
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.table("dedup_test").collect()[0]["count"]
+    # replay: same events, new file
+    shutil.copy(src, f"{inc_dir}/replayed.parquet")
+    q.processAllAvailable()
+    n2 = spark.table("dedup_test").collect()[0]["count"]
+    q.stop()
+    assert n1 > 0 and n2 == n1, f"replay changed count: {n1} -> {n2}"

@@ -143,6 +143,19 @@ def stateful_running_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once event dedup across micro-batches: dropDuplicates
+    keyed state, bounded by the watermark (state for keys older than the
+    watermark is evicted — without it, dedup state grows forever at
+    100 TB/day)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
