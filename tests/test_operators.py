@@ -134,3 +134,29 @@ def test_multimodal_real_codec_raises(spark):
     out = decode_batches(df, "doc_id", "payload", codec="real")
     with pytest.raises(Exception, match="NotImplementedError|media codecs"):
         out.collect()
+
+
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    from ubw_spark.operators.ivf import ivf_ann_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = train_ivf_centroids(emb, k=8, seed=42)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=4)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ivf_cells_partition_corpus(spark, sf_dir):
+    from ubw_spark.operators.ivf import assign_ivf_cells, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_ivf_centroids(emb, k=8, seed=42)
+    cells = assign_ivf_cells(emb, centroids).groupBy("ivf_cell").count().collect()
+    assert len(cells) == 8  # every cell populated
+    total = sum(r["count"] for r in cells)
+    assert total == emb.count()

@@ -1,0 +1,109 @@
+"""IVF (inverted-file) approximate nearest neighbor — the scale path the
+brief names alongside LSH: a coarse k-means quantizer assigns every
+vector to its nearest centroid; queries probe only the ``nprobe``
+closest cells.
+
+Spark-first shape:
+
+- training: `pyspark.ml.clustering.KMeans` (distributed Lloyd's) on a
+  sample — the model is tiny (k × dim floats) and rides into the plan as
+  literals, so assignment is a map-only expression, not a UDF or join.
+- index build: one column (`ivf_cell`) added to the corpus — at 100 TB
+  you'd additionally `repartition(ivf_cell).write.partitionBy(ivf_cell)`
+  so a probe reads only nprobe/k of the data (partition pruning).
+- search: probe cells → candidates = corpus rows in those cells →
+  exact cosine re-rank.  Candidate volume ≈ N × nprobe / k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ubw_spark.operators.similarity import cosine_col
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """Distributed k-means; returns centroids as plain lists (the
+    'model' — small enough to be plan literals)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
+    return [c.tolist() for c in model.clusterCenters()]
+
+
+def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
+    """Indices of the n nearest centroids (squared L2), as an array
+    expression over centroid literals."""
+    dists = []
+    for ci, c in enumerate(centroids):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(
+                vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
+    ranked = F.array_sort(F.array(*dists))
+    return F.transform(F.slice(ranked, 1, n), lambda s: s["c"])
+
+
+def assign_ivf_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only cell assignment (nearest centroid)."""
+    return corpus.withColumn(
+        "ivf_cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest cells per query; exact-cosine re-rank
+    candidates only.  Join key is the small int cell id."""
+    indexed = assign_ivf_cells(corpus, centroids, vec_col)
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("ivf_cell"),
+    )
+    cands = (
+        indexed.join(broadcast(probes), "ivf_cell")
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", "__qv", id_col, vec_col)
+        .distinct()
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        F.round(cosine_col(F.col("__qv"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -88,6 +88,21 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sim_ivf_ann_topk", oracle=None, tags=("similarity", "ivf"))
+def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer (k=8), probe 4 cells, exact
+    re-rank.  Rows-only; recall vs brute force asserted in tests.  At
+    100 TB the corpus is written partitioned by ivf_cell so probes read
+    nprobe/k of the data (see operators/ivf.py)."""
+    from ubw_spark.operators.ivf import ivf_ann_topk, train_ivf_centroids
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(emb, k=8, seed=42)
+    return ivf_ann_topk(
+        emb, emb.where(F.col("vec_id") < 5), centroids, k=5, nprobe=4
+    )
+
+
 @register(
     "asof_join_last_click",
     oracle="""
