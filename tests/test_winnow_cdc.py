@@ -1,0 +1,91 @@
+"""Winnowing fingerprint and SCD2 merge tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.cdc import scd2_init, scd2_merge
+from ubw_spark.operators.winnow import (
+    fingerprint_index,
+    winnow_fingerprints_df,
+    winnow_overlap_pairs,
+)
+
+
+def test_winnow_guarantee_on_shared_substring(spark):
+    """Winnowing guarantee: a shared run of length ≥ w+k-1 chars must
+    yield at least one shared fingerprint."""
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "CCCCCC " + shared + " DDDD"),
+        (3, "totally unrelated content with different words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnow_overlap_pairs(df, "doc_id", "text", min_shared=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_fingerprints_deterministic(spark):
+    df = spark.createDataFrame([(1, "hello world hello world")], "id bigint, text string")
+    a = sorted(r["fingerprint"] for r in winnow_fingerprints_df(df, "id", "text").collect())
+    b = sorted(r["fingerprint"] for r in winnow_fingerprints_df(df, "id", "text").collect())
+    assert a == b and len(a) > 0
+
+
+def test_fingerprint_index_df_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        "doc_id bigint, text string",
+    )
+    idx = fingerprint_index(df, "doc_id", "text")
+    shared = idx.where(F.size("doc_ids") >= 2).collect()
+    assert all(set(r["doc_ids"]) == {1, 2} for r in shared)
+    assert len(shared) > 0
+
+
+@pytest.fixture()
+def dim_v1(spark):
+    snap = spark.createDataFrame(
+        [(1, "alice", "NY", "2024-01-01 00:00:00"),
+         (2, "bob", "LA", "2024-01-01 00:00:00")],
+        "id bigint, name string, city string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return scd2_init(snap)
+
+
+def test_scd2_init_all_current(dim_v1):
+    rows = dim_v1.collect()
+    assert len(rows) == 2 and all(r["is_current"] for r in rows)
+
+
+def test_scd2_merge_change_insert_noop(spark, dim_v1):
+    changes = spark.createDataFrame(
+        [(1, "alice", "SF", "2024-02-01 00:00:00"),   # city change
+         (2, "bob", "LA", "2024-02-01 00:00:00"),     # identical → no-op
+         (3, "carol", "TX", "2024-02-01 00:00:00")],  # new key
+        "id bigint, name string, city string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_merge(dim_v1, changes, keys=["id"])
+    rows = {(r["id"], r["is_current"]): r for r in out.collect()}
+    assert len(rows) == 4
+    # alice: closed old NY version + current SF version
+    assert rows[(1, False)]["city"] == "NY"
+    assert str(rows[(1, False)]["valid_to"]).startswith("2024-02-01")
+    assert rows[(1, True)]["city"] == "SF"
+    # bob unchanged: still one current row with original valid_from
+    assert rows[(2, True)]["city"] == "LA"
+    assert str(rows[(2, True)]["valid_from"]).startswith("2024-01-01")
+    # carol inserted as current
+    assert rows[(3, True)]["city"] == "TX"
+
+
+def test_scd2_merge_is_idempotent_for_identical_batch(spark, dim_v1):
+    changes = spark.createDataFrame(
+        [(1, "alice", "SF", "2024-02-01 00:00:00")],
+        "id bigint, name string, city string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    once = scd2_merge(dim_v1, changes, keys=["id"])
+    twice = scd2_merge(once, changes, keys=["id"])
+    assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))

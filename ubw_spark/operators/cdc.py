@@ -1,0 +1,104 @@
+"""CDC / SCD2 emulation without a lakehouse table format.
+
+``scd2_merge`` applies a batch of changes to a slowly-changing dimension
+kept with (valid_from, valid_to, is_current) columns:
+
+- changed keys: the current version is closed out (valid_to = change ts)
+  and a new current version is appended;
+- new keys: inserted as current;
+- unchanged keys: pass through untouched.
+
+Everything is joins + unions on the key — one shuffle each, no windows —
+and returns the full new dimension for an atomic overwrite (or as the
+source of a real MERGE INTO when a lakehouse format is available;
+see sources/writers.py::upsert for the plain-upsert variant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FAR_FUTURE = "9999-12-31 23:59:59"
+
+
+def scd2_init(snapshot: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Bootstrap a dimension from a first snapshot."""
+    return snapshot.select(
+        *[c for c in snapshot.columns if c != ts_col],
+        F.col(ts_col).alias("valid_from"),
+        F.lit(_FAR_FUTURE).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def scd2_merge(
+    dim: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply ``changes`` (key cols + attribute cols + ts_col) to an SCD2
+    dimension produced by scd2_init/scd2_merge."""
+    attr_cols = compare_cols or [
+        c for c in changes.columns if c not in set(keys) | {ts_col}
+    ]
+    cur = dim.where(F.col("is_current"))
+    hist = dim.where(~F.col("is_current"))
+
+    # Rename every change column: the aliases mint fresh attribute ids,
+    # so merging the output of a previous merge with the SAME changes
+    # frame (self-join lineage) stays resolvable; all downstream
+    # references are by unambiguous name, no "a.b" qualifiers.
+    chg = changes.select(
+        *[F.col(c).alias(f"__chg_{c}") for c in changes.columns]
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"__chg_{k}"))
+    joined = cur.join(chg, cond, "full_outer")
+
+    cmp = [
+        ~F.col(c).eqNullSafe(F.col(f"__chg_{c}")) for c in attr_cols
+    ]
+    differs = cmp[0]
+    for c in cmp[1:]:
+        differs = differs | c
+    chg_present = F.col(f"__chg_{ts_col}").isNotNull()
+    cur_present = F.col("valid_from").isNotNull()
+
+    dim_cols = ["valid_from", "valid_to", "is_current"]
+    # 1. untouched current rows (no change arrived, or arrived identical)
+    untouched = joined.where(
+        cur_present & (~chg_present | ~differs)
+    ).select(*keys, *attr_cols, *dim_cols)
+    # 2. closed-out versions of genuinely changed keys
+    closed = (
+        joined.where(cur_present & chg_present & differs)
+        .select(
+            *keys,
+            *attr_cols,
+            F.col("valid_from"),
+            F.col(f"__chg_{ts_col}").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # 3. new current versions: changed keys + brand-new keys
+    fresh = (
+        joined.where(chg_present & (~cur_present | differs))
+        .select(
+            *[F.col(f"__chg_{k}").alias(k) for k in keys],
+            *[F.col(f"__chg_{c}").alias(c) for c in attr_cols],
+            F.col(f"__chg_{ts_col}").alias("valid_from"),
+            F.lit(_FAR_FUTURE).cast("timestamp").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    cols = hist.columns
+    return (
+        hist.select(cols)
+        .unionByName(untouched.select(cols))
+        .unionByName(closed.select(cols))
+        .unionByName(fresh.select(cols))
+    )
