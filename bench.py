@@ -26,10 +26,15 @@ HEADLINE = [
     "agg_cube",
     "window_topk_per_group",
     "engine_param_query",
+    "json_driven_query",
     "dedup_exact",
+    "dedup_minhash_lsh",
     "text_quality_score",
+    "text_bpe_token_count",
     "sim_cosine_topk",
     "events_sessionize",
+    "events_funnel",
+    "asof_join_last_click",
 ]
 
 

@@ -63,18 +63,27 @@ def _hash_params(i: int) -> tuple[int, int]:
     return 2 * i + 1, 104_729 * i + 17
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature as an array<bigint> of length num_hashes.
+def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature (array<bigint>, length num_hashes) from a
+    PRE-MATERIALIZED column of shingle hashes.
 
-    sig[i] = min over shingles s of (a_i·h(s) + b_i) mod P — all inside
-    one row: transform over hash index, array_min over shingle hashes."""
-    hv = F.transform(shingles, portable_hash)
+    sig[i] = min over shingle hashes h of (a_i·h + b_i) mod P.
+
+    ``hashes`` must be a plain column reference, not an inline
+    ``transform(shingles, portable_hash)`` expression: this signature
+    references it num_hashes times, and Catalyst inlines single-use
+    expensive expressions into each lambda — with md5 inline that
+    re-hashes every shingle 64 times (measured 100+ s at 5k docs; ~2 s
+    materialized).  Multi-referenced non-cheap columns are kept
+    materialized by CollapseProject, which is what we exploit."""
     mins = []
     for i in range(num_hashes):
         a, b = _hash_params(i)
         mins.append(
             F.array_min(
-                F.transform(hv, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+                F.transform(
+                    hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+                )
             )
         )
     return F.array(*mins)
@@ -122,24 +131,36 @@ def minhash_dedup_pairs(
     id_col: str,
     text_col: str,
     *,
-    k: int = 1,
+    k: int = 3,
     num_hashes: int = 64,
     bands: int = 32,
     rows_per_band: int = 2,
     threshold: float = 0.4,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact-Jaccard verification ≥ threshold.
 
     Returns (id_a, id_b, jaccard).  The exact verification joins shingle
     sets back only for candidate pairs (LSH-bounded), so the quadratic
-    kernel never touches non-candidates."""
+    kernel never touches non-candidates.
+
+    ``parallelism``: signature computation is CPU-heavy per row; when the
+    input has fewer splits than cores (small/unsplittable files), pass
+    the target partition count to repartition BEFORE hashing — one cheap
+    shuffle of raw text buys full-width compute.  Default None keeps the
+    input partitioning (right when the lake already has many splits)."""
+    if parallelism:
+        df = df.repartition(parallelism)
     sh = df.select(
         F.col(id_col),
         word_shingles(F.col(text_col), k).alias("__sh"),
     )
-    sig = sh.select(
-        id_col, "__sh", minhash_signature(F.col("__sh"), num_hashes).alias("__sig")
+    hashed = sh.select(
+        id_col, "__sh", F.transform("__sh", portable_hash).alias("__hv")
+    )
+    sig = hashed.select(
+        id_col, "__sh", minhash_signature(F.col("__hv"), num_hashes).alias("__sig")
     )
     cands = lsh_candidate_pairs(
         sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band
