@@ -54,7 +54,9 @@ def test_simhash_near_pairs_on_planted_dup(spark):
         (3, "completely different words about spark query engines and shuffles"),
     ]
     df = spark.createDataFrame(rows, "doc_id bigint, text string")
-    sig = simhash_signature(df, "doc_id", "text")
+    # unigram features: these 12-word fixtures are too short for the
+    # trigram default (one changed word flips 3 of 10 shingles)
+    sig = simhash_signature(df, "doc_id", "text", shingle_k=1)
     pairs = simhash_near_pairs(sig, "doc_id", max_hamming=16, prefix_bits=16)
     found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (1, 2) in found

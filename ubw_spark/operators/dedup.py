@@ -179,14 +179,23 @@ def minhash_dedup_pairs(
 
 
 def simhash_signature(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    shingle_k: int = 3,
 ) -> DataFrame:
     """64-bit SimHash per document via a vectorized pandas_udf.
 
     numpy does the bit unpacking/summing (not expressible as Spark SQL
     without a 64-way expression blowup); Arrow batches keep the transfer
-    columnar.  Token hashing uses the same md5-based portable hash as
-    MinHash so results are deterministic everywhere."""
+    columnar.  Hashing uses the same md5-based portable hash as MinHash
+    so results are deterministic everywhere.
+
+    Features are ``shingle_k``-word shingles (default 3), matching the
+    MinHash configuration: unigram features give same-vocabulary
+    documents correlated signatures (low Hamming for non-dups), which
+    floods candidate generation on synthetic/web corpora."""
     import pandas as pd
     from pyspark.sql.types import LongType
 
@@ -199,27 +208,44 @@ def simhash_signature(
 
         import numpy as np
 
+        # token → ±1 bit-vector cache: corpora repeat tokens heavily, so
+        # hashing each distinct token once per batch dominates nothing.
+        tok_bits: dict[str, np.ndarray] = {}
+
+        def bits_of(t: str) -> np.ndarray:
+            v = tok_bits.get(t)
+            if v is None:
+                d = hashlib.md5(t.encode("utf-8")).digest()[:8]
+                # unpackbits gives big-endian bit order per byte; the
+                # exact order is irrelevant as long as it's consistent.
+                v = np.unpackbits(np.frombuffer(d, dtype=np.uint8)).astype(
+                    np.int64
+                ) * 2 - 1
+                tok_bits[t] = v
+            return v
+
         out = np.zeros(len(texts), dtype=np.int64)
+        weights = np.int64(1) << np.arange(bits, dtype=np.int64)
         for row, text in enumerate(texts):
-            toks = set((text or "").strip().lower().split())
+            words = (text or "").strip().lower().split()
+            if shingle_k > 1:
+                toks = {
+                    " ".join(words[i : i + shingle_k])
+                    for i in range(max(len(words) - shingle_k + 1, 0))
+                }
+            else:
+                toks = set(words)
             if not toks:
                 continue
             acc = np.zeros(bits, dtype=np.int64)
             for t in toks:
-                h = int.from_bytes(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8], "big"
+                acc += bits_of(t)
+            # (acc > 0) bits dotted with 2^i, wrapping into signed int64
+            sig = np.int64(0)
+            with np.errstate(over="ignore"):
+                sig = np.sum(
+                    np.where(acc > 0, weights, np.int64(0)), dtype=np.int64
                 )
-                bit_arr = np.array(
-                    [(h >> i) & 1 for i in range(bits)], dtype=np.int64
-                )
-                acc += 2 * bit_arr - 1
-            sig = 0
-            for i in range(bits):
-                if acc[i] > 0:
-                    sig |= 1 << i
-            # store as signed 64-bit
-            if sig >= 1 << 63:
-                sig -= 1 << 64
             out[row] = sig
         return pd.Series(out)
 

@@ -78,12 +78,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("simhash_pairs", oracle=None, tags=("dedup", "lsh"))
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates (Hamming ≤ 12 over 64 bits, banded
+    """SimHash near-dup candidates (Hamming ≤ 3 over 64 bits, banded
     16-bit prefixes).  Rows-only: the signature is a vectorized
-    pandas_udf; determinism is still guaranteed (md5-based token hash)."""
+    pandas_udf; determinism is still guaranteed (md5-based token hash).
+
+    The Hamming radius must be tight on shared-vocabulary corpora:
+    unigram token sets from a common pool push ALL same-language pairs
+    toward moderate Hamming distances (≤12 admitted 1.8M pairs at sf0.1;
+    ≤3 keeps genuine near-dups only)."""
     d = table(spark, sf_dir, "documents")
     sig = simhash_signature(d, "doc_id", "text")
-    return simhash_near_pairs(sig, "doc_id", max_hamming=12, prefix_bits=16)
+    return simhash_near_pairs(sig, "doc_id", max_hamming=3, prefix_bits=16)
 
 
 @register("sim_lsh_ann_topk", oracle=None, tags=("similarity", "lsh"))
