@@ -135,3 +135,61 @@ def test_stream_dedup_drops_replayed_events(spark, events_dir, tmp_path):
     n2 = spark.table("dedup_test").collect()[0]["count"]
     q.stop()
     assert n1 > 0 and n2 == n1, f"replay changed count: {n1} -> {n2}"
+
+
+def test_stream_stream_interval_join(spark, events_dir):
+    """Stream-stream join with watermarks: purchases join clicks of the
+    same user within the preceding hour — both sides incremental, state
+    bounded by watermark + interval condition."""
+    purchases = (
+        read_stream(spark, events_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_stream(spark, events_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    stream_n = spark.table("ss_join").count()
+    q.stop()
+
+    batch = spark.read.parquet(events_dir)
+    p = batch.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = batch.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    batch_n = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).count()
+    assert stream_n == batch_n > 0
