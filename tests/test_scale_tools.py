@@ -154,3 +154,32 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     assert back.count() > 0
     n_days = len([d for d in os.listdir(path) if d.startswith("day=")])
     assert n_days >= 25  # one dir per day of January
+
+
+def test_split_assignment_stable_under_growth(spark):
+    """A row's split must not change when the corpus doubles — the
+    anti-leakage property randomSplit cannot give."""
+    from ubw_spark.operators.splits import assign_split
+
+    small = spark.range(500).select(F.col("id").alias("doc_id"))
+    big = spark.range(1000).select(F.col("id").alias("doc_id"))
+    s1 = {r["doc_id"]: r["split"] for r in assign_split(small, "doc_id").collect()}
+    s2 = {r["doc_id"]: r["split"] for r in assign_split(big, "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+    # rough proportions on the big set (98/1/1 default)
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert c["train"] > 900 and c["valid"] >= 1 and c["test"] >= 1
+
+
+def test_split_salt_gives_independent_assignment(spark):
+    from ubw_spark.operators.splits import assign_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r["doc_id"]: r["split"] for r in
+         assign_split(df, "doc_id", {"train": 0.5, "test": 0.5}, salt="a").collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         assign_split(df, "doc_id", {"train": 0.5, "test": 0.5}, salt="b").collect()}
+    agree = sum(1 for k in a if a[k] == b[k]) / len(a)
+    assert 0.35 < agree < 0.65  # independent ≈ 50% agreement

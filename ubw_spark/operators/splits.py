@@ -1,0 +1,61 @@
+"""Deterministic dataset splitting for training pipelines.
+
+``assign_split`` buckets rows by a portable hash of their id into named
+splits with given weights.  Unlike ``df.randomSplit`` this is:
+
+- deterministic across runs, engines, partitionings, and retries
+  (no RNG, no partition-order sensitivity);
+- stable under corpus growth — a document keeps its split when new data
+  arrives (critical to avoid train/test leakage across dataset
+  versions);
+- reproducible in SQL (same md5 bucket arithmetic), so split membership
+  itself is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.dedup import portable_hash
+
+_BUCKETS = 10_000
+
+
+def split_column(
+    id_col: Column, splits: dict[str, float], salt: str = "split"
+) -> Column:
+    """Split-name column from cumulative hash-bucket thresholds.
+
+    Hash input is salt+id so different salts give independent splits."""
+    total = sum(splits.values())
+    bucket = portable_hash(
+        F.concat(F.lit(salt + ":"), id_col.cast("string"))
+    ) % _BUCKETS
+    expr = None
+    acc = 0.0
+    items = list(splits.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        threshold = int(acc * _BUCKETS)
+        expr = (
+            F.when(bucket < threshold, name)
+            if expr is None
+            else expr.when(bucket < threshold, name)
+        )
+    last = items[-1][0]
+    return expr.otherwise(last) if expr is not None else F.lit(last)
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'/'valid'/'test' by default,
+    98/1/1)."""
+    splits = splits or {"train": 0.98, "valid": 0.01, "test": 0.01}
+    return df.withColumn(
+        "split", split_column(F.col(id_col), splits, salt)
+    )
