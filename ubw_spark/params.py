@@ -144,44 +144,6 @@ def _effective_order_keys(
     ]
 
 
-def compile_filters(
-    spec: QuerySpec, filters: dict[str, dict[str, Any]]
-) -> Column | None:
-    """Compile the runtime filter dict to one conjunctive predicate.
-
-    Silent-ignore: unknown columns, non-filterable columns, undeclared
-    operators, and `like` on non-likeable columns all contribute nothing
-    (doc-01.md:148-152).  Returns None when no predicate applies (P6 —
-    no Filter node at all).
-    """
-    smap = spec.spec_map()
-    preds: list[Column] = []
-    for name, ops in (filters or {}).items():
-        s = smap.get(name)
-        if s is None or not s.filterable:
-            continue
-        base = s.column()  # aliased; comparisons use the expression
-        for op, operand in ops.items():
-            fn = _FILTER_OPS.get(op)
-            if fn is None:
-                continue
-            if op == "like" and not s.likeable:
-                continue
-            preds.append(fn(_strip_alias(s), operand))
-    if not preds:
-        return None
-    return reduce(lambda a, b: a & b, preds)
-
-
-def _strip_alias(s: ColumnSpec) -> Column:
-    c = F.col(s.name) if s.expr is None else (
-        F.col(s.expr) if isinstance(s.expr, str) else s.expr
-    )
-    if s.default is not None:
-        c = F.coalesce(c, F.lit(s.default))
-    return c
-
-
 def validate_params(spec: QuerySpec, params: QueryParams) -> list[str]:
     """Pre-flight check returning ALL problems (U2 analog).  The engine's
     default behavior is silent-ignore per the reference; this is the

@@ -21,7 +21,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from ubw_spark.core.spec import ColumnSpec, QuerySpec
+from ubw_spark.core.spec import QuerySpec
 
 
 def properties_catalog(spec: QuerySpec, df: DataFrame) -> list[dict[str, Any]]:
