@@ -94,3 +94,37 @@ def test_params_block_applies(spark, tables):
     }
     out = compile_json_query(spark, q, tables).collect()
     assert [(r["id"], r["grade"]) for r in out] == [(4, 6)]
+
+
+def test_group_type_rollup(spark, tables):
+    q = {
+        "from": "friend",
+        "columns": [
+            {"name": "grade", "expr": "grade"},
+            {"name": "has_age", "fn": "when",
+             "args": [{"fn": "gt", "args": [{"expr": "age"}, {"lit": 0}]},
+                      {"lit": 1}, {"lit": 0}]},
+        ],
+        "group_by": ["grade"],
+        "group_type": "rollup",
+        "aggs": [{"name": "n", "fn": "count"}],
+    }
+    from ubw_spark.core.jsonquery import compile_json_query
+
+    rows = compile_json_query(spark, q, tables).collect()
+    # 4 grade groups + 1 grand-total rollup row
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r["grade"] is None) == 1
+    total = [r["n"] for r in rows if r["grade"] is None][0]
+    assert total == 4
+
+
+def test_group_type_unknown_rejected(spark, tables):
+    from ubw_spark.core.jsonquery import compile_json_query
+    from ubw_spark.core.errors import SpecValidationError
+
+    q = {"from": "friend", "columns": [{"name": "id", "expr": "id"}],
+         "group_by": ["id"], "group_type": "fancy",
+         "aggs": [{"name": "n", "fn": "count"}]}
+    with pytest.raises(SpecValidationError, match="group_type"):
+        compile_json_query(spark, q, tables)

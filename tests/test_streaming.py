@@ -193,3 +193,21 @@ def test_stream_stream_interval_join(spark, events_dir):
         & (F.col("c_ts") <= F.col("p_ts")),
     ).count()
     assert stream_n == batch_n > 0
+
+
+def test_foreachbatch_upsert_sink(spark, events_dir, tmp_path):
+    """Incremental CDC: the stream upserts per-user latest values into a
+    parquet target; replays/new batches update rather than append."""
+    from ubw_spark.streaming.stages import write_stream_upsert
+
+    target = str(tmp_path / "user_state")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_stream(spark, events_dir).select(
+        "user_id", "event_id", "value", "ts"
+    )
+    q = write_stream_upsert(stream, target, ckpt, keys=["user_id"])
+    q.awaitTermination(120)
+    out = spark.read.parquet(target)
+    users = out.count()
+    batch_users = spark.read.parquet(events_dir).select("user_id").distinct().count()
+    assert users == batch_users  # one row per key, not per event

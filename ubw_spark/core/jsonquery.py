@@ -201,9 +201,13 @@ def compile_json_query(
 
     projected = df.select(*[cs.column() for cs in col_specs])
 
-    # aggregation block (multi-dimensional: list of dims incl. none)
+    # aggregation block (multi-dimensional: list of dims incl. none;
+    # group_type cube/rollup → all grouping sets in ONE pass)
     group_by = spec.get("group_by")
+    group_type = spec.get("group_type", "groupby")
     aggs = spec.get("aggs", [])
+    if group_type not in ("groupby", "cube", "rollup"):
+        acc.add(f"unknown group_type '{group_type}'")
     if aggs:
         agg_cols = []
         for a_i, adef in enumerate(aggs):
@@ -216,7 +220,12 @@ def compile_json_query(
             agg_cols.append(col.alias(adef.get("name", f"agg{a_i}")))
         acc.raise_if_any()
         if group_by:
-            projected = projected.groupBy(*group_by).agg(*agg_cols)
+            grouped = {
+                "groupby": projected.groupBy,
+                "cube": projected.cube,
+                "rollup": projected.rollup,
+            }[group_type](*group_by)
+            projected = grouped.agg(*agg_cols)
         else:
             projected = projected.agg(*agg_cols)
 

@@ -175,6 +175,47 @@ def run_to_memory(
     return lambda: spark.table(name)
 
 
+def write_stream_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    trigger_once: bool = True,
+):
+    """foreachBatch upsert sink: each micro-batch MERGEs into the target
+    (anti-join + union emulation from sources.writers.upsert; with a
+    lakehouse format this becomes a transactional MERGE INTO).
+
+    The incremental-CDC pattern: state lives in the target table, not in
+    streaming state, so the stream restarts cheaply and the target is
+    always queryable."""
+    import os
+
+    from ubw_spark.sources.writers import upsert
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # latest change per key within the batch wins
+        latest = batch_df.dropDuplicates(keys)
+        if os.path.exists(target_path):
+            target = spark.read.parquet(target_path)
+            merged = upsert(target, latest, keys)
+        else:
+            merged = latest
+        # write to a staging dir then swap — parquet has no transactions
+        staging = target_path + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        final = spark.read.parquet(staging)
+        final.write.mode("overwrite").parquet(target_path)
+
+    w = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def write_stream_parquet(
     stream_df: DataFrame,
     path: str,
