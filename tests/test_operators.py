@@ -162,3 +162,31 @@ def test_ivf_cells_partition_corpus(spark, sf_dir):
     assert len(cells) == 8  # every cell populated
     total = sum(r["count"] for r in cells)
     assert total == emb.count()
+
+
+def test_connected_components_on_known_graph(spark):
+    from ubw_spark.operators.components import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11}, isolated nodes absent
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_keep_list(spark):
+    from ubw_spark.operators.components import dedup_keep_list
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 4, 10, 11, 99]],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_list(df, pairs, "doc_id").collect())
+    # min of each cluster survives + untouched 99
+    assert kept == [1, 10, 99]

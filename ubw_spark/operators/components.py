@@ -1,0 +1,87 @@
+"""Connected components over near-duplicate pair graphs — the last step
+of dedup: pairs → clusters → one canonical survivor per cluster.
+
+Algorithm: iterative min-label propagation.  Every node starts labeled
+with itself; each round every node takes the min of its own label and
+its neighbors' labels; converges in O(graph diameter) rounds.  Each
+round is one join + one aggregation — all shuffles on node ids, nothing
+quadratic.  Lineage is truncated per round (localCheckpoint) so 20
+rounds don't build a 20-deep plan; on a cluster use
+``spark.sparkContext.setCheckpointDir`` + checkpoint for fault-tolerant
+truncation instead.
+
+Near-dup graphs have tiny diameters (duplicate clusters are dense), so
+convergence is typically 2-4 rounds; ``max_iter`` is the runaway guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Returns (node, component) where component = min node id reachable.
+
+    ``edges`` is undirected input (each pair once is fine)."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min, labels["node"] == neighbor_min["node2"], "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_min"), F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.component") != F.col("l.component"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_list(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Resolve near-dup pairs to a keep-set: the min id of each
+    component survives; rows not in any pair survive trivially.
+    Returns the deduplicated df."""
+    comp = connected_components(pairs, src, dst)
+    drop = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

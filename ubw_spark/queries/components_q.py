@@ -1,0 +1,53 @@
+"""Connected-components query over the embedding-similarity graph, with
+a recursive-CTE oracle (DuckDB WITH RECURSIVE transitive closure —
+viable because near-dup graphs are small; Spark's label propagation is
+the scale path)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.components import connected_components
+from ubw_spark.operators.similarity import cosine_col
+from ubw_spark.queries.registry import register, table
+
+
+def _sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    c = cosine_col(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(c >= 0.25)
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+      SELECT * FROM r)
+    SELECT node, least(node, min_reach) AS component FROM (
+      SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
+    """,
+    tags=("dedup", "graph"),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over cosine-similarity edges (≥0.25 in the
+    id<150 block): each node labeled with its component's min id."""
+    comp = connected_components(_sim_edges(spark, sf_dir))
+    return comp.select("node", "component")
