@@ -19,6 +19,23 @@ from ubw_spark.operators.multimodal import (
     decode_batches,
     extract_features,
 )
+from ubw_spark.operators.skew import salted_groupby_agg, salted_join
+from ubw_spark.operators.winnow import (
+    winnow_fingerprints_df,
+    fingerprint_index,
+    winnow_overlap_pairs,
+)
+from ubw_spark.operators.cdc import scd2_init, scd2_merge
+from ubw_spark.operators.ivf import (
+    train_ivf_centroids,
+    assign_ivf_cells,
+    ivf_ann_topk,
+)
+from ubw_spark.operators.splits import assign_split, split_column
+from ubw_spark.operators.components import (
+    connected_components,
+    dedup_keep_list,
+)
 
 __all__ = [
     "exact_dedup",
@@ -37,4 +54,18 @@ __all__ = [
     "with_payload_metadata",
     "decode_batches",
     "extract_features",
+    "salted_groupby_agg",
+    "salted_join",
+    "winnow_fingerprints_df",
+    "fingerprint_index",
+    "winnow_overlap_pairs",
+    "scd2_init",
+    "scd2_merge",
+    "train_ivf_centroids",
+    "assign_ivf_cells",
+    "ivf_ann_topk",
+    "assign_split",
+    "split_column",
+    "connected_components",
+    "dedup_keep_list",
 ]
