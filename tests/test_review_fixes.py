@@ -1,0 +1,126 @@
+"""Regression tests for review findings: short-input shingle crashes,
+streaming dedup state bounds, upsert latest-wins, as-of struct carry,
+SCD2 multi-change batches, salted-join shape restriction, jsonquery
+error cascades."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.dedup import minhash_dedup_pairs, word_shingles
+from ubw_spark.operators.temporal import asof_join
+from ubw_spark.operators.winnow import winnow_fingerprints_df
+
+
+def test_short_docs_yield_empty_shingles_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "now three words here")],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("s")
+        ).collect()
+    }
+    assert out[1] == [] and out[2] == [] and out[3] == []
+    assert len(out[4]) == 2
+    # the full minhash pipeline also survives short docs
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", k=3)
+    assert pairs.count() == 0
+
+
+def test_short_texts_yield_empty_winnow_not_crash(spark):
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "long enough text here")],
+        "doc_id bigint, text string",
+    )
+    out = winnow_fingerprints_df(df, "doc_id", "text", k=5, window=4)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 not in ids and 2 not in ids and 3 in ids
+
+
+def test_char_ngrams_short_string(spark):
+    from ubw_spark.functions.text import char_ngrams
+
+    df = spark.createDataFrame([("ab",), ("abcd",)], "s string")
+    out = [r["g"] for r in df.select(char_ngrams(F.col("s"), 3).alias("g")).collect()]
+    assert out[0] == [] and sorted(out[1]) == ["abc", "bcd"]
+
+
+def test_asof_join_no_chimera_columns(spark):
+    """A NULL attribute on the true as-of row must stay NULL, not be
+    backfilled from an older right row."""
+    left = spark.createDataFrame(
+        [(1, 300, "p1")], "user_id bigint, t bigint, pid string"
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "pid")
+    right = spark.createDataFrame(
+        [(1, 100, "c1", 5.0), (1, 200, "c2", None)],
+        "user_id bigint, t bigint, cid string, v double",
+    ).select("user_id", F.timestamp_seconds("t").alias("ts"), "cid", "v")
+    out = asof_join(
+        left, right, on="ts", by=["user_id"], right_cols=["cid", "v"]
+    ).collect()[0]
+    assert out["cid_right"] == "c2"
+    assert out["v_right"] is None  # NOT 5.0 from the older row
+
+
+def test_scd2_handles_multiple_changes_per_key(spark):
+    from ubw_spark.operators.cdc import scd2_init, scd2_merge
+
+    snap = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00")], "id bigint, v string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = scd2_init(snap)
+    changes = spark.createDataFrame(
+        [(1, "b", "2024-02-01 00:00:00"), (1, "c", "2024-03-01 00:00:00")],
+        "id bigint, v string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_merge(dim, changes, keys=["id"])
+    current = out.where("is_current").collect()
+    assert len(current) == 1 and current[0]["v"] == "c"  # latest wins, once
+    assert out.count() == 2  # old closed + new current
+
+
+def test_salted_join_rejects_outer_shapes(spark):
+    from ubw_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    b = spark.createDataFrame([(1, "y")], "k bigint, w string")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        salted_join(a, b, "k", how="full")
+    with pytest.raises(ValueError, match="duplicate unmatched"):
+        salted_join(a, b, "k", how="right")
+
+
+def test_jsonquery_one_bad_join_does_not_cascade(spark, friend_df):
+    from ubw_spark.core.errors import SpecValidationError
+    from ubw_spark.core.jsonquery import compile_json_query
+
+    grades = spark.createDataFrame([(3, "C")], "g bigint, letter string")
+    tables = {"friend": friend_df, "grades": grades}
+    q = {
+        "from": "friend",
+        "joins": [
+            {"table": "grades", "on": [["MISSPELLED", "g"]]},  # broken
+        ],
+        "columns": [{"name": "letter", "expr": "letter"}],  # valid via join
+    }
+    with pytest.raises(SpecValidationError) as ei:
+        compile_json_query(spark, q, lambda n: tables[n])
+    msg = str(ei.value)
+    assert "MISSPELLED" in msg
+    # the join's own schema still entered scope: no spurious complaint
+    # about 'letter'
+    assert "letter" not in msg
+
+
+def test_stream_dedup_uses_watermark_bounded_state(spark):
+    """dropDuplicatesWithinWatermark appears in the plan (bounded state),
+    not plain dropDuplicates with unbounded key retention."""
+    from ubw_spark.streaming.stages import stream_dedup
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "event_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = stream_dedup(df, ["event_id"])._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan

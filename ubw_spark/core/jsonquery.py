@@ -152,6 +152,7 @@ def compile_json_query(
             acc.add(f"joins[{j_i}]: 'on' pairs required (no implicit cross joins)")
             continue
         conds = []
+        problems_before = len(acc.problems)
         for pair in on:
             lcol, rcol = pair
             if lcol not in available:
@@ -159,7 +160,11 @@ def compile_json_query(
             if rcol not in right.columns:
                 acc.add(f"joins[{j_i}]: right key '{rcol}' not in '{jname}'")
             conds.append(F.col(lcol) == F.col(rcol))
-        if acc.problems:
+        if len(acc.problems) > problems_before:
+            # THIS join is broken — still bring its columns into scope so
+            # later joins/columns validate against the intended schema
+            # instead of cascading spurious not-in-scope errors
+            available |= set(right.columns)
             continue
         cond = conds[0]
         for c in conds[1:]:

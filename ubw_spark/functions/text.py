@@ -48,14 +48,18 @@ def mask_pii(c: Column) -> Column:
 
 def char_ngrams(c: Column, n: int = 3) -> Column:
     """Distinct character n-grams (for n-gram Jaccard on short strings
-    where word shingles are too coarse)."""
+    where word shingles are too coarse).  Strings shorter than n yield
+    an empty array (Spark's sequence(1, 0) counts DOWN — guard needed)."""
     chars = F.split(c, "")
-    cnt = F.greatest(F.length(c) - (n - 1), F.lit(0))
-    return F.array_distinct(
+    length = F.length(c)
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), cnt),
+            F.sequence(F.lit(1), length - (n - 1)),
             lambda i: F.concat(
                 *[F.element_at(chars, i + j) for j in range(n)]
             ),
         )
+    )
+    return F.when(length >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )

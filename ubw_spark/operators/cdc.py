@@ -44,6 +44,17 @@ def scd2_merge(
     attr_cols = compare_cols or [
         c for c in changes.columns if c not in set(keys) | {ts_col}
     ]
+    # A batch may carry several changes per key; the full-outer join
+    # below assumes at most one, so reduce to the LATEST per key first
+    # (otherwise each duplicate mints its own is_current=true version).
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    changes = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     cur = dim.where(F.col("is_current"))
     hist = dim.where(~F.col("is_current"))
 

@@ -37,18 +37,23 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def word_shingles(text: Column, k: int = 1) -> Column:
     """Distinct k-word shingles of a text column (array expr, no explode).
 
-    k=1 → word set; k≥2 → sliding windows via sequence+element_at."""
+    k=1 → word set; k≥2 → sliding windows via sequence+element_at.
+    Documents with fewer than k words yield an empty array — the
+    ``n >= k`` guard matters because ``F.sequence(1, 0)`` counts DOWN
+    ([1, 0]) and element_at(_, 0) throws."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     if k == 1:
         return F.array_distinct(toks)
     n = F.size(toks)
     win = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return F.array_distinct(win)
+    return F.when(n >= k, F.array_distinct(win)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def portable_hash(s: Column) -> Column:
@@ -155,7 +160,10 @@ def minhash_dedup_pairs(
     sh = df.select(
         F.col(id_col),
         word_shingles(F.col(text_col), k).alias("__sh"),
-    )
+    ).where(F.size("__sh") > 0)
+    # ^ docs shorter than k words have no shingles: they can't be
+    # near-dups under this metric, and their all-null signatures would
+    # otherwise band together and 0/0 in the Jaccard verify
     hashed = sh.select(
         id_col, "__sh", F.transform("__sh", portable_hash).alias("__hv")
     )
@@ -169,7 +177,7 @@ def minhash_dedup_pairs(
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
     inter = F.size(F.array_intersect("__sha", "__shb"))
     union = F.size(F.array_union("__sha", "__shb"))
-    jac = inter / union
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")

@@ -89,7 +89,17 @@ def salted_join(
 
     The build side is exploded ×salt_buckets so every (key, salt)
     combination exists; the probe side computes a deterministic salt
-    from its full row hash."""
+    from its full row hash.
+
+    Only join shapes the construction preserves are allowed: with the
+    build side replicated, right/full outer joins would emit
+    salt_buckets copies of every unmatched build row."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti", "leftsemi", "leftanti"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)}; '{how}' would "
+            "duplicate unmatched build-side rows"
+        )
     build_salted = build.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

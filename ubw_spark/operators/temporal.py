@@ -32,17 +32,25 @@ def asof_join(
     right.on <= left.on within the same ``by`` group.
 
     Implementation: tag and union, sort each ``by`` group by
-    (on, right-first), carry right values forward, keep left rows."""
+    (on, right-first), carry the right row forward AS ONE STRUCT, keep
+    left rows.  The struct matters: carrying each right column
+    independently with last(ignorenulls) would backfill a NULL attribute
+    of the true as-of row from an older row — stitching columns from two
+    different right rows together."""
+    rtypes = dict(right.dtypes)
+    struct_type = "struct<" + ",".join(
+        f"{c}:{rtypes[c]}" for c in right_cols
+    ) + ">"
     lt = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     rt = right.select(
         *by,
         F.col(on),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("__r"),
     )
     # align schemas: left columns missing on right side become NULL
     for c in left.columns:
@@ -57,17 +65,18 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *[F.col(c) for c in unioned.columns],
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True)
-            .over(w)
-            .alias(f"{c}{suffix}")
-            for c in right_cols
-        ],
+    carried = unioned.withColumn(
+        "__r_match", F.last(F.col("__r"), ignorenulls=True).over(w)
     )
-    return carried.where(F.col("__is_left") == 1).drop(
-        "__is_left", *[f"__r_{c}" for c in right_cols]
+    return (
+        carried.where(F.col("__is_left") == 1)
+        .select(
+            *[F.col(c) for c in left.columns],
+            *[
+                F.col("__r_match").getField(c).alias(f"{c}{suffix}")
+                for c in right_cols
+            ],
+        )
     )
 
 

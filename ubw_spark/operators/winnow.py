@@ -21,14 +21,19 @@ from ubw_spark.operators.dedup import portable_hash
 
 
 def gram_hashes(text: Column, k: int = 5) -> Column:
-    """Rolling char-k-gram portable hashes as array<bigint> — linear."""
+    """Rolling char-k-gram portable hashes as array<bigint> — linear.
+
+    Texts shorter than k chars yield an empty array (guarded: Spark's
+    ``sequence(1, 0)`` counts DOWN and element_at(_, 0) throws)."""
     chars = F.split(text, "")
-    n_grams = F.greatest(F.length(text) - (k - 1), F.lit(0))
+    n = F.length(text)
     grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
+        F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat(*[F.element_at(chars, i + j) for j in range(k)]),
     )
-    return F.transform(grams, portable_hash)
+    return F.when(n >= k, F.transform(grams, portable_hash)).otherwise(
+        F.array().cast("array<bigint>")
+    )
 
 
 def winnow_fingerprints_df(

@@ -202,10 +202,15 @@ def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
         ),
     )
+    # n >= 3 guard: Spark's sequence(1, 0) counts DOWN, unlike SQL
+    # generate_series — short docs must yield empty, not crash
+    distinct_shingles = F.when(n >= 3, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
     return d.select(
         "doc_id",
         F.greatest(n - 2, F.lit(0)).alias("n_shingles"),
-        F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"),
+        F.size(distinct_shingles).alias("n_distinct_shingles"),
     )
 
 

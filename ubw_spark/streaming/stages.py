@@ -149,11 +149,18 @@ def stream_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once event dedup across micro-batches: dropDuplicates
-    keyed state, bounded by the watermark (state for keys older than the
-    watermark is evicted — without it, dedup state grows forever at
-    100 TB/day)."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    """Exactly-once event dedup across micro-batches with BOUNDED state.
+
+    Plain ``dropDuplicates(keys)`` only evicts state when the
+    watermarked event-time column is part of the keys — with id-only
+    keys its state grows forever.  ``dropDuplicatesWithinWatermark``
+    evicts each key's state once the watermark passes its event time,
+    which is the semantics replay-dedup actually wants (a replay
+    arriving within the watermark window is dropped; later than that it
+    would be late data anyway)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
 
 
 def run_to_memory(
@@ -180,6 +187,7 @@ def write_stream_upsert(
     target_path: str,
     checkpoint: str,
     keys: list[str],
+    ts_col: str = "ts",
     trigger_once: bool = True,
 ):
     """foreachBatch upsert sink: each micro-batch MERGEs into the target
@@ -194,9 +202,18 @@ def write_stream_upsert(
     from ubw_spark.sources.writers import upsert
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as Fx
+
         spark = batch_df.sparkSession
-        # latest change per key within the batch wins
-        latest = batch_df.dropDuplicates(keys)
+        # latest change per key wins — an explicit event-time ranking;
+        # bare dropDuplicates keeps a partition-order-dependent row
+        w = W.partitionBy(*keys).orderBy(Fx.col(ts_col).desc())
+        latest = (
+            batch_df.withColumn("__rn", Fx.row_number().over(w))
+            .where(Fx.col("__rn") == 1)
+            .drop("__rn")
+        )
         if os.path.exists(target_path):
             target = spark.read.parquet(target_path)
             merged = upsert(target, latest, keys)
