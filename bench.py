@@ -41,6 +41,8 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not cpus.isdigit():  # 'local[*]' idiom: '*' → machine core count
+        cpus = str(os.cpu_count() or 8)
 
     from ubw_spark.queries import REGISTRY
     from ubw_spark.session import get_session
@@ -59,12 +61,15 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         qd = REGISTRY[name]
-        t0 = time.time()
+        t0 = time.perf_counter()
         qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = round(time.perf_counter() - t0, 3)
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else None
+    try:
+        sf = float(m.group(1).rstrip(".")) if m else None
+    except ValueError:
+        sf = None
     print(
         json.dumps(
             {

@@ -51,6 +51,12 @@ def main() -> int:
     from ubw_spark.session import get_session
 
     only = set(sys.argv[1:])
+    from __spark_entry__ import queries as _qs
+
+    unknown = only - set(_qs().keys())
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 1
     spark = get_session("check-correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -74,9 +80,15 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
-            rows_only += 1
-            print(f"rows {name}: {len(sp_rows)} rows (no oracle) "
-                  f"[{time.time()-t0:.1f}s]")
+            # rows-only queries must still produce rows — an empty
+            # result is a silent regression, not a pass
+            if len(sp_rows) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+                print(f"FAIL {name}: rows-only query returned 0 rows")
+            else:
+                rows_only += 1
+                print(f"rows {name}: {len(sp_rows)} rows (no oracle) "
+                      f"[{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(sql)
@@ -95,8 +107,14 @@ def main() -> int:
             a = norm_rows(sp_cols, sp_rows)
             b = norm_rows(du_cols, du_rows)
             if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+                # symmetric difference, not positional zip: one inserted
+                # row shifts the sort and would misreport identical rows
+                only_spark = sorted(set(a) - set(b))[:3]
+                only_duck = sorted(set(b) - set(a))[:3]
+                problems.append(
+                    f"values differ; only-in-spark: {only_spark} "
+                    f"only-in-duckdb: {only_duck}"
+                )
         if problems:
             failures.append((name, "; ".join(problems)))
             print(f"FAIL {name}: {'; '.join(problems)}")

@@ -21,6 +21,8 @@ def get_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not cpus.isdigit():  # 'local[*]' idiom: '*' → machine core count
+        cpus = str(os.cpu_count() or 8)
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
     b = (
