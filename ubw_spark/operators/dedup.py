@@ -157,13 +157,20 @@ def minhash_dedup_pairs(
     input partitioning (right when the lake already has many splits)."""
     if parallelism:
         df = df.repartition(parallelism)
+    # Drop docs shorter than k words BEFORE shingling: they can't be
+    # near-dups under this metric, and their all-null signatures would
+    # band together and 0/0 in the Jaccard verify.  Filtering on the raw
+    # token count (not on the shingle array) keeps the guard out of the
+    # shingle expression — a where(size(__sh)>0) after the projection
+    # gets pushed down and re-evaluates the whole shingle pipeline
+    # (measured 4x on the sf0.1 bench).
+    df = df.where(
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
+    )
     sh = df.select(
         F.col(id_col),
         word_shingles(F.col(text_col), k).alias("__sh"),
-    ).where(F.size("__sh") > 0)
-    # ^ docs shorter than k words have no shingles: they can't be
-    # near-dups under this metric, and their all-null signatures would
-    # otherwise band together and 0/0 in the Jaccard verify
+    )
     hashed = sh.select(
         id_col, "__sh", F.transform("__sh", portable_hash).alias("__hv")
     )
