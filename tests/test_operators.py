@@ -190,3 +190,91 @@ def test_dedup_keep_list(spark):
                   dedup_keep_list(df, pairs, "doc_id").collect())
     # min of each cluster survives + untouched 99
     assert kept == [1, 10, 99]
+
+
+def test_lsh_hot_bucket_cap_bounds_degenerate_buckets(spark):
+    """1,000 identical docs share every band bucket — uncapped that is
+    ~500k pairs from one bucket (the 100 TB boilerplate scenario).  The
+    cap drops those buckets (exact dedup owns them) while a genuine
+    near-dup pair in a small bucket is still found."""
+    from ubw_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        oversized_buckets,
+        portable_hash,
+        word_shingles,
+    )
+
+    boiler = "this is the exact same boilerplate header text repeated on every page"
+    rows = [(i, boiler) for i in range(1000)]
+    rows.append((2001, "a genuinely unique document about spark shuffles and joins today"))
+    rows.append((2002, "a genuinely unique document about spark shuffles and joins tonight"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    sh = df.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("__sh")
+    ).select(
+        "doc_id", F.transform("__sh", portable_hash).alias("__hv")
+    )
+    sig = sh.select(
+        "doc_id", minhash_signature(F.col("__hv"), 64).alias("__sig")
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", "__sig", max_bucket=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # the boilerplate cluster produced ZERO candidate pairs (dropped),
+    # the real near-dup pair survived in its occupancy-2 buckets
+    assert (2001, 2002) in got
+    assert len(got) == 1
+
+    # routing companion reports the dropped buckets with their occupancy
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("__band")
+    banded = sig.select("doc_id", F.col("__sig"), band_idx).select(
+        "doc_id",
+        "__band",
+        F.concat_ws(
+            ",", F.slice(F.col("__sig"), F.col("__band") * 2 + 1, 2)
+        ).alias("__key"),
+    )
+    dropped = oversized_buckets(banded, ["__band", "__key"], 64).collect()
+    assert len(dropped) == 32  # one oversized bucket per band
+    assert all(r["occupancy"] == 1000 for r in dropped)
+
+    # and exact dedup owns the boilerplate cluster
+    from ubw_spark.operators.dedup import exact_dedup
+
+    kept = exact_dedup(df, "doc_id", "text")
+    assert kept.count() == 3  # one boilerplate survivor + the two uniques
+
+
+def test_simhash_hot_bucket_cap(spark):
+    """Identical texts share all simhash bands; capped buckets emit no
+    pairs while distinct near-dups still match."""
+    rows = [(i, "same boilerplate text everywhere again and again") for i in range(200)]
+    rows.append((901, "the quick brown fox jumps over the lazy dog near the river bank"))
+    rows.append((902, "the quick brown fox jumps over the lazy dog near the river edge"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sig = simhash_signature(df, "doc_id", "text", shingle_k=1)
+    pairs = simhash_near_pairs(
+        sig, "doc_id", max_hamming=16, prefix_bits=16, max_bucket=64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (901, 902) in got
+    assert not any(a < 901 and b < 901 for a, b in got)
+
+
+def test_winnow_doc_freq_cap(spark):
+    """A fingerprint shared by >max_doc_freq docs (license boilerplate)
+    is dropped from pair generation; low-df overlaps still pair."""
+    from ubw_spark.operators.winnow import winnow_overlap_pairs
+
+    shared = "copyright license header identical in every file of the corpus"
+    rows = [(i, shared) for i in range(100)]
+    rows.append((901, "def compute_shuffle_partitions(spark_conf, target_bytes): pass"))
+    rows.append((902, "def compute_shuffle_partitions(spark_conf, target_rows): pass"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = winnow_overlap_pairs(
+        df, "doc_id", "text", min_shared=3, max_doc_freq=64
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (901, 902) in got
+    assert not any(a < 901 and b < 901 for a, b in got)

@@ -32,10 +32,17 @@ def norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round-trip normalize to kill -0.0 / 1e-13 drift
-        return repr(round(v, 6))
+        # EXACT repr (only -0.0 normalized): the driver hashes exact values,
+        # so any float that needs rounding to match here would be a driver
+        # hash mismatch.  Queries must emit order-independent numerics
+        # (decimal sums / integer cents), not rely on comparator slack.
+        return repr(v + 0.0 if v == 0.0 else v)
     if isinstance(v, bool):
         return str(int(v))
+    if isinstance(v, (list, dict, set, bytearray)):
+        # The driver's pandas canonicalizer crashes on unhashable cells
+        # (TypeError: unhashable type) — surface that as a failure here.
+        raise TypeError(f"non-hashable cell type {type(v).__name__}: {v!r:.80}")
     return str(v)
 
 
@@ -81,14 +88,21 @@ def main() -> int:
         sql = oracles.get(name)
         if sql is None:
             # rows-only queries must still produce rows — an empty
-            # result is a silent regression, not a pass
+            # result is a silent regression, not a pass — and their
+            # cells must be hashable or the driver's canonicalizer dies
             if len(sp_rows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
                 print(f"FAIL {name}: rows-only query returned 0 rows")
-            else:
-                rows_only += 1
-                print(f"rows {name}: {len(sp_rows)} rows (no oracle) "
-                      f"[{time.time()-t0:.1f}s]")
+                continue
+            try:
+                norm_rows(sp_cols, sp_rows)
+            except TypeError as e:
+                failures.append((name, f"unhashable output: {e}"))
+                print(f"FAIL {name}: unhashable output: {e}")
+                continue
+            rows_only += 1
+            print(f"rows {name}: {len(sp_rows)} rows (no oracle) "
+                  f"[{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.execute(sql)
@@ -104,9 +118,13 @@ def main() -> int:
         if len(sp_rows) != len(du_rows):
             problems.append(f"rowcount: spark={len(sp_rows)} duckdb={len(du_rows)}")
         if not problems:
-            a = norm_rows(sp_cols, sp_rows)
-            b = norm_rows(du_cols, du_rows)
-            if a != b:
+            try:
+                a = norm_rows(sp_cols, sp_rows)
+                b = norm_rows(du_cols, du_rows)
+            except TypeError as e:
+                problems.append(f"unhashable output: {e}")
+                a = b = None
+            if a is not None and a != b:
                 # symmetric difference, not positional zip: one inserted
                 # row shifts the sort and would misreport identical rows
                 only_spark = sorted(set(a) - set(b))[:3]

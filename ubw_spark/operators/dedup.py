@@ -17,10 +17,51 @@ the whole MinHash pipeline is oracle-checkable — see
 ubw_spark/queries/scale_ops.py.
 """
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+#: Default hot-bucket cap for banded candidate generation.  A bucket of
+#: occupancy m emits m·(m-1)/2 pairs, so one degenerate bucket (shared
+#: boilerplate on a web corpus) can single-handedly go quadratic; buckets
+#: above the cap are dropped here and belong to the exact-dup /
+#: connected-components path instead (their members are near-identical by
+#: construction — every signature band agrees).
+DEFAULT_MAX_BUCKET = 64
+
+
+def cap_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """Drop rows in buckets whose occupancy exceeds ``max_bucket``.
+
+    Window count over the bucket key: the partitioning is the same
+    (band, key) hash the candidate self-join shuffles on, so AQE reuses
+    the exchange — no extra shuffle shape at scale."""
+    w = Window.partitionBy(*bucket_cols)
+    return (
+        banded.withColumn("__occ", F.count(F.lit(1)).over(w))
+        .where(F.col("__occ") <= max_bucket)
+        .drop("__occ")
+    )
+
+
+def oversized_buckets(
+    banded: DataFrame,
+    bucket_cols: list[str],
+    max_bucket: int,
+) -> DataFrame:
+    """The routing companion of :func:`cap_buckets`: one row per dropped
+    bucket with its occupancy, so callers can count the drops and send
+    oversized buckets to exact-dup handling."""
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("occupancy"))
+        .where(F.col("occupancy") > max_bucket)
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -100,13 +141,17 @@ def lsh_candidate_pairs(
     sig_col: str,
     bands: int = 32,
     rows_per_band: int = 2,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Band the signature and self-join on (band, band_key).
 
     Returns distinct (id_a, id_b) with id_a < id_b.  Shuffle volume is
     O(N·bands) small keys; pair fanout bounded by bucket occupancy —
-    the LSH guarantee, not a prayer.  Collision probability per pair is
-    1-(1-j^r)^b for Jaccard j."""
+    and occupancy itself is bounded by ``max_bucket`` (boilerplate-heavy
+    corpora put thousands of near-identical docs in one band bucket,
+    which would go O(m²) without the cap; those buckets route to exact
+    dedup — see :func:`oversized_buckets`).  Collision probability per
+    pair is 1-(1-j^r)^b for Jaccard j."""
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
     banded = df.select(F.col(id_col), F.col(sig_col).alias("__sig"), band_idx)
     key = F.concat_ws(
@@ -114,6 +159,8 @@ def lsh_candidate_pairs(
         F.slice(F.col("__sig"), F.col("__band") * rows_per_band + 1, rows_per_band),
     )
     banded = banded.select(id_col, "__band", key.alias("__key"))
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ["__band", "__key"], max_bucket)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -142,6 +189,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.4,
     parallelism: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact-Jaccard verification ≥ threshold.
@@ -178,7 +226,8 @@ def minhash_dedup_pairs(
         id_col, "__sh", minhash_signature(F.col("__hv"), num_hashes).alias("__sig")
     )
     cands = lsh_candidate_pairs(
-        sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band
+        sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band,
+        max_bucket=max_bucket,
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
@@ -268,11 +317,16 @@ def simhash_signature(
 
 
 def simhash_near_pairs(
-    sig_df: DataFrame, id_col: str, max_hamming: int = 3, prefix_bits: int = 16
+    sig_df: DataFrame,
+    id_col: str,
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate pairs whose simhash agrees on a 16-bit prefix band
     (4 rotated bands), verified by exact Hamming distance ≤ max_hamming.
-    Same banded-join scale shape as MinHash-LSH."""
+    Same banded-join scale shape as MinHash-LSH, including the
+    hot-bucket cap (identical simhashes all share every band)."""
     bands = 64 // prefix_bits
     mask = (1 << prefix_bits) - 1
     band_structs = [
@@ -290,6 +344,8 @@ def simhash_near_pairs(
         .withColumn("__key", F.col("__tb.k"))
         .drop("__tb")
     )
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ["__band", "__key"], max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

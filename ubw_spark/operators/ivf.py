@@ -31,13 +31,24 @@ def train_ivf_centroids(
     k: int = 16,
     seed: int = 42,
     max_iter: int = 10,
+    sample_size: int = 100_000,
 ) -> list[list[float]]:
-    """Distributed k-means; returns centroids as plain lists (the
-    'model' — small enough to be plan literals)."""
+    """Distributed k-means on a bounded sample; returns centroids as
+    plain lists (the 'model' — small enough to be plan literals).
+
+    A coarse quantizer needs only enough points to place k centroids —
+    Lloyd's over all of a 100 TB corpus is the training bottleneck, and
+    a ~100k-vector sample gives statistically identical cells.  The
+    sample fraction comes from a cheap count; seed fixed so training is
+    deterministic."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     vecs = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
+    n = vecs.count()
+    if n > sample_size:
+        # oversample slightly so the Bernoulli draw lands >= ~sample_size
+        vecs = vecs.sample(fraction=min(1.0, 1.1 * sample_size / n), seed=seed)
     model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(vecs)
     return [c.tolist() for c in model.clusterCenters()]
 

@@ -91,13 +91,26 @@ def winnow_overlap_pairs(
     k: int = 5,
     window: int = 4,
     min_shared: int = 5,
+    max_doc_freq: int | None = 64,
 ) -> DataFrame:
     """Candidate near-dup pairs sharing ≥ min_shared winnowed
     fingerprints — same banded-join scale shape as MinHash (shuffle
-    hashes, join on hash, count per pair)."""
+    hashes, join on hash, count per pair).
+
+    ``max_doc_freq`` caps the self-join fanout per fingerprint: a
+    fingerprint in m docs emits m·(m-1)/2 pairs, and boilerplate
+    fingerprints (headers, license blocks) appear in thousands of docs.
+    Dropping high-df fingerprints is the standard MOSS move — they carry
+    no discriminative signal anyway; route their docs to exact dedup via
+    :func:`ubw_spark.operators.dedup.oversized_buckets` on the
+    fingerprint column."""
     fp = winnow_fingerprints_df(df, id_col, text_col, k, window).select(
         F.col(id_col), F.col("fingerprint").alias("fp")
     )
+    if max_doc_freq is not None:
+        from ubw_spark.operators.dedup import cap_buckets
+
+        fp = cap_buckets(fp, ["fp"], max_doc_freq)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(

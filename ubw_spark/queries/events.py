@@ -25,7 +25,7 @@ _FMT = "yyyy-MM-dd HH:mm:ss"
     SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            count(*) AS n,
-           round(sum(value), 4) AS total_value
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
     FROM events GROUP BY 1, 2
     """,
     tags=("events", "window", "streaming"),
@@ -38,13 +38,14 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # integer cents: accumulation-order independent (see sessionize)
+            F.round(F.sum("value") * 100, 0).cast("long").alias("total_cents"),
         )
         .select(
             F.date_format(F.col("window.start"), _FMT).alias("window_start"),
             "event_type",
             "n",
-            "total_value",
+            "total_cents",
         )
     )
 
@@ -89,8 +90,8 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                       > INTERVAL '30 minutes'
+             CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 * 1000000
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
@@ -100,7 +101,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
-           round(sum(value), 4) AS session_value,
+           CAST(round(sum(value) * 100) AS BIGINT) AS session_cents,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
     FROM sessions GROUP BY user_id, session_id
     """,
@@ -126,7 +127,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.when(
             gap.isNull()
-            | ((F.col("ts").cast("long") - gap.cast("long")) > 1800),
+            # Compare in microseconds: casting to whole seconds first would
+            # truncate sub-second gaps in (1800.0, 1801.0) into a mis-merge.
+            | ((F.unix_micros(F.col("ts")) - F.unix_micros(gap)) > 1800 * 1_000_000),
             1,
         )
         .otherwise(0)
@@ -135,6 +138,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(cum))
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        # value is 2-decimal money: exact integer cents is accumulation-order
+        # independent, unlike round(sum(double), 4) which can land either side
+        # of a half boundary depending on partition order.
+        F.round(F.sum("value") * 100, 0).cast("long").alias("session_cents"),
         F.date_format(F.min("ts"), _FMT).alias("session_start"),
     )

@@ -46,8 +46,10 @@ from ubw_spark.queries.registry import register, table
     band AS (SELECT doc_id, i // 2 AS bj,
                     string_agg(m::VARCHAR, ',' ORDER BY i) AS key
              FROM sig GROUP BY doc_id, i // 2),
+    capped AS (SELECT * FROM band
+               QUALIFY count(*) OVER (PARTITION BY bj, key) <= 64),
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-             FROM band a JOIN band b
+             FROM capped a JOIN capped b
                ON a.bj = b.bj AND a.key = b.key AND a.doc_id < b.doc_id),
     j AS (SELECT c.id_a, c.id_b,
                  len(list_intersect(sa.s, sb.s)) * 1.0
@@ -222,8 +224,25 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode path (deterministic fake codec): payload →
     fixed-size L2-normalized feature vectors.  Rows-only; tests assert
-    determinism and unit norms."""
+    determinism and unit norms.
+
+    The probe projects scalar cells only (the rows-only canonicalizer
+    sorts cells, so an array<float> column is unusable): the L2 norm and
+    the first two components, rounded, plus the full vector as JSON text.
+    """
     d = table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "utf-8")
     )
-    return extract_features(d, "doc_id", "payload", feature_dim=16)
+    feats = extract_features(d, "doc_id", "payload", feature_dim=16)
+    sq = F.aggregate(
+        "feature",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return feats.select(
+        F.col("id").alias("doc_id"),
+        F.round(F.sqrt(sq), 4).alias("feature_norm"),
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
+        F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
+        F.to_json(F.struct(F.col("feature"))).alias("feature_json"),
+    )
