@@ -128,3 +128,151 @@ def test_group_type_unknown_rejected(spark, tables):
          "aggs": [{"name": "n", "fn": "count"}]}
     with pytest.raises(SpecValidationError, match="group_type"):
         compile_json_query(spark, q, tables)
+
+
+# --- JSON-driven writes (insert / upsert / update) -----------------------
+
+
+def test_json_insert_with_lookup_roundtrip(spark, tables, tmp_path):
+    """JSON insert resolves the grade letter via a multi-table lookup,
+    lands in parquet, and a JSON query reads it back — the doc-01
+    pain-point #7 write half, end to end."""
+    from ubw_spark.core.jsonquery import compile_json_write
+    from ubw_spark.sources.writers import write_table
+
+    # target table: friends enriched with a resolved letter column
+    target_path = str(tmp_path / "friend_letters")
+    base = compile_json_query(
+        spark,
+        {
+            "from": "friend",
+            "joins": [{"table": "grades", "on": [["grade", "g"]], "broadcast": True}],
+            "columns": [
+                {"name": "id", "expr": "id"},
+                {"name": "name", "expr": "name"},
+                {"name": "grade", "expr": "grade"},
+                {"name": "letter", "expr": "letter"},
+            ],
+        },
+        tables,
+    )
+    write_table(base, target_path, mode="overwrite")
+
+    reg = {"friend_letters": spark.read.parquet(target_path),
+           "grades": tables("grades")}
+    verb, new_rows = compile_json_write(
+        spark,
+        {
+            "verb": "insert",
+            "into": "friend_letters",
+            # literal rows know the natural key (grade) but not the
+            # association (letter) — the lookup resolves it
+            "rows": [{"id": 9, "name": "newcomer", "grade": 5}],
+            "lookups": [{"table": "grades", "on": [["grade", "g"]],
+                         "set": {"letter": "letter"}}],
+        },
+        lambda n: reg[n],
+    )
+    assert verb == "insert"
+    write_table(new_rows, target_path, mode="append")
+
+    back = compile_json_query(
+        spark,
+        {
+            "from": "friend_letters",
+            "columns": [{"name": "id", "expr": "id"},
+                        {"name": "letter", "expr": "letter"}],
+            "filters": {"id": {"eq": 9}},
+        },
+        lambda n: {"friend_letters": spark.read.parquet(target_path)}[n],
+    ).collect()
+    assert [(r["id"], r["letter"]) for r in back] == [(9, "A")]
+
+
+def test_json_upsert_updates_win(spark, tables):
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    verb, merged = compile_json_write(
+        spark,
+        {
+            "verb": "upsert",
+            "target": "friend",
+            "keys": ["id"],
+            "rows": [
+                {"id": 1, "name": "renamed", "nick": "n1", "age": 99, "grade": 3},
+                {"id": 42, "name": "brand new", "nick": "n42", "age": 1, "grade": 4},
+            ],
+        },
+        tables,
+    )
+    assert verb == "upsert"
+    got = {r["id"]: (r["name"], r["age"]) for r in merged.collect()}
+    assert len(got) == 5  # 4 original, one replaced, one inserted
+    assert got[1] == ("renamed", 99)
+    assert got[42] == ("brand new", 1)
+    assert got[2][0] == "jilen"  # untouched row survives
+
+
+def test_json_update_where_assign(spark, tables):
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    verb, updated = compile_json_write(
+        spark,
+        {
+            "verb": "update",
+            "target": "friend",
+            "filters": {"grade": {"ge": 5}},
+            "assign": {"age": {"fn": "add", "args": [
+                {"fn": "coalesce", "args": [{"expr": "age"}, {"lit": 0}]},
+                {"lit": 1}]}},
+        },
+        tables,
+    )
+    assert verb == "update"
+    got = {r["id"]: r["age"] for r in updated.collect()}
+    # grade>=5 rows bumped (28→29, None→1); others untouched
+    assert got == {1: 2333, 2: 30, 3: 29, 4: 1}
+
+
+def test_json_write_injection_and_validation(spark, tables):
+    """Write path is data-only: unknown columns, verbs, filter ops and
+    functions are accumulated errors, never executed."""
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    with pytest.raises(SpecValidationError, match="unknown verb"):
+        compile_json_write(spark, {"verb": "drop table", "into": "friend"}, tables)
+
+    with pytest.raises(SpecValidationError) as ei:
+        compile_json_write(
+            spark,
+            {
+                "verb": "insert",
+                "into": "friend",
+                "rows": [{"id": 10, "evil'; DROP--": 1}],
+            },
+            tables,
+        )
+    assert "not in target" in str(ei.value)
+
+    with pytest.raises(SpecValidationError) as ei:
+        compile_json_write(
+            spark,
+            {
+                "verb": "update",
+                "target": "friend",
+                "filters": {"grade": {"exec": "rm -rf"}},
+                "assign": {"age": {"fn": "system", "args": []}},
+            },
+            tables,
+        )
+    msg = str(ei.value)
+    assert "unknown op 'exec'" in msg and "unknown function 'system'" in msg
+
+    # upsert without valid keys refuses
+    with pytest.raises(SpecValidationError, match="keys"):
+        compile_json_write(
+            spark,
+            {"verb": "upsert", "target": "friend", "keys": ["nope"],
+             "rows": [{"id": 1}]},
+            tables,
+        )

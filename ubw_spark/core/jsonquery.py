@@ -250,3 +250,216 @@ def compile_json_query(
         page_size=spec.get("page_size"),
     )
     return apply_params(projected, out_spec, params)
+
+
+# ---------------------------------------------------------------------------
+# JSON-driven writes (pain-point #7's other half: insert/update with
+# multi-table associated data — doc-01.md:136-158; the reference drives
+# CRUD from the same JSON vocabulary its queries use).
+#
+# Verbs:
+#   {"verb": "insert", "into": t, "rows": [...] | "select": {...},
+#    "lookups": [...]}                      → rows to append
+#   {"verb": "upsert", "target": t, "keys": [...], "rows"/"select"/
+#    "lookups" as insert}                   → merged target (updates win)
+#   {"verb": "update", "target": t, "filters": {DSL}, "assign":
+#    {col: expr-node}}                      → full target, matching rows
+#                                             rewritten
+#
+# Same safety contract as reads: every value is data (literals, column
+# refs, whitelisted _FNS) — no string-SQL escape; validation accumulates
+# all problems before touching anything.
+# ---------------------------------------------------------------------------
+
+from functools import reduce
+
+from ubw_spark.params import _FILTER_OPS  # whitelist shared with reads
+
+
+def _literal_rows_df(
+    spark: SparkSession,
+    rows: list,
+    target: DataFrame,
+    acc: ErrorAccumulator,
+) -> DataFrame | None:
+    """list[dict] of literal values → DataFrame with target-compatible
+    columns.  Unknown columns are errors (silent drops hide typos in a
+    write path); values are DATA passed to createDataFrame, never
+    interpolated into SQL."""
+    tcols = {f.name: f.dataType for f in target.schema.fields}
+    bad = False
+    for r_i, row in enumerate(rows):
+        if not isinstance(row, dict):
+            acc.add(f"rows[{r_i}]: must be an object")
+            bad = True
+            continue
+        for c in row:
+            if c not in tcols:
+                acc.add(f"rows[{r_i}]: column '{c}' not in target")
+                bad = True
+    if bad:
+        return None
+    cols = sorted({c for row in rows for c in row})
+    data = [tuple(row.get(c) for c in cols) for row in rows]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([StructField(c, tcols[c], True) for c in cols])
+    return spark.createDataFrame(data, schema)
+
+
+def _apply_lookups(
+    df: DataFrame,
+    lookups: list,
+    tables: Callable[[str], DataFrame],
+    acc: ErrorAccumulator,
+) -> DataFrame:
+    """Resolve multi-table associations: each lookup left-joins a
+    (broadcast) reference table on validated key pairs and copies the
+    ``set`` columns in — how an insert resolves foreign keys from
+    natural keys without the caller hand-writing joins."""
+    for l_i, lk in enumerate(lookups):
+        lname = lk.get("table")
+        try:
+            right = tables(lname)
+        except Exception as e:
+            acc.add(f"lookups[{l_i}]: cannot resolve table '{lname}': {e}")
+            continue
+        on = lk.get("on", [])
+        set_map = lk.get("set", {})
+        if not on or not set_map:
+            acc.add(f"lookups[{l_i}]: 'on' pairs and 'set' mapping required")
+            continue
+        ok = True
+        for pair in on:
+            lcol, rcol = pair
+            if lcol not in df.columns:
+                acc.add(f"lookups[{l_i}]: left key '{lcol}' not in rows")
+                ok = False
+            if rcol not in right.columns:
+                acc.add(f"lookups[{l_i}]: right key '{rcol}' not in '{lname}'")
+                ok = False
+        for new_col, src_col in set_map.items():
+            if src_col not in right.columns:
+                acc.add(f"lookups[{l_i}]: set source '{src_col}' not in '{lname}'")
+                ok = False
+        if not ok:
+            continue
+        right_cols = [F.col(p[1]) for p in on] + [
+            F.col(src).alias(f"__lk{l_i}_{new}") for new, src in set_map.items()
+        ]
+        rhs = _broadcast(right.select(*right_cols).dropDuplicates([p[1] for p in on]))
+        cond = reduce(
+            lambda a, b: a & b,
+            [F.col(p[0]) == rhs[p[1]] for p in on],
+        )
+        df = df.join(rhs, cond, "left").drop(*[rhs[p[1]] for p in on])
+        for new, _src in set_map.items():
+            df = df.withColumn(new, F.col(f"__lk{l_i}_{new}")).drop(
+                f"__lk{l_i}_{new}"
+            )
+    return df
+
+
+def _align_to_target(
+    df: DataFrame, target: DataFrame, acc: ErrorAccumulator
+) -> DataFrame:
+    """Project to the target's exact column order/types; columns absent
+    from the source become typed NULLs."""
+    extra = [c for c in df.columns if c not in target.columns]
+    if extra:
+        acc.add(f"source has columns not in target: {extra}")
+        return df
+    out = []
+    for f_ in target.schema.fields:
+        if f_.name in df.columns:
+            out.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            out.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    return df.select(*out)
+
+
+def compile_json_write(
+    spark: SparkSession,
+    spec: dict[str, Any],
+    tables: Callable[[str], DataFrame],
+) -> tuple[str, DataFrame]:
+    """Compile a JSON write description; returns ``(verb, frame)`` where
+    ``frame`` is what the caller persists: the aligned new rows for
+    ``insert`` (append), or the full merged/updated target for
+    ``upsert``/``update`` (overwrite — or a native MERGE on a lakehouse
+    table format; see sources.writers.upsert).
+
+    The write itself stays with the caller: compiling is pure, so the
+    result can be inspected/tested and written atomically."""
+    acc = ErrorAccumulator()
+    verb = spec.get("verb")
+    if verb not in ("insert", "upsert", "update"):
+        acc.add(f"unknown verb '{verb}' (insert|upsert|update)")
+        acc.raise_if_any()
+
+    tname = spec.get("into") or spec.get("target")
+    if not tname:
+        acc.add("'into'/'target' table is required")
+        acc.raise_if_any()
+    try:
+        target = tables(tname)
+    except Exception as e:
+        acc.add(f"cannot resolve table '{tname}': {e}")
+        acc.raise_if_any()
+
+    if verb == "update":
+        assign = spec.get("assign", {})
+        if not assign:
+            acc.add("update: 'assign' mapping required")
+        cond = F.lit(True)
+        for col, ops in spec.get("filters", {}).items():
+            if col not in target.columns:
+                acc.add(f"update.filters: column '{col}' not in target")
+                continue
+            for op, val in ops.items():
+                fn = _FILTER_OPS.get(op)
+                if fn is None:
+                    acc.add(f"update.filters.{col}: unknown op '{op}'")
+                    continue
+                cond = cond & fn(F.col(col), val)
+        exprs = {}
+        for col, node in assign.items():
+            if col not in target.columns:
+                acc.add(f"update.assign: column '{col}' not in target")
+                continue
+            exprs[col] = _compile_expr(node, acc, f"update.assign.{col}")
+        acc.raise_if_any()
+        out = target
+        field_types = {f_.name: f_.dataType for f_ in target.schema.fields}
+        for col, new in exprs.items():
+            out = out.withColumn(
+                col,
+                F.when(cond, new.cast(field_types[col])).otherwise(F.col(col)),
+            )
+        return verb, out
+
+    # insert / upsert share the source-rows path
+    rows = spec.get("rows")
+    sel = spec.get("select")
+    if (rows is None) == (sel is None):
+        acc.add(f"{verb}: exactly one of 'rows' or 'select' required")
+        acc.raise_if_any()
+    if rows is not None:
+        src = _literal_rows_df(spark, rows, target, acc)
+        acc.raise_if_any()
+    else:
+        src = compile_json_query(spark, sel, tables)
+    src = _apply_lookups(src, spec.get("lookups", []), tables, acc)
+    acc.raise_if_any()
+    aligned = _align_to_target(src, target, acc)
+    acc.raise_if_any()
+
+    if verb == "insert":
+        return verb, aligned
+    keys = spec.get("keys", [])
+    if not keys or any(k not in target.columns for k in keys):
+        acc.add(f"upsert: 'keys' must name target columns, got {keys}")
+        acc.raise_if_any()
+    from ubw_spark.sources.writers import upsert as _upsert
+
+    return verb, _upsert(target, aligned, keys)

@@ -67,3 +67,66 @@ def json_driven_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_json_query(
         spark, QUERY_JSON, lambda name: table(spark, sf_dir, name)
     )
+
+
+WRITE_JSON = {
+    "verb": "upsert",
+    "target": "orders_small",
+    "keys": ["o_orderkey"],
+    # one replacement of an existing key, one brand-new key; o_orderdate
+    # intentionally absent → typed NULL via target-schema alignment
+    "rows": [
+        {"o_orderkey": 1, "o_custkey": 999, "o_orderstatus": "X",
+         "o_totalprice": 123.45, "o_orderpriority": "1-URGENT"},
+        {"o_orderkey": 99999, "o_custkey": 1, "o_orderstatus": "N",
+         "o_totalprice": 1.0, "o_orderpriority": "5-LOW"},
+    ],
+}
+
+
+@register(
+    "json_driven_upsert",
+    oracle="""
+    WITH t AS (SELECT * FROM orders WHERE o_orderkey < 50),
+    u(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority) AS (
+      VALUES (CAST(1 AS BIGINT), CAST(999 AS BIGINT), 'X',
+              CAST(123.45 AS DOUBLE), '1-URGENT'),
+             (CAST(99999 AS BIGINT), CAST(1 AS BIGINT), 'N',
+              CAST(1.0 AS DOUBLE), '5-LOW')),
+    m AS (
+      SELECT * FROM t
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             NULL AS o_orderdate, o_orderpriority
+      FROM u)
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS total,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate,
+           o_orderpriority
+    FROM m
+    """,
+    tags=("engine", "json", "write"),
+)
+def json_driven_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The write half of pain-point #7 (doc-01.md:156, reference
+    SlickCRUDImplicits import in Sample05.scala:15): a JSON upsert spec
+    compiled to the anti-join+union MERGE shape.  The merged frame is
+    returned (the driver-checkable part); persisting it is
+    sources.writers.write_table."""
+    from pyspark.sql import functions as F
+
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    reg = {"orders_small": table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 50
+    )}
+    _verb, merged = compile_json_write(spark, WRITE_JSON, lambda n: reg[n])
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        "o_orderpriority",
+    )
