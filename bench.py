@@ -7,6 +7,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully (noop sink — no driver-side collect cost, no
 files written) so the measured time is scan + compute + shuffle.
+
+Regression mode: ``python bench.py --compare BENCH_r01.json`` (or
+``SPARK_GRAFT_BASELINE=path``) additionally compares per-query times to
+the recorded baseline and exits non-zero if any query regressed >1.5×
+(with a 0.25 s absolute floor so sub-second queries don't flap on
+scheduler noise).  The default driver invocation — no flag, no env —
+never exits non-zero for a slow query.
 """
 
 from __future__ import annotations
@@ -36,6 +43,30 @@ HEADLINE = [
     "events_funnel",
     "asof_join_last_click",
 ]
+
+
+REGRESSION_FACTOR = 1.5
+REGRESSION_FLOOR_SEC = 0.25
+
+
+def regressions(
+    current: dict[str, float],
+    baseline: dict[str, float],
+    factor: float = REGRESSION_FACTOR,
+    floor_sec: float = REGRESSION_FLOOR_SEC,
+) -> list[str]:
+    """Queries slower than ``factor``× their baseline time (and by more
+    than ``floor_sec`` absolute — 1.5× of 0.2 s is scheduler noise, not
+    a regression).  Queries missing from the baseline are skipped: new
+    queries set their own baseline next round."""
+    out = []
+    for name, cur in current.items():
+        base = baseline.get(name)
+        if base is None:
+            continue
+        if cur > base * factor and cur - base > floor_sec:
+            out.append(f"{name}: {cur:.3f}s vs baseline {base:.3f}s ({cur/base:.2f}x)")
+    return out
 
 
 def main() -> None:
@@ -82,6 +113,23 @@ def main() -> None:
         )
     )
     spark.stop()
+
+    baseline_path = os.environ.get("SPARK_GRAFT_BASELINE")
+    if "--compare" in sys.argv:
+        baseline_path = sys.argv[sys.argv.index("--compare") + 1]
+    if baseline_path:
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        regs = regressions(timings, baseline.get("queries", {}))
+        for r in regs:
+            print(f"REGRESSION {r}", file=sys.stderr)
+        if regs:
+            sys.exit(1)
+        print(
+            f"no regressions vs {baseline_path} "
+            f"(factor {REGRESSION_FACTOR}, floor {REGRESSION_FLOOR_SEC}s)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

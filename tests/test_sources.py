@@ -1,0 +1,117 @@
+"""Source/sink contract tests: JDBC round trip (S6) against the
+embedded Derby that ships in pyspark's jars — a real JDBC driver, real
+SQL database, no network.  At scale the same helpers point at a server
+DB with the 4 partitioning options (see read_jdbc docstring)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.sources.readers import read_jdbc
+from ubw_spark.sources.writers import write_jdbc
+
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _derby_available(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(DERBY_DRIVER)
+        return True
+    except Exception:
+        return False
+
+
+@pytest.fixture()
+def derby_url(spark):
+    if not _derby_available(spark):
+        pytest.skip(f"no Derby JDBC driver on the Spark classpath ({DERBY_DRIVER})")
+    return "jdbc:derby:memory:ubwtest;create=true"
+
+
+def test_jdbc_write_read_roundtrip(spark, derby_url):
+    df = spark.createDataFrame(
+        [(1, "alpha", 10.5), (2, "beta", None), (3, "gamma", -1.0)],
+        "id bigint, name string, score double",
+    )
+    write_jdbc(df, derby_url, "roundtrip", mode="overwrite", driver=DERBY_DRIVER)
+    back = read_jdbc(spark, derby_url, "roundtrip", driver=DERBY_DRIVER)
+    got = sorted((r["id"], r["name"], r["score"]) for r in back.collect())
+    assert got == [(1, "alpha", 10.5), (2, "beta", None), (3, "gamma", -1.0)]
+
+
+def test_jdbc_pushdown_subquery(spark, derby_url):
+    """dbtable can be a pushdown subquery — the filter runs IN the
+    database, which at scale is the difference between shipping a table
+    and shipping a result."""
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id bigint, bucket bigint"
+    )
+    write_jdbc(df, derby_url, "pushq", mode="overwrite", driver=DERBY_DRIVER)
+    # Spark created the table with quoted (lowercase) identifiers, and
+    # Derby upcases unquoted ones — so the subquery must quote them too
+    sub = '(SELECT "id" FROM pushq WHERE "bucket" = 0) t'
+    back = read_jdbc(spark, derby_url, sub, driver=DERBY_DRIVER)
+    assert back.count() == 10
+    assert all(r["id"] % 3 == 0 for r in back.collect())
+
+
+def test_jdbc_partitioned_read(spark, derby_url):
+    """The 4 partitioning options split the scan into parallel
+    range-bounded queries — verify the partition count and that no rows
+    are lost or duplicated at the range boundaries."""
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_jdbc(df, derby_url, "parts", mode="overwrite", driver=DERBY_DRIVER)
+    back = read_jdbc(
+        spark, derby_url, "parts", driver=DERBY_DRIVER,
+        partition_column="id", lower_bound=0, upper_bound=100, num_partitions=4,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(100))
+
+
+# --- lakehouse-gated MERGE (S7) ------------------------------------------
+
+
+def test_merge_upsert_parquet_emulation(spark, tmp_path):
+    """Without a lakehouse format the MERGE falls back to anti-join +
+    union + overwrite — and must materialize before overwriting the
+    files it reads (the read-own-input pitfall)."""
+    from ubw_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "tgt")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id bigint, v string"
+    ).write.parquet(path)
+    updates = spark.createDataFrame([(2, "B!"), (9, "new")], "id bigint, v string")
+    merge_upsert(spark, path, updates, ["id"])
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B!", 3: "c", 9: "new"}
+    # idempotent: applying the same updates again changes nothing
+    merge_upsert(spark, path, updates, ["id"])
+    assert {r["id"]: r["v"] for r in spark.read.parquet(path).collect()} == got
+
+
+def test_merge_upsert_validates_keys(spark, tmp_path):
+    from ubw_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "tgt2")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.parquet(path)
+    updates = spark.createDataFrame([(1, "x")], "id bigint, v string")
+    with pytest.raises(ValueError, match="not in updates"):
+        merge_upsert(spark, path, updates, ["nope"])
+
+
+def test_merge_upsert_delta_branch(spark, tmp_path):
+    """Runs only where delta-spark is installed (skipped in this
+    container): native transactional MERGE INTO."""
+    pytest.importorskip("delta")
+    from ubw_spark.sources.writers import merge_upsert
+
+    path = str(tmp_path / "dtgt")
+    spark.createDataFrame([(1, "a")], "id bigint, v string").write.format(
+        "delta"
+    ).save(path)
+    updates = spark.createDataFrame([(1, "x"), (2, "y")], "id bigint, v string")
+    merge_upsert(spark, path, updates, ["id"], fmt="delta")
+    got = {r["id"]: r["v"] for r in spark.read.format("delta").load(path).collect()}
+    assert got == {1: "x", 2: "y"}

@@ -93,3 +93,37 @@ def literal_rows(
 ) -> DataFrame:
     """S3: in-memory seed rows with an explicit schema."""
     return spark.createDataFrame(list(rows), schema)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: Any,
+) -> DataFrame:
+    """JDBC source (S6, doc-01.md:113-115 'multiple input sources').
+
+    ``table`` may be a table name or a pushdown subquery
+    ``"(SELECT ...) t"``.  For large tables pass the four partitioning
+    options — without them the whole result streams through ONE task,
+    which is the classic JDBC-at-scale mistake; with them Spark issues
+    num_partitions range-bounded queries in parallel."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        r = r.option("driver", driver)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()

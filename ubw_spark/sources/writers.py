@@ -14,7 +14,7 @@ partitioned write so each task writes few files (avoids the
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -72,3 +72,85 @@ def upsert(
     return target.join(updates, on=list(keys), how="left_anti").unionByName(
         updates
     )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    driver: str | None = None,
+    batch_size: int = 10_000,
+    **options: Any,
+) -> None:
+    """JDBC sink (S6/S7).  ``batchsize`` batches inserts per round trip;
+    writes run from every partition in parallel, so repartition small
+    frames down first to avoid hammering the database with connections."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    w = w.option("batchsize", str(batch_size))
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def delta_available() -> bool:
+    """True when the delta-spark package is importable (the container
+    here has no lakehouse jars, so the default stays parquet)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def merge_upsert(
+    spark,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    *,
+    fmt: str | None = None,
+) -> None:
+    """Keyed MERGE against a stored table: transactional ``MERGE INTO``
+    when Delta Lake is on the classpath, anti-join+union overwrite
+    emulation on plain parquet otherwise.
+
+    The Delta branch is the 100 TB answer (file-level conflict
+    detection, no read-modify-write of the whole table); the parquet
+    branch exists so the API works in minimal environments — it
+    materializes the merge (localCheckpoint) before overwriting, because
+    lazily overwriting the files a plan is still reading deletes them
+    first."""
+    keys = list(keys)
+    missing = [k for k in keys if k not in updates.columns]
+    if missing:
+        raise ValueError(f"merge keys not in updates: {missing}")
+    if fmt is None:
+        fmt = "delta" if delta_available() else "parquet"
+    if fmt == "delta":
+        from delta.tables import DeltaTable
+
+        tgt = DeltaTable.forPath(spark, target_path)
+        tcols = set(tgt.toDF().columns)
+        bad = [k for k in keys if k not in tcols]
+        if bad:
+            raise ValueError(f"merge keys not in target: {bad}")
+        cond = " AND ".join(f"t.`{k}` = u.`{k}`" for k in keys)
+        (
+            tgt.alias("t")
+            .merge(updates.alias("u"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+    target = spark.read.parquet(target_path)
+    bad = [k for k in keys if k not in target.columns]
+    if bad:
+        raise ValueError(f"merge keys not in target: {bad}")
+    merged = upsert(target, updates, keys).localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(target_path)
