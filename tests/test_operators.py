@@ -278,3 +278,47 @@ def test_winnow_doc_freq_cap(spark):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert (901, 902) in got
     assert not any(a < 901 and b < 901 for a, b in got)
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-bucketed embedding dedup finds most of what brute force
+    finds, and NOTHING brute force doesn't (verification is exact)."""
+    from ubw_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, method="brute"
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, method="lsh", bits=4, tables=8
+        ).collect()
+    }
+    assert approx <= exact  # no false positives, ever
+    assert exact  # fixture sanity: threshold must catch something
+    assert len(approx) / len(exact) >= 0.5
+
+
+def test_grouped_robust_stats_matches_numpy(spark):
+    import numpy as np
+
+    from ubw_spark.operators.stats import grouped_robust_stats
+
+    rows = [("a", float(x)) for x in [1, 2, 4, 8, 100]] + [
+        ("b", float(x)) for x in [10, 10, 10, 10]
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r["k"]: r for r in grouped_robust_stats(df, ["k"], "v").collect()}
+    a = np.array([1, 2, 4, 8, 100.0])
+    med = np.median(a)
+    mad = np.median(np.abs(a - med))
+    assert got["a"]["n"] == 5
+    assert got["a"]["med"] == med
+    assert got["a"]["mad"] == mad
+    assert got["a"]["n_outliers"] == int((np.abs(a - med) > 3 * mad).sum())
+    # degenerate group: mad 0, every deviation 0 -> no outliers
+    assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 0

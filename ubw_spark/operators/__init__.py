@@ -6,12 +6,15 @@ from ubw_spark.operators.dedup import (
     minhash_dedup_pairs,
     simhash_signature,
     simhash_near_pairs,
+    cap_buckets,
+    oversized_buckets,
 )
 from ubw_spark.operators.similarity import (
     cosine_col,
     brute_force_topk,
     hyperplane_lsh_buckets,
     lsh_ann_topk,
+    embedding_near_dup_pairs,
 )
 from ubw_spark.operators.temporal import asof_join, range_join
 from ubw_spark.operators.multimodal import (
@@ -32,6 +35,7 @@ from ubw_spark.operators.ivf import (
     ivf_ann_topk,
 )
 from ubw_spark.operators.splits import assign_split, split_column
+from ubw_spark.operators.stats import grouped_robust_stats
 from ubw_spark.operators.components import (
     connected_components,
     dedup_keep_list,
@@ -45,10 +49,13 @@ __all__ = [
     "minhash_dedup_pairs",
     "simhash_signature",
     "simhash_near_pairs",
+    "cap_buckets",
+    "oversized_buckets",
     "cosine_col",
     "brute_force_topk",
     "hyperplane_lsh_buckets",
     "lsh_ann_topk",
+    "embedding_near_dup_pairs",
     "asof_join",
     "range_join",
     "with_payload_metadata",
@@ -56,6 +63,7 @@ __all__ = [
     "extract_features",
     "salted_groupby_agg",
     "salted_join",
+    "grouped_robust_stats",
     "winnow_fingerprints_df",
     "fingerprint_index",
     "winnow_overlap_pairs",

@@ -150,3 +150,76 @@ def lsh_ann_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    *,
+    method: str = "lsh",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: (id_a, id_b, cos_sim)
+    with id_a < id_b and cosine ≥ ``threshold`` — the embedding member
+    of the dedup family (exact / MinHash / SimHash / n-gram / embedding).
+
+    ``method="brute"``: exact all-pairs self-join — O(N²), the oracled
+    correctness baseline and the verifier for recall tests; never the
+    100 TB path.
+
+    ``method="lsh"``: hyperplane-LSH buckets (map-only, literal planes),
+    self-join per (table, bucket) with the same hot-bucket cap as
+    MinHash banding, exact-cosine verification on candidates only.
+    Recall per pair at angle θ is 1-(1-(1-θ/π)^bits)^tables — tune bits
+    down / tables up for lower thresholds."""
+    if method == "brute":
+        a = corpus.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        b = corpus.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        cos = cosine_col(F.col("__va"), F.col("__vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .where(cos >= threshold)
+            .select("id_a", "id_b", F.round(cos, 3).alias("cos_sim"))
+        )
+    if method != "lsh":
+        raise ValueError(f"unknown method '{method}' (brute|lsh)")
+    from ubw_spark.operators.dedup import cap_buckets
+
+    bucketed = hyperplane_lsh_buckets(
+        corpus.select(id_col, vec_col), vec_col, dim, bits, tables, seed
+    )
+    if max_bucket is not None:
+        bucketed = cap_buckets(bucketed, ["lsh_table", "lsh_bucket"], max_bucket)
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "lsh_table",
+        "lsh_bucket",
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        "lsh_table",
+        "lsh_bucket",
+    )
+    cands = (
+        a.join(b, ["lsh_table", "lsh_bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__va", "__vb")
+        .distinct()
+    )
+    cos = cosine_col(F.col("__va"), F.col("__vb"))
+    return (
+        cands.where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 3).alias("cos_sim"))
+    )

@@ -20,7 +20,7 @@ from ubw_spark.operators.dedup import (
     simhash_signature,
 )
 from ubw_spark.operators.multimodal import extract_features, with_payload_metadata
-from ubw_spark.operators.similarity import lsh_ann_topk
+from ubw_spark.operators.similarity import embedding_near_dup_pairs, lsh_ann_topk
 from ubw_spark.operators.temporal import asof_join, range_join
 from ubw_spark.queries.registry import register, table
 
@@ -245,4 +245,78 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
         F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
         F.to_json(F.struct(F.col("feature"))).alias("feature_json"),
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE),
+                 3) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+    """,
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline
+    (cosine ≥ 0.45, float64 math both engines; threshold sits ≥5e-4
+    from every pair at sf0.01/sf0.1, far beyond cross-engine float
+    drift).  O(N²) by construction — the verifier for the LSH variant
+    below, which is the 100 TB path."""
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45, method="brute"
+    )
+
+
+@register("dedup_embedding_cosine_lsh", oracle=None, tags=("dedup", "similarity", "lsh"))
+def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH buckets + exact
+    verify — map-only bucketing, capped buckets, candidates only.
+    Rows-only (literal hyperplanes aren't sensibly reproducible in
+    SQL); recall vs the brute-force twin is asserted in tests.  bits=4
+    ×8 tables targets ~0.8 recall at the 0.45 threshold's ~62° angle:
+    recall = 1-(1-(1-θ/π)^bits)^tables."""
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.45,
+        method="lsh", bits=4, tables=8,
+    )
+
+
+@register(
+    "grouped_robust_stats",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority, median(o_totalprice) AS med,
+             mad(o_totalprice) AS mad
+      FROM orders GROUP BY 1)
+    SELECT o.o_orderpriority, count(*) AS n,
+           round(s.med, 4) AS med, round(s.mad, 4) AS mad,
+           count(*) FILTER (abs(o.o_totalprice - s.med) > 3 * s.mad)
+             AS n_outliers
+    FROM orders o JOIN s USING (o_orderpriority)
+    GROUP BY 1, s.med, s.mad
+    """,
+    tags=("agg", "pandas"),
+)
+def grouped_robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: exact per-priority median/MAD outlier
+    stats over orders — rank statistics are the case where shipping the
+    (bounded-cardinality) group through Arrow beats SQL gymnastics.
+    Both engines interpolate even-count medians identically on DOUBLE,
+    so the oracle is exact."""
+    from ubw_spark.operators.stats import grouped_robust_stats
+
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    stats = grouped_robust_stats(o, ["o_orderpriority"], "o_totalprice")
+    return stats.select(
+        "o_orderpriority",
+        "n",
+        F.round("med", 4).alias("med"),
+        F.round("mad", 4).alias("mad"),
+        "n_outliers",
     )
