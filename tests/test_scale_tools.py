@@ -183,3 +183,36 @@ def test_split_salt_gives_independent_assignment(spark):
          assign_split(df, "doc_id", {"train": 0.5, "test": 0.5}, salt="b").collect()}
     agree = sum(1 for k in a if a[k] == b[k]) / len(a)
     assert 0.35 < agree < 0.65  # independent ≈ 50% agreement
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_dir):
+    from ubw_spark.operators.splits import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept1 = stratified_sample(d, "lang", "doc_id", {"en": 0.5}, 0.1)
+    kept2 = stratified_sample(d, "lang", "doc_id", {"en": 0.5}, 0.1)
+    ids1 = sorted(r["doc_id"] for r in kept1.select("doc_id").collect())
+    assert ids1 == sorted(r["doc_id"] for r in kept2.select("doc_id").collect())
+    # rates land near their targets per stratum
+    from pyspark.sql import functions as F
+
+    totals = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept_n = {r["lang"]: r["n"] for r in kept1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    en_rate = kept_n.get("en", 0) / totals["en"]
+    assert 0.3 < en_rate < 0.7
+    for lang, tot in totals.items():
+        if lang != "en" and tot >= 30:
+            assert kept_n.get(lang, 0) / tot < 0.35
+
+
+def test_leakage_safe_split_no_source_straddles(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ubw_spark.operators.splits import assign_split
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = assign_split(d, "source", {"train": 0.9, "test": 0.1}, salt="bysource")
+    per_source = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    )
+    assert per_source.where(F.col("k") > 1).count() == 0

@@ -105,7 +105,8 @@ def ivf_ann_topk(
         indexed.join(broadcast(probes), "ivf_cell")
         .where(F.col(id_col) != F.col("qid"))
         .select("qid", "__qv", id_col, vec_col)
-        .distinct()
+        # dedup on the id pair only, not the vectors (smaller shuffle key)
+        .dropDuplicates(["qid", id_col])
     )
     scored = cands.select(
         "qid",

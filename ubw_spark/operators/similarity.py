@@ -137,7 +137,8 @@ def lsh_ann_topk(
         cb.join(broadcast(qb), ["lsh_table", "lsh_bucket"])
         .where(F.col(id_col) != F.col("qid"))
         .select("qid", "__qv", id_col, vec_col)
-        .distinct()
+        # dedup on the id pair only, not the vectors (smaller shuffle key)
+        .dropDuplicates(["qid", id_col])
     )
     scored = cands.select(
         "qid",
@@ -216,7 +217,9 @@ def embedding_near_dup_pairs(
         a.join(b, ["lsh_table", "lsh_bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "__va", "__vb")
-        .distinct()
+        # dedup on the id pair only — a full .distinct() would hash the
+        # vectors into the shuffle key and move them as key bytes
+        .dropDuplicates(["id_a", "id_b"])
     )
     cos = cosine_col(F.col("__va"), F.col("__vb"))
     return (

@@ -59,3 +59,38 @@ def assign_split(
     return df.withColumn(
         "split", split_column(F.col(id_col), splits, salt)
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff its hash
+    bucket falls under its stratum's fraction.
+
+    The training-pipeline workhorse (downsample boilerplate languages,
+    keep all of the rare ones) with none of ``df.sample``'s drawbacks:
+    exactly reproducible across runs/engines/partitionings, stable under
+    corpus growth, and membership is plain SQL (oracle-checkable).
+    Map-only — no shuffle, filter runs at the scan."""
+    bucket = portable_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) % _BUCKETS
+    thr: Column | None = None
+    for name, frac in fractions.items():
+        t = F.lit(int(frac * _BUCKETS))
+        thr = (
+            F.when(F.col(strata_col) == name, t)
+            if thr is None
+            else thr.when(F.col(strata_col) == name, t)
+        )
+    thr = (
+        thr.otherwise(F.lit(int(default_fraction * _BUCKETS)))
+        if thr is not None
+        else F.lit(int(default_fraction * _BUCKETS))
+    )
+    return df.where(bucket < thr)

@@ -63,3 +63,67 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 100)
     )
+
+
+@register(
+    "stratified_sample_counts",
+    oracle="""
+    WITH s AS (
+      SELECT lang, doc_id,
+             ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents)
+    SELECT lang, count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM s
+    WHERE bucket < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                             ELSE 1000 END
+    GROUP BY 1
+    """,
+    tags=("splits", "sampling"),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (en 50%, de 25%, rest 10%) —
+    map-only hash filter, reproducible in SQL; the downsample-the-
+    boilerplate / keep-the-rare-language primitive of corpus curation."""
+    from ubw_spark.operators.splits import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5, "de": 0.25}, default_fraction=0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "leakage_safe_split",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             ('0x' || substr(md5('bysource:' || source), 1, 8))::BIGINT
+               % 10000 AS bucket,
+             doc_id
+      FROM documents)
+    SELECT CASE WHEN bucket < 9000 THEN 'train' ELSE 'test' END AS split,
+           count(*) AS n_docs, count(DISTINCT source) AS n_sources
+    FROM s GROUP BY 1
+    """,
+    tags=("splits",),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware split: hash the SOURCE, not the doc id, so every
+    document from one source lands in the same split — near-duplicate
+    pages from a site can't straddle train/test (the classic
+    contamination bug).  Tested invariant: each source maps to exactly
+    one split."""
+    d = table(spark, sf_dir, "documents")
+    out = assign_split(
+        d, "source", {"train": 0.9, "test": 0.1}, salt="bysource"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
