@@ -140,32 +140,24 @@ def test_stream_dedup_drops_replayed_events(spark, events_dir, tmp_path):
 def test_stream_stream_interval_join(spark, events_dir):
     """Stream-stream join with watermarks: purchases join clicks of the
     same user within the preceding hour — both sides incremental, state
-    bounded by watermark + interval condition."""
-    purchases = (
-        read_stream(spark, events_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("p_id"),
-            F.col("user_id").alias("p_user"),
+    bounded by watermark + interval condition.  Same stage function,
+    stream and batch, equal results."""
+    from ubw_spark.streaming import stream_stream_interval_join
+
+    def sides(df):
+        p = df.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), "user_id",
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "2 hours")
-    )
-    clicks = (
-        read_stream(spark, events_dir)
-        .where(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("c_id"),
-            F.col("user_id").alias("c_user"),
+        c = df.where(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"), "user_id",
             F.col("ts").alias("c_ts"),
         )
-        .withWatermark("c_ts", "2 hours")
-    )
-    joined = purchases.join(
-        clicks,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+        return p, c
+
+    p, c = sides(read_stream(spark, events_dir))
+    joined = stream_stream_interval_join(
+        p, c, key="user_id", left_ts="p_ts", right_ts="c_ts", lower="1 hour"
     )
     q = (
         joined.writeStream.format("memory")
@@ -177,20 +169,9 @@ def test_stream_stream_interval_join(spark, events_dir):
     stream_n = spark.table("ss_join").count()
     q.stop()
 
-    batch = spark.read.parquet(events_dir)
-    p = batch.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-    )
-    c = batch.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("c_id"), F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-    )
-    batch_n = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
+    bp, bc = sides(spark.read.parquet(events_dir))
+    batch_n = stream_stream_interval_join(
+        bp, bc, key="user_id", left_ts="p_ts", right_ts="c_ts", lower="1 hour"
     ).count()
     assert stream_n == batch_n > 0
 

@@ -4,6 +4,9 @@ from ubw_spark.streaming.stages import (
     sliding_window_agg,
     session_window_agg,
     stateful_running_totals,
+    stream_dedup,
+    stream_stream_interval_join,
+    write_stream_upsert,
     run_to_memory,
     write_stream_parquet,
 )
@@ -14,6 +17,9 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "stateful_running_totals",
+    "stream_dedup",
+    "stream_stream_interval_join",
+    "write_stream_upsert",
     "run_to_memory",
     "write_stream_parquet",
 ]

@@ -251,3 +251,36 @@ def write_stream_parquet(
     if trigger_once:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    *,
+    lower: str = "1 hour",
+    upper: str = "0 seconds",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by a time interval: right rows
+    within [left_ts - lower, left_ts + upper] of the matching-key left
+    row.
+
+    Both sides are watermarked and the join condition bounds event time
+    in BOTH directions, so Spark can evict state — an unbounded
+    stream-stream join retains every row forever, which is the classic
+    state leak.  Column names must already be disjoint apart from
+    ``key`` aliases (rename before calling).  Outer variants emit
+    unmatched rows only once the watermark passes."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(key) == F.col(f"{key}__r"))
+        & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    r = r.withColumnRenamed(key, f"{key}__r")
+    return l.join(r, cond, how).drop(f"{key}__r")
