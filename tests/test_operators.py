@@ -322,3 +322,47 @@ def test_grouped_robust_stats_matches_numpy(spark):
     assert got["a"]["n_outliers"] == int((np.abs(a - med) > 3 * mad).sum())
     # degenerate group: mad 0, every deviation 0 -> no outliers
     assert got["b"]["mad"] == 0.0 and got["b"]["n_outliers"] == 0
+
+
+def test_resize_images_contract(spark):
+    from ubw_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgbytes-a")), (2, bytearray(b"imgbytes-b")), (3, None)],
+        "id bigint, payload binary",
+    )
+    out = resize_images(df, "id", "payload", width=8, height=4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r["width"] == 8 and r["height"] == 4
+        assert r["n_bytes"] == 8 * 4 * 3 and len(r["payload"]) == 8 * 4 * 3
+    # deterministic: same payload -> same resized bytes
+    again = resize_images(df, "id", "payload", width=8, height=4).collect()
+    assert {r["id"]: bytes(r["payload"]) for r in out} == {
+        r["id"]: bytes(r["payload"]) for r in again
+    }
+    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+        resize_images(df, "id", "payload", codec="real").collect()
+
+
+def test_sample_frames_fanout(spark):
+    from ubw_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"video-a")), (2, bytearray(b"video-b"))],
+        "id bigint, payload binary",
+    )
+    out = sample_frames(df, "id", "payload", n_frames=4, frame_interval_ms=500)
+    rows = out.collect()
+    assert len(rows) == 8  # 2 videos x 4 frames
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["id"], []).append((r["frame_idx"], r["ts_ms"]))
+    for vid, frames in by_id.items():
+        assert sorted(frames) == [(0, 0), (1, 500), (2, 1000), (3, 1500)]
+    # frames differ per index but are deterministic
+    import hashlib
+
+    want = hashlib.sha256(b"video-a#2").digest()
+    got = [bytes(r["frame"]) for r in rows if r["id"] == 1 and r["frame_idx"] == 2]
+    assert got == [want]

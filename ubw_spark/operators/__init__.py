@@ -21,6 +21,8 @@ from ubw_spark.operators.multimodal import (
     with_payload_metadata,
     decode_batches,
     extract_features,
+    resize_images,
+    sample_frames,
 )
 from ubw_spark.operators.skew import salted_groupby_agg, salted_join
 from ubw_spark.operators.winnow import (
@@ -61,6 +63,8 @@ __all__ = [
     "with_payload_metadata",
     "decode_batches",
     "extract_features",
+    "resize_images",
+    "sample_frames",
     "salted_groupby_agg",
     "salted_join",
     "grouped_robust_stats",

@@ -126,3 +126,117 @@ def extract_features(
             F.col("feature"), lambda x: (x / norm).cast("float")
         ).alias("feature"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    width: int = 64,
+    height: int = 64,
+    codec: str = "fake",
+) -> DataFrame:
+    """Resize image payloads to width×height via mapInPandas.
+
+    codec="real" is the PIL integration point (NotImplementedError
+    here); codec="fake" emits a deterministic RGB-sized byte payload
+    (width·height·3 bytes streamed from the payload digest) so the
+    Spark-side contract — binary in, binary out, one Arrow batch at a
+    time, output size bound known up front — is real and tested."""
+
+    def _resize(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        out_len = width * height * 3
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "image codecs not available in this environment; "
+                    "plug PIL.Image.resize here"
+                )
+            payloads = []
+            for payload in pdf[payload_col]:
+                raw = bytes(payload) if payload is not None else b""
+                digest = hashlib.sha256(raw).digest()
+                payloads.append((digest * (out_len // len(digest) + 1))[:out_len])
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "n_bytes": out_len,
+                }
+            )
+
+    return df.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    n_frames: int = 3,
+    frame_interval_ms: int = 1000,
+    codec: str = "fake",
+) -> DataFrame:
+    """Sample ``n_frames`` frames per video payload — mapInPandas with
+    ROW FAN-OUT (one input row → n output rows), the pattern for any
+    decode that explodes a container into parts.
+
+    codec="real" is the ffmpeg integration point; codec="fake" derives
+    frame ``i`` as sha256(payload || '#i') — deterministic AND
+    reproducible in plain SQL, so the whole fan-out path is
+    oracle-checkable (see the multimodal_frame_sample query)."""
+
+    def _frames(batches: Iterator) -> Iterator:
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if codec == "real":
+                raise NotImplementedError(
+                    "video codecs not available in this environment; "
+                    "plug ffmpeg frame extraction here"
+                )
+            ids, idxs, tss, frames = [], [], [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload) if payload is not None else b""
+                for i in range(n_frames):
+                    ids.append(rid)
+                    idxs.append(i)
+                    tss.append(i * frame_interval_ms)
+                    frames.append(
+                        hashlib.sha256(raw + b"#" + str(i).encode()).digest()
+                    )
+            yield pd.DataFrame(
+                {"id": ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return df.mapInPandas(_frames, schema=FRAME_SCHEMA)

@@ -320,3 +320,31 @@ def grouped_robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mad", 4).alias("mad"),
         "n_outliers",
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, i AS frame_idx, i * 1000 AS ts_ms,
+           sha256(text || '#' || i) AS frame_sha
+    FROM documents CROSS JOIN generate_series(0, 2) AS g(i)
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas row fan-out: 3 'frames' per payload (fake codec —
+    frame i = sha256(payload||'#i'), reproducible in SQL, so even the
+    container-explosion path gets a full value-level oracle).  Real
+    ffmpeg plugs into the same schema/batch contract."""
+    from ubw_spark.operators.multimodal import sample_frames
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "payload", F.encode(F.col("text"), "utf-8")
+    )
+    frames = sample_frames(d, "doc_id", "payload", n_frames=3)
+    return frames.select(
+        F.col("id").alias("doc_id"),
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex("frame")).alias("frame_sha"),
+    )
