@@ -89,12 +89,18 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # Two timed passes, report the per-query MIN: single-pass numbers on
+    # a shared box carry ±10-30% scheduler noise, which flaps the
+    # regression gate; the minimum is the standard steady-state estimate.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        qd = REGISTRY[name]
-        t0 = time.perf_counter()
-        qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            qd = REGISTRY[name]
+            t0 = time.perf_counter()
+            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     m = re.search(r"sf([0-9.]+)", sf_dir)
     try:
@@ -120,7 +126,19 @@ def main() -> None:
     if baseline_path:
         with open(baseline_path) as f:
             baseline = json.load(f)
-        regs = regressions(timings, baseline.get("queries", {}))
+        # accept either the raw bench line or the driver's BENCH_rNN.json
+        # wrapper ({... "parsed": {raw line}}) — an empty baseline would
+        # silently pass everything
+        base_queries = (
+            baseline.get("queries")
+            or baseline.get("parsed", {}).get("queries")
+            or {}
+        )
+        if not base_queries:
+            print(f"baseline {baseline_path} has no per-query timings",
+                  file=sys.stderr)
+            sys.exit(2)
+        regs = regressions(timings, base_queries)
         for r in regs:
             print(f"REGRESSION {r}", file=sys.stderr)
         if regs:

@@ -366,3 +366,21 @@ def test_sample_frames_fanout(spark):
     want = hashlib.sha256(b"video-a#2").digest()
     got = [bytes(r["frame"]) for r in rows if r["id"] == 1 and r["frame_idx"] == 2]
     assert got == [want]
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """HLL distinct counts within 5% of exact; approx_percentile within
+    2% of the exact percentile — the contract that justifies swapping
+    them in at scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    row = (
+        li.agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias("a"),
+            F.countDistinct("l_orderkey").alias("e"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("ep"),
+        )
+        .collect()[0]
+    )
+    assert abs(row["a"] - row["e"]) / row["e"] < 0.05
+    assert abs(row["ap"] - row["ep"]) / row["ep"] < 0.02

@@ -113,3 +113,25 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.count(F.lit(1)).over(w).alias("orders_30d"),
     )
+
+
+@register("agg_approx_sketches", oracle=None, tags=("agg", "sketch"))
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch aggregates that REPLACE their exact forms at 100 TB:
+    approx_count_distinct (HyperLogLog++ — mergeable, O(1) memory vs a
+    full distinct shuffle) and approx_percentile (KLL-style — no
+    per-group sort).  Rows-only by design: sketch estimates are
+    engine-specific; the accuracy contract (<5% relative error vs exact)
+    is asserted in tests instead."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 0
+        ).alias("approx_median_price"),
+        F.round(
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)"), 0
+        ).alias("approx_p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
