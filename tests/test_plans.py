@@ -12,6 +12,7 @@ from ubw_spark.plans import (
     pushed_filters,
     read_schema_columns,
     shuffle_count,
+    simple_plan,
 )
 from ubw_spark.queries import REGISTRY
 
@@ -99,3 +100,36 @@ def test_paging_no_global_sort_when_limited(spark, sf_dir):
         cust, spec, QueryParams(orders=[("bal", True)], take=20)
     )
     assert has_take_ordered(df)
+
+
+def test_stratified_sample_filter_reaches_scan(q):
+    """The hash-bucket filter is map-only and must run AT the scan — a
+    post-shuffle filter would move 100% of the corpus to keep 10%."""
+    df = q("stratified_sample_counts")
+    plan = simple_plan(df)
+    # the md5/conv filter appears inside the FileScan's DataFilters
+    import re
+
+    scan_lines = [l for l in plan.splitlines() if "Scan parquet" in l or "DataFilters" in l]
+    assert any("md5" in l for l in scan_lines), plan
+    assert shuffle_count(df) == 1  # only the final groupBy(lang)
+
+
+def test_embedding_lsh_no_cartesian(q):
+    """The LSH path must never degenerate to a cartesian/nested-loop —
+    that IS the operator's reason to exist."""
+    df = q("dedup_embedding_cosine_lsh")
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouped_stats_single_shuffle(q):
+    df = q("grouped_robust_stats")
+    assert shuffle_count(df) == 1  # one hash partition by the group key
+
+
+def test_frame_sample_no_shuffle(q):
+    """Frame fan-out is map-only: payloads never move between executors."""
+    df = q("multimodal_frame_sample")
+    assert shuffle_count(df) == 0

@@ -1,5 +1,6 @@
 from ubw_spark.plans.inspect import (
     formatted_plan,
+    simple_plan,
     pushed_filters,
     read_schema_columns,
     has_broadcast_join,
@@ -10,6 +11,7 @@ from ubw_spark.plans.inspect import (
 
 __all__ = [
     "formatted_plan",
+    "simple_plan",
     "pushed_filters",
     "read_schema_columns",
     "has_broadcast_join",
