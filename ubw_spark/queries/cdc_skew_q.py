@@ -1,0 +1,105 @@
+"""Driver-checkable queries for the CDC (SCD2) and skew operators —
+both are deterministic given deterministic inputs, so their semantics
+get full value-level oracles (they were previously test-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.queries.registry import register, table
+
+
+@register(
+    "scd2_dimension_merge",
+    oracle="""
+    WITH merged AS (
+      -- untouched current rows: segments other than BUILDING
+      SELECT c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             TIMESTAMP '9999-12-31 23:59:59' AS valid_to,
+             true AS is_current
+      FROM customer WHERE c_mktsegment <> 'BUILDING'
+      UNION ALL
+      -- closed-out versions of the changed keys
+      SELECT c_mktsegment, c_acctbal,
+             TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01', false
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      -- fresh current versions carrying the changed attribute
+      SELECT c_mktsegment, c_acctbal + 100,
+             TIMESTAMP '2024-02-01',
+             TIMESTAMP '9999-12-31 23:59:59', true
+      FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT c_mktsegment, is_current,
+           count(*) AS n,
+           CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents,
+           strftime(min(valid_from), '%Y-%m-%d') AS first_from,
+           strftime(max(valid_to), '%Y-%m-%d') AS last_to
+    FROM merged GROUP BY 1, 2
+    """,
+    tags=("cdc", "write"),
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 close-out/insert/no-op, end to end: bootstrap the customer
+    dimension at 2024-01-01, apply a change batch (+100 balance for the
+    BUILDING segment) at 2024-02-01, and summarize version history.
+    The oracle constructs the expected dimension directly — every
+    branch of the merge (untouched/closed/fresh) is value-checked."""
+    from ubw_spark.operators.cdc import scd2_init, scd2_merge
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    snap = cust.withColumn("ts", F.lit("2024-01-01").cast("timestamp"))
+    dim = scd2_init(snap)
+    changes = (
+        cust.where(F.col("c_mktsegment") == "BUILDING")
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("ts", F.lit("2024-02-01").cast("timestamp"))
+    )
+    merged = scd2_merge(dim, changes, keys=["c_custkey"])
+    return merged.groupBy("c_mktsegment", "is_current").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        F.date_format(F.min("valid_from"), "yyyy-MM-dd").alias("first_from"),
+        F.date_format(F.max("valid_to"), "yyyy-MM-dd").alias("last_to"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents,
+           count(*) AS n,
+           CAST(round(min(value) * 100) AS BIGINT) AS min_cents,
+           CAST(round(max(value) * 100) AS BIGINT) AS max_cents
+    FROM events GROUP BY 1
+    """,
+    tags=("skew", "agg"),
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation must equal the plain GROUP BY — the
+    oracle IS the plain form.  Summing exact integer cents keeps the
+    two-phase recombination order-independent (a salted double sum
+    would drift).  event_type is the hot-key archetype: few distinct
+    values, millions of rows each at scale."""
+    from ubw_spark.operators.skew import salted_groupby_agg
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    out = salted_groupby_agg(
+        ev.select("event_type", "cents"),
+        ["event_type"],
+        {
+            "total_cents": ("sum", "cents"),
+            "n": ("count", "cents"),
+            "min_cents": ("min", "cents"),
+            "max_cents": ("max", "cents"),
+        },
+        salt_buckets=16,
+    )
+    return out.select("event_type", "total_cents", "n", "min_cents", "max_cents")
