@@ -103,3 +103,58 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_buckets=16,
     )
     return out.select("event_type", "total_cents", "n", "min_cents", "max_cents")
+
+
+@register(
+    "engine_properties_catalog",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('key',     'bigint', true, true,  true,  'customer key'),
+      ('name',    'string', true, false, true,  NULL),
+      ('bal',     'double', true, true,  true,  'account balance'),
+      ('segment', 'string', true, false, true,  NULL))
+      AS t(property, typeName, inRetrieve, canOrder, isDefaultDesc, "describe")
+    """,
+    tags=("engine", "render"),
+)
+def engine_properties_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4/P12 as a driver-checkable query: the properties catalog the
+    JsonView sink emits (doc-02.md:107-115), returned as rows.  Checks
+    the frozen typeName mapping (Spark simpleStrings, FIXTURES.md G2),
+    the orderTarget→canOrder=false rule, and describe passthrough."""
+    from pyspark.sql import types as T
+
+    from ubw_spark.core.spec import ColumnSpec, QuerySpec
+    from ubw_spark.render import properties_catalog
+
+    spec = QuerySpec(
+        [
+            ColumnSpec("key", expr="c_custkey", orderable=True,
+                       describe="customer key"),
+            # name sorts via key → canOrder must come back false
+            ColumnSpec("name", expr="c_name", orderable=True,
+                       order_target="key"),
+            ColumnSpec("bal", expr="c_acctbal", orderable=True,
+                       describe="account balance"),
+            ColumnSpec("segment", expr="c_mktsegment"),
+        ]
+    )
+    df = spec.frame(table(spark, sf_dir, "customer"))
+    schema = T.StructType(
+        [
+            T.StructField("property", T.StringType(), False),
+            T.StructField("typeName", T.StringType(), False),
+            T.StructField("inRetrieve", T.BooleanType(), False),
+            T.StructField("canOrder", T.BooleanType(), False),
+            T.StructField("isDefaultDesc", T.BooleanType(), False),
+            T.StructField("describe", T.StringType(), True),
+        ]
+    )
+    rows = [
+        (
+            p["property"], p["typeName"], p["inRetrieve"],
+            p["canOrder"], p["isDefaultDesc"], p["describe"],
+        )
+        for p in properties_catalog(spec, df)
+    ]
+    return spark.createDataFrame(rows, schema)
