@@ -158,3 +158,44 @@ def engine_properties_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in properties_catalog(spec, df)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "engine_literal_rows_join",
+    oracle="""
+    WITH seeds(grade, label) AS (
+      VALUES (CAST(3 AS BIGINT), 'bronze'), (CAST(4 AS BIGINT), 'silver'),
+             (CAST(5 AS BIGINT), 'gold'))
+    SELECT label, count(*) AS n,
+           CAST(round(sum(c_acctbal) * 100) AS BIGINT) AS bal_cents
+    FROM customer
+    JOIN seeds ON c_nationkey % 3 + 3 = grade
+    GROUP BY label
+    """,
+    tags=("engine", "source"),
+)
+def engine_literal_rows_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 literal rows as a driver-checkable query: an in-memory seed
+    table (the reference's Helper.scala:19-21 pattern) broadcast-joined
+    against a real scan — the lookup-table idiom."""
+    from pyspark.sql.functions import broadcast
+
+    from ubw_spark.sources.readers import literal_rows
+
+    seeds = literal_rows(
+        spark,
+        [(3, "bronze"), (4, "silver"), (5, "gold")],
+        "grade bigint, label string",
+    )
+    cust = table(spark, sf_dir, "customer")
+    return (
+        cust.join(
+            broadcast(seeds),
+            (F.col("c_nationkey") % 3 + 3) == F.col("grade"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
+        )
+    )
