@@ -144,3 +144,46 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value") * 100, 0).cast("long").alias("session_cents"),
         F.date_format(F.min("ts"), _FMT).alias("session_start"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN firsts f USING (user_id))
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort,
+           day_offset, count(*) AS active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohorts: users grouped by first-seen day, counted on
+    each later activity day (offset ≤ 7).  Two shuffles total: the
+    first-day agg and the final cohort count — the per-user join reuses
+    the user_id partitioning.  The classic growth-analytics query."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .where(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+        "day_offset",
+    ).agg(F.count(F.lit(1)).alias("active_users"))
