@@ -122,7 +122,11 @@ def main() -> None:
 
     baseline_path = os.environ.get("SPARK_GRAFT_BASELINE")
     if "--compare" in sys.argv:
-        baseline_path = sys.argv[sys.argv.index("--compare") + 1]
+        i = sys.argv.index("--compare")
+        if i + 1 >= len(sys.argv):
+            print("--compare requires a baseline path", file=sys.stderr)
+            sys.exit(2)
+        baseline_path = sys.argv[i + 1]
     if baseline_path:
         with open(baseline_path) as f:
             baseline = json.load(f)

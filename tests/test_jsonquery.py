@@ -276,3 +276,47 @@ def test_json_write_injection_and_validation(spark, tables):
              "rows": [{"id": 1}]},
             tables,
         )
+
+
+def test_json_insert_lookup_same_named_key(spark, tables):
+    """Lookup joining on a same-named key must not be ambiguous."""
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    grades2 = spark.createDataFrame(
+        [(3, "C"), (5, "A")], "grade bigint, letter string"
+    )
+    reg = {"friend": tables("friend"), "g2": grades2}
+    _verb, rows = compile_json_write(
+        spark,
+        {
+            "verb": "insert",
+            "into": "friend",
+            "rows": [{"id": 11, "name": "x", "grade": 5}],
+            # resolve nick from a table whose key is ALSO called grade
+            "lookups": [{"table": "g2", "on": [["grade", "grade"]],
+                         "set": {"nick": "letter"}}],
+        },
+        lambda n: reg[n],
+    )
+    got = rows.collect()
+    assert len(got) == 1 and got[0]["nick"] == "A"
+
+
+def test_json_update_assignments_read_old_values(spark, tables):
+    """SQL UPDATE semantics: every assignment reads the OLD row —
+    {age: grade, grade: age} must swap, not cascade."""
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    _verb, updated = compile_json_write(
+        spark,
+        {
+            "verb": "update",
+            "target": "friend",
+            "filters": {"id": {"eq": 2}},
+            "assign": {"age": {"expr": "grade"}, "grade": {"expr": "age"}},
+        },
+        tables,
+    )
+    row = {r["id"]: (r["age"], r["grade"]) for r in updated.collect()}
+    assert row[2] == (4, 30)  # swapped (was age=30, grade=4)
+    assert row[1] == (2333, 3)  # untouched

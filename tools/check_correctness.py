@@ -5,7 +5,11 @@ Runs every ``queries()`` entry at sf0.01 and compares against its
 order-insensitive value comparison (columns sorted by name, rows sorted
 by string form).  Exit code 1 on any mismatch.
 
-Usage: python tools/check_correctness.py [query ...]
+Usage: python tools/check_correctness.py [--vanilla] [query ...]
+
+``--vanilla`` runs the Spark side on a bare SparkSession (no UTC pin,
+no AQE/shuffle tuning from ubw_spark.session) — catches hidden config
+coupling, since the driver builds its own session too.
 """
 
 from __future__ import annotations
@@ -57,14 +61,27 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
     from ubw_spark.session import get_session
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if not a.startswith("--")}
     from __spark_entry__ import queries as _qs
 
     unknown = only - set(_qs().keys())
     if unknown:
         print(f"unknown query name(s): {sorted(unknown)}")
         return 1
-    spark = get_session("check-correctness", master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-correctness-vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_session(
+            "check-correctness", master="local[8]", shuffle_partitions=8
+        )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(

@@ -348,9 +348,11 @@ def _apply_lookups(
             F.col(src).alias(f"__lk{l_i}_{new}") for new, src in set_map.items()
         ]
         rhs = _broadcast(right.select(*right_cols).dropDuplicates([p[1] for p in on]))
+        # qualify BOTH sides: F.col(left_key) is ambiguous when the
+        # lookup joins on a same-named key (on: [["grade", "grade"]])
         cond = reduce(
             lambda a, b: a & b,
-            [F.col(p[0]) == rhs[p[1]] for p in on],
+            [df[p[0]] == rhs[p[1]] for p in on],
         )
         df = df.join(rhs, cond, "left").drop(*[rhs[p[1]] for p in on])
         for new, _src in set_map.items():
@@ -429,13 +431,18 @@ def compile_json_write(
                 continue
             exprs[col] = _compile_expr(node, acc, f"update.assign.{col}")
         acc.raise_if_any()
-        out = target
         field_types = {f_.name: f_.dataType for f_ in target.schema.fields}
-        for col, new in exprs.items():
-            out = out.withColumn(
-                col,
-                F.when(cond, new.cast(field_types[col])).otherwise(F.col(col)),
-            )
+        # ONE projection for all assignments (withColumns, not chained
+        # withColumn): SQL UPDATE semantics — every assignment reads the
+        # OLD row, so {a: b+1, b: a+1} swaps rather than cascades
+        out = target.withColumns(
+            {
+                col: F.when(cond, new.cast(field_types[col])).otherwise(
+                    F.col(col)
+                )
+                for col, new in exprs.items()
+            }
+        )
         return verb, out
 
     # insert / upsert share the source-rows path

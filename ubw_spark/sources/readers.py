@@ -118,6 +118,10 @@ def read_jdbc(
     if driver:
         r = r.option("driver", driver)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError(
+                "partition_column requires lower_bound and upper_bound"
+            )
         r = (
             r.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
