@@ -384,3 +384,27 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     )
     assert abs(row["a"] - row["e"]) / row["e"] < 0.05
     assert abs(row["ap"] - row["ep"]) / row["ep"] < 0.02
+
+
+def test_contamination_detects_planted_eval_leak(spark, sf_dir):
+    """An eval doc copied (near-verbatim) from the training corpus must
+    surface as a contamination pair; unrelated docs must not."""
+    from ubw_spark.operators.dedup import minhash_contamination_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    corpus = docs.select("doc_id", "text")
+    leak = docs.where(F.col("doc_id") == 3).select(
+        F.lit(900001).cast("bigint").alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 6)").alias("text"),
+    )
+    clean = spark.createDataFrame(
+        [(900002, "an entirely novel benchmark question about quantum chromodynamics")],
+        "doc_id bigint, text string",
+    )
+    probe = leak.unionByName(clean)
+    pairs = minhash_contamination_pairs(
+        corpus, probe, "doc_id", "text", threshold=0.6
+    )
+    got = {(r["corpus_id"], r["probe_id"]) for r in pairs.collect()}
+    assert (3, 900001) in got
+    assert not any(p == 900002 for _c, p in got)

@@ -4,6 +4,7 @@ from ubw_spark.operators.dedup import (
     minhash_signature,
     lsh_candidate_pairs,
     minhash_dedup_pairs,
+    minhash_contamination_pairs,
     simhash_signature,
     simhash_near_pairs,
     cap_buckets,
@@ -49,6 +50,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
+    "minhash_contamination_pairs",
     "simhash_signature",
     "simhash_near_pairs",
     "cap_buckets",

@@ -365,3 +365,81 @@ def simhash_near_pairs(
         )
         .distinct()
     )
+
+
+def minhash_contamination_pairs(
+    corpus: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Cross-dataset near-dup detection (decontamination): probe rows
+    (an eval/test set) that near-duplicate corpus rows (training data).
+
+    Same MinHash-LSH machinery as :func:`minhash_dedup_pairs`, but the
+    band join runs corpus × probe instead of self-join — returns
+    (corpus_id, probe_id, jaccard) with jaccard ≥ threshold.  At scale
+    the probe side is small (an eval set), so its banded keys broadcast
+    and the corpus is streamed once; the verify join touches candidate
+    pairs only."""
+
+    def prep(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
+        df = df.where(
+            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
+        )
+        sh = df.select(
+            F.col(id_col).alias(f"{side}_id"),
+            word_shingles(F.col(text_col), k).alias(f"__sh_{side}"),
+        )
+        hashed = sh.select(
+            f"{side}_id",
+            f"__sh_{side}",
+            F.transform(f"__sh_{side}", portable_hash).alias("__hv"),
+        )
+        sig = hashed.select(
+            f"{side}_id",
+            minhash_signature(F.col("__hv"), num_hashes).alias("__sig"),
+        )
+        band_idx = F.explode(
+            F.sequence(F.lit(0), F.lit(bands - 1))
+        ).alias("__band")
+        banded = sig.select(f"{side}_id", "__sig", band_idx).select(
+            f"{side}_id",
+            "__band",
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.col("__sig"), F.col("__band") * rows_per_band + 1,
+                    rows_per_band,
+                ),
+            ).alias("__key"),
+        )
+        return sh, banded
+
+    c_sh, c_banded = prep(corpus, "corpus")
+    p_sh, p_banded = prep(probe, "probe")
+    if max_bucket is not None:
+        c_banded = cap_buckets(c_banded, ["__band", "__key"], max_bucket)
+    from pyspark.sql.functions import broadcast as _bc
+
+    cands = (
+        c_banded.join(_bc(p_banded), ["__band", "__key"])
+        .select("corpus_id", "probe_id")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("__sh_corpus", "__sh_probe"))
+    union = F.size(F.array_union("__sh_corpus", "__sh_probe"))
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cands.join(c_sh, "corpus_id")
+        .join(_bc(p_sh), "probe_id")
+        .where(jac >= threshold)
+        .select("corpus_id", "probe_id", F.round(jac, 4).alias("jaccard"))
+    )
