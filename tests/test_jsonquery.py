@@ -320,3 +320,60 @@ def test_json_update_assignments_read_old_values(spark, tables):
     row = {r["id"]: (r["age"], r["grade"]) for r in updated.collect()}
     assert row[2] == (4, 30)  # swapped (was age=30, grade=4)
     assert row[1] == (2333, 3)  # untouched
+
+
+# --- property-based fuzz: hostile/garbage specs never escape ------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_junk = st.one_of(
+    st.text(max_size=30), st.integers(), st.booleans(), st.none(),
+    st.lists(st.text(max_size=10), max_size=3),
+)
+_spec = st.fixed_dictionaries(
+    {},
+    optional={
+        "verb": _junk,
+        "into": _junk,
+        "target": _junk,
+        "rows": st.lists(
+            st.dictionaries(st.text(max_size=15), _junk, max_size=3),
+            max_size=3,
+        ),
+        "keys": st.lists(st.text(max_size=15), max_size=3),
+        "filters": st.dictionaries(
+            st.text(max_size=15),
+            st.dictionaries(st.text(max_size=10), _junk, max_size=2),
+            max_size=2,
+        ),
+        "assign": st.dictionaries(st.text(max_size=15), _junk, max_size=2),
+        "lookups": st.lists(
+            st.dictionaries(st.text(max_size=10), _junk, max_size=3),
+            max_size=2,
+        ),
+    },
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=_spec)
+def test_json_write_fuzz_never_escapes(spark, tables, spec):
+    """Any garbage spec either raises SpecValidationError (accumulated,
+    data-only validation) or compiles into a plain DataFrame.  It must
+    never raise an injection-shaped error from deeper layers (py4j SQL
+    parse errors would indicate string interpolation into SQL)."""
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    try:
+        verb, df = compile_json_write(spark, spec, tables)
+    except SpecValidationError:
+        return  # rejected cleanly with accumulated messages
+    except (TypeError, ValueError):
+        return  # bad literal types surfaced as plain Python errors
+    assert verb in ("insert", "upsert", "update")
+    assert df.columns  # compiled to a real frame; nothing executed
