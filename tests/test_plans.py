@@ -133,3 +133,24 @@ def test_frame_sample_no_shuffle(q):
     """Frame fan-out is map-only: payloads never move between executors."""
     df = q("multimodal_frame_sample")
     assert shuffle_count(df) == 0
+
+
+def test_repetition_stats_two_shuffles(q):
+    """explode → groupBy(doc,tok) → groupBy(doc): two keyed shuffles;
+    the bigram metrics are row-local arrays and must not add any."""
+    df = q("text_repetition_stats")
+    assert shuffle_count(df) <= 3
+
+
+def test_boilerplate_ngrams_takeordered(q):
+    """Global top-20 must compile to TakeOrderedAndProject (per-partition
+    heaps), never a global sort of the full shingle histogram."""
+    df = q("corpus_boilerplate_ngrams")
+    assert has_take_ordered(df)
+    assert shuffle_count(df) == 1  # the shingle groupBy only
+
+
+def test_filter_funnel_no_cartesian(q):
+    df = q("text_filter_funnel")
+    plan = simple_plan(df)
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,286 @@
+"""Corpus-quality analytics over `documents` — the data-cleaning half of
+a pre-training pipeline (repetition metrics, TF-IDF keywords, corpus
+boilerplate mining, and a keep/drop filter funnel with per-rule
+attribution).  Not in the reference (it has no text library — SURVEY
+§2.8 note); these extend the driver's training-pipeline north star.
+
+Scale notes (100 TB):
+- Per-token stats go through explode → two-level groupBy, which gets
+  map-side partial aggregation; nothing holds a whole document's
+  token multiset on the driver or in a Python UDF.
+- Within-row n-gram dedup stays an array expression (O(n) per row,
+  map-only) — no explode blowup for the bigram metrics.
+- The funnel is a single pass ending in a 5-group aggregate; rule
+  evaluation is first-fail attribution, so re-ordering rules changes
+  attribution, not the kept set.
+- TF-IDF's document-frequency side is a window over (doc, term) counts
+  — one shuffle keyed by term; N (corpus size) joins in as a broadcast
+  1-row aggregate, never a driver-side collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ubw_spark.queries.registry import register, table
+
+
+def _tokens(col):
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def _token_stats(d: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct, top_cnt) via explode + two-level
+    groupBy — the formulation whose partial aggregation survives long
+    documents (the array-expression alternative is O(n·distinct) per
+    row)."""
+    ex = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_cnt"),
+    )
+
+
+_REPETITION_CTES = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, u.tok FROM toks, unnest(t) AS u(tok)),
+    cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                  count(*) AS n_distinct, max(c) AS top_cnt
+           FROM cnt GROUP BY 1),
+    bs AS (SELECT doc_id, greatest(len(t) - 1, 0) AS n_bigrams,
+                  CASE WHEN len(t) >= 2 THEN
+                    len(list_distinct(list_transform(
+                      generate_series(1, len(t) - 1),
+                      i -> concat_ws(' ', t[i], t[i+1]))))
+                  ELSE 0 END AS n_distinct_bigrams
+           FROM toks)
+"""
+
+
+@register(
+    "text_repetition_stats",
+    oracle=_REPETITION_CTES
+    + """
+    SELECT ts.doc_id, n_tokens, n_distinct,
+           round(n_distinct * 1.0 / n_tokens, 4) AS distinct_ratio,
+           round(top_cnt * 1.0 / n_tokens, 4) AS top_token_frac,
+           CASE WHEN n_bigrams > 0 THEN
+             round(1.0 - n_distinct_bigrams * 1.0 / n_bigrams, 4)
+           ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN top_cnt * 1.0 / n_tokens > 0.15
+                  OR (n_bigrams > 0 AND
+                      1.0 - n_distinct_bigrams * 1.0 / n_bigrams > 0.10)
+                THEN 1 ELSE 0 END AS repetitive
+    FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+    """,
+    tags=("text", "quality"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: distinct-token
+    ratio, most-frequent-token fraction, duplicate-bigram fraction, and
+    a composite `repetitive` flag.  Flag comparisons use the unrounded
+    integer ratios (identical doubles on both engines); only the output
+    columns are rounded."""
+    d = table(spark, sf_dir, "documents")
+    ts = _token_stats(d)
+    t = _tokens(F.col("text"))
+    n = F.size(t)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    bs = d.select(
+        "doc_id",
+        F.greatest(n - 1, F.lit(0)).alias("n_bigrams"),
+        F.when(n >= 2, F.size(F.array_distinct(bigrams)))
+        .otherwise(0)
+        .alias("n_distinct_bigrams"),
+    )
+    top_frac = F.col("top_cnt") / F.col("n_tokens")
+    dup_big = F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")
+    return ts.join(bs, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.when(F.col("n_bigrams") > 0, F.round(dup_big, 4))
+        .otherwise(0.0)
+        .alias("dup_bigram_frac"),
+        F.when(
+            (top_frac > 0.15) | ((F.col("n_bigrams") > 0) & (dup_big > 0.10)), 1
+        )
+        .otherwise(0)
+        .alias("repetitive"),
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, u.tok AS term FROM toks, unnest(t) AS u(tok)),
+    cnt AS (SELECT doc_id, term, count(*) AS c FROM ex GROUP BY 1, 2),
+    scored AS (
+      SELECT doc_id, term,
+             (c * 1.0 / CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT))
+             * ln((SELECT count(*) * 1.0 FROM documents)
+                  / count(*) OVER (PARTITION BY term)) AS tfidf
+      FROM cnt),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("text", "quality"),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.  tf = term count / doc length;
+    idf = ln(N / doc_freq).  Every float is one division/ln/multiply of
+    exact integer inputs — no accumulation, so both engines compute
+    bit-identical doubles and the (tfidf DESC, term) ranking agrees.
+    doc_freq is a window over the (doc, term) counts (one term-keyed
+    shuffle); N joins in as a broadcast 1-row aggregate."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+    cnt = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    n_total = d.agg(F.count(F.lit(1)).cast("double").alias("__N"))
+    doclen = Window.partitionBy("doc_id")
+    termdf = Window.partitionBy("term")
+    scored = cnt.join(broadcast(n_total)).select(
+        "doc_id",
+        "term",
+        (
+            (F.col("c") / F.sum("c").over(doclen))
+            * F.log(F.col("__N") / F.count(F.lit(1)).over(termdf))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank")
+    )
+
+
+@register(
+    "corpus_boilerplate_ngrams",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks)
+    SELECT u.shingle, count(*) AS doc_freq
+    FROM sh, unnest(s) AS u(shingle)
+    GROUP BY 1
+    ORDER BY doc_freq DESC, shingle
+    LIMIT 20
+    """,
+    tags=("text", "quality", "dedup"),
+)
+def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate mining: the 20 trigram shingles present in
+    the most documents (distinct-per-doc, so a doc repeating a shingle
+    counts once).  explode → groupBy gets map-side combine; the final
+    top-20 compiles to TakeOrderedAndProject, so only 20 rows per
+    partition reach the driver-side sort.  (shingle, doc_freq) ordering
+    is total — doc_freq ties break on the shingle text — so the LIMIT
+    cut is deterministic on both engines."""
+    d = table(spark, sf_dir, "documents")
+    t = _tokens(F.col("text"))
+    n = F.size(t)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
+        ),
+    )
+    guarded = F.when(n >= 3, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        d.select(F.explode(guarded).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "shingle")
+        .limit(20)
+    )
+
+
+@register(
+    "text_filter_funnel",
+    oracle=_REPETITION_CTES
+    + """
+    , metrics AS (
+      SELECT ts.doc_id, n_tokens,
+             top_cnt * 1.0 / n_tokens AS top_frac,
+             length(replace(d.text, ' ', '')) * 1.0 / n_tokens AS avg_tok_len
+      FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+              JOIN documents d ON d.doc_id = ts.doc_id),
+    staged AS (
+      SELECT CASE
+               WHEN n_tokens < 20 THEN '1_too_short'
+               WHEN n_tokens > 90 THEN '2_too_long'
+               WHEN avg_tok_len < 2 OR avg_tok_len > 12 THEN '3_token_len'
+               WHEN top_frac > 0.15 THEN '4_repetitive'
+               ELSE 'kept' END AS stage
+      FROM metrics)
+    SELECT stage, count(*) AS n_docs,
+           round(100.0 * count(*) / sum(count(*)) OVER (), 4) AS pct
+    FROM staged GROUP BY 1
+    """,
+    tags=("text", "quality"),
+)
+def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop filter funnel with first-failing-rule attribution —
+    the shape every corpus-cleaning job reports (how many docs each
+    rule removed, and what fraction survived).  One pass to per-doc
+    metrics, one 5-group aggregate; the pct denominator is a window
+    over the tiny grouped result, not a second scan."""
+    d = table(spark, sf_dir, "documents")
+    ts = _token_stats(d)
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    metrics = d.select("doc_id", "text").join(ts, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("top_cnt") / F.col("n_tokens")).alias("top_frac"),
+        (nonspace / F.col("n_tokens")).alias("avg_tok_len"),
+    )
+    stage = (
+        F.when(F.col("n_tokens") < 20, "1_too_short")
+        .when(F.col("n_tokens") > 90, "2_too_long")
+        .when(
+            (F.col("avg_tok_len") < 2) | (F.col("avg_tok_len") > 12),
+            "3_token_len",
+        )
+        .when(F.col("top_frac") > 0.15, "4_repetitive")
+        .otherwise("kept")
+    )
+    staged = metrics.select(stage.alias("stage"))
+    counts = staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+    return counts.select(
+        "stage",
+        "n_docs",
+        F.round(
+            F.lit(100.0) * F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()),
+            4,
+        ).alias("pct"),
+    )
