@@ -78,11 +78,59 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash_pairs", oracle=None, tags=("dedup", "lsh"))
+@register(
+    "simhash_pairs",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks),
+    tok AS (SELECT doc_id, md5(u.s2) AS h FROM sh, unnest(sh.s) AS u(s2)),
+    -- bit j of a feature's 64-bit hash = md5 byte j//8 (hex chars
+    -- 2*(j//8)+1..+2), bit (7 - j%8): numpy unpackbits is MSB-first
+    bitsum AS (
+      SELECT d.doc_id, g.i AS bit,
+             coalesce(sum(CASE WHEN ((('0x' || substr(tok.h, 2*(g.i//8)+1, 2))::INT
+                                      >> (7 - g.i % 8)) & 1) = 1
+                          THEN 1 ELSE -1 END), 0) AS acc
+      FROM documents d CROSS JOIN generate_series(0, 63) AS g(i)
+      LEFT JOIN tok ON tok.doc_id = d.doc_id
+      GROUP BY 1, 2),
+    -- 4 x 16-bit band keys == shiftrightunsigned(simhash, 16*band) & 0xFFFF
+    sig AS (
+      SELECT doc_id, bit // 16 AS band,
+             CAST(sum(CASE WHEN acc > 0 THEN 1 << (bit % 16) ELSE 0 END)
+                  AS INT) AS key
+      FROM bitsum GROUP BY 1, 2),
+    capped AS (SELECT * FROM sig
+               QUALIFY count(*) OVER (PARTITION BY band, key) <= 64),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    -- bands partition the 64 bits, so summed per-band popcounts == the
+    -- full Hamming distance bit_count(xor(sig_a, sig_b))
+    ham AS (SELECT c.id_a, c.id_b,
+                   CAST(sum(bit_count(xor(sa.key, sb.key))) AS INT) AS hamming
+            FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                        JOIN sig sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+            GROUP BY 1, 2)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """,
+    tags=("dedup", "lsh"),
+)
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (Hamming ≤ 3 over 64 bits, banded
-    16-bit prefixes).  Rows-only: the signature is a vectorized
-    pandas_udf; determinism is still guaranteed (md5-based token hash).
+    16-bit prefixes) — fully oracled: the signature is integer-only
+    math over md5 feature hashes, so DuckDB reproduces every stage
+    (±1 bit sums → sign bits → band keys → capped band join → exact
+    Hamming verify) bit-for-bit.  The oracle never builds the int64
+    signature (2^63 overflow portability) — it carries the four 16-bit
+    band keys and sums per-band popcounts instead.
 
     The Hamming radius must be tight on shared-vocabulary corpora:
     unigram token sets from a common pool push ALL same-language pairs
@@ -272,12 +320,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_embedding_cosine_lsh", oracle=None, tags=("dedup", "similarity", "lsh"))
+def _emb_lsh_oracle(dim: int = 64, bits: int = 4, tables: int = 8,
+                    seed: int = 42, max_bucket: int = 256,
+                    threshold: float = 0.45) -> str:
+    """DuckDB mirror of the hyperplane-LSH near-dup path.  The seeded
+    hyperplanes are embedded as DOUBLE[] literals (repr round-trips
+    exactly), so both engines hash into identical buckets: the smallest
+    |<v, h>| sign margin at sf0.01 is ~1e-5, eight orders above double
+    summation noise."""
+    from ubw_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=dim, bits=bits, tables=tables, seed=seed)
+    values = ",\n      ".join(
+        f"({t}, {j}, ["
+        + ", ".join(repr(float(c)) for c in planes[t, j])
+        + "]::DOUBLE[])"
+        for t in range(tables)
+        for j in range(bits)
+    )
+    return f"""
+    WITH planes(tbl, bit, c) AS (VALUES {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.v, p.c) >= 0
+                           THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY 1, 2),
+    capped AS (SELECT * FROM buckets
+               QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {max_bucket}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM capped a JOIN capped b
+               ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    j AS (SELECT c.id_a, c.id_b,
+                 CAST(list_cosine_similarity(ea.v, eb.v) AS DOUBLE) AS cs
+          FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+                      JOIN e eb ON eb.vec_id = c.id_b)
+    SELECT id_a, id_b, round(cs, 3) AS cos_sim FROM j WHERE cs >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=_emb_lsh_oracle(),
+    tags=("dedup", "similarity", "lsh"),
+)
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via hyperplane-LSH buckets + exact
     verify — map-only bucketing, capped buckets, candidates only.
-    Rows-only (literal hyperplanes aren't sensibly reproducible in
-    SQL); recall vs the brute-force twin is asserted in tests.  bits=4
+    Fully oracled: the hyperplanes are seeded literals, so the oracle
+    embeds the same matrix and reproduces bucketing, the 256-cap, the
+    candidate join, and the cosine verify (see _emb_lsh_oracle).  bits=4
     ×8 tables targets ~0.8 recall at the 0.45 threshold's ~62° angle:
     recall = 1-(1-(1-θ/π)^bits)^tables."""
     emb = table(spark, sf_dir, "embeddings")
