@@ -141,10 +141,50 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sig, "doc_id", max_hamming=3, prefix_bits=16)
 
 
-@register("sim_lsh_ann_topk", oracle=None, tags=("similarity", "lsh"))
+def _lsh_ann_oracle(dim: int = 64, bits: int = 4, tables: int = 16,
+                    seed: int = 42, k: int = 5) -> str:
+    """DuckDB mirror of the hyperplane-LSH ANN path: identical seeded
+    hyperplanes as DOUBLE[] literals → identical (table, bucket) keys →
+    candidate = shares a bucket with the query in ≥1 table → exact
+    cosine re-rank, 4-dp round + vec_id tiebreak (engine-stable)."""
+    from ubw_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=dim, bits=bits, tables=tables, seed=seed)
+    values = ",\n      ".join(
+        f"({t}, {j}, ["
+        + ", ".join(repr(float(c)) for c in planes[t, j])
+        + "]::DOUBLE[])"
+        for t in range(tables)
+        for j in range(bits)
+    )
+    return f"""
+    WITH planes(tbl, bit, c) AS (VALUES {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.v, p.c) >= 0
+                           THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY 1, 2),
+    qb AS (SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id
+             FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+                               AND b.vec_id <> qb.qid),
+    scored AS (SELECT c.qid, c.vec_id,
+                      round(list_cosine_similarity(eq.v, ec.v), 4) AS cos_sim
+               FROM cand c JOIN e eq ON eq.vec_id = c.qid
+                           JOIN e ec ON ec.vec_id = c.vec_id)
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@register("sim_lsh_ann_topk", oracle=_lsh_ann_oracle(), tags=("similarity", "lsh"))
 def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH approximate top-5 for 5 query vectors.  Rows-only;
-    tests assert recall ≥ threshold vs the brute-force oracle query."""
+    """Hyperplane-LSH approximate top-5 for 5 query vectors.  Fully
+    oracled (see _lsh_ann_oracle); recall ≥ threshold vs brute force is
+    additionally asserted in tests."""
     emb = table(spark, sf_dir, "embeddings")
     return lsh_ann_topk(
         emb,
@@ -268,15 +308,50 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_features",
+    oracle="""
+    WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+    -- 16 little-endian uint32 from the digest repeated twice
+    -- (np.frombuffer reads byte (4i+k) % 32 of digest*2)
+    u AS (
+      SELECT doc_id, g.i,
+             (SELECT sum((('0x' || substr(h, 2*((4*g.i + k.j) % 32)+1, 2))::BIGINT)
+                         * (1::BIGINT << (8*k.j)))
+              FROM generate_series(0, 3) AS k(j)) AS u32
+      FROM d CROSS JOIN generate_series(0, 15) AS g(i)),
+    -- float32(u32) / 2^32 is EXACT (power-of-two divide, no subnormals)
+    v AS (SELECT doc_id, i, CAST(CAST(u32 AS FLOAT) AS DOUBLE) / 4294967296.0 AS v
+          FROM u),
+    n AS (SELECT doc_id, sqrt(sum(v*v)) AS norm FROM v GROUP BY 1),
+    w AS (SELECT v.doc_id, v.i,
+                 CAST(CAST(v.v / n.norm AS FLOAT) AS DOUBLE) AS w
+          FROM v JOIN n USING (doc_id)),
+    l AS (SELECT doc_id, list(w ORDER BY i) AS ws FROM w GROUP BY 1)
+    SELECT doc_id,
+           round(sqrt(list_aggregate(list_transform(ws, x -> x*x), 'sum')), 4)
+             AS feature_norm,
+           round(ws[1], 4) AS f0,
+           round(ws[2], 4) AS f1,
+           list_aggregate(list_transform(ws,
+             x -> CAST(round(x*10000, 0) AS INT)::VARCHAR),
+             'string_agg', ',') AS feature_sig
+    FROM l
+    """,
+    tags=("multimodal",),
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode path (deterministic fake codec): payload →
-    fixed-size L2-normalized feature vectors.  Rows-only; tests assert
-    determinism and unit norms.
+    fixed-size L2-normalized feature vectors.  Fully oracled: the fake
+    codec is sha256 → little-endian uint32 → float32/2^32 → L2
+    normalize, all integer or exactly-representable float steps that
+    DuckDB mirrors bit-for-bit (power-of-two divides are exact; the
+    float32 casts round-to-nearest identically).
 
-    The probe projects scalar cells only (the rows-only canonicalizer
-    sorts cells, so an array<float> column is unusable): the L2 norm and
-    the first two components, rounded, plus the full vector as JSON text.
+    The probe projects scalar cells only (the canonicalizer sorts
+    cells, so an array<float> column is unusable): the L2 norm, the
+    first two components, and a portable whole-vector signature of
+    4-dp-scaled integers.
     """
     d = table(spark, sf_dir, "documents").withColumn(
         "payload", F.encode(F.col("text"), "utf-8")
@@ -292,7 +367,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq), 4).alias("feature_norm"),
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"),
         F.round(F.element_at("feature", 2).cast("double"), 4).alias("f1"),
-        F.to_json(F.struct(F.col("feature"))).alias("feature_json"),
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(x.cast("double") * 10000, 0)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
+        ).alias("feature_sig"),
     )
 
 
