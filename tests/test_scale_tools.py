@@ -216,3 +216,47 @@ def test_leakage_safe_split_no_source_straddles(spark, sf_dir):
         F.countDistinct("split").alias("k")
     )
     assert per_source.where(F.col("k") > 1).count() == 0
+
+
+def test_pack_concat_chunks_boundaries(spark):
+    from ubw_spark.operators.packing import pack_concat_chunks
+
+    # chunk_len=10: doc 1 fills chunk 0 exactly; doc 2 straddles chunks
+    # 1-2; doc 3 is empty; doc 4 starts mid-chunk 2.
+    df = spark.createDataFrame(
+        [(1, 10), (2, 12), (3, 0), (4, 5)], "doc_id bigint, n_tok bigint"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in pack_concat_chunks(
+            df, "doc_id", "n_tok", chunk_len=10, bucket_width=2
+        ).collect()
+    }
+    assert (out[1]["tok_start"], out[1]["seq_id"], out[1]["seq_offset"],
+            out[1]["n_seqs"]) == (0, 0, 0, 1)
+    assert (out[2]["tok_start"], out[2]["seq_id"], out[2]["seq_offset"],
+            out[2]["n_seqs"]) == (10, 1, 0, 2)
+    assert (out[3]["tok_start"], out[3]["n_seqs"]) == (22, 0)
+    assert (out[4]["tok_start"], out[4]["seq_id"], out[4]["seq_offset"],
+            out[4]["n_seqs"]) == (22, 2, 2, 1)
+
+
+def test_pack_concat_chunks_matches_global_cumsum(spark):
+    """Two-phase prefix sum == naive single-window cumsum, sparse ids."""
+    from pyspark.sql import Window
+
+    from ubw_spark.operators.packing import pack_concat_chunks
+
+    rows = [(i * 7 + (i % 3), (i * 37) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, n_tok bigint")
+    packed = pack_concat_chunks(
+        df, "doc_id", "n_tok", chunk_len=16, bucket_width=5
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn(
+        "tok_start", (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long")
+    )
+    joined = packed.alias("p").join(naive.alias("n"), "doc_id")
+    assert (
+        joined.where(F.col("p.tok_start") != F.col("n.tok_start")).count() == 0
+    )

@@ -3,10 +3,11 @@ as-of / range joins, multimodal plumbing.
 
 dedup_minhash_lsh has a FULL SQL oracle: the md5-based portable hashing
 in ubw_spark.operators.dedup makes every stage (shingle → signature →
-band → candidate → verify) reproducible in DuckDB.  SimHash and
-hyperplane-LSH are rows-only (pandas_udf / literal hyperplane matrices
-aren't sensibly expressible in SQL); their quality is asserted in tests
-(recall vs brute force) instead.
+band → candidate → verify) reproducible in DuckDB.  SimHash, the
+hyperplane-LSH paths, and the multimodal feature pipeline are likewise
+fully oracled (integer md5 math; seeded hyperplanes embedded as SQL
+literals).  Only IVF (iterative KMeans) and the sketch aggregates are
+rows-only by design; their quality is asserted in tests instead.
 """
 
 from __future__ import annotations
@@ -575,4 +576,47 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         k=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4,
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tok,
+             sum(n_tok) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS tok_start
+      FROM t)
+    SELECT doc_id, n_tok, tok_start,
+           tok_start // 256 AS seq_id,
+           tok_start % 256 AS seq_offset,
+           CASE WHEN n_tok > 0
+                THEN ((tok_start + n_tok - 1) // 256) - (tok_start // 256) + 1
+                ELSE 0 END AS n_seqs
+    FROM c
+    """,
+    tags=("packing", "training"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): map every document to its
+    256-token training window(s).  The oracle is the naive one-window
+    global cumsum; the operator computes the identical assignment with
+    a two-phase distributed prefix sum (per-bucket totals → tiny bucket
+    ledger window → per-bucket windows), which is the shape that
+    survives 100 TB — see ubw_spark/operators/packing.py."""
+    from ubw_spark.operators.packing import pack_concat_chunks
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return pack_concat_chunks(
+        toks, "doc_id", "n_tok", chunk_len=256, bucket_width=64
     )
