@@ -153,6 +153,24 @@ def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall too low: {recall}"
 
 
+def test_ivf_seed_centroid_recall_vs_brute_force(spark, sf_dir):
+    # The registered (oracled) query uses deterministic md5-seeded
+    # centroids instead of KMeans — recall must still clear the bar.
+    from ubw_spark.operators.ivf import ivf_ann_topk
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    centroids = seed_ivf_centroids(emb, k=8)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_ann_topk(emb, queries, centroids, k=5, nprobe=4)
+    e = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["qid"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"IVF seed-centroid recall too low: {recall}"
+
+
 def test_ivf_cells_partition_corpus(spark, sf_dir):
     from ubw_spark.operators.ivf import assign_ivf_cells, train_ivf_centroids
 

@@ -7,12 +7,14 @@ from pyspark.sql import functions as F
 
 from ubw_spark.plans import (
     assert_plan,
+    broadcast_join_count,
     has_broadcast_join,
     has_take_ordered,
     pushed_filters,
     read_schema_columns,
     shuffle_count,
     simple_plan,
+    sortmerge_or_shuffledhash_count,
 )
 from ubw_spark.queries import REGISTRY
 
@@ -57,6 +59,23 @@ def test_q3_broadcasts_dims_and_takes_topk(q):
     df = q("q3_shipping_priority")
     assert has_broadcast_join(df)
     assert has_take_ordered(df)
+
+
+def test_q3_fact_join_not_hinted_broadcast(q, spark):
+    # With auto-broadcast disabled, ONLY hinted joins broadcast.  Exactly
+    # one hint must remain — the filtered customer dim.  lineitem⋈orders
+    # is fact-fact (orders' date filter is barely selective: TPC-H orders
+    # end 1998-08), so a hint there would force a near-full orders build
+    # side into every executor at 100 TB; it must plan as a shuffle join
+    # and let AQE upgrade at runtime only when the side truly fits.
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q("q3_shipping_priority")
+        assert broadcast_join_count(df) == 1
+        assert sortmerge_or_shuffledhash_count(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
 
 
 def test_q5_star_join_broadcasts(q):

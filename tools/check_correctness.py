@@ -14,6 +14,7 @@ coupling, since the driver builds its own session too.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -22,6 +23,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -31,22 +34,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
 def norm_cell(v) -> str:
-    if v is None:
+    # Both sides arrive through PANDAS (df.toPandas() / con.fetchdf()) so
+    # dtype-level drift the driver would see — e.g. DuckDB's windowed-sum
+    # HUGEINT becoming float64 ("31.0" vs Spark's "31") — shows up HERE
+    # instead of surviving until the round gate (this exact class of bug
+    # shipped twice when the mirror fetched Python ints via fetchall()).
+    if isinstance(v, (list, dict, set, bytearray, np.ndarray)):
+        # The driver's pandas canonicalizer crashes on unhashable cells
+        # (TypeError: unhashable type) — surface that as a failure here.
+        raise TypeError(f"non-hashable cell type {type(v).__name__}: {v!r:.80}")
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
+    if isinstance(v, decimal.Decimal):
+        # Spark decimals land in pandas as object-dtype Decimal while
+        # DuckDB's fetchdf gives float64 — the driver hashes these EQUAL
+        # (json_driven_query was driver-green with decimal output), so
+        # canonicalize Decimal through float the same way.
+        v = float(v)
+    if isinstance(v, np.floating) or isinstance(v, float):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
         # EXACT repr (only -0.0 normalized): the driver hashes exact values,
         # so any float that needs rounding to match here would be a driver
         # hash mismatch.  Queries must emit order-independent numerics
         # (decimal sums / integer cents), not rely on comparator slack.
-        return repr(v + 0.0 if v == 0.0 else v)
-    if isinstance(v, bool):
+        return repr(f + 0.0 if f == 0.0 else f)
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, (list, dict, set, bytearray)):
-        # The driver's pandas canonicalizer crashes on unhashable cells
-        # (TypeError: unhashable type) — surface that as a failure here.
-        raise TypeError(f"non-hashable cell type {type(v).__name__}: {v!r:.80}")
+    if isinstance(v, np.integer):
+        return str(int(v))
     return str(v)
 
 
@@ -55,6 +72,12 @@ def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return out
+
+
+def pdf_rows(pdf: "pd.DataFrame") -> list[tuple]:
+    """Rows with pandas/numpy dtypes intact (itertuples preserves them;
+    .values would upcast the whole frame to object/float)."""
+    return list(pdf.itertuples(index=False, name=None))
 
 
 def main() -> int:
@@ -97,7 +120,7 @@ def main() -> int:
         try:
             df = fn(spark, SF_DIR)
             sp_cols = df.columns
-            sp_rows = [tuple(r) for r in df.collect()]
+            sp_rows = pdf_rows(df.toPandas())
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
@@ -122,9 +145,9 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(sql)
-            du_cols = [d[0] for d in res.description]
-            du_rows = res.fetchall()
+            du_pdf = con.execute(sql).fetchdf()
+            du_cols = list(du_pdf.columns)
+            du_rows = pdf_rows(du_pdf)
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")

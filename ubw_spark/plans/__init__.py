@@ -4,6 +4,8 @@ from ubw_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
     has_broadcast_join,
+    broadcast_join_count,
+    sortmerge_or_shuffledhash_count,
     has_take_ordered,
     shuffle_count,
     assert_plan,
@@ -15,6 +17,8 @@ __all__ = [
     "pushed_filters",
     "read_schema_columns",
     "has_broadcast_join",
+    "broadcast_join_count",
+    "sortmerge_or_shuffledhash_count",
     "has_take_ordered",
     "shuffle_count",
     "assert_plan",

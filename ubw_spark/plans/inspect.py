@@ -56,6 +56,20 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in simple_plan(df) or "BroadcastNestedLoopJoin" in simple_plan(df)
 
 
+def broadcast_join_count(df: DataFrame) -> int:
+    """Number of broadcast joins in the INITIAL plan (pre-AQE).  Use to
+    assert a fact-fact join was NOT hinted broadcast: AQE may still
+    upgrade it at runtime when the built side truly fits, but a hint in
+    the initial plan would force the build at any scale."""
+    p = simple_plan(df)
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", p))
+
+
+def sortmerge_or_shuffledhash_count(df: DataFrame) -> int:
+    p = simple_plan(df)
+    return len(re.findall(r"SortMergeJoin|ShuffledHashJoin", p))
+
+
 def has_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in simple_plan(df)
 

@@ -97,8 +97,11 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             -- CAST: DuckDB's windowed sum yields HUGEINT, which pandas
+             -- canonicalizes to float64 (31.0 vs Spark's 31) — BIGINT keeps
+             -- the driver's value-hash comparable.
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            CAST(round(sum(value) * 100) AS BIGINT) AS session_cents,

@@ -103,8 +103,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact join → agg → top-k.
 
     Scale: customer (filtered) is orders-of-magnitude smaller than
-    lineitem → broadcast it; top-k is TakeOrderedAndProject (no global
-    sort).  Unique tiebreak on l_orderkey keeps LIMIT deterministic."""
+    lineitem → broadcast it.  orders⋈customer is a FACT join — its
+    orderdate filter is barely selective (TPC-H orders end 1998-08), so
+    hinting it broadcast would force a near-full orders build side into
+    every executor at 100 TB; leave lineitem⋈orders to shuffle and let
+    AQE upgrade to broadcast only when the post-filter side actually
+    fits.  Top-k is TakeOrderedAndProject (no global sort); unique
+    tiebreak on l_orderkey keeps LIMIT deterministic."""
     cust = table(spark, sf_dir, "customer").where(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -116,7 +121,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            broadcast(orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))),
+            orders.join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")

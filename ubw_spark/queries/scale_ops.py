@@ -197,16 +197,71 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_ann_topk", oracle=None, tags=("similarity", "ivf"))
+_IVF_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- seed centroids: the 8 corpus vectors with smallest md5(vec_id) —
+    -- deterministic and computable by BOTH engines (the Spark side
+    -- collects the same 8×64 floats into plan literals)
+    cents AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+               AS cid, v
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+      FROM e CROSS JOIN cents c),
+    corpus_cell AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id < 5 AND rn <= 4),
+    cand AS (SELECT DISTINCT p.qid, cc.vec_id
+             FROM corpus_cell cc JOIN probe p
+               ON cc.cid = p.cid AND cc.vec_id <> p.qid),
+    scored AS (SELECT c.qid, c.vec_id,
+                      round(list_cosine_similarity(eq.v, ec.v), 4) AS cos_sim
+               FROM cand c JOIN e eq ON eq.vec_id = c.qid
+                           JOIN e ec ON ec.vec_id = c.vec_id)
+    SELECT qid, vec_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+def seed_ivf_centroids(emb: DataFrame, k: int = 8) -> list[list[float]]:
+    """Deterministic, SQL-expressible coarse quantizer: the k corpus
+    vectors with smallest md5(vec_id).  Used by the REGISTERED query so
+    the full IVF path (cell assign → probe → exact re-rank) is oracled
+    end-to-end in DuckDB; production training stays
+    operators.ivf.train_ivf_centroids (distributed KMeans — not SQL).
+    Collect is bounded: k × dim floats."""
+    rows = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("__h"),
+        )
+        .orderBy("__h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+@register("sim_ivf_ann_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
 def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (k=8), probe 4 cells, exact
-    re-rank.  Rows-only; recall vs brute force asserted in tests.  At
-    100 TB the corpus is written partitioned by ivf_cell so probes read
-    nprobe/k of the data (see operators/ivf.py)."""
-    from ubw_spark.operators.ivf import ivf_ann_topk, train_ivf_centroids
+    """IVF ANN: coarse quantizer (k=8 cells), probe 4 cells, exact
+    cosine re-rank — fully oracled: seed centroids are the 8 corpus
+    vectors with smallest md5(vec_id) (deterministic in both engines),
+    so cell assignment, probing, and re-rank all reproduce in DuckDB.
+    Production training is operators.ivf.train_ivf_centroids (KMeans);
+    recall ≥ threshold vs brute force asserted in tests for BOTH
+    centroid sources.  At 100 TB the corpus is written partitioned by
+    ivf_cell so probes read nprobe/k of the data (see operators/ivf.py)."""
+    from ubw_spark.operators.ivf import ivf_ann_topk
 
     emb = table(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(emb, k=8, seed=42)
+    centroids = seed_ivf_centroids(emb, k=8)
     return ivf_ann_topk(
         emb, emb.where(F.col("vec_id") < 5), centroids, k=5, nprobe=4
     )
@@ -588,17 +643,19 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_tok
       FROM documents),
     c AS (
+      -- CAST: the windowed sum is HUGEINT; pandas canonicalizes that to
+      -- float64, which would hash-mismatch Spark's BIGINT.
       SELECT doc_id, n_tok,
-             sum(n_tok) OVER (ORDER BY doc_id
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tok AS tok_start
+               - n_tok AS BIGINT) AS tok_start
       FROM t)
     SELECT doc_id, n_tok, tok_start,
-           tok_start // 256 AS seq_id,
-           tok_start % 256 AS seq_offset,
-           CASE WHEN n_tok > 0
+           CAST(tok_start // 256 AS BIGINT) AS seq_id,
+           CAST(tok_start % 256 AS BIGINT) AS seq_offset,
+           CAST(CASE WHEN n_tok > 0
                 THEN ((tok_start + n_tok - 1) // 256) - (tok_start // 256) + 1
-                ELSE 0 END AS n_seqs
+                ELSE 0 END AS BIGINT) AS n_seqs
     FROM c
     """,
     tags=("packing", "training"),
