@@ -124,12 +124,61 @@ def test_upsert_semantics(spark):
     assert merged == {1: "old1", 2: "new2", 3: "old3", 4: "new4"}
 
 
-def test_excel_gate_raises_clear_error(spark):
+def test_excel_roundtrip_mixed_types(spark, tmp_path):
+    """S5: write a DataFrame to real .xlsx cells (stdlib OOXML writer)
+    and ingest it back, preserving values incl. NULLs, booleans,
+    XML-special characters, and ISO dates."""
+    import datetime
+
+    from ubw_spark.sources.excel import read_excel, write_excel
+
+    df = spark.createDataFrame(
+        [
+            (1, 'a<b>&"c"', 2.5, True, datetime.date(2024, 1, 31)),
+            (2, None, -0.125, False, None),
+            (3, "naïve—text", None, None, datetime.date(1999, 12, 31)),
+        ],
+        "id bigint, s string, v double, flag boolean, d date",
+    )
+    path = str(tmp_path / "report.xlsx")
+    write_excel(df, path, sheet="Report")
+    back = read_excel(
+        spark, path, sheet="Report", schema="id bigint, s string, v double, flag boolean, d string"
+    ).withColumn("d", F.to_date("d"))
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_excel_paged_report_writes_real_cells(spark, sf_dir, tmp_path):
+    """The reference's Excel views render *paged* query results
+    (doc-01.md:109-115) — apply page 2 of size 5 through the shared
+    params machinery, export, and check the raw sheet cells."""
+    from ubw_spark.params import QueryParams
+    from ubw_spark.sources.excel import read_xlsx_rows, write_excel
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    page = QueryParams(page_index=2, page_size=5)
+    drop, take = page.offset_limit()
+    df = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(drop)
+        .limit(take)
+    )
+    path = str(tmp_path / "paged.xlsx")
+    write_excel(df, path)
+    columns, rows = read_xlsx_rows(path)
+    assert columns == ["o_orderkey", "o_totalprice"]
+    assert len(rows) == 5
+    expected = [(r[0], float(r[1])) for r in df.collect()]
+    assert [(r[0], float(r[1])) for r in rows] == expected
+
+
+def test_excel_max_rows_guard(spark, tmp_path):
     from ubw_spark.sources.excel import write_excel
 
-    df = spark.createDataFrame([(1, "a")], "id bigint, s string")
-    with pytest.raises(ImportError, match="openpyxl|spark-excel"):
-        write_excel(df, "/tmp/never_written.xlsx")
+    df = spark.range(10).select(F.col("id"))
+    with pytest.raises(ValueError, match="max_rows"):
+        write_excel(df, str(tmp_path / "big.xlsx"), max_rows=5)
 
 
 def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
