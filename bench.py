@@ -8,16 +8,22 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes fully (noop sink — no driver-side collect cost, no
 files written) so the measured time is scan + compute + shuffle.
 
-Regression mode: ``python bench.py --compare BENCH_r01.json`` (or
-``SPARK_GRAFT_BASELINE=path``) additionally compares per-query times to
-the recorded baseline and exits non-zero if any query regressed >1.5×
-(with a 0.25 s absolute floor so sub-second queries don't flap on
-scheduler noise).  The default driver invocation — no flag, no env —
-never exits non-zero for a slow query.
+Regression mode: ``python bench.py --compare 'BENCH_r*.json'`` (or
+``SPARK_GRAFT_BASELINE=path`` — both accept globs and multiple paths)
+additionally compares per-query times to the composite baseline and
+exits non-zero if any query regressed >1.5× (with a 0.25 s absolute
+floor so sub-second queries don't flap on scheduler noise).  The
+composite baseline is the per-query MIN across all given files, after
+discarding any file whose total is >2× the best-known total — a run
+recorded on a contended box (BENCH_r02.json: 30.8 s vs 11.0 s clean)
+would otherwise inflate every per-query floor and mask a real 2×
+regression.  The default driver invocation — no flag, no env — never
+exits non-zero for a slow query.
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import re
@@ -47,6 +53,45 @@ HEADLINE = [
 
 REGRESSION_FACTOR = 1.5
 REGRESSION_FLOOR_SEC = 0.25
+# A baseline file whose total exceeds best-known × this is a contaminated
+# recording (contended box), not a real floor — discard it wholesale.
+CONTAMINATION_FACTOR = 2.0
+
+
+def _extract_queries(doc: dict) -> dict[str, float]:
+    """Per-query timings from either the raw bench line or the driver's
+    BENCH_rNN.json wrapper ({..., "parsed": {raw line}})."""
+    return doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+
+
+def composite_baseline(
+    docs: dict[str, dict[str, float]],
+    contamination_factor: float = CONTAMINATION_FACTOR,
+) -> tuple[dict[str, float], list[str]]:
+    """Fold {path: per-query timings} into one baseline.
+
+    Files whose total runtime is > contamination_factor × the smallest
+    total are discarded (returned as the second element) — their numbers
+    reflect box contention, and folding them in via min() would be
+    harmless for queries present in a clean file but would set a bogus
+    high floor for queries that only appear in the bad file.  Surviving
+    files contribute the per-query minimum."""
+    docs = {p: q for p, q in docs.items() if q}
+    if not docs:
+        return {}, []
+    best_total = min(sum(q.values()) for q in docs.values())
+    skipped = [
+        p for p, q in docs.items()
+        if sum(q.values()) > best_total * contamination_factor
+    ]
+    base: dict[str, float] = {}
+    for p, q in docs.items():
+        if p in skipped:
+            continue
+        for name, t in q.items():
+            if name not in base or t < base[name]:
+                base[name] = t
+    return base, sorted(skipped)
 
 
 def regressions(
@@ -120,35 +165,43 @@ def main() -> None:
     )
     spark.stop()
 
-    baseline_path = os.environ.get("SPARK_GRAFT_BASELINE")
+    baseline_args: list[str] = []
+    env = os.environ.get("SPARK_GRAFT_BASELINE")
+    if env:
+        baseline_args.extend(env.split(os.pathsep))
     if "--compare" in sys.argv:
         i = sys.argv.index("--compare")
         if i + 1 >= len(sys.argv):
-            print("--compare requires a baseline path", file=sys.stderr)
+            print("--compare requires baseline path(s)", file=sys.stderr)
             sys.exit(2)
-        baseline_path = sys.argv[i + 1]
-    if baseline_path:
-        with open(baseline_path) as f:
-            baseline = json.load(f)
-        # accept either the raw bench line or the driver's BENCH_rNN.json
-        # wrapper ({... "parsed": {raw line}}) — an empty baseline would
-        # silently pass everything
-        base_queries = (
-            baseline.get("queries")
-            or baseline.get("parsed", {}).get("queries")
-            or {}
-        )
+        baseline_args = sys.argv[i + 1 :]
+    if baseline_args:
+        paths: list[str] = []
+        for a in baseline_args:
+            paths.extend(sorted(_glob.glob(a)) or [a])
+        docs: dict[str, dict[str, float]] = {}
+        for p in paths:
+            with open(p) as f:
+                docs[p] = _extract_queries(json.load(f))
+        base_queries, skipped = composite_baseline(docs)
+        # an empty composite baseline would silently pass everything
         if not base_queries:
-            print(f"baseline {baseline_path} has no per-query timings",
+            print(f"baselines {paths} have no per-query timings",
                   file=sys.stderr)
             sys.exit(2)
+        for p in skipped:
+            print(
+                f"baseline {p} discarded as contaminated "
+                f"(total >{CONTAMINATION_FACTOR}x best-known)",
+                file=sys.stderr,
+            )
         regs = regressions(timings, base_queries)
         for r in regs:
             print(f"REGRESSION {r}", file=sys.stderr)
         if regs:
             sys.exit(1)
         print(
-            f"no regressions vs {baseline_path} "
+            f"no regressions vs {len(docs) - len(skipped)} baseline file(s) "
             f"(factor {REGRESSION_FACTOR}, floor {REGRESSION_FLOOR_SEC}s)",
             file=sys.stderr,
         )

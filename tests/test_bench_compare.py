@@ -1,7 +1,7 @@
 """Unit tests for bench.py's regression comparator (the full bench run
 is the driver's job; here we pin the flagging semantics)."""
 
-from bench import regressions
+from bench import composite_baseline, regressions
 
 
 def test_flags_real_regression():
@@ -24,3 +24,47 @@ def test_new_queries_skip_baseline():
 
 def test_within_factor_passes():
     assert regressions({"q": 1.4}, {"q": 1.0}) == []
+
+
+# --- composite baseline (contamination guard) ---
+
+CLEAN_R1 = {"q1": 1.0, "minhash": 3.2}
+CLEAN_R3 = {"q1": 1.5, "minhash": 3.0}
+CONTAMINATED_R2 = {"q1": 2.6, "minhash": 12.7}  # contended-box recording
+
+
+def test_composite_takes_per_query_min():
+    base, skipped = composite_baseline({"r1": CLEAN_R1, "r3": CLEAN_R3})
+    assert base == {"q1": 1.0, "minhash": 3.0}
+    assert skipped == []
+
+
+def test_contaminated_file_discarded():
+    base, skipped = composite_baseline(
+        {"r1": CLEAN_R1, "r2": CONTAMINATED_R2, "r3": CLEAN_R3}
+    )
+    assert skipped == ["r2"]
+    assert base == {"q1": 1.0, "minhash": 3.0}
+
+
+def test_contaminated_baseline_cannot_mask_regression():
+    """The scenario the guard exists for: comparing a genuinely 2x-slowed
+    query against ONLY the contended recording would pass; the composite
+    baseline keeps the clean floor and flags it."""
+    slowed = {"q1": 2.2, "minhash": 3.1}  # q1 really regressed 2.2x
+    # naive single-file compare vs the bad recording: silently green
+    assert regressions(slowed, CONTAMINATED_R2) == []
+    base, _ = composite_baseline({"r1": CLEAN_R1, "r2": CONTAMINATED_R2})
+    regs = regressions(slowed, base)
+    assert len(regs) == 1 and regs[0].startswith("q1:")
+
+
+def test_lone_contaminated_file_is_its_own_best_known():
+    # with nothing clean to compare against, the single file stands
+    base, skipped = composite_baseline({"r2": CONTAMINATED_R2})
+    assert base == CONTAMINATED_R2 and skipped == []
+
+
+def test_empty_docs_yield_empty_baseline():
+    assert composite_baseline({}) == ({}, [])
+    assert composite_baseline({"r": {}}) == ({}, [])
