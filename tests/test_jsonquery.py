@@ -130,6 +130,100 @@ def test_group_type_unknown_rejected(spark, tables):
         compile_json_query(spark, q, tables)
 
 
+# --- window nodes ---------------------------------------------------------
+
+
+def test_window_rank_lag_running(spark, tables):
+    """rank + lag + framed running sum per grade-parity group, with a
+    QUALIFY-style filter on the rank column from the same dict."""
+    q = {
+        "from": "friend",
+        "columns": [
+            {"name": "id", "expr": "id"},
+            {"name": "grade", "expr": "grade"},
+        ],
+        "windows": [
+            {"name": "rk", "fn": "rank", "partition_by": ["grade"],
+             "order_by": [["id", False]]},
+            {"name": "prev_id", "fn": "lag", "arg": "id",
+             "partition_by": ["grade"], "order_by": [["id", False]]},
+            {"name": "cum_n", "fn": "count", "partition_by": ["grade"],
+             "order_by": [["id", False]],
+             "frame": {"type": "rows", "start": "unbounded_preceding",
+                       "end": "current"}},
+        ],
+        "orders": [["id", False]],
+    }
+    rows = compile_json_query(spark, q, tables).collect()
+    # every friend is alone in its grade → rank 1, no predecessor, count 1
+    assert [(r["id"], r["rk"], r["prev_id"], r["cum_n"]) for r in rows] == [
+        (1, 1, None, 1), (2, 1, None, 1), (3, 1, None, 1), (4, 1, None, 1)
+    ]
+
+
+def test_window_qualify_topk(spark, tables):
+    q = {
+        "from": "friend",
+        "columns": [{"name": "id", "expr": "id"},
+                    {"name": "age", "expr": "age"}],
+        "windows": [
+            {"name": "rk", "fn": "row_number", "global": True,
+             "order_by": [["age", True], ["id", False]]},
+        ],
+        "filters": {"rk": {"le": 2}},
+        "orders": [["rk", False]],
+    }
+    rows = compile_json_query(spark, q, tables).collect()
+    # top-2 by age desc (nulls last): 魔理沙 2333, jilen 30
+    assert [(r["id"], r["rk"]) for r in rows] == [(1, 1), (2, 2)]
+
+
+def test_window_validation_accumulates(spark, tables):
+    q = {
+        "from": "friend",
+        "columns": [{"name": "id", "expr": "id"}],
+        "windows": [
+            {"name": "w1", "fn": "evil_udf", "partition_by": ["id"],
+             "order_by": ["id"]},
+            {"name": "w2", "fn": "rank", "partition_by": ["nope"],
+             "order_by": [["missing", True]]},
+            {"name": "id", "fn": "rank", "partition_by": ["id"],
+             "order_by": ["id"]},
+            {"fn": "rank", "partition_by": ["id"], "order_by": ["id"]},
+        ],
+    }
+    with pytest.raises(SpecValidationError) as e:
+        compile_json_query(spark, q, tables)
+    msg = str(e.value)
+    for frag in ("evil_udf", "nope", "missing", "collides", "'name' required"):
+        assert frag in msg
+
+
+def test_window_global_requires_opt_in(spark, tables):
+    """Empty partition_by = whole table through one task at scale — the
+    compiler refuses unless the node says 'global': true."""
+    q = {
+        "from": "friend",
+        "columns": [{"name": "id", "expr": "id"}],
+        "windows": [{"name": "rk", "fn": "rank", "order_by": ["id"]}],
+    }
+    with pytest.raises(SpecValidationError, match="one task"):
+        compile_json_query(spark, q, tables)
+    q["windows"][0]["global"] = True
+    assert compile_json_query(spark, q, tables).count() == 4
+
+
+def test_window_fn_not_reachable_from_scalar_position(spark, tables):
+    """Window names are NOT in the scalar _FNS whitelist: a 'fn' node
+    can't smuggle rank() into a projection (and vice versa)."""
+    q = {
+        "from": "friend",
+        "columns": [{"name": "r", "fn": "rank", "args": []}],
+    }
+    with pytest.raises(SpecValidationError, match="unknown function 'rank'"):
+        compile_json_query(spark, q, tables)
+
+
 # --- JSON-driven writes (insert / upsert / update) -----------------------
 
 

@@ -19,8 +19,11 @@ A single dict describes the whole query::
       "group_by": ["flag"],
       "aggs": [{"name": "total_rev", "fn": "sum", "arg": "rev"},
                {"name": "n", "fn": "count"}],
+      "windows": [                            # post-agg window functions
+        {"name": "rk", "fn": "rank", "partition_by": ["flag"],
+         "order_by": [["total_rev", true]]}],
       "filters": {"flag": {"eq": "R"}},       # QueryParams filter DSL
-      "orders": [["total_rev", true]],
+      "orders": [["total_rev", true]],        # (a filter on "rk" = QUALIFY)
       "take": 10
     }
 
@@ -42,6 +45,7 @@ from typing import Any, Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast as _broadcast
+from pyspark.sql.window import Window
 
 from ubw_spark.core.errors import ErrorAccumulator
 from ubw_spark.core.spec import ColumnSpec, QuerySpec
@@ -85,6 +89,121 @@ _AGGS: dict[str, Callable[..., Column]] = {
     "count": lambda c=None: F.count(F.lit(1)) if c is None else F.count(c),
     "count_distinct": F.countDistinct,
 }
+
+# Window-function vocabulary (the reference wishlist's one missing DSL
+# capability, doc-01.md:136-158).  Three shapes, dispatched by name:
+# ranking (no argument), offset (lag/lead with an integer offset), and
+# windowed aggregates (optionally framed).
+_WIN_RANKING: dict[str, Callable[[], Column]] = {
+    "rank": F.rank,
+    "dense_rank": F.dense_rank,
+    "row_number": F.row_number,
+    "percent_rank": F.percent_rank,
+    "cume_dist": F.cume_dist,
+}
+_WIN_OFFSET: dict[str, Callable[..., Column]] = {"lag": F.lag, "lead": F.lead}
+_WIN_AGGS = _AGGS  # same aggregate vocabulary, evaluated .over(window)
+
+_FRAME_BOUNDS = {
+    "unbounded_preceding": Window.unboundedPreceding,
+    "unbounded_following": Window.unboundedFollowing,
+    "current": Window.currentRow,
+}
+
+
+def _frame_bound(v: Any, acc: ErrorAccumulator, path: str) -> int:
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v
+    b = _FRAME_BOUNDS.get(v)
+    if b is None:
+        acc.add(
+            f"{path}: frame bound must be int, 'unbounded_preceding', "
+            f"'unbounded_following' or 'current', got {v!r}"
+        )
+        return Window.currentRow
+    return b
+
+
+def _compile_window(
+    wdef: dict[str, Any],
+    in_scope: set[str],
+    acc: ErrorAccumulator,
+    path: str,
+) -> Column | None:
+    """One window node → a Column (fn OVER partition/order/frame).
+
+    Scale note: an empty ``partition_by`` funnels the whole table through
+    ONE task — exactly the plan you must not ship at 100 TB — so it is
+    rejected unless the node opts in with ``"global": true`` (legitimate
+    for post-aggregation frames whose input is already small)."""
+    fname = wdef.get("fn")
+    part = wdef.get("partition_by", [])
+    order = wdef.get("order_by", [])
+    for c in part:
+        if c not in in_scope:
+            acc.add(f"{path}: partition_by column '{c}' not in scope")
+    norm_order: list[tuple[str, bool]] = []
+    for o in order:
+        name, is_desc = (o, False) if isinstance(o, str) else (o[0], bool(o[1]))
+        if name not in in_scope:
+            acc.add(f"{path}: order_by column '{name}' not in scope")
+        norm_order.append((name, is_desc))
+    if not part and not wdef.get("global"):
+        acc.add(
+            f"{path}: empty partition_by funnels the whole input through "
+            "one task; set \"global\": true to accept that (small inputs only)"
+        )
+
+    w = Window.partitionBy(*[F.col(c) for c in part])
+    if norm_order:
+        w = w.orderBy(
+            *[
+                F.col(n).desc_nulls_last() if d else F.col(n).asc_nulls_last()
+                for n, d in norm_order
+            ]
+        )
+
+    if fname in _WIN_RANKING:
+        if not norm_order:
+            acc.add(f"{path}: '{fname}' requires order_by")
+            return None
+        return _WIN_RANKING[fname]().over(w)
+    if fname in _WIN_OFFSET:
+        arg = wdef.get("arg")
+        if arg is None or not norm_order:
+            acc.add(f"{path}: '{fname}' requires 'arg' and order_by")
+            return None
+        if arg not in in_scope:
+            acc.add(f"{path}: arg column '{arg}' not in scope")
+            return None
+        offset = wdef.get("offset", 1)
+        if not isinstance(offset, int) or isinstance(offset, bool):
+            acc.add(f"{path}: 'offset' must be an integer")
+            return None
+        return _WIN_OFFSET[fname](F.col(arg), offset).over(w)
+    if fname in _WIN_AGGS:
+        arg = wdef.get("arg")
+        if arg is not None and arg not in in_scope:
+            acc.add(f"{path}: arg column '{arg}' not in scope")
+            return None
+        if arg is None and fname != "count":
+            acc.add(f"{path}: '{fname}' requires 'arg'")
+            return None
+        frame = wdef.get("frame")
+        if frame is not None:
+            ftype = frame.get("type", "rows")
+            start = _frame_bound(frame.get("start", "unbounded_preceding"), acc, path)
+            end = _frame_bound(frame.get("end", "current"), acc, path)
+            if ftype == "rows":
+                w = w.rowsBetween(start, end)
+            elif ftype == "range":
+                w = w.rangeBetween(start, end)
+            else:
+                acc.add(f"{path}: frame type must be 'rows' or 'range'")
+        col = _WIN_AGGS[fname](arg) if arg is not None else _WIN_AGGS[fname]()
+        return col.over(w)
+    acc.add(f"{path}: unknown window function '{fname}'")
+    return None
 
 
 def _compile_expr(node: Any, acc: ErrorAccumulator, path: str) -> Column:
@@ -233,6 +352,29 @@ def compile_json_query(
             projected = grouped.agg(*agg_cols)
         else:
             projected = projected.agg(*agg_cols)
+
+    # window block — computed AFTER aggregation (SQL evaluation order),
+    # BEFORE the params block, so a filter on a window column gives
+    # QUALIFY semantics (top-k per group = rank window + {"rk": {"le": k}}).
+    # Windows apply in declaration order; a later window may partition or
+    # order by an earlier one's output.
+    for w_i, wdef in enumerate(spec.get("windows", [])):
+        wname = wdef.get("name")
+        if not wname:
+            acc.add(f"windows[{w_i}]: 'name' required")
+            continue
+        if wname in projected.columns:
+            acc.add(f"windows[{w_i}]: name '{wname}' collides with an existing column")
+            continue
+        problems_before = len(acc.problems)
+        col = _compile_window(
+            wdef, set(projected.columns), acc, f"windows[{w_i}]"
+        )
+        # only apply a clean node — Spark analyzes withColumn eagerly, so
+        # a half-valid window would raise before the accumulator reports
+        if col is not None and len(acc.problems) == problems_before:
+            projected = projected.withColumn(wname, col)
+    acc.raise_if_any()
 
     # runtime params: filters / orders / paging reuse the param compiler
     out_spec = QuerySpec(

@@ -69,6 +69,80 @@ def json_driven_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINDOW_JSON = {
+    "from": "orders",
+    "columns": [
+        {"name": "status", "expr": "o_orderstatus"},
+        {"name": "okey", "expr": "o_orderkey"},
+        {"name": "price", "fn": "cast_double", "args": [{"expr": "o_totalprice"}]},
+    ],
+    # declaration order matters: later windows may use earlier outputs
+    "windows": [
+        {
+            "name": "rk",
+            "fn": "rank",
+            "partition_by": ["status"],
+            "order_by": [["price", True], ["okey", False]],
+        },
+        {
+            "name": "prev_price",
+            "fn": "lag",
+            "arg": "price",
+            "offset": 1,
+            "partition_by": ["status"],
+            "order_by": [["price", True], ["okey", False]],
+        },
+        {
+            "name": "cum_price",
+            "fn": "sum",
+            "arg": "price",
+            "partition_by": ["status"],
+            "order_by": [["price", True], ["okey", False]],
+            "frame": {
+                "type": "rows",
+                "start": "unbounded_preceding",
+                "end": "current",
+            },
+        },
+    ],
+    # filter on a window column = QUALIFY: top-3 per status
+    "filters": {"rk": {"le": 3}},
+    "orders": [["status", False], ["rk", False]],
+}
+
+
+@register(
+    "json_driven_window",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderstatus AS status, o_orderkey AS okey,
+             CAST(o_totalprice AS DOUBLE) AS price,
+             rank() OVER w AS rk,
+             lag(CAST(o_totalprice AS DOUBLE), 1) OVER w AS prev_price,
+             sum(CAST(o_totalprice AS DOUBLE)) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) t
+    WHERE rk <= 3
+    ORDER BY status, rk
+    """,
+    tags=("engine", "json", "window"),
+)
+def json_driven_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON DSL's window nodes (reference wishlist doc-01.md:136-158)
+    exercised end-to-end: rank + lag + framed running sum per status,
+    with a QUALIFY-style filter (top-3 per group) from the same dict.
+    The order_by carries a full tiebreak (price, okey) so rank == a
+    total order and the lag/cumulative values are deterministic on both
+    engines."""
+    return compile_json_query(
+        spark, WINDOW_JSON, lambda name: table(spark, sf_dir, name)
+    )
+
+
 WRITE_JSON = {
     "verb": "upsert",
     "target": "orders_small",
