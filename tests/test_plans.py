@@ -173,3 +173,33 @@ def test_filter_funnel_no_cartesian(q):
     df = q("text_filter_funnel")
     plan = simple_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_q21_exists_compile_to_semi_anti(q):
+    """Q21's EXISTS / NOT EXISTS must stay left-semi / left-anti: a
+    rewrite through inner-join+distinct would fan each late lineitem out
+    by its sibling count before deduping — quadratic on hot orders at
+    100 TB.  Semi/anti emit each probe row at most once."""
+    df = q("q21_waiting_supplier")
+    plan = simple_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_joins_and_single_fact_pass(q):
+    """Part filter and final supplier membership are semi joins; the
+    correlated total is a window over the SAME l_partkey shuffle, so
+    lineitem is scanned exactly once."""
+    df = q("q20_dominant_supplier")
+    plan = simple_plan(df)
+    assert plan.count("LeftSemi") >= 2
+    assert simple_plan(df).count("Scan parquet") <= 3  # li + part + supplier
+
+
+def test_q2_single_fact_scan_window_min(q):
+    """The correlated MIN compiles to a window over the broadcast-joined
+    fact — never a second lineitem scan joined back."""
+    df = q("q2_min_price_supplier")
+    plan = simple_plan(df)
+    assert plan.count("lineitem") <= 1 or plan.count("Scan parquet") <= 3
