@@ -2,12 +2,15 @@
 shuffle counts.  These encode the 100 TB posture — a refactor that
 breaks one of these properties fails here, not on the cluster."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
 from ubw_spark.plans import (
     assert_plan,
     broadcast_join_count,
+    formatted_plan,
     has_broadcast_join,
     has_take_ordered,
     pushed_filters,
@@ -203,3 +206,45 @@ def test_q2_single_fact_scan_window_min(q):
     df = q("q2_min_price_supplier")
     plan = simple_plan(df)
     assert plan.count("lineitem") <= 1 or plan.count("Scan parquet") <= 3
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB IVF claim, executed: corpus written partitionBy(
+    ivf_cell), probe reads ONLY the probed cells — PartitionFilters in
+    the scan, and the file set on disk shrinks to the probed dirs."""
+    from ubw_spark.operators.ivf import (
+        ivf_ann_topk,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+    from ubw_spark.queries.registry import table
+
+    emb = table(spark, str(sf_dir), "embeddings")
+    cents = seed_ivf_centroids(emb, k=8)
+    idx = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, idx)
+
+    # one query × nprobe=2 → at most 2 of the 8 cell dirs survive
+    queries = emb.where(F.col("vec_id") == 0)
+    df = probe_ivf_index(spark, idx, queries, cents, k=5, nprobe=2)
+
+    # the static probe-cell predicate must reach the scan as a
+    # PartitionFilter (inputFiles() can't evidence this — it lists the
+    # relation's full file index before pruning)
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[ivf_cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    probed = {int(x) for x in m.group(1).split(",")}
+    all_cells = {
+        int(d.name.split("=")[1])
+        for d in (tmp_path / "ivf_index").iterdir()
+        if d.name.startswith("ivf_cell=")
+    }
+    # 1 query × nprobe=2 of 8 written cells: a strict, tiny subset
+    assert len(probed) <= 2 and probed < all_cells
+
+    # pruned search returns exactly the in-memory path's results for
+    # the same probe set (cells outside nprobe never held candidates)
+    mem = ivf_ann_topk(emb, emb.where(F.col("vec_id") == 0), cents, k=5, nprobe=2)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, mem.collect()))

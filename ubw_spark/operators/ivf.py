@@ -82,6 +82,77 @@ def assign_ivf_cells(
     )
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the 100 TB layout: cell-assign, then write
+    ``partitionBy(ivf_cell)`` so every cell is its own partition
+    directory.  ``repartition("ivf_cell")`` first, so each cell's rows
+    coalesce into O(1) files instead of (num_tasks × num_cells) small
+    files — the classic partitionBy small-file explosion."""
+    (
+        assign_ivf_cells(corpus, centroids, vec_col)
+        .repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search against a written IVF index, reading ONLY the probed
+    cells' partitions.
+
+    The probe cell set is collected driver-side and applied as a static
+    ``isin`` predicate on the partition column — bounded by the number
+    of centroids (cells ≤ len(centroids), a few ints), this is the
+    pattern that turns a probe into a partition-pruned scan reading
+    ~nprobe/k of the corpus (PartitionFilters in the plan, asserted in
+    tests/test_plans.py) rather than relying on runtime DPP.  The
+    subsequent broadcast join on ivf_cell then only fans candidates out
+    of the surviving partitions."""
+    probes = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(
+            _nearest_cells(F.col(vec_col), centroids, nprobe)
+        ).alias("ivf_cell"),
+    )
+    cells = [
+        r["ivf_cell"] for r in probes.select("ivf_cell").distinct().collect()
+    ]
+    indexed = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    cands = (
+        indexed.join(broadcast(probes), "ivf_cell")
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", "__qv", id_col, vec_col)
+        .dropDuplicates(["qid", id_col])
+    )
+    scored = cands.select(
+        "qid",
+        id_col,
+        F.round(cosine_col(F.col("__qv"), F.col(vec_col)), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def ivf_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
