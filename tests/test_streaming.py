@@ -192,3 +192,101 @@ def test_foreachbatch_upsert_sink(spark, events_dir, tmp_path):
     users = out.count()
     batch_users = spark.read.parquet(events_dir).select("user_id").distinct().count()
     assert users == batch_users  # one row per key, not per event
+
+
+def test_stream_funnel_equals_batch(spark, events_dir):
+    """Funnel phase-1 state is a streaming agg built from the SAME
+    aggregate expressions as the batch query; the global summary runs
+    over the sink.  Stream == batch, end to end."""
+    from ubw_spark.queries.tokens_funnel import funnel_summary, funnel_user_aggs
+    from ubw_spark.streaming import stream_funnel_user_state
+
+    stream = read_stream(spark, events_dir)
+    state = run_to_memory(
+        stream_funnel_user_state(stream), "funnel_state"
+    )()
+    got = funnel_summary(state).collect()[0]
+
+    per_user = (
+        batch_events(spark, events_dir)
+        .groupBy("user_id")
+        .agg(*funnel_user_aggs())
+    )
+    want = funnel_summary(per_user).collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got["n_users"] > 0 and got["saw_view"] > 0
+
+
+def test_stream_retention_equals_batch_across_batches(spark, events_dir, tmp_path):
+    """Retention cohorts maintained incrementally across TWO micro-
+    batches (files arriving in sequence) converge to the batch answer —
+    including users whose cohort day only arrives in the second file."""
+    from ubw_spark.streaming import stateful_retention_state
+    from pyspark.sql import Window as W
+
+    inc_dir = str(tmp_path / "ret_inc")
+    os.makedirs(inc_dir)
+    df = spark.read.parquet(events_dir)
+    # split so SOME users' earliest day is in the SECOND file: stream in
+    # reverse day order (second half of the month first)
+    for i, part in enumerate(
+        [df.where(F.dayofmonth("ts") > 15), df.where(F.dayofmonth("ts") <= 15)]
+    ):
+        staging = f"{inc_dir}/.b{i}"
+        part.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc_dir}/b{i}_{f}")
+        shutil.rmtree(staging)
+        if i == 0:
+            stream = read_stream(spark, inc_dir, maxFilesPerTrigger=1)
+            q = (
+                stateful_retention_state(stream)
+                .writeStream.format("memory")
+                .queryName("ret_state")
+                .outputMode("update")
+                .start()
+            )
+        q.processAllAvailable()
+    q.stop()
+
+    # latest state per user: n_days grows monotonically
+    snap = spark.table("ret_state")
+    w = W.partitionBy("user_id").orderBy(F.col("n_days").desc())
+    latest = (
+        snap.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    got = {
+        tuple(r)
+        for r in (
+            latest.select(
+                F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                F.explode("offsets").alias("day_offset"),
+            )
+            .groupBy("cohort", "day_offset")
+            .agg(F.count(F.lit(1)).alias("active_users"))
+            .collect()
+        )
+    }
+
+    # batch reference on the same data (events_retention_cohorts logic)
+    ev = df.select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    want = {
+        tuple(r)
+        for r in (
+            ev.join(firsts, "user_id")
+            .select(
+                "user_id",
+                F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
+                F.datediff("day", "cohort_day").alias("day_offset"),
+            )
+            .where(F.col("day_offset") <= 7)
+            .distinct()
+            .groupBy("cohort", "day_offset")
+            .agg(F.count(F.lit(1)).alias("active_users"))
+            .collect()
+        )
+    }
+    assert got == want and len(want) > 0

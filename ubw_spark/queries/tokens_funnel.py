@@ -47,6 +47,37 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_user_aggs() -> list:
+    """The per-user conditional first-timestamp aggregates — shared by
+    the batch query below and streaming.stages.stream_funnel_user_state,
+    so stream==batch equivalence is the same expression tree, not a
+    re-implementation."""
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    return [
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    ]
+
+
+def funnel_summary(per_user: DataFrame) -> DataFrame:
+    """Finisher: fold per-user first-timestamps into the 4-number
+    funnel.  In streaming this runs over the serving sink (a second
+    aggregation can't chain inside one streaming query)."""
+    saw_view = F.col("t_view").isNotNull()
+    then_clicked = saw_view & (F.col("t_click") > F.col("t_view"))
+    then_purchased = then_clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(saw_view.cast("long")).alias("saw_view"),
+        F.sum(then_clicked.cast("long")).alias("then_clicked"),
+        F.sum(then_purchased.cast("long")).alias("then_purchased"),
+    )
+
+
 @register(
     "events_funnel",
     oracle="""
@@ -72,21 +103,5 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-purchase.  Conditional-min aggregation = one shuffle; the
     naive 3-way self-join would shuffle the events table three times."""
     ev = table(spark, sf_dir, "events")
-
-    def first_ts(t: str):
-        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
-
-    per_user = ev.groupBy("user_id").agg(
-        first_ts("view").alias("t_view"),
-        first_ts("click").alias("t_click"),
-        first_ts("purchase").alias("t_purchase"),
-    )
-    saw_view = F.col("t_view").isNotNull()
-    then_clicked = saw_view & (F.col("t_click") > F.col("t_view"))
-    then_purchased = then_clicked & (F.col("t_purchase") > F.col("t_click"))
-    return per_user.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(saw_view.cast("long")).alias("saw_view"),
-        F.sum(then_clicked.cast("long")).alias("then_clicked"),
-        F.sum(then_purchased.cast("long")).alias("then_purchased"),
-    )
+    per_user = ev.groupBy("user_id").agg(*funnel_user_aggs())
+    return funnel_summary(per_user)

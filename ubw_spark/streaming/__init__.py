@@ -4,7 +4,9 @@ from ubw_spark.streaming.stages import (
     sliding_window_agg,
     session_window_agg,
     stateful_running_totals,
+    stateful_retention_state,
     stream_dedup,
+    stream_funnel_user_state,
     stream_stream_interval_join,
     write_stream_upsert,
     run_to_memory,
@@ -17,7 +19,9 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "stateful_running_totals",
+    "stateful_retention_state",
     "stream_dedup",
+    "stream_funnel_user_state",
     "stream_stream_interval_join",
     "write_stream_upsert",
     "run_to_memory",

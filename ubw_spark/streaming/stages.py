@@ -143,6 +143,80 @@ def stateful_running_totals(df: DataFrame) -> DataFrame:
     )
 
 
+def stream_funnel_user_state(df: DataFrame) -> DataFrame:
+    """Streaming twin of queries.tokens_funnel.events_funnel, phase 1:
+    per-user conditional first-timestamps as an incremental streaming
+    aggregation (update/complete mode) — the SAME aggregate expressions
+    as the batch query, imported from the query module.
+
+    The funnel's second (global) aggregation cannot chain inside one
+    streaming query (multiple stateful aggs are unsupported); the
+    production shape is state → serving sink → ``funnel_summary`` over
+    the sink, which is what the equivalence test drives.  State is one
+    3-timestamp row per user; production adds a state TTL for idle
+    users."""
+    from ubw_spark.queries.tokens_funnel import funnel_user_aggs
+
+    return df.groupBy("user_id").agg(*funnel_user_aggs())
+
+
+_RET_STATE_SCHEMA = "days string"
+_RET_OUT_SCHEMA = (
+    "user_id bigint, cohort_day date, offsets array<int>, n_days int"
+)
+
+
+def stateful_retention_state(df: DataFrame, max_offset: int = 7) -> DataFrame:
+    """Streaming twin of queries.events.events_retention_cohorts:
+    per-user (cohort_day, active day-offsets ≤ max_offset) maintained
+    across micro-batches with applyInPandasWithState.
+
+    The batch query needs two shuffles and a self-join (min-day, then
+    activity join); incrementally, each user's state is just the set of
+    distinct active days — cohort and offsets are recomputed from the
+    CURRENT min on every update, so a user's first-seen day arriving in
+    a *later* micro-batch (out-of-order ingest) still converges to the
+    batch answer instead of freezing a wrong cohort.  State is bounded:
+    distinct days per user, days-string encoded (epoch ordinals), with
+    production eviction via a retention-horizon timeout.  ``n_days``
+    grows monotonically — sinks keep the row with the largest value per
+    user (an idempotent upsert key)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import datetime
+
+        import pandas as pd
+
+        days: set[int] = (
+            {int(x) for x in state.get[0].split(",") if x}
+            if state.exists
+            else set()
+        )
+        epoch = datetime.date(1970, 1, 1).toordinal()
+        for pdf in pdfs:
+            days.update(d.toordinal() - epoch for d in pdf["ts"].dt.date)
+        state.update((",".join(str(d) for d in sorted(days)),))
+        cohort = min(days)
+        offs = sorted(d - cohort for d in days if d - cohort <= max_offset)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "cohort_day": [datetime.date.fromordinal(cohort + epoch)],
+                "offsets": [offs],
+                "n_days": [len(days)],
+            }
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_RET_OUT_SCHEMA,
+        stateStructType=_RET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_dedup(
     df: DataFrame,
     keys: list[str],
