@@ -33,7 +33,7 @@ TABLES = [
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
 
 
-def norm_cell(v) -> str:
+def norm_cell(v, exact_decimal: bool = False) -> str:
     # Both sides arrive through PANDAS (df.toPandas() / con.fetchdf()) so
     # dtype-level drift the driver would see — e.g. DuckDB's windowed-sum
     # HUGEINT becoming float64 ("31.0" vs Spark's "31") — shows up HERE
@@ -44,12 +44,22 @@ def norm_cell(v) -> str:
         # (TypeError: unhashable type) — surface that as a failure here.
         raise TypeError(f"non-hashable cell type {type(v).__name__}: {v!r:.80}")
     if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        # NULL, NaN, and NaT are INTENTIONALLY conflated: toPandas() /
+        # fetchdf() both surface SQL NULL as NaN/NaT, so the driver's
+        # pandas hashing cannot tell them apart either.  Do not "fix"
+        # this back to distinct markers — the mirror would then flag
+        # divergences the driver gate can't see.
         return "NULL"
     if isinstance(v, decimal.Decimal):
-        # Spark decimals land in pandas as object-dtype Decimal while
-        # DuckDB's fetchdf gives float64 — the driver hashes these EQUAL
-        # (json_driven_query was driver-green with decimal output), so
-        # canonicalize Decimal through float the same way.
+        if exact_decimal:
+            # Both sides produced Decimal for this column: compare
+            # exactly (float() is lossy above ~15 significant digits, so
+            # two genuinely different money sums could normalize equal).
+            return format(v.normalize(), "f")
+        # Mixed Decimal-vs-float64 column (the usual case — DuckDB's
+        # fetchdf gives float64 for DECIMAL): the driver hashes these
+        # EQUAL (json_driven_query was driver-green with decimal
+        # output), so canonicalize through float the same way.
         v = float(v)
     if isinstance(v, np.floating) or isinstance(v, float):
         f = float(v)
@@ -67,10 +77,36 @@ def norm_cell(v) -> str:
     return str(v)
 
 
-def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
+def norm_rows(
+    cols: list[str], rows: list[tuple], exact_decimal_cols: frozenset = frozenset()
+) -> list[tuple]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out = [
+        tuple(norm_cell(r[i], cols[i] in exact_decimal_cols) for i in order)
+        for r in rows
+    ]
     out.sort()
+    return out
+
+
+def decimal_columns(pdf: "pd.DataFrame") -> set[str]:
+    """Columns whose non-null cells are all Decimal.  A column in the
+    intersection of BOTH sides' sets is compared exactly instead of
+    through the lossy float() path."""
+    out = set()
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype != object:
+            continue
+        vals = [
+            x
+            for x in s
+            if x is not None
+            and x is not pd.NaT
+            and not (isinstance(x, float) and math.isnan(x))
+        ]
+        if vals and all(isinstance(x, decimal.Decimal) for x in vals):
+            out.add(c)
     return out
 
 
@@ -120,7 +156,8 @@ def main() -> int:
         try:
             df = fn(spark, SF_DIR)
             sp_cols = df.columns
-            sp_rows = pdf_rows(df.toPandas())
+            sp_pdf = df.toPandas()
+            sp_rows = pdf_rows(sp_pdf)
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {e}")
@@ -158,9 +195,10 @@ def main() -> int:
         if len(sp_rows) != len(du_rows):
             problems.append(f"rowcount: spark={len(sp_rows)} duckdb={len(du_rows)}")
         if not problems:
+            exact = frozenset(decimal_columns(sp_pdf) & decimal_columns(du_pdf))
             try:
-                a = norm_rows(sp_cols, sp_rows)
-                b = norm_rows(du_cols, du_rows)
+                a = norm_rows(sp_cols, sp_rows, exact)
+                b = norm_rows(du_cols, du_rows, exact)
             except TypeError as e:
                 problems.append(f"unhashable output: {e}")
                 a = b = None
