@@ -248,3 +248,26 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     # the same probe set (cells outside nprobe never held candidates)
     mem = ivf_ann_topk(emb, emb.where(F.col("vec_id") == 0), cents, k=5, nprobe=2)
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_q16_not_in_is_plain_anti_not_nested_loop(q):
+    """The classic Q16 trap: NOT IN over a nullable column becomes a
+    null-aware anti join = BroadcastNestedLoopJoin.  s_suppkey is
+    non-null, so the exclusion must compile to a plain LeftAnti."""
+    df = q("q16_supplier_part_counts")
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q11_threshold_reuses_pv_exchange(q):
+    """pv's lineage appears twice (rows + threshold), so the STATIC
+    plan shows two fact scans — but the per-part groupBy exchange is
+    byte-identical in both branches, so ReuseExchange must kick in at
+    runtime and the fact is scanned/shuffled ONCE.  If this assertion
+    breaks (e.g. a branch-specific column sneaks into one side), q11
+    silently becomes a double fact pass at 100 TB."""
+    df = q("q11_important_inventory")
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
