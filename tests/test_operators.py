@@ -426,3 +426,43 @@ def test_contamination_detects_planted_eval_leak(spark, sf_dir):
     got = {(r["corpus_id"], r["probe_id"]) for r in pairs.collect()}
     assert (3, 900001) in got
     assert not any(p == 900002 for _c, p in got)
+
+
+def test_quota_cap_keeps_best_and_caps(spark):
+    """Cap=2 keeps exactly the 2 highest-priority rows per group; the
+    hash tiebreak makes equal-priority survivors deterministic."""
+    from ubw_spark.operators.curation import quota_cap
+
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id bigint, grp string, score double")
+    kept = quota_cap(df, "grp", "id", cap=2, priority=[F.col("score").desc()])
+    out = {(r["grp"], r["id"]) for r in kept.collect()}
+    # per group of 10 members, the two largest scores survive
+    assert out == {("g0", 27), ("g0", 24), ("g1", 28), ("g1", 25),
+                   ("g2", 29), ("g2", 26)}
+    # determinism: second run identical
+    assert out == {(r["grp"], r["id"]) for r in kept.collect()}
+
+
+def test_token_budget_mix_respects_allocations(spark):
+    """A source under its allocation is kept whole; an over-budget
+    source is sampled down close to its token allocation; weight-0
+    sources are dropped."""
+    from ubw_spark.operators.curation import token_budget_mix
+
+    rows = [(i, "small" if i < 5 else ("big" if i < 505 else "zero"), 10)
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "id bigint, src string, ntok int")
+    kept = token_budget_mix(
+        df, "src", F.col("ntok"), "id",
+        weights={"small": 1.0, "big": 1.0}, budget=1100,
+    )
+    agg = {r["src"]: (r["n"], r["toks"]) for r in
+           kept.groupBy("src").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("ntok").alias("toks")).collect()}
+    assert agg["small"] == (5, 50)          # allocation 550 > 50 → whole
+    assert "zero" not in agg                # weight 0 → dropped
+    n_big, toks_big = agg["big"]
+    # allocation 550 of 5000 tokens → ~11% of 500 docs; hash sampling is
+    # in expectation, allow a generous band
+    assert 300 <= toks_big <= 800, (n_big, toks_big)

@@ -1,0 +1,112 @@
+"""Corpus curation operators: per-group quota caps and token-budget
+source mixing — the two knobs a pretraining-data pipeline turns after
+dedup/quality filtering (cap any one domain's share; hit a global token
+budget with per-source weights).
+
+Both are deterministic (portable md5 hashing, no RNG) and
+SQL-reproducible, so membership itself is oracle-checked like the
+splits/sampling family in operators/splits.py.
+
+Scale posture: ``quota_cap`` is ONE shuffle on the group key with a
+per-group sort bounded by the group's size; ``token_budget_mix`` reduces
+the corpus to a per-source aggregate (a few rows), computes fractions
+there, broadcasts them back, and filters map-side at the scan — the
+corpus itself never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.dedup import portable_hash
+from ubw_spark.operators.splits import _BUCKETS
+
+
+def quota_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    priority: list[Column] | None = None,
+    salt: str = "quota",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, preferring ``priority``
+    order (e.g. quality desc) with a deterministic hash tiebreak so
+    equal-priority survivors are a stable pseudo-random choice, not a
+    partition-order artifact.
+
+    One shuffle (hash partition by group) + per-group sort.  The sort
+    cost is bounded by group size; a corpus where one domain IS the
+    corpus should pre-shard that domain (salt the group key) or
+    pre-filter with :func:`token_budget_mix` — a row_number window over
+    a single giant partition is the known degenerate case."""
+    tiebreak = portable_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        *(priority or []), tiebreak, F.col(id_col)
+    )
+    return (
+        df.withColumn("__qrank", F.row_number().over(w))
+        .where(F.col("__qrank") <= cap)
+        .drop("__qrank")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    token_col: Column,
+    id_col: str,
+    weights: dict[str, float],
+    budget: int,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic corpus mix: sample each source down so the kept
+    token count lands ≈ ``budget × weight_s / Σweights`` per source
+    (sources below their allocation are kept whole — fraction capped at
+    1; their shortfall is NOT redistributed, matching how published data
+    recipes state mixes).
+
+    Mechanics: one aggregate pass reduces the corpus to per-source token
+    totals, the keep-fraction is derived on that tiny frame, and rows
+    are kept iff their salted hash bucket falls under
+    ``floor(fraction × 10000)`` — the splits.py membership arithmetic,
+    so the whole mix (fractions AND membership) reproduces in SQL.
+    Sources not in ``weights`` get weight 0 (dropped).  The token count
+    is taken from ``token_col`` so callers choose their tokenizer
+    (whitespace, BPE-regex, a real tokenizer column)."""
+    total_w = sum(weights.values()) or 1.0
+    wexpr: Column | None = None
+    for name, wgt in weights.items():
+        lit = F.lit(wgt / total_w)
+        wexpr = (
+            F.when(F.col(source_col) == name, lit)
+            if wexpr is None
+            else wexpr.when(F.col(source_col) == name, lit)
+        )
+    wexpr = wexpr.otherwise(F.lit(0.0)) if wexpr is not None else F.lit(0.0)
+
+    totals = (
+        df.select(F.col(source_col), token_col.alias("__tok"))
+        .groupBy(source_col)
+        .agg(F.sum("__tok").alias("__src_tokens"))
+        .withColumn("__w", wexpr)
+        .withColumn(
+            "__frac",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.col("__w") / F.col("__src_tokens"),
+            ),
+        )
+        .select(source_col, "__frac")
+    )
+    bucket = portable_hash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    ) % _BUCKETS
+    return (
+        df.join(F.broadcast(totals), source_col)
+        .where(bucket < F.floor(F.col("__frac") * _BUCKETS))
+        .drop("__frac")
+    )

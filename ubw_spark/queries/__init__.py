@@ -34,6 +34,7 @@ from ubw_spark.queries import tpch_more2  # noqa: F401
 from ubw_spark.queries import tpch_more3  # noqa: F401
 from ubw_spark.queries import tpch_more4  # noqa: F401
 from ubw_spark.queries import tpch_more5  # noqa: F401
+from ubw_spark.queries import curation_q  # noqa: F401
 from ubw_spark.queries import cdc_skew_q  # noqa: F401
 from ubw_spark.queries import components_q  # noqa: F401
 from ubw_spark.queries import quality  # noqa: F401

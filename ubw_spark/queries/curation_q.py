@@ -1,0 +1,109 @@
+"""Corpus-curation queries: per-source quota caps and token-budget
+mixing (operators/curation.py) — the post-dedup steps that shape a
+pretraining corpus to a data recipe.  Both deterministic and fully
+oracled, membership arithmetic included, like the splits family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.queries.registry import register, table
+
+
+@register(
+    "curation_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC,
+                        ('0x' || substr(md5('quota:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                        doc_id) AS rk
+      FROM documents)
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM ranked WHERE rk <= 10
+    GROUP BY source
+    """,
+    tags=("curation", "sampling"),
+)
+def curation_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 10 documents, preferring the longest
+    (n_chars desc) with a deterministic hash tiebreak — the
+    'no domain dominates the corpus' knob.  One shuffle on source."""
+    from ubw_spark.operators.curation import quota_cap
+
+    d = table(spark, sf_dir, "documents")
+    kept = quota_cap(
+        d, "source", "doc_id", cap=10, priority=[F.col("n_chars").desc()]
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+# normalized weights inlined identically in Spark and SQL: src0 gets half
+# the budget, src1-src3 a sixth each; all other sources weight 0 (dropped)
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 1.0}
+_MIX_BUDGET = 3000
+
+
+@register(
+    "curation_token_budget_mix",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+      FROM documents),
+    totals AS (
+      SELECT source, sum(n_tok) AS src_tokens,
+             CASE source WHEN 'src0' THEN {3.0 / 6.0!r}
+                         WHEN 'src1' THEN {1.0 / 6.0!r}
+                         WHEN 'src2' THEN {1.0 / 6.0!r}
+                         WHEN 'src3' THEN {1.0 / 6.0!r}
+                         ELSE 0.0 END AS w
+      FROM toks GROUP BY source),
+    fracs AS (
+      SELECT source,
+             least(1.0, {float(_MIX_BUDGET)!r} * w / src_tokens) AS frac
+      FROM totals),
+    kept AS (
+      SELECT t.source, t.doc_id, t.n_tok
+      FROM toks t JOIN fracs f USING (source)
+      WHERE ('0x' || substr(md5('mix:' || t.doc_id::VARCHAR), 1, 8))::BIGINT
+              % 10000 < floor(f.frac * 10000))
+    SELECT source, count(*) AS n_kept, CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+           min(doc_id) AS min_id
+    FROM kept GROUP BY source
+    """,
+    tags=("curation", "sampling"),
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data recipe: src0 gets 1/2 of a 3000-token budget,
+    src1-3 get 1/6 each, everything else drops.  Sources under their
+    allocation are kept whole (frac capped at 1); membership is the
+    deterministic hash-bucket filter, corpus never shuffles — the
+    per-source totals broadcast back."""
+    from ubw_spark.operators.curation import token_budget_mix
+
+    d = table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    kept = token_budget_mix(
+        d.withColumn("__ntok", n_tok),
+        "source",
+        F.col("__ntok"),
+        "doc_id",
+        _MIX_WEIGHTS,
+        _MIX_BUDGET,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("__ntok").alias("kept_tokens"),
+        F.min("doc_id").alias("min_id"),
+    )
