@@ -466,3 +466,21 @@ def test_token_budget_mix_respects_allocations(spark):
     # allocation 550 of 5000 tokens → ~11% of 500 docs; hash sampling is
     # in expectation, allow a generous band
     assert 300 <= toks_big <= 800, (n_big, toks_big)
+
+
+def test_canonical_keep_prefers_quality_over_min_id(spark):
+    """The best-scoring member of each cluster survives (not the min
+    id); unclustered rows pass through untouched."""
+    from ubw_spark.operators.components import dedup_canonical_keep
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (10, 1.0), (99, 0.0)],
+        "id bigint, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a bigint, id_b bigint"
+    )
+    kept = dedup_canonical_keep(
+        docs, pairs, "id", priority=[F.col("score").desc()]
+    )
+    assert {r["id"] for r in kept.collect()} == {2, 10, 99}

@@ -85,3 +85,36 @@ def dedup_keep_list(
         F.col("node").alias(id_col)
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def dedup_canonical_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    priority: list,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware keep-list: ONE row per near-dup cluster survives,
+    chosen by ``priority`` order (e.g. quality score desc) with an id
+    tiebreak — vs :func:`dedup_keep_list`, which keeps the min id
+    regardless of quality.  Rows in no cluster survive trivially
+    (their own id is their component).
+
+    Cost: label propagation over the (small) pair graph + ONE window
+    shuffle keyed by component over the clustered rows only — the
+    unclustered bulk of the corpus takes the left-join and passes
+    through without entering the window (component is null → its own
+    singleton partition key is the row id, so no hot partition forms)."""
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src, dst)
+    labeled = df.join(
+        comp, F.col(id_col) == F.col("node"), "left"
+    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
+    w = Window.partitionBy("__comp").orderBy(*priority, F.col(id_col))
+    return (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("node", "component", "__comp", "__rn")
+    )

@@ -51,3 +51,64 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     id<150 block): each node labeled with its component's min id."""
     comp = connected_components(_sim_edges(spark, sf_dir))
     return comp.select("node", "component")
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+      SELECT * FROM r),
+    comp AS (
+      SELECT node, least(node, min_reach) AS component FROM (
+        SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)),
+    ranked AS (
+      SELECT c.component, c.node, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node) AS rk,
+             count(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN documents d ON d.doc_id = c.node)
+    SELECT component, node AS canonical_id, n_members,
+           n_chars AS canonical_chars
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("dedup", "graph", "curation"),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame, quality-aware: near-dup clusters (label
+    propagation over the cosine graph) each elect the LONGEST member
+    (n_chars desc, id tiebreak) as canonical — not the min id, which is
+    what naive keep-lists do and what loses the best copy of a
+    boilerplate cluster.  Embeddings and documents share the id space,
+    so the cluster graph comes from vectors and the quality signal from
+    the text table — the usual split in a real pipeline."""
+    from pyspark.sql import Window
+
+    comp = connected_components(_sim_edges(spark, sf_dir))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labeled = comp.join(docs, F.col("node") == F.col("doc_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("node")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        labeled.withColumn("__rk", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("__rk") == 1)
+        .select(
+            "component",
+            F.col("node").alias("canonical_id"),
+            "n_members",
+            F.col("n_chars").alias("canonical_chars"),
+        )
+    )
