@@ -107,3 +107,75 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__ntok").alias("kept_tokens"),
         F.min("doc_id").alias("min_id"),
     )
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle="""
+    WITH d AS (SELECT * FROM documents),
+    dd AS (
+      SELECT * FROM d WHERE doc_id IN (
+        SELECT min(doc_id) FROM d GROUP BY md5(lower(trim(text))))),
+    q AS (SELECT * FROM dd WHERE n_chars >= 150),
+    qt AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY source
+          ORDER BY n_chars DESC,
+                   ('0x' || substr(md5('quota:' || doc_id::VARCHAR), 1, 8))::BIGINT,
+                   doc_id) AS rk
+        FROM q) WHERE rk <= 15),
+    sp AS (
+      SELECT CASE WHEN b < 9000 THEN 'train'
+                  WHEN b < 9500 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                     % 10000 AS b FROM qt))
+    SELECT '00_input' AS stage, count(*) AS n_docs FROM d
+    UNION ALL SELECT '01_exact_dedup', count(*) FROM dd
+    UNION ALL SELECT '02_quality', count(*) FROM q
+    UNION ALL SELECT '03_quota', count(*) FROM qt
+    UNION ALL SELECT '04_split_' || split, count(*) FROM sp GROUP BY split
+    """,
+    tags=("curation", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation recipe as one staged funnel: exact dedup
+    → quality gate (n_chars ≥ 150) → per-source quota (15) → 90/5/5
+    split, reporting surviving row counts per stage — the composition
+    proof that the operator family (dedup/curation/splits) chains.
+
+    Each stage count re-derives its lineage here (fine for a report
+    query); a production pipeline materializes each stage to parquet
+    and the counts come from the writes — see docs/SCALE.md."""
+    from ubw_spark.operators.curation import quota_cap
+    from ubw_spark.operators.dedup import exact_dedup
+    from ubw_spark.operators.splits import assign_split
+
+    d = table(spark, sf_dir, "documents")
+    dd = exact_dedup(d, "doc_id", "text")
+    q = dd.where(F.col("n_chars") >= 150)
+    qt = quota_cap(
+        q, "source", "doc_id", cap=15, priority=[F.col("n_chars").desc()]
+    )
+    sp = assign_split(
+        qt, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    split_counts = sp.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).select(
+        F.concat(F.lit("04_split_"), F.col("split")).alias("stage"), "n_docs"
+    )
+    return (
+        cnt(d, "00_input")
+        .unionByName(cnt(dd, "01_exact_dedup"))
+        .unionByName(cnt(q, "02_quality"))
+        .unionByName(cnt(qt, "03_quota"))
+        .unionByName(split_counts)
+    )
