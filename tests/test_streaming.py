@@ -290,3 +290,28 @@ def test_stream_retention_equals_batch_across_batches(spark, events_dir, tmp_pat
         )
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_sampling_filter_equals_batch(spark, events_dir):
+    """The curation/sampling filters are stateless row predicates, so
+    they apply to streams unchanged — membership on a stream equals
+    membership on the same files in batch (no state, no watermark)."""
+    from ubw_spark.operators.splits import stratified_sample
+
+    stream = read_stream(spark, events_dir)
+    kept = stratified_sample(
+        stream, "event_type", "event_id",
+        {"view": 0.5, "click": 0.25}, default_fraction=0.1,
+    )
+    result = run_to_memory(
+        kept.select("event_id"), "sample_stream", output_mode="append"
+    )()
+    got = {r["event_id"] for r in result.collect()}
+    want = {
+        r["event_id"]
+        for r in stratified_sample(
+            batch_events(spark, events_dir), "event_type", "event_id",
+            {"view": 0.5, "click": 0.25}, default_fraction=0.1,
+        ).collect()
+    }
+    assert got == want and len(want) > 0
