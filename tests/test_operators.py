@@ -484,3 +484,35 @@ def test_canonical_keep_prefers_quality_over_min_id(spark):
         docs, pairs, "id", priority=[F.col("score").desc()]
     )
     assert {r["id"] for r in kept.collect()} == {2, 10, 99}
+
+
+def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized values reconstruct within scale/2 per dimension;
+    constant vectors reconstruct exactly (scale 0 path)."""
+    from ubw_spark.operators.quantize import dequantize_int8, quantize_int8
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .limit(100)
+    )
+    const = spark.createDataFrame(
+        [(90001, [0.5] * 8)], "vec_id bigint, embedding array<float>"
+    )
+    q = dequantize_int8(quantize_int8(emb.unionByName(const)))
+    err = q.select(
+        "vec_id", "q_scale",
+        F.aggregate(
+            F.zip_with(
+                F.transform("embedding", lambda x: x.cast("double")),
+                "dequant",
+                lambda a, b: F.abs(a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ).alias("max_err"),
+    )
+    rows = err.collect()
+    assert all(r["max_err"] <= r["q_scale"] / 2 + 1e-12 for r in rows)
+    const_row = [r for r in rows if r["vec_id"] == 90001][0]
+    assert const_row["max_err"] == 0.0

@@ -1,0 +1,59 @@
+"""Embedding quantization — the storage side of vector infrastructure:
+per-vector affine int8 quantization cuts an ANN candidate store 4× (and
+its shuffle/scan bytes with it) at a bounded reconstruction error of
+scale/2 per dimension.
+
+Map-only array expressions (JVM codegen, no UDF): each vector carries
+its own (min, scale) so dequantization is self-contained.  Rounding is
+``floor(x + 0.5)`` — explicitly, NOT ``round()`` — because engines
+disagree on round-half (Spark HALF_UP, DuckDB half-even on doubles)
+while floor is exact everywhere; that's what keeps the whole
+quantization oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+) -> DataFrame:
+    """Add int8 codes + dequant params: ``qvec`` in [-127, 127],
+    ``q_min``/``q_scale`` such that x̂_i = (qvec_i + 127)·q_scale + q_min.
+
+    Degenerate constant vectors (max == min) quantize to all-zero codes
+    with scale 0 — dequant returns the constant exactly."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    mn, mx = F.array_min(v), F.array_max(v)
+    scale = (mx - mn) / F.lit(254.0)
+    codes = F.when(mx > mn, F.transform(
+        v,
+        lambda x: (
+            F.floor((x - mn) / scale + F.lit(0.5)).cast("int") - F.lit(127)
+        ),
+    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return (
+        df.withColumn("q_min", mn)
+        .withColumn("q_scale", F.when(mx > mn, scale).otherwise(F.lit(0.0)))
+        .withColumn(out_col, codes)
+    )
+
+
+def dequantize_int8(
+    df: DataFrame,
+    qvec_col: str = "qvec",
+    out_col: str = "dequant",
+) -> DataFrame:
+    """Reconstruct approximate doubles from int8 codes + params."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(qvec_col),
+            lambda q: (q.cast("double") + F.lit(127.0)) * F.col("q_scale")
+            + F.col("q_min"),
+        ),
+    )

@@ -677,3 +677,43 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat_chunks(
         toks, "doc_id", "n_tok", chunk_len=256, bucket_width=64
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    q AS (SELECT vec_id, mn, mx, (mx - mn) / 254.0 AS scale,
+                 list_transform(v, x ->
+                   CAST(floor((x - mn) / ((mx - mn) / 254.0) + 0.5) AS BIGINT)
+                     - 127) AS qv
+          FROM p WHERE mx > mn)
+    SELECT vec_id, scale AS q_scale, mn AS q_min,
+           CAST(list_min(qv) AS BIGINT) AS qmin,
+           CAST(list_max(qv) AS BIGINT) AS qmax,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(len(qv) AS BIGINT) AS n_dims
+    FROM q
+    """,
+    tags=("similarity", "quantize"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 quantization summary — code range, code
+    checksum, and the dequant params, bit-identical across engines
+    because rounding is floor(x+0.5) (see operators/quantize.py).  The
+    4x-smaller codes are what a 100 TB ANN candidate store shuffles and
+    scans; re-rank fetches float vectors for finalists only."""
+    from ubw_spark.operators.quantize import quantize_int8
+
+    emb = table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb).where(F.col("q_scale") > 0)
+    return q.select(
+        "vec_id",
+        "q_scale",
+        "q_min",
+        F.array_min("qvec").cast("long").alias("qmin"),
+        F.array_max("qvec").cast("long").alias("qmax"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.size("qvec").cast("long").alias("n_dims"),
+    )
