@@ -516,3 +516,40 @@ def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
     assert all(r["max_err"] <= r["q_scale"] / 2 + 1e-12 for r in rows)
     const_row = [r for r in rows if r["vec_id"] == 90001][0]
     assert const_row["max_err"] == 0.0
+
+
+def test_quantized_prerank_recall_vs_exact(spark, sf_dir):
+    """Top-5 by quantized cosine must recover most of the exact top-5:
+    int8 error (scale/2 per dim) barely moves cosines, so recall@5
+    should be high — the property that makes the 4x-cheaper pre-rank
+    scan usable."""
+    from ubw_spark.operators.quantize import dequantize_int8, quantize_int8
+    from ubw_spark.operators.similarity import cosine_col
+    from pyspark.sql import Window
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+
+    def topk(df, vcol):
+        qs = df.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col(vcol).alias("qv")
+        )
+        scored = df.join(
+            F.broadcast(qs), F.col("vec_id") != F.col("qid")
+        ).select(
+            "qid", "vec_id",
+            cosine_col(F.col("qv"), F.col(vcol)).alias("c"),
+        )
+        w = Window.partitionBy("qid").orderBy(F.col("c").desc(), "vec_id")
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= 5)
+        )
+
+    exact = {(r["qid"], r["vec_id"]) for r in topk(emb, "embedding").collect()}
+    dq = dequantize_int8(quantize_int8(emb)).select("vec_id", "dequant")
+    approx = {(r["qid"], r["vec_id"]) for r in topk(dq, "dequant").collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall

@@ -197,6 +197,14 @@ def sim_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Known-accepted fragility (ADVICE r3): hash equality here leans on
+# Spark's zip_with/aggregate double folds matching DuckDB's
+# list_distance/list_cosine_similarity bit-for-bit at the rounded 4th
+# decimal, plus both engines landing the same side of a .00005 rounding
+# boundary and of exact centroid-distance ties.  Green on this data;
+# a different dataset or library version could flip a candidate set.
+# Same class as the LSH jaccard oracle — do not chase with comparator
+# slack (the driver hashes exact values).
 _IVF_ORACLE = """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     -- seed centroids: the 8 corpus vectors with smallest md5(vec_id) —
@@ -716,4 +724,62 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qvec").cast("long").alias("qmax"),
         F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
         F.size("qvec").cast("long").alias("n_dims"),
+    )
+
+
+@register(
+    "sim_quantized_prerank",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+    dq AS (
+      SELECT vec_id,
+             list_transform(v, x ->
+               (CAST(floor((x - mn) / ((mx - mn) / 254.0) + 0.5) AS BIGINT))
+                 * ((mx - mn) / 254.0) + mn) AS vq
+      FROM p WHERE mx > mn),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             round(list_cosine_similarity(q.vq, c.vq), 4) AS qcos
+      FROM dq q JOIN dq c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 3)
+    SELECT qid, vec_id, qcos FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY qcos DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+    tags=("similarity", "quantize"),
+)
+def sim_quantized_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN pre-rank on QUANTIZED vectors: cosine over int8-dequantized
+    embeddings — at 100 TB the candidate store scans 4× fewer bytes and
+    the float originals are fetched for finalists only (recall vs exact
+    ranking asserted in tests).  Quantize→dequantize is engine-exact
+    (floor rounding, operators/quantize.py), so even this approximate
+    path value-checks in DuckDB; the 4-decimal cosine rounding carries
+    the same accepted fragility as the IVF oracle above."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    from ubw_spark.operators.quantize import dequantize_int8, quantize_int8
+    from ubw_spark.operators.similarity import cosine_col
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dq = dequantize_int8(quantize_int8(emb)).where(F.col("q_scale") > 0)
+    corpus = dq.select("vec_id", F.col("dequant").alias("cv"))
+    qs = dq.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("dequant").alias("qv")
+    )
+    scored = corpus.join(
+        broadcast(qs), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(cosine_col(F.col("qv"), F.col("cv")), 4).alias("qcos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= 5)
+        .drop("__rn")
     )
