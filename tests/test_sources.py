@@ -115,3 +115,22 @@ def test_merge_upsert_delta_branch(spark, tmp_path):
     merge_upsert(spark, path, updates, ["id"], fmt="delta")
     got = {r["id"]: r["v"] for r in spark.read.format("delta").load(path).collect()}
     assert got == {1: "x", 2: "y"}
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    """read_dir's orc path, executed: round-trip preserves values and a
+    filter reaches the ORC scan as a pushed filter (ORC supports
+    predicate pushdown like parquet)."""
+    from ubw_spark.sources.readers import read_dir
+
+    src = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    path = str(tmp_path / "cust_orc")
+    src.write.mode("overwrite").orc(path)
+    back = read_dir(spark, path, fmt="orc")
+    assert back.count() == src.count()
+    assert sorted(map(str, back.collect())) == sorted(map(str, src.collect()))
+    plan = (
+        back.where(F.col("c_acctbal") > 1000)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "c_acctbal" in plan
