@@ -553,3 +553,27 @@ def test_quantized_prerank_recall_vs_exact(spark, sf_dir):
     approx = {(r["qid"], r["vec_id"]) for r in topk(dq, "dequant").collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_label_centroids_match_float_mean(spark, sf_dir):
+    """The dequantized integer-sum centroid reconstructs the float
+    centroid within the quantization step per dimension."""
+    from ubw_spark.queries import REGISTRY
+
+    got = REGISTRY["embedding_label_centroids"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    b = emb.select(v.alias("v")).agg(
+        F.min(F.array_min("v")).alias("mn"), F.max(F.array_max("v")).alias("mx")
+    ).collect()[0]
+    scale = (b["mx"] - b["mn"]) / 254.0
+    ref = {
+        (r["label"], r["dim"]): r["m"]
+        for r in emb.select("label", F.posexplode(v).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("m"))
+        .collect()
+    }
+    for r in got:
+        dequant = (r["qsum"] / r["n"]) * scale + b["mn"]
+        assert abs(dequant - ref[(r["label"], r["dim"])]) <= scale / 2 + 1e-12

@@ -783,3 +783,67 @@ def sim_quantized_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__rn") <= 5)
         .drop("__rn")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+    bounds AS (
+      SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e),
+    q AS (
+      SELECT label,
+             list_transform(v, x ->
+               CAST(floor((x - b.mn) / ((b.mx - b.mn) / 254.0) + 0.5)
+                    AS BIGINT)) AS qv
+      FROM e, bounds b),
+    expl AS (
+      -- dim is fixed at 64 for this table (like the LSH/IVF oracles)
+      SELECT label, g.i - 1 AS dim, qv[g.i] AS qc
+      FROM q CROSS JOIN generate_series(1, 64) AS g(i))
+    SELECT label, dim,
+           CAST(sum(qc) AS BIGINT) AS qsum,
+           CAST(count(*) AS BIGINT) AS n
+    FROM expl GROUP BY 1, 2
+    """,
+    tags=("similarity", "quantize", "agg"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid accumulators over GLOBALLY-quantized int8
+    codes: exact integer (sum, count) per (label, dim).
+
+    Why integers: a float mean is accumulation-order dependent, so a
+    distributed Spark sum and a sequential DuckDB sum can disagree in
+    the last ulp — integer sums are order-independent and hash-exact
+    (the money-DECIMAL discipline applied to vectors).  Global (not
+    per-vector) quantization keeps codes comparable across vectors so
+    centroid arithmetic is meaningful; the dequantized centroid is
+    within scale/2 of the float centroid per dimension (test-asserted).
+    At 100 TB this is the class-prototype / embedding-drift monitor:
+    one posexplode + one (label, dim)-keyed shuffle of small integers."""
+    from pyspark.sql.functions import broadcast
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("label", v.alias("v"))
+    bounds = e.agg(
+        F.min(F.array_min("v")).alias("mn"), F.max(F.array_max("v")).alias("mx")
+    )
+    q = e.crossJoin(broadcast(bounds)).select(
+        "label",
+        F.transform(
+            "v",
+            lambda x: F.floor(
+                (x - F.col("mn")) / ((F.col("mx") - F.col("mn")) / F.lit(254.0))
+                + F.lit(0.5)
+            ).cast("long"),
+        ).alias("qv"),
+    )
+    return (
+        q.select("label", F.posexplode("qv").alias("dim", "qc"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum("qc").alias("qsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
