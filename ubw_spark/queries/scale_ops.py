@@ -6,8 +6,10 @@ in ubw_spark.operators.dedup makes every stage (shingle → signature →
 band → candidate → verify) reproducible in DuckDB.  SimHash, the
 hyperplane-LSH paths, and the multimodal feature pipeline are likewise
 fully oracled (integer md5 math; seeded hyperplanes embedded as SQL
-literals).  Only IVF (iterative KMeans) and the sketch aggregates are
-rows-only by design; their quality is asserted in tests instead.
+literals).  As of round 4 NOTHING here is rows-only: IVF oracles via
+md5-seeded deterministic centroids (KMeans kept for production), the
+sketch aggregates via an exact-vs-sketch rel-error invariant, and the
+quantized paths via engine-exact floor rounding.
 """
 
 from __future__ import annotations
