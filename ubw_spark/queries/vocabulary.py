@@ -170,3 +170,80 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(F.col("approx_median"), F.col("exact_median"), "median_within_tol"),
         within(F.col("approx_p99"), F.col("exact_p99"), "p99_within_tol"),
     )
+
+
+@register(
+    "window_analytic_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           CAST(dense_rank() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderpriority) AS BIGINT)
+             AS prio_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_analytic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic-window vocabulary beyond rank/lag: first_value /
+    last_value (with the full-frame gotcha — default frames cut
+    last_value at CURRENT ROW), percent_rank, cume_dist, dense_rank.
+    All windows share the o_custkey partition key (the date-ordered pair
+    re-sorts in place; the priority-ordered one plans its own exchange);
+    every value ORDER BY carries the orderkey tiebreak so ties can't
+    flip frames between engines."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.dense_rank().over(wp).cast("long").alias("prio_rank"),
+    )
+
+
+@register(
+    "scalar_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           dayofweek(o_orderdate) + 1 AS dow_sun1,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d')
+             AS due_90d,
+           CAST(quarter(o_orderdate) AS INT) AS qtr
+    FROM orders WHERE o_orderkey < 500
+    """,
+    tags=("scalar", "date"),
+)
+def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime vocabulary beyond year/month: date_trunc (month/week —
+    both engines start weeks on Monday), last_day, day-of-week
+    (normalized to Spark's Sunday=1 convention; DuckDB's dayofweek is
+    Sunday=0), date arithmetic, quarter.  Dates emit as yyyy-MM-dd
+    strings — DuckDB DATE reaches pandas as midnight datetime64, so raw
+    date columns can never hash-match (repo-wide convention)."""
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow_sun1"),
+        F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_90d"),
+        F.quarter("o_orderdate").alias("qtr"),
+    )
