@@ -849,3 +849,92 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+def _ann_recall_oracle(dim: int = 64, bits: int = 4, tables: int = 16,
+                       seed: int = 42, k: int = 5) -> str:
+    """Recall@k of the LSH path vs brute force, both reproduced in SQL —
+    the ANN quality metric as a first-class oracled query rather than a
+    test-only assertion."""
+    from ubw_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=dim, bits=bits, tables=tables, seed=seed)
+    values = ",\n      ".join(
+        f"({t}, {j}, ["
+        + ", ".join(repr(float(c)) for c in planes[t, j])
+        + "]::DOUBLE[])"
+        for t in range(tables)
+        for j in range(bits)
+    )
+    return f"""
+    WITH planes(tbl, bit, c) AS (VALUES {values}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    buckets AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.v, p.c) >= 0
+                           THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY 1, 2),
+    qb AS (SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id < 5),
+    cand AS (SELECT DISTINCT qb.qid, b.vec_id
+             FROM buckets b JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket
+                               AND b.vec_id <> qb.qid),
+    lsh_scored AS (SELECT c.qid, c.vec_id,
+                          round(list_cosine_similarity(eq.v, ec.v), 4) AS cs
+                   FROM cand c JOIN e eq ON eq.vec_id = c.qid
+                               JOIN e ec ON ec.vec_id = c.vec_id),
+    lsh_top AS (SELECT qid, vec_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cs DESC, vec_id) AS rn
+      FROM lsh_scored) WHERE rn <= {k}),
+    brute_scored AS (
+      SELECT q.vec_id AS qid, c.vec_id,
+             round(list_cosine_similarity(q.v, c.v), 4) AS cs
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5),
+    brute_top AS (SELECT qid, vec_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY cs DESC, vec_id) AS rn
+      FROM brute_scored) WHERE rn <= {k})
+    SELECT b.qid, count(*) AS n_exact,
+           CAST(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           round(sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS recall
+    FROM brute_top b
+    LEFT JOIN lsh_top l ON l.qid = b.qid AND l.vec_id = b.vec_id
+    GROUP BY b.qid
+    """
+
+
+@register("sim_ann_recall_report", oracle=_ann_recall_oracle(),
+          tags=("similarity", "lsh", "eval"))
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the hyperplane-LSH path against exact brute force,
+    per query — ANN quality monitoring as a standing query (run it on a
+    sampled query set whenever the index parameters or corpus drift).
+    Both rankings are deterministic (seeded planes, 4-dp rounding,
+    vec_id tiebreaks), so even this eval metric value-checks in DuckDB.
+    Cost: the brute side limits the query set (5 vectors here; at scale,
+    sample ~1000 queries — still one corpus scan, query side broadcast)."""
+    from ubw_spark.operators.similarity import brute_force_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, qs, k=5).select("qid", "vec_id")
+    lsh = lsh_ann_topk(emb, qs, k=5, dim=64, bits=4, tables=16).select(
+        F.col("qid").alias("lqid"), F.col("vec_id").alias("lvid")
+    )
+    joined = brute.join(
+        lsh,
+        (F.col("qid") == F.col("lqid")) & (F.col("vec_id") == F.col("lvid")),
+        "left",
+    )
+    return joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(F.col("lvid").isNotNull().cast("long")).alias("n_hit"),
+        F.round(
+            F.sum(F.col("lvid").isNotNull().cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("recall"),
+    )
