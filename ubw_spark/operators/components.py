@@ -108,13 +108,17 @@ def dedup_canonical_keep(
     singleton partition key is the row id, so no hot partition forms)."""
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, src, dst)
+    # dunder-rename the graph columns so they can't collide with caller
+    # columns named node/component (repo convention for internals)
+    comp = connected_components(pairs, src, dst).select(
+        F.col("node").alias("__node"), F.col("component").alias("__component")
+    )
     labeled = df.join(
-        comp, F.col(id_col) == F.col("node"), "left"
-    ).withColumn("__comp", F.coalesce(F.col("component"), F.col(id_col)))
+        comp, F.col(id_col) == F.col("__node"), "left"
+    ).withColumn("__comp", F.coalesce(F.col("__component"), F.col(id_col)))
     w = Window.partitionBy("__comp").orderBy(*priority, F.col(id_col))
     return (
         labeled.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("node", "component", "__comp", "__rn")
+        .drop("__node", "__component", "__comp", "__rn")
     )
