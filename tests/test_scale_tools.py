@@ -187,9 +187,9 @@ def test_partitioned_write_enables_partition_pruning(spark, sf_dir, tmp_path):
     table — the other half of pushdown at 100 TB."""
     from ubw_spark.plans import formatted_plan
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    from ubw_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events")
     path = str(tmp_path / "events_by_day")
     write_table(
         ev.withColumn("day", F.to_date("ts")),

@@ -21,10 +21,10 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     """Events re-materialized as a clean micro-timestamp parquet dir
     (the raw file uses TIMESTAMP(NANOS) which the streaming file source
     can't read directly)."""
+    from ubw_spark.queries.registry import table
+
     out = str(tmp_path_factory.mktemp("events_stream"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    df = table(spark, sf_dir, "events")
     df.coalesce(1).write.mode("overwrite").parquet(out)
     return out
 
