@@ -82,6 +82,59 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"(?<!Broadcast)Exchange", simple_plan(df)))
 
 
+def global_window_violations(df: DataFrame) -> list[str]:
+    """Unpartitioned WindowExec nodes whose input is NOT an aggregate —
+    the 100 TB scale-killer (all rows through one task).
+
+    Walks the executed physical plan via py4j.  A window with an empty
+    partition spec is ALLOWED when an Aggregate sits anywhere below it:
+    that is the two-phase-prefix-sum ledger pattern (packing.py,
+    ranking.py, quality.py's ~20-row report window), where the window's
+    input is already a per-group aggregate of bounded cardinality.  A
+    window with no aggregate below reads raw table rows → violation.
+    Returns one descriptive string per offending node (empty == clean).
+    """
+
+    def children(node):
+        seq = node.children()
+        kids = [seq.apply(i) for i in range(seq.size())]
+        if not kids:
+            # AQE/stage wrappers report no children; descend explicitly.
+            for probe in ("inputPlan", "plan", "child"):
+                try:
+                    return [getattr(node, probe)()]
+                except Exception:
+                    continue
+        return kids
+
+    def subtree_has_aggregate(node) -> bool:
+        stack = [node]
+        while stack:
+            cur = stack.pop()
+            if "Aggregate" in cur.nodeName():
+                return True
+            stack.extend(children(cur))
+        return False
+
+    plan = df._jdf.queryExecution().executedPlan()
+    out: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "Window" in name:
+            try:
+                unpartitioned = node.partitionSpec().size() == 0
+            except Exception:
+                unpartitioned = False  # node type without a partitionSpec
+            if unpartitioned and not any(
+                subtree_has_aggregate(c) for c in children(node)
+            ):
+                out.append(f"{name} with empty partition spec over raw rows")
+        stack.extend(children(node))
+    return out
+
+
 def assert_plan(
     df: DataFrame,
     *,

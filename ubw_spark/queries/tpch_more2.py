@@ -224,15 +224,19 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile quartile bucketing (unique tiebreak keeps bucket edges
-    deterministic).  A global ORDER window is single-partition — at
-    100 TB use approx_percentile cutpoints + a join instead."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    deterministic).  NOT a global ORDER window: that plan funnels the
+    whole table through one task.  Uses operators/ranking.py's two-phase
+    distributed rank (value-bucket ledger + per-bucket row_number) and
+    derives the quartile arithmetically — identical ANSI ntile output,
+    every window partitioned or over the tiny ledger."""
+    from ubw_spark.operators.ranking import distributed_ntile
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = distributed_ntile(
+        o, 4, "o_totalprice", "o_orderkey", tile_name="quartile"
+    )
     return (
-        o.select(
-            "o_totalprice", F.ntile(4).over(w).alias("quartile")
-        )
-        .groupBy("quartile")
+        tiled.groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
