@@ -48,6 +48,14 @@ HEADLINE = [
     "events_sessionize",
     "events_funnel",
     "asof_join_last_click",
+    # Round-6 additions (VERDICT r5 item 3): heavier relational shapes +
+    # the scale-path LLM-pipeline operators.  New names set their own
+    # baseline on first recorded round; the original 15 stay comparable.
+    "q9_product_profit",
+    "q21_waiting_supplier",
+    "dedup_connected_components",
+    "sim_quantized_prerank",
+    "curation_token_budget_mix",
 ]
 
 
@@ -61,7 +69,8 @@ CONTAMINATION_FACTOR = 2.0
 def _extract_queries(doc: dict) -> dict[str, float]:
     """Per-query timings from either the raw bench line or the driver's
     BENCH_rNN.json wrapper ({..., "parsed": {raw line}})."""
-    return doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+    # "parsed" is null in a crashed round's wrapper (e.g. BENCH_r05.json)
+    return doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
 
 
 def composite_baseline(

@@ -271,3 +271,20 @@ def test_q11_threshold_reuses_pv_exchange(q):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_no_registered_query_has_global_window_over_raw_rows(spark, sf_dir):
+    """Registry-wide scale lint: no query may plan an unpartitioned
+    WindowExec over raw table rows (the one-task 100 TB killer).  The
+    documented ledger windows (two-phase prefix sums in packing.py /
+    ranking.py / quality.py, whose window input is a bounded-cardinality
+    Aggregate) are exempted by the lint itself; anything else fails."""
+    from ubw_spark.plans.inspect import global_window_violations
+
+    offenders = {}
+    for name, qd in sorted(REGISTRY.items()):
+        df = qd.fn(spark, sf_dir)
+        v = global_window_violations(df)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders

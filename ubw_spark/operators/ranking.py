@@ -35,9 +35,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+_RESERVED = ("__bucket", "__offset", "__rank")
+
+
 def _key_stats(df: DataFrame, value_col: str):
     """(min, max, count) of the sort key — ONE aggregate action returning
-    a single 3-scalar row to the driver."""
+    a single 3-scalar row to the driver.  NOTE: this is an EAGER action
+    (triggers a scan of ``df``'s subtree at build time, before the
+    caller's own action); persist the input first if that subtree is
+    expensive, since the rank phase scans it again."""
     return df.agg(
         F.min(value_col), F.max(value_col), F.count(F.lit(1))
     ).first()
@@ -55,16 +61,27 @@ def distributed_rank(
     """Exact 1-based ``row_number() OVER (ORDER BY value_col,
     tiebreak_col)`` without a single-partition window.  ``tiebreak_col``
     must be unique (row_number over a unique key == rank == dense_rank,
-    which keeps the result deterministic).  Adds ``rank_name``."""
+    which keeps the result deterministic).  Adds ``rank_name``.
+
+    NULL sort keys rank first (Spark's ASC NULLS FIRST window default):
+    they get a dedicated bucket ordered before every value bucket.
+    Builds eagerly (see :func:`_key_stats`)."""
+    taken = set(_RESERVED) & set(df.columns)
+    if taken:
+        raise ValueError(f"input columns collide with reserved names: {sorted(taken)}")
     lo, hi, n = _stats if _stats is not None else _key_stats(df, value_col)
     if n == 0 or n is None:
         return df.withColumn(rank_name, F.lit(None).cast("long"))
-    width = (float(hi) - float(lo)) / num_buckets or 1.0
-
-    bucket = F.least(
-        F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
-        F.lit(num_buckets - 1),
-    ).cast("long")
+    if lo is None:  # every sort key is NULL → single null bucket
+        bucket = F.lit(-1).cast("long")
+    else:
+        width = (float(hi) - float(lo)) / num_buckets or 1.0
+        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            F.least(
+                F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+                F.lit(num_buckets - 1),
+            )
+        ).cast("long")
     t = df.withColumn("__bucket", bucket)
 
     counts = t.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))

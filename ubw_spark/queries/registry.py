@@ -35,14 +35,22 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects by
-        # default; read the nanos as long and truncate to micros so the
-        # values match engines that read nanos-as-timestamp (DuckDB).
+        # events.parquet has shipped with two encodings for `ts`:
+        #   - TIMESTAMP(NANOS): Spark rejects it by default; read the nanos
+        #     as long and truncate to micros so the values match engines
+        #     that read nanos-as-timestamp (DuckDB).
+        #   - timestamp[us] without timezone: Spark 4.x reads TIMESTAMP_NTZ,
+        #     which `unix_micros` & friends reject; cast to session-local
+        #     TIMESTAMP (value-preserving under the UTC session pin).
+        # This function is the single choke-point for table reads, so both
+        # normalizations live here and nowhere else.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
