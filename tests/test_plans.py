@@ -288,3 +288,21 @@ def test_no_registered_query_has_global_window_over_raw_rows(spark, sf_dir):
         if v:
             offenders[name] = v
     assert not offenders, offenders
+
+
+def test_large_probe_contamination_has_no_broadcast_hints(spark, sf_dir):
+    """The large-probe decontamination sweep must never plan a broadcast:
+    a corpus-sized probe side blows past any broadcast limit at 100 TB.
+    autoBroadcastJoinThreshold is disabled so the only way a broadcast
+    could appear in the INITIAL plan is a hint in the operator itself —
+    which is exactly the bug this guards against.  The small-probe
+    variant keeps its hints (positive control)."""
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        large = REGISTRY["dedup_contamination_large_probe"].fn(spark, sf_dir)
+        assert broadcast_join_count(large) == 0
+        small = REGISTRY["dedup_contamination"].fn(spark, sf_dir)
+        assert broadcast_join_count(small) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -379,16 +379,28 @@ def minhash_contamination_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    large_probe: bool = False,
 ) -> DataFrame:
     """Cross-dataset near-dup detection (decontamination): probe rows
     (an eval/test set) that near-duplicate corpus rows (training data).
 
     Same MinHash-LSH machinery as :func:`minhash_dedup_pairs`, but the
     band join runs corpus × probe instead of self-join — returns
-    (corpus_id, probe_id, jaccard) with jaccard ≥ threshold.  At scale
-    the probe side is small (an eval set), so its banded keys broadcast
-    and the corpus is streamed once; the verify join touches candidate
-    pairs only."""
+    (corpus_id, probe_id, jaccard) with jaccard ≥ threshold.
+
+    Two scale postures, selected by ``large_probe``:
+
+    - **False (default)** — the probe is a small eval set: its banded
+      keys (and its shingle sets in the verify join) broadcast, the
+      corpus streams once, zero corpus-side shuffle for candidates.
+    - **True** — the probe is itself corpus-sized (sweeping one 100 TB
+      dump against another): nothing broadcasts; both sides shuffle on
+      the (band, key) hash for the candidate join — the same banded
+      shuffle shape as the self-join dedup — and BOTH sides get the
+      hot-bucket cap (a degenerate probe bucket goes quadratic exactly
+      like a corpus one).  The verify join shuffles on ids.  Per-pair
+      collision probability is unchanged; only the physical strategy
+      differs."""
 
     def prep(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
         df = df.where(
@@ -427,10 +439,13 @@ def minhash_contamination_pairs(
     p_sh, p_banded = prep(probe, "probe")
     if max_bucket is not None:
         c_banded = cap_buckets(c_banded, ["__band", "__key"], max_bucket)
+        if large_probe:
+            p_banded = cap_buckets(p_banded, ["__band", "__key"], max_bucket)
     from pyspark.sql.functions import broadcast as _bc
 
+    maybe_bc = (lambda df: df) if large_probe else _bc
     cands = (
-        c_banded.join(_bc(p_banded), ["__band", "__key"])
+        c_banded.join(maybe_bc(p_banded), ["__band", "__key"])
         .select("corpus_id", "probe_id")
         .distinct()
     )
@@ -439,7 +454,7 @@ def minhash_contamination_pairs(
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     return (
         cands.join(c_sh, "corpus_id")
-        .join(_bc(p_sh), "probe_id")
+        .join(maybe_bc(p_sh), "probe_id")
         .where(jac >= threshold)
         .select("corpus_id", "probe_id", F.round(jac, 4).alias("jaccard"))
     )

@@ -645,6 +645,64 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_contamination_large_probe",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks),
+    h AS (SELECT doc_id, ('0x' || substr(md5(u.s2), 1, 8))::BIGINT AS hv
+          FROM sh, unnest(sh.s) AS u(s2)),
+    sig AS (SELECT doc_id, p.i,
+                   min(((2 * p.i + 1) * hv + 104729 * p.i + 17) % 2147483647) AS m
+            FROM h CROSS JOIN generate_series(0, 63) AS p(i)
+            GROUP BY doc_id, p.i),
+    band AS (SELECT doc_id, i // 2 AS bj,
+                    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+             FROM sig GROUP BY doc_id, i // 2),
+    cb AS (SELECT * FROM band WHERE doc_id < 300
+           QUALIFY count(*) OVER (PARTITION BY bj, key) <= 64),
+    pb AS (SELECT * FROM band WHERE doc_id >= 300
+           QUALIFY count(*) OVER (PARTITION BY bj, key) <= 64),
+    cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, pb.doc_id AS probe_id
+             FROM cb JOIN pb ON cb.bj = pb.bj AND cb.key = pb.key),
+    j AS (SELECT c.corpus_id, c.probe_id,
+                 len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+          FROM cand c JOIN sh sa ON sa.doc_id = c.corpus_id
+                      JOIN sh sb ON sb.doc_id = c.probe_id)
+    SELECT corpus_id, probe_id, round(jac, 4) AS jaccard
+    FROM j WHERE jac >= 0.4
+    """,
+    tags=("dedup", "lsh", "contamination"),
+)
+def dedup_contamination_large_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized-probe decontamination sweep (one dump vs another
+    dump): same banding as :func:`dedup_contamination` but NOTHING
+    broadcasts — both sides shuffle on (band, key), both sides get the
+    hot-bucket cap, and the verify join shuffles on ids.  The probe
+    split (doc_id ≥ 300, 40% of the corpus) is deliberately too large to
+    model as an eval set.  tests/test_plans.py asserts the plan carries
+    zero broadcast hints."""
+    from ubw_spark.operators.dedup import minhash_contamination_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_contamination_pairs(
+        d.where(F.col("doc_id") < 300),
+        d.where(F.col("doc_id") >= 300),
+        "doc_id",
+        "text",
+        k=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4,
+        large_probe=True,
+    )
+
+
+@register(
     "pack_sequences",
     oracle=r"""
     WITH t AS (
