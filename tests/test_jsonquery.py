@@ -471,3 +471,126 @@ def test_json_write_fuzz_never_escapes(spark, tables, spec):
         return  # bad literal types surfaced as plain Python errors
     assert verb in ("insert", "upsert", "update")
     assert df.columns  # compiled to a real frame; nothing executed
+
+
+def test_setop_union_except_all_variants(spark, tables):
+    """Every set-op verb against a hand-computed truth on tiny frames."""
+    reg = {
+        "a": spark.createDataFrame([(1,), (1,), (2,), (3,)], "v bigint"),
+        "b": spark.createDataFrame([(2,), (3,), (3,), (4,)], "v bigint"),
+    }
+    base = {
+        "setop": {
+            "op": None,
+            "queries": [
+                {"from": "a", "columns": [{"name": "v", "expr": "v"}]},
+                {"from": "b", "columns": [{"name": "v", "expr": "v"}]},
+            ],
+        },
+        "orders": [["v", False]],
+    }
+
+    def run(op):
+        q = {**base, "setop": {**base["setop"], "op": op}}
+        return [r["v"] for r in compile_json_query(spark, q, reg.get).collect()]
+
+    assert run("union") == [1, 2, 3, 4]
+    assert sorted(run("union_all")) == [1, 1, 2, 2, 3, 3, 3, 4]
+    assert run("intersect") == [2, 3]
+    assert sorted(run("intersect_all")) == [2, 3]
+    assert run("except") == [1]
+    assert sorted(run("except_all")) == [1, 1]
+
+
+def test_setop_aligns_columns_by_name(spark, tables):
+    """Branches with the same columns in a different declaration order
+    must combine by NAME — positional union would silently swap cells."""
+    reg = {
+        "a": spark.createDataFrame([(1, "x")], "k bigint, s string"),
+        "b": spark.createDataFrame([("y", 2)], "s string, k bigint"),
+    }
+    q = {
+        "setop": {
+            "op": "union_all",
+            "queries": [
+                {"from": "a", "columns": [{"name": "k", "expr": "k"},
+                                          {"name": "s", "expr": "s"}]},
+                {"from": "b", "columns": [{"name": "s", "expr": "s"},
+                                          {"name": "k", "expr": "k"}]},
+            ],
+        },
+        "orders": [["k", False]],
+    }
+    out = [(r["k"], r["s"]) for r in compile_json_query(spark, q, reg.get).collect()]
+    assert out == [(1, "x"), (2, "y")]
+
+
+def test_setop_validation_accumulates(spark, tables):
+    """Unknown op, bad branch, AND schema mismatch all surface at once,
+    each under its setop.queries[i] path; op stays whitelist-only."""
+    q = {
+        "setop": {
+            "op": "union",
+            "queries": [
+                {"from": "friend", "columns": [{"name": "a", "expr": "age"}]},
+                {"from": "friend", "columns": [{"name": "b", "expr": "grade"}]},
+                {"from": "nope", "columns": [{"name": "a", "expr": "age"}]},
+            ],
+        },
+    }
+    with pytest.raises(SpecValidationError) as ei:
+        compile_json_query(spark, q, tables)
+    msg = str(ei.value)
+    assert "do not match" in msg  # schema mismatch, branch 1
+    assert "setop.queries[2]" in msg and "nope" in msg  # bad branch, pathed
+
+    with pytest.raises(SpecValidationError, match="unknown op"):
+        compile_json_query(
+            spark,
+            {"setop": {"op": "__import__", "queries": [{}, {}]}},
+            tables,
+        )
+    with pytest.raises(SpecValidationError, match="at least two"):
+        compile_json_query(
+            spark,
+            {"setop": {"op": "union", "queries": [{"from": "friend"}]}},
+            tables,
+        )
+
+
+def test_setop_exclusive_with_scan_keys(spark, tables):
+    q = {
+        "from": "friend",
+        "setop": {
+            "op": "union",
+            "queries": [
+                {"from": "friend", "columns": [{"name": "a", "expr": "age"}]},
+                {"from": "friend", "columns": [{"name": "a", "expr": "age"}]},
+            ],
+        },
+    }
+    with pytest.raises(SpecValidationError, match="exclusive with 'from'"):
+        compile_json_query(spark, q, tables)
+
+
+def test_setop_post_blocks_apply(spark, tables):
+    """windows + filters + paging run on the COMBINED result."""
+    reg = {
+        "a": spark.createDataFrame([(i,) for i in range(10)], "v bigint"),
+        "b": spark.createDataFrame([(i,) for i in range(5, 15)], "v bigint"),
+    }
+    q = {
+        "setop": {
+            "op": "union",
+            "queries": [
+                {"from": "a", "columns": [{"name": "v", "expr": "v"}]},
+                {"from": "b", "columns": [{"name": "v", "expr": "v"}]},
+            ],
+        },
+        "filters": {"v": {"ge": 3}},
+        "orders": [["v", False]],
+        "drop": 2,
+        "take": 3,
+    }
+    out = [r["v"] for r in compile_json_query(spark, q, reg.get).collect()]
+    assert out == [5, 6, 7]  # 3..14 filtered, drop 2, take 3

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast as _broadcast
 from pyspark.sql.window import Window
 
-from ubw_spark.core.errors import ErrorAccumulator
+from ubw_spark.core.errors import ErrorAccumulator, SpecValidationError
 from ubw_spark.core.spec import ColumnSpec, QuerySpec
 from ubw_spark.params import QueryParams, apply_params
 
@@ -236,6 +236,76 @@ def _compile_expr(node: Any, acc: ErrorAccumulator, path: str) -> Column:
     return F.lit(None)
 
 
+# Set-operation vocabulary (§2.7 surface reachable from JSON — the
+# reference wishlist's union/except verbs, doc-01.md:136-158).  ANSI
+# semantics: bare verbs deduplicate, _all variants keep duplicates.
+_SETOPS: dict[str, Callable[[DataFrame, DataFrame], DataFrame]] = {
+    "union": lambda a, b: a.unionByName(b),  # distinct applied once after
+    "union_all": lambda a, b: a.unionByName(b),
+    "intersect": lambda a, b: a.intersect(b),
+    "intersect_all": lambda a, b: a.intersectAll(b),
+    "except": lambda a, b: a.subtract(b),
+    "except_all": lambda a, b: a.exceptAll(b),
+}
+
+
+def _compile_setop(
+    spark: SparkSession,
+    node: Any,
+    tables: Callable[[str], DataFrame],
+    acc: ErrorAccumulator,
+) -> DataFrame | None:
+    """``{"op": verb, "queries": [spec, ...]}`` → combined DataFrame.
+
+    Branches are full query specs compiled recursively; their problems
+    accumulate under a ``setop.queries[i]`` path instead of aborting at
+    the first bad branch.  Column-name sets must agree across branches
+    (positional union is a silent-corruption machine on JSON input);
+    every branch is aligned to the FIRST branch's column order, so
+    intersect/except compare the same columns positionally."""
+    if not isinstance(node, dict):
+        acc.add("setop: must be an object {op, queries}")
+        return None
+    op = node.get("op")
+    fn = _SETOPS.get(op)
+    if fn is None:
+        acc.add(f"setop: unknown op '{op}' (one of {sorted(_SETOPS)})")
+        return None
+    branches = node.get("queries")
+    if not isinstance(branches, list) or len(branches) < 2:
+        acc.add("setop: 'queries' must list at least two query specs")
+        return None
+    frames: list[DataFrame | None] = []
+    for i, sub in enumerate(branches):
+        try:
+            frames.append(compile_json_query(spark, sub, tables))
+        except SpecValidationError as e:
+            frames.append(None)
+            for p in e.problems:
+                acc.add(f"setop.queries[{i}]: {p}")
+    # schema check runs over every branch that DID compile — a broken
+    # branch must not mask a mismatch in its siblings (accumulate-all)
+    anchor = next((f_ for f_ in frames if f_ is not None), None)
+    ok = anchor is not None and None not in frames
+    if anchor is not None:
+        first_cols = anchor.columns
+        for i, f_ in enumerate(frames):
+            if f_ is not None and sorted(f_.columns) != sorted(first_cols):
+                acc.add(
+                    f"setop.queries[{i}]: columns {sorted(f_.columns)} do "
+                    f"not match queries[0] {sorted(first_cols)}"
+                )
+                ok = False
+    if not ok:
+        return None
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = fn(out, f_.select(*first_cols))
+    if op == "union":
+        out = out.distinct()
+    return out
+
+
 def compile_json_query(
     spark: SparkSession,
     spec: dict[str, Any],
@@ -245,8 +315,21 @@ def compile_json_query(
 
     ``tables`` resolves a table name to a DataFrame (injection point for
     catalogs / sf_dir readers).  Raises SpecValidationError listing ALL
-    problems found during compilation."""
+    problems found during compilation.
+
+    A spec is either a scan pipeline (``from`` + joins/columns/aggs) or
+    a set operation over sub-specs (``setop`` — union / union_all /
+    intersect / intersect_all / except / except_all); both forms share
+    the post-blocks (windows, filters, orders, paging)."""
     acc = ErrorAccumulator()
+
+    if "setop" in spec:
+        for k in ("from", "joins", "columns", "group_by", "aggs"):
+            if k in spec:
+                acc.add(f"'setop' is exclusive with '{k}' (push it into a branch)")
+        combined = _compile_setop(spark, spec["setop"], tables, acc)
+        acc.raise_if_any()
+        return _apply_post_blocks(spark, combined, spec, acc)
 
     base_name = spec.get("from")
     if not base_name:
@@ -353,11 +436,23 @@ def compile_json_query(
         else:
             projected = projected.agg(*agg_cols)
 
-    # window block — computed AFTER aggregation (SQL evaluation order),
-    # BEFORE the params block, so a filter on a window column gives
-    # QUALIFY semantics (top-k per group = rank window + {"rk": {"le": k}}).
-    # Windows apply in declaration order; a later window may partition or
-    # order by an earlier one's output.
+    return _apply_post_blocks(spark, projected, spec, acc)
+
+
+def _apply_post_blocks(
+    spark: SparkSession,
+    projected: DataFrame,
+    spec: dict[str, Any],
+    acc: ErrorAccumulator,
+) -> DataFrame:
+    """The blocks shared by scan and setop specs: windows, then runtime
+    filters / orders / paging.
+
+    Windows are computed AFTER aggregation (SQL evaluation order),
+    BEFORE the params block, so a filter on a window column gives
+    QUALIFY semantics (top-k per group = rank window + {"rk": {"le": k}}).
+    Windows apply in declaration order; a later window may partition or
+    order by an earlier one's output."""
     for w_i, wdef in enumerate(spec.get("windows", [])):
         wname = wdef.get("name")
         if not wname:

@@ -204,3 +204,95 @@ def json_driven_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
         "o_orderpriority",
     )
+
+
+SETOP_JSON = {
+    # nested set ops: (customer nations UNION supplier nations)
+    # EXCEPT nation keys >= 20 — a branch can itself be a setop spec
+    "setop": {
+        "op": "except",
+        "queries": [
+            {
+                "setop": {
+                    "op": "union",
+                    "queries": [
+                        {
+                            "from": "customer",
+                            "columns": [{"name": "nk", "expr": "c_nationkey"}],
+                        },
+                        {
+                            "from": "supplier",
+                            "columns": [{"name": "nk", "expr": "s_nationkey"}],
+                        },
+                    ],
+                }
+            },
+            {
+                "from": "nation",
+                "columns": [{"name": "nk", "expr": "n_nationkey"}],
+                "filters": {"nk": {"ge": 20}},
+            },
+        ],
+    },
+    "orders": [["nk", False]],
+}
+
+
+@register(
+    "json_driven_setop",
+    oracle="""
+    SELECT nk FROM (
+      (SELECT c_nationkey AS nk FROM customer
+       UNION
+       SELECT s_nationkey FROM supplier)
+      EXCEPT
+      SELECT n_nationkey FROM nation WHERE n_nationkey >= 20)
+    ORDER BY nk
+    """,
+    tags=("engine", "json", "setop"),
+)
+def json_driven_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation verbs in the JSON DSL (reference wishlist
+    doc-01.md:136-158): nested union/except over three table scans,
+    ANSI distinct semantics, branches aligned by column name.  All
+    branches stay declarative, so Catalyst still prunes each scan to
+    the single projected key column."""
+    return compile_json_query(
+        spark, SETOP_JSON, lambda name: table(spark, sf_dir, name)
+    )
+
+
+PAGING_JSON = {
+    "from": "orders",
+    # NOTE: effective sort runs in COLUMN DECLARATION order (the L1
+    # reference-parity rule, doc-02.md:130) — price is declared first so
+    # the page is price DESC, okey ASC
+    "columns": [
+        {"name": "price", "fn": "cast_double", "args": [{"expr": "o_totalprice"}]},
+        {"name": "okey", "expr": "o_orderkey"},
+    ],
+    "orders": [["price", True], ["okey", False]],
+    "page_index": 3,  # 1-based → rows 41..60
+    "page_size": 20,
+}
+
+
+@register(
+    "json_driven_paging",
+    oracle="""
+    SELECT o_orderkey AS okey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM orders
+    ORDER BY price DESC, okey
+    LIMIT 20 OFFSET 40
+    """,
+    tags=("engine", "json", "paging"),
+)
+def json_driven_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-based page_index/page_size paging from the JSON dict (the
+    reference's paging strategy, doc-02.md:135), compiled through the
+    same L3 offset/limit path as programmatic QueryParams.  The full
+    (price, okey) tiebreak makes the page deterministic on both
+    engines."""
+    return compile_json_query(
+        spark, PAGING_JSON, lambda name: table(spark, sf_dir, name)
+    )
