@@ -306,3 +306,38 @@ def test_large_probe_contamination_has_no_broadcast_hints(spark, sf_dir):
         assert broadcast_join_count(small) >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_global_window_lint_fixtures(spark):
+    """The lint's decision table, pinned on hand-built plans:
+
+    - raw rows under a global window → violation (always was);
+    - a JOIN under a global window → violation EVEN IF one join branch
+      aggregates (the old anywhere-below exemption let this through —
+      the join output is raw-row cardinality);
+    - a bounded groupBy ledger directly under a global window → exempt
+      (the two-phase prefix-sum pattern this lint exists to allow)."""
+    from pyspark.sql import Window
+
+    from ubw_spark.plans.inspect import global_window_violations
+
+    rows = spark.range(0, 1000).withColumn("k", F.col("id") % 7)
+    gw = Window.orderBy("id")
+
+    raw = rows.withColumn("rn", F.row_number().over(gw))
+    raw.collect()
+    assert global_window_violations(raw)
+
+    agg = rows.groupBy("k").agg(F.sum("id").alias("s"))
+    joined = rows.join(agg, "k").withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    joined.collect()
+    assert global_window_violations(joined)
+
+    ledger = agg.withColumn(
+        "off", F.sum("s").over(Window.orderBy("k").rowsBetween(
+            Window.unboundedPreceding, -1))
+    )
+    ledger.collect()
+    assert global_window_violations(ledger) == []

@@ -82,16 +82,44 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"(?<!Broadcast)Exchange", simple_plan(df)))
 
 
+# Nodes an unpartitioned window may sit above without changing where its
+# rows COME from: row-preserving/reducing unary ops and the plumbing
+# Spark inserts around a shuffle.  Exact names (or prefixes for the
+# numbered/parameterized wrappers) — substring matching would let
+# "Sort" swallow "SortMergeJoin".
+_WINDOW_PASSTHROUGH_EXACT = frozenset(
+    {
+        "Sort", "Exchange", "Project", "Filter", "ColumnarToRow",
+        "InputAdapter", "AdaptiveSparkPlan", "AQEShuffleRead", "Coalesce",
+        "LocalLimit", "GlobalLimit", "Window",
+    }
+)
+_WINDOW_PASSTHROUGH_PREFIX = (
+    "WholeStageCodegen", "ShuffleQueryStage", "ResultQueryStage",
+)
+
+
 def global_window_violations(df: DataFrame) -> list[str]:
-    """Unpartitioned WindowExec nodes whose input is NOT an aggregate —
-    the 100 TB scale-killer (all rows through one task).
+    """Unpartitioned WindowExec nodes whose DIRECT input is not an
+    aggregate — the 100 TB scale-killer (all rows through one task).
 
     Walks the executed physical plan via py4j.  A window with an empty
-    partition spec is ALLOWED when an Aggregate sits anywhere below it:
+    partition spec is ALLOWED only when descending from it through
+    row-preserving plumbing (sort/exchange/project/filter/codegen/AQE
+    wrappers — ``_WINDOW_PASSTHROUGH_*``) reaches an Aggregate first:
     that is the two-phase-prefix-sum ledger pattern (packing.py,
     ranking.py, quality.py's ~20-row report window), where the window's
-    input is already a per-group aggregate of bounded cardinality.  A
-    window with no aggregate below reads raw table rows → violation.
+    input is a per-group aggregate of bounded cardinality.  Hitting
+    anything else first — a Join, Generate, Union, or a scan — means the
+    window reads raw-row-derived cardinality → violation.  (This is
+    deliberately stricter than "an Aggregate exists anywhere below": a
+    join whose OTHER branch aggregates used to slip through.)
+
+    Known gap (not statically decidable): an unpartitioned window whose
+    direct input aggregate groups by a high-cardinality key (billions of
+    groups) still passes — group-count is a runtime quantity.  The
+    ledger call sites all group by a synthetic ≤num_buckets bucket
+    column; new exempted windows must keep that property.
     Returns one descriptive string per offending node (empty == clean).
     """
 
@@ -107,14 +135,25 @@ def global_window_violations(df: DataFrame) -> list[str]:
                     continue
         return kids
 
-    def subtree_has_aggregate(node) -> bool:
-        stack = [node]
+    def is_passthrough(name: str) -> bool:
+        return name in _WINDOW_PASSTHROUGH_EXACT or name.startswith(
+            _WINDOW_PASSTHROUGH_PREFIX
+        )
+
+    def direct_input_aggregate(node) -> bool:
+        """True iff every path down through pass-through nodes hits an
+        Aggregate before anything else."""
+        stack = list(children(node))
         while stack:
             cur = stack.pop()
-            if "Aggregate" in cur.nodeName():
-                return True
-            stack.extend(children(cur))
-        return False
+            name = cur.nodeName()
+            if "Aggregate" in name:
+                continue  # this path is grounded in an aggregate
+            if is_passthrough(name):
+                stack.extend(children(cur))
+                continue
+            return False
+        return True
 
     plan = df._jdf.queryExecution().executedPlan()
     out: list[str] = []
@@ -127,10 +166,11 @@ def global_window_violations(df: DataFrame) -> list[str]:
                 unpartitioned = node.partitionSpec().size() == 0
             except Exception:
                 unpartitioned = False  # node type without a partitionSpec
-            if unpartitioned and not any(
-                subtree_has_aggregate(c) for c in children(node)
-            ):
-                out.append(f"{name} with empty partition spec over raw rows")
+            if unpartitioned and not direct_input_aggregate(node):
+                out.append(
+                    f"{name} with empty partition spec whose direct input "
+                    "is not an aggregate"
+                )
         stack.extend(children(node))
     return out
 
