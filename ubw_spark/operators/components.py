@@ -45,6 +45,11 @@ def connected_components(
             .groupBy(F.col("b").alias("node2"))
             .agg(F.min("component").alias("nbr_min"))
         )
+        # The convergence flag is computed IN the update projection (new
+        # label < old label — labels only ever decrease), so one
+        # localCheckpoint materializes labels AND flags together; the
+        # convergence probe is then a cheap sum over checkpointed rows
+        # instead of a second join + full subtree recompute per round.
         updated = (
             labels.join(
                 neighbor_min, labels["node"] == neighbor_min["node2"], "left"
@@ -54,18 +59,20 @@ def connected_components(
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("component"),
+                ).alias("__new"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("component"))
+                    < F.col("component")
+                )
+                .cast("int")
+                .alias("__changed"),
             )
+            .withColumnRenamed("__new", "component")
             .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .where(F.col("u.component") != F.col("l.component"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+        changed = updated.agg(F.sum("__changed")).first()[0]
+        labels = updated.drop("__changed")
+        if not changed:
             break
     return labels
 
