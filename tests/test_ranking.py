@@ -31,6 +31,9 @@ CASES = {
     "negative_and_wide": [-1e6, -3.5, 0.0, 0.0, 2.5, 1e6],
     "single_row": [42.0],
     "with_nulls": [3.0, None, 1.0, None, 2.0],
+    "with_nans": [3.0, float("nan"), 1.0, float("nan"), 2.0],
+    "nulls_and_nans": [None, float("nan"), 2.0, None, float("nan"), 1.0],
+    "all_nan": [float("nan"), float("nan")],
 }
 
 
@@ -39,8 +42,10 @@ def test_rank_matches_global_row_number(spark, name):
     df = _frame(spark, CASES[name])
     got = distributed_rank(df, "v", "id", num_buckets=4).orderBy("id")
     want = _reference_rank(spark, df).orderBy("id")
-    assert [r.asDict() for r in got.collect()] == [
-        r.asDict() for r in want.collect()
+    # compare (id, rank), not whole rows: v is keyed by id on both sides,
+    # and NaN cells would fail any dict equality (NaN != NaN)
+    assert [(r.id, r.rank) for r in got.collect()] == [
+        (r.id, r.rank) for r in want.collect()
     ]
 
 

@@ -57,3 +57,22 @@ def test_all_tables_readable(spark):
         df = table(spark, SF_DIR, t)
         assert len(df.columns) > 0, t
         assert df.limit(1).count() == 1, t
+
+
+@needs_testdata
+def test_events_ntz_cast_requires_utc_session(spark):
+    """The NTZ→TIMESTAMP normalization in registry.table is only
+    value-preserving under a UTC session timezone; a non-UTC session
+    must fail LOUDLY instead of silently shifting every event by the
+    local offset (ADVICE r6)."""
+    import pyarrow.parquet as pq
+
+    if str(pq.read_schema(os.path.join(SF_DIR, "events.parquet")).field("ts").type) != "timestamp[us]":
+        pytest.skip("events.ts not NTZ-encoded in this testdata build")
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(AssertionError, match="UTC"):
+            table(spark, SF_DIR, "events").limit(1).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)

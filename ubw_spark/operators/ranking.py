@@ -38,15 +38,26 @@ from pyspark.sql.functions import broadcast
 _RESERVED = ("__bucket", "__offset", "__rank")
 
 
+def _is_float(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) in ("float", "double")
+
+
 def _key_stats(df: DataFrame, value_col: str):
     """(min, max, count) of the sort key — ONE aggregate action returning
     a single 3-scalar row to the driver.  NOTE: this is an EAGER action
     (triggers a scan of ``df``'s subtree at build time, before the
     caller's own action); persist the input first if that subtree is
-    expensive, since the rank phase scans it again."""
-    return df.agg(
-        F.min(value_col), F.max(value_col), F.count(F.lit(1))
-    ).first()
+    expensive, since the rank phase scans it again.
+
+    NaN keys are excluded from min/max (F.max returns NaN if ANY key is
+    NaN, which would poison the bucket width — every row would collapse
+    into one bucket, silently recreating the single-task sort); they
+    still count toward the row total and get their own bucket in
+    :func:`distributed_rank`."""
+    col = F.col(value_col)
+    if _is_float(df, value_col):
+        col = F.when(~F.isnan(col), col)  # NaN → NULL, ignored by min/max
+    return df.agg(F.min(col), F.max(col), F.count(F.lit(1))).first()
 
 
 def distributed_rank(
@@ -64,24 +75,28 @@ def distributed_rank(
     which keeps the result deterministic).  Adds ``rank_name``.
 
     NULL sort keys rank first (Spark's ASC NULLS FIRST window default):
-    they get a dedicated bucket ordered before every value bucket.
-    Builds eagerly (see :func:`_key_stats`)."""
+    they get a dedicated bucket ordered before every value bucket.  NaN
+    keys rank last (Spark orders NaN above every real value): dedicated
+    bucket ``num_buckets``, ordered after every value bucket, tiebreak
+    deciding within.  Builds eagerly (see :func:`_key_stats`)."""
     taken = set(_RESERVED) & set(df.columns)
     if taken:
         raise ValueError(f"input columns collide with reserved names: {sorted(taken)}")
     lo, hi, n = _stats if _stats is not None else _key_stats(df, value_col)
     if n == 0 or n is None:
         return df.withColumn(rank_name, F.lit(None).cast("long"))
-    if lo is None:  # every sort key is NULL → single null bucket
-        bucket = F.lit(-1).cast("long")
+    if lo is None:  # every non-NaN sort key is NULL
+        value_bucket = F.lit(-1)
     else:
         width = (float(hi) - float(lo)) / num_buckets or 1.0
-        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
-            F.least(
-                F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
-                F.lit(num_buckets - 1),
-            )
-        ).cast("long")
+        value_bucket = F.least(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+            F.lit(num_buckets - 1),
+        )
+    bucket = F.when(F.col(value_col).isNull(), F.lit(-1))
+    if _is_float(df, value_col):
+        bucket = bucket.when(F.isnan(F.col(value_col)), F.lit(num_buckets))
+    bucket = bucket.otherwise(value_bucket).cast("long")
     t = df.withColumn("__bucket", bucket)
 
     counts = t.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n"))

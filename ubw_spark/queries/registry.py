@@ -51,6 +51,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
             )
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # The NTZ→TIMESTAMP cast reinterprets the wall-clock value in
+            # the SESSION timezone: value-preserving only under UTC.  A
+            # session built outside get_session()/conftest on a non-UTC
+            # box would silently shift every event timestamp by the local
+            # offset — fail loudly instead.
+            tz = spark.conf.get("spark.sql.session.timeZone")
+            if tz != "UTC":
+                raise AssertionError(
+                    f"events.ts is TIMESTAMP_NTZ and the session timezone "
+                    f"is {tz!r}; the cast to TIMESTAMP is only "
+                    "value-preserving under UTC — build the session via "
+                    "ubw_spark.session.get_session or set "
+                    "spark.sql.session.timeZone=UTC"
+                )
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
