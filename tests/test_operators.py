@@ -128,14 +128,69 @@ def test_multimodal_features_deterministic_unit_norm(spark):
         assert abs(norm - 1.0) < 1e-5
 
 
-def test_multimodal_real_codec_raises(spark):
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="pillow installed: real codec works")
+def test_multimodal_real_codec_raises_without_pil(spark):
     from ubw_spark.operators.multimodal import decode_batches
 
     df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
     df = df.withColumn("payload", F.encode(F.col("text"), "utf-8"))
     out = decode_batches(df, "doc_id", "payload", codec="real")
-    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+    with pytest.raises(Exception, match="NotImplementedError|pillow"):
         out.collect()
+
+
+def _png_bytes(w: int, h: int, color) -> bytes:
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (w, h), color).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(not _has_pil(), reason="pillow not installed")
+def test_multimodal_real_codec_decodes_with_pil(spark):
+    """With pillow present, codec='real' actually decodes: a solid-gray
+    PNG yields a constant feature row at gray/255; corrupt bytes route
+    to a NULL feature instead of failing the batch."""
+    from ubw_spark.operators.multimodal import decode_batches, resize_images
+
+    rows = [
+        (1, bytearray(_png_bytes(32, 16, (100, 100, 100)))),
+        (2, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    out = {
+        r["id"]: r
+        for r in decode_batches(
+            df, "id", "payload", codec="real", feature_dim=8
+        ).collect()
+    }
+    feat = out[1]["feature"]
+    assert len(feat) == 8
+    assert all(abs(x - 100 / 255) < 2 / 255 for x in feat)
+    assert out[2]["feature"] is None
+
+    resized = {
+        r["id"]: r
+        for r in resize_images(
+            df, "id", "payload", width=4, height=2, codec="real"
+        ).collect()
+    }
+    assert len(resized[1]["payload"]) == 4 * 2 * 3
+    assert resized[1]["n_bytes"] == 4 * 2 * 3
+    assert bytes(resized[1]["payload"]) == bytes([100] * 24)
+    assert resized[2]["payload"] is None and resized[2]["n_bytes"] == 0
 
 
 def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
@@ -359,8 +414,9 @@ def test_resize_images_contract(spark):
     assert {r["id"]: bytes(r["payload"]) for r in out} == {
         r["id"]: bytes(r["payload"]) for r in again
     }
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
-        resize_images(df, "id", "payload", codec="real").collect()
+    if not _has_pil():
+        with pytest.raises(Exception, match="NotImplementedError|pillow"):
+            resize_images(df, "id", "payload", codec="real").collect()
 
 
 def test_sample_frames_fanout(spark):
