@@ -149,6 +149,12 @@ def main() -> int:
 
     qs, oracles = queries(), oracle_sql()
     failures, passed, rows_only = [], 0, 0
+    report_lines: list[str] = []
+
+    def report(line: str) -> None:
+        print(line)
+        report_lines.append(line)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -160,7 +166,7 @@ def main() -> int:
             sp_rows = pdf_rows(sp_pdf)
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
-            print(f"FAIL {name}: spark error: {e}")
+            report(f"FAIL {name}: spark error: {e}")
             continue
         sql = oracles.get(name)
         if sql is None:
@@ -169,16 +175,16 @@ def main() -> int:
             # cells must be hashable or the driver's canonicalizer dies
             if len(sp_rows) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
-                print(f"FAIL {name}: rows-only query returned 0 rows")
+                report(f"FAIL {name}: rows-only query returned 0 rows")
                 continue
             try:
                 norm_rows(sp_cols, sp_rows)
             except TypeError as e:
                 failures.append((name, f"unhashable output: {e}"))
-                print(f"FAIL {name}: unhashable output: {e}")
+                report(f"FAIL {name}: unhashable output: {e}")
                 continue
             rows_only += 1
-            print(f"rows {name}: {len(sp_rows)} rows (no oracle) "
+            report(f"rows {name}: {len(sp_rows)} rows (no oracle) "
                   f"[{time.time()-t0:.1f}s]")
             continue
         try:
@@ -187,7 +193,7 @@ def main() -> int:
             du_rows = pdf_rows(du_pdf)
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
-            print(f"FAIL {name}: duckdb error: {e}")
+            report(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
         if sorted(sp_cols) != sorted(du_cols):
@@ -213,13 +219,45 @@ def main() -> int:
                 )
         if problems:
             failures.append((name, "; ".join(problems)))
-            print(f"FAIL {name}: {'; '.join(problems)}")
+            report(f"FAIL {name}: {'; '.join(problems)}")
         else:
             passed += 1
-            print(f"ok   {name}: {len(sp_rows)} rows [{time.time()-t0:.1f}s]")
+            report(f"ok   {name}: {len(sp_rows)} rows [{time.time()-t0:.1f}s]")
 
-    print(f"\n{passed} passed, {rows_only} rows-only, {len(failures)} failed")
+    summary = f"{passed} passed, {rows_only} rows-only, {len(failures)} failed"
+    print(f"\n{summary}")
     spark.stop()
+
+    if not only:
+        # Full-registry run → regenerate the evidence doc from THIS run,
+        # so the claimed numbers can never drift from a verified run
+        # (rounds 5-6 shipped a stale "as of round 4" claim).
+        import datetime
+
+        mode = "--vanilla (bare SparkSession)" if vanilla else "get_session"
+        doc = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.md",
+        )
+        with open(doc, "w") as f:
+            f.write(
+                "# CORRECTNESS_LOCAL — full-registry oracle mirror\n\n"
+                "GENERATED by `python tools/check_correctness.py` — do not "
+                "edit by hand; re-run the tool to refresh.\n\n"
+                f"- run at: {datetime.datetime.now().isoformat(timespec='seconds')}\n"
+                f"- sf dir: {SF_DIR}\n"
+                f"- session: {mode}\n"
+                f"- queries: {passed + rows_only + len(failures)}\n"
+                f"- result: **{summary}**\n\n"
+                "Every `ok` line is a row-count + column-set + "
+                "order-insensitive value match against DuckDB running the "
+                "query's `oracle_sql()` on the same parquet; `rows` lines "
+                "are the weaker rows-only check for non-SQL-expressible "
+                "ops.\n\n```\n"
+                + "\n".join(report_lines)
+                + f"\n\n{summary}\n```\n"
+            )
+        print(f"wrote {doc}")
     return 1 if failures else 0
 
 
