@@ -33,6 +33,13 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # Materialize the symmetrized edge list ONCE: every round joins
+        # against it, and without truncation each round would re-derive
+        # the whole upstream pair-generation subtree (at scale that is
+        # the full MinHash/LSH pipeline — measured as the dominant cost
+        # of this operator before this checkpoint).  The edge list
+        # itself is tiny relative to the corpus (near-dup pairs only).
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
