@@ -633,3 +633,70 @@ def test_label_centroids_match_float_mean(spark, sf_dir):
     for r in got:
         dequant = (r["qsum"] / r["n"]) * scale + b["mn"]
         assert abs(dequant - ref[(r["label"], r["dim"])]) <= scale / 2 + 1e-12
+
+
+def test_audio_features_real_wav_roundtrip(spark):
+    """extract_audio_features parses REAL stdlib-written WAV bytes:
+    stereo 16-bit, 8-bit unsigned, and corrupt payloads."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ubw_spark.operators.multimodal import extract_audio_features
+
+    def wav_bytes(nch, sw, sr, samples) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(sw)
+            w.setframerate(sr)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    stereo = wav_bytes(
+        2, 2, 44100, np.array([1000, -2000, 3000, -4000], dtype=np.int16)
+    )
+    eightbit = wav_bytes(1, 1, 8000, np.array([128, 228, 28], dtype=np.uint8))
+    rows = [
+        (1, bytearray(stereo)),
+        (2, bytearray(eightbit)),
+        (3, bytearray(b"not audio")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, payload binary")
+    out = {r["id"]: r for r in extract_audio_features(df, "id", "payload").collect()}
+
+    s = out[1]
+    assert (s["n_channels"], s["sample_rate"], s["n_samples"]) == (2, 44100, 2)
+    assert s["peak"] == 4000
+    want_rms = float(np.sqrt(np.mean(np.array([1000, -2000, 3000, -4000.0]) ** 2)))
+    assert abs(s["rms"] - want_rms) < 1e-9
+
+    e = out[2]
+    assert (e["n_channels"], e["n_samples"], e["peak"]) == (1, 3, 100)
+
+    assert out[3]["n_channels"] is None and out[4]["n_channels"] is None
+
+
+def test_synthesize_wav_closed_form(spark):
+    """synthesize_wav's clips decode to exactly the closed-form spec the
+    SQL oracle predicts (peak == rms == 100 + id%900)."""
+    from ubw_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav,
+    )
+
+    df = spark.createDataFrame([(0,), (7,), (1234,)], "doc_id bigint")
+    feats = {
+        r["id"]: r
+        for r in extract_audio_features(
+            synthesize_wav(df, "doc_id"), "id", "payload"
+        ).collect()
+    }
+    for i in (0, 7, 1234):
+        amp, n = 100 + i % 900, 400 + i % 100
+        r = feats[i]
+        assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, 8000, n)
+        assert r["duration_ms"] == n * 1000 // 8000
+        assert r["peak"] == amp and r["rms"] == float(amp)

@@ -996,3 +996,38 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("recall"),
     )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle="""
+    SELECT doc_id,
+           1 AS n_channels,
+           8000 AS sample_rate,
+           CAST(400 + doc_id % 100 AS BIGINT) AS n_samples,
+           CAST((400 + doc_id % 100) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(100 + doc_id % 900 AS INTEGER) AS peak,
+           CAST(100 + doc_id % 900 AS DOUBLE) AS rms
+    FROM documents
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: per-doc PCM16 WAV clips are
+    synthesized deterministically (constant amplitude 100 + id%900,
+    400 + id%100 samples at 8 kHz — operators/multimodal.py::
+    synthesize_wav), then parsed back with the stdlib ``wave`` module
+    and reduced to features.  Because the clip spec is closed-form in
+    doc_id and a constant signal has peak == rms == amplitude exactly,
+    the whole decode path — header parse, PCM extraction, duration and
+    RMS math — value-checks against plain SQL."""
+    from ubw_spark.operators.multimodal import (
+        extract_audio_features,
+        synthesize_wav,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    wav = synthesize_wav(d, "doc_id")
+    return extract_audio_features(wav, "id", "payload").withColumnRenamed(
+        "id", "doc_id"
+    )
