@@ -700,3 +700,59 @@ def test_synthesize_wav_closed_form(spark):
         assert (r["n_channels"], r["sample_rate"], r["n_samples"]) == (1, 8000, n)
         assert r["duration_ms"] == n * 1000 // 8000
         assert r["peak"] == amp and r["rms"] == float(amp)
+
+
+def test_minhash_index_write_probe_roundtrip(spark, sf_dir, tmp_path):
+    """Persisted-index incremental dedup: a probe batch containing a
+    near-copy of an indexed doc must surface the pair — with the full
+    band sweep AND with the probe_bands=8 partition-pruned sweep (a
+    ~0.95-Jaccard pair collides in essentially every band)."""
+    from ubw_spark.operators.lsh_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, "doc_id", "text", path)
+
+    near = docs.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("bigint").alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 6)").alias("text"),
+    )
+    unrelated = spark.createDataFrame(
+        [(100001, "totally unrelated words about nothing in particular")],
+        "doc_id bigint, text string",
+    )
+    batch = near.unionByName(unrelated)
+
+    for pb in (None, 8):
+        pairs = probe_minhash_index(
+            spark, path, batch, "doc_id", "text",
+            probe_bands=pb, threshold=0.6,
+        )
+        found = {(r["corpus_id"], r["probe_id"]) for r in pairs.collect()}
+        assert (0, 100000) in found, f"probe_bands={pb}"
+        assert all(p != 100001 for _, p in found), f"probe_bands={pb}"
+
+
+def test_minhash_index_probe_prunes_band_partitions(spark, sf_dir, tmp_path):
+    """probe_bands must become a STATIC partition filter on the index
+    scan — the knob only saves IO if it prunes at planning time."""
+    from ubw_spark.operators.lsh_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from ubw_spark.plans.inspect import formatted_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, "doc_id", "text", path)
+    out = probe_minhash_index(
+        spark, path, docs.limit(5), "doc_id", "text", probe_bands=8
+    )
+    plan = formatted_plan(out)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*band[^\]]*)\]", plan)
+    assert m and "8" in m.group(1), f"no band partition filter:\n{plan[:2000]}"

@@ -9,6 +9,11 @@ from ubw_spark.operators.dedup import (
     simhash_near_pairs,
     cap_buckets,
     oversized_buckets,
+    banded_minhash,
+)
+from ubw_spark.operators.lsh_index import (
+    write_minhash_index,
+    probe_minhash_index,
 )
 from ubw_spark.operators.similarity import (
     cosine_col,
@@ -51,6 +56,9 @@ __all__ = [
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
     "minhash_contamination_pairs",
+    "banded_minhash",
+    "write_minhash_index",
+    "probe_minhash_index",
     "simhash_signature",
     "simhash_near_pairs",
     "cap_buckets",

@@ -367,6 +367,53 @@ def simhash_near_pairs(
     )
 
 
+def banded_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    id_alias: str | None = None,
+    sh_name: str = "__sh",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows_per_band: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """The shared MinHash banding pipeline: filter short docs, shingle,
+    hash, sign, band.  Returns ``(shingles, banded)`` where shingles is
+    ``(id, sh_name)`` and banded is ``(id, __band, __key)`` — the two
+    frames every LSH consumer (self-join dedup, cross-dataset
+    contamination, the persisted index) builds candidates and verifies
+    from."""
+    out_id = id_alias or id_col
+    df = df.where(
+        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
+    )
+    sh = df.select(
+        F.col(id_col).alias(out_id),
+        word_shingles(F.col(text_col), k).alias(sh_name),
+    )
+    hashed = sh.select(
+        out_id, sh_name, F.transform(sh_name, portable_hash).alias("__hv")
+    )
+    sig = hashed.select(
+        out_id, minhash_signature(F.col("__hv"), num_hashes).alias("__sig")
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
+    banded = sig.select(out_id, "__sig", band_idx).select(
+        out_id,
+        "__band",
+        F.concat_ws(
+            ",",
+            F.slice(
+                F.col("__sig"), F.col("__band") * rows_per_band + 1,
+                rows_per_band,
+            ),
+        ).alias("__key"),
+    )
+    return sh, banded
+
+
 def minhash_contamination_pairs(
     corpus: DataFrame,
     probe: DataFrame,
@@ -403,37 +450,12 @@ def minhash_contamination_pairs(
       differs."""
 
     def prep(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
-        df = df.where(
-            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
+        return banded_minhash(
+            df, id_col, text_col,
+            id_alias=f"{side}_id", sh_name=f"__sh_{side}",
+            k=k, num_hashes=num_hashes, bands=bands,
+            rows_per_band=rows_per_band,
         )
-        sh = df.select(
-            F.col(id_col).alias(f"{side}_id"),
-            word_shingles(F.col(text_col), k).alias(f"__sh_{side}"),
-        )
-        hashed = sh.select(
-            f"{side}_id",
-            f"__sh_{side}",
-            F.transform(f"__sh_{side}", portable_hash).alias("__hv"),
-        )
-        sig = hashed.select(
-            f"{side}_id",
-            minhash_signature(F.col("__hv"), num_hashes).alias("__sig"),
-        )
-        band_idx = F.explode(
-            F.sequence(F.lit(0), F.lit(bands - 1))
-        ).alias("__band")
-        banded = sig.select(f"{side}_id", "__sig", band_idx).select(
-            f"{side}_id",
-            "__band",
-            F.concat_ws(
-                ",",
-                F.slice(
-                    F.col("__sig"), F.col("__band") * rows_per_band + 1,
-                    rows_per_band,
-                ),
-            ).alias("__key"),
-        )
-        return sh, banded
 
     c_sh, c_banded = prep(corpus, "corpus")
     p_sh, p_banded = prep(probe, "probe")

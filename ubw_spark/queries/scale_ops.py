@@ -1031,3 +1031,69 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(wav, "id", "payload").withColumnRenamed(
         "id", "doc_id"
     )
+
+
+@register(
+    "dedup_incremental_index_probe",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks),
+    h AS (SELECT doc_id, ('0x' || substr(md5(u.s2), 1, 8))::BIGINT AS hv
+          FROM sh, unnest(sh.s) AS u(s2)),
+    sig AS (SELECT doc_id, p.i,
+                   min(((2 * p.i + 1) * hv + 104729 * p.i + 17) % 2147483647) AS m
+            FROM h CROSS JOIN generate_series(0, 63) AS p(i)
+            GROUP BY doc_id, p.i),
+    band AS (SELECT doc_id, i // 2 AS bj,
+                    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+             FROM sig GROUP BY doc_id, i // 2),
+    -- probe_bands=8: only the first 8 of 32 bands are swept (the
+    -- partition-pruned scan); the corpus side keeps the hot-bucket cap
+    cb AS (SELECT * FROM band WHERE doc_id < 400 AND bj < 8
+           QUALIFY count(*) OVER (PARTITION BY bj, key) <= 64),
+    pb AS (SELECT * FROM band WHERE doc_id >= 400 AND bj < 8),
+    cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, pb.doc_id AS probe_id
+             FROM cb JOIN pb ON cb.bj = pb.bj AND cb.key = pb.key),
+    j AS (SELECT c.corpus_id, c.probe_id,
+                 len(list_intersect(sa.s, sb.s)) * 1.0
+                 / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
+          FROM cand c JOIN sh sa ON sa.doc_id = c.corpus_id
+                      JOIN sh sb ON sb.doc_id = c.probe_id)
+    SELECT corpus_id, probe_id, round(jac, 4) AS jaccard
+    FROM j WHERE jac >= 0.4
+    """,
+    tags=("dedup", "lsh", "index"),
+)
+def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED LSH index: the corpus
+    (doc_id < 400) is banded once and written as a band-partitioned
+    layout; the incoming batch (doc_id ≥ 400) probes only the first 8
+    of 32 bands — a static partition filter on the index scan (the
+    recall/IO knob; plan-asserted in tests/test_plans.py).  At 100 TB
+    this is the shape that amortizes corpus banding across every
+    incoming batch instead of recomputing it per run."""
+    import hashlib
+
+    from ubw_spark.operators.lsh_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    # deterministic per-sf_dir scratch location (overwritten per run);
+    # at scale this is the long-lived lake path the index lives at
+    path = "/tmp/ubw_spark_minhash_idx_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    write_minhash_index(d.where(F.col("doc_id") < 400), "doc_id", "text", path)
+    return probe_minhash_index(
+        spark, path, d.where(F.col("doc_id") >= 400), "doc_id", "text",
+        probe_bands=8, threshold=0.4,
+    )
