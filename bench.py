@@ -56,6 +56,12 @@ HEADLINE = [
     "dedup_connected_components",
     "sim_quantized_prerank",
     "curation_token_budget_mix",
+    # Round-7 additions: the shuffled dump-vs-dump contamination sweep,
+    # the persisted-index incremental dedup (timing includes the index
+    # write — that IS the operation), and the real WAV decode path.
+    "dedup_contamination_large_probe",
+    "dedup_incremental_index_probe",
+    "multimodal_audio_features",
 ]
 
 

@@ -315,3 +315,84 @@ def test_stream_sampling_filter_equals_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_incremental_dedup_probe_and_append(spark, sf_dir, tmp_path):
+    """The production incremental-dedup loop over a stream: each
+    micro-batch probes the persisted LSH index, flags near-dups, and
+    appends only the novel docs back into the index — so batch 2 dedups
+    against batch 1's survivors without any corpus recompute.  Proves
+    the probe+append cycle end-to-end: a batch-2 near-copy of a batch-1
+    doc is flagged AGAINST THE APPENDED DOC, which only works if the
+    append between micro-batches landed."""
+    from ubw_spark.operators.lsh_index import (
+        append_minhash_batch,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    write_minhash_index(corpus, "doc_id", "text", idx)
+
+    doc0_near = corpus.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("bigint").alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 6)").alias("text"),
+    )
+    novel_text = (
+        "zebra quartz umbrella falcon nimbus oracle pylon quasar "
+        "rivet sonar tundra vortex walrus xenon yonder"
+    )
+    batch1 = doc0_near.unionByName(
+        spark.createDataFrame([(100001, novel_text)], "doc_id bigint, text string")
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (100002, novel_text.rsplit(" ", 1)[0]),  # near-copy of 100001
+            (100003, "entirely different closing words about window shuffles"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    inc = str(tmp_path / "incoming")
+    os.makedirs(inc)
+
+    def arrive(df, name):
+        staging = str(tmp_path / f"stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    flagged: dict[int, int] = {}  # probe_id -> corpus_id it matched
+
+    def handle(bdf, _bid):
+        pairs = probe_minhash_index(
+            bdf.sparkSession, idx, bdf, "doc_id", "text", threshold=0.5
+        ).collect()
+        for r in pairs:
+            flagged[r["probe_id"]] = r["corpus_id"]
+        dup_ids = [r["probe_id"] for r in pairs]
+        novel = bdf.where(~F.col("doc_id").isin(dup_ids))
+        append_minhash_batch(novel, "doc_id", "text", idx)
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        arrive(batch1, "b1")
+        q.processAllAvailable()
+        assert flagged.get(100000) == 0  # near-copy of corpus doc 0
+        assert 100001 not in flagged  # novel → appended
+
+        arrive(batch2, "b2")
+        q.processAllAvailable()
+        # flagged against the doc APPENDED in batch 1, not the corpus
+        assert flagged.get(100002) == 100001
+        assert 100003 not in flagged
+    finally:
+        q.stop()

@@ -14,6 +14,7 @@ from ubw_spark.operators.dedup import (
 from ubw_spark.operators.lsh_index import (
     write_minhash_index,
     probe_minhash_index,
+    append_minhash_batch,
 )
 from ubw_spark.operators.similarity import (
     cosine_col,
@@ -59,6 +60,7 @@ __all__ = [
     "banded_minhash",
     "write_minhash_index",
     "probe_minhash_index",
+    "append_minhash_batch",
     "simhash_signature",
     "simhash_near_pairs",
     "cap_buckets",

@@ -92,6 +92,41 @@ def write_minhash_index(
     sh.write.mode("overwrite").parquet(_docs_path(path))
 
 
+def append_minhash_batch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows_per_band: int = 2,
+) -> None:
+    """Fold a new batch INTO the index (after probing it): append its
+    banded keys and shingles, so the next batch dedups against corpus +
+    this batch.  Probe-then-append per batch is the incremental-dedup
+    loop — see tests/test_streaming.py for the foreachBatch wiring.
+
+    Append-only by design: rewriting a 100 TB index per batch is the
+    thing this module exists to avoid.  Ids must be unique across
+    appends (standard lakehouse contract); removals go through a
+    compaction rewrite, not this path."""
+    sh, banded = banded_minhash(
+        df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
+        k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+    )
+    (
+        banded.withColumnRenamed("__band", "band")
+        .withColumnRenamed("__key", "key")
+        .repartition("band")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(_bands_path(path))
+    )
+    sh.write.mode("append").parquet(_docs_path(path))
+
+
 def probe_minhash_index(
     spark: SparkSession,
     path: str,
