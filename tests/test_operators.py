@@ -756,3 +756,64 @@ def test_minhash_index_probe_prunes_band_partitions(spark, sf_dir, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*band[^\]]*)\]", plan)
     assert m and "8" in m.group(1), f"no band partition filter:\n{plan[:2000]}"
+
+
+def test_pq_encode_properties(spark, sf_dir):
+    """Codes are length-m ints in [0, ksub); a SEED vector's subvectors
+    are at distance 0 from their own centroid, so each seed encodes to
+    its own centroid id in every subspace."""
+    from ubw_spark.operators.pq import pq_encode, seed_pq_codebooks
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+
+    seed_ids = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        ).orderBy("h", "vec_id").limit(16).collect()
+    ]
+    codes = {
+        r["vec_id"]: r["pq_code"] for r in pq_encode(emb, books).collect()
+    }
+    for code in codes.values():
+        assert len(code) == 8
+        assert all(0 <= c < 16 for c in code)
+    for ci, sid in enumerate(seed_ids):
+        assert codes[sid] == [ci] * 8, f"seed {sid} should self-encode"
+
+
+def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
+    """Trained (per-subspace KMeans) codebooks must beat or match the
+    seeded ones and carry real ranking signal vs exact brute force.
+    Measured recall@5, trained m=8/ksub=16: 0.34 at sf0.01, 0.18 at
+    sf0.001 (near-uniform synthetic vectors cluster poorly at tiny
+    scale — PQ distortion is high by construction there); thresholds
+    sit under the measured floor with margin.  Everything here is
+    deterministic (fixed seeds), so this is a regression pin, not a
+    statistical test."""
+    from ubw_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        seed_pq_codebooks,
+        train_pq_codebooks,
+    )
+    from ubw_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    queries = [(r["vec_id"], r["embedding"]) for r in queries_df.collect()]
+    e = {(r["qid"], r["vec_id"])
+         for r in brute_force_topk(emb, queries_df, k=5).collect()}
+
+    def recall(books):
+        codes = pq_encode(emb, books).select("vec_id", "pq_code")
+        a = {(r["qid"], r["vec_id"])
+             for r in pq_adc_topk(codes, queries, books, k=5).collect()}
+        return len(a & e) / len(e)
+
+    trained = recall(train_pq_codebooks(emb, m=8, ksub=16))
+    assert trained >= 0.15, f"trained PQ recall too low: {trained}"
+    seeded = recall(seed_pq_codebooks(emb, m=8, ksub=16))
+    assert trained >= seeded, (trained, seeded)

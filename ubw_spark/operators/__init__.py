@@ -23,6 +23,12 @@ from ubw_spark.operators.similarity import (
     lsh_ann_topk,
     embedding_near_dup_pairs,
 )
+from ubw_spark.operators.pq import (
+    seed_pq_codebooks,
+    train_pq_codebooks,
+    pq_encode,
+    pq_adc_topk,
+)
 from ubw_spark.operators.temporal import asof_join, range_join
 from ubw_spark.operators.multimodal import (
     with_payload_metadata,
@@ -61,6 +67,10 @@ __all__ = [
     "write_minhash_index",
     "probe_minhash_index",
     "append_minhash_batch",
+    "seed_pq_codebooks",
+    "train_pq_codebooks",
+    "pq_encode",
+    "pq_adc_topk",
     "simhash_signature",
     "simhash_near_pairs",
     "cap_buckets",

@@ -1,0 +1,207 @@
+"""Product quantization (PQ) — the compressed candidate store for
+billion-vector ANN (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", IEEE TPAMI 2011; the layout FAISS calls IVF-PQ).
+
+A dim-64 float32 vector is 256 bytes; its PQ code here is m=8 small
+ints (one byte each at ksub≤256) — a 32× smaller scan footprint than
+floats, vs 4× for int8 affine quantization (operators/quantize.py).
+Search uses **asymmetric distance computation (ADC)**: the query stays
+exact; per subspace a ksub-entry lookup table of ⟨query_sub, centroid⟩
+inner products is precomputed (m·ksub dot products TOTAL, driver-side),
+and scoring a corpus vector is m table lookups + adds — no per-dimension
+math touches the corpus at query time.
+
+Scale shape: encoding is map-only JVM array expressions (no UDF, no
+shuffle); ADC scoring is one corpus-codes scan with the query tables as
+broadcast plan literals; only the partitioned top-k window shuffles —
+and it shuffles (qid, vec_id, score) rows, never vectors.
+
+Codebooks: production trains per-subspace KMeans; the REGISTERED query
+uses md5-seeded deterministic codebooks (:func:`seed_pq_codebooks`,
+same device as ivf.py's seed centroids) so encode → ADC → top-k is
+oracle-checkable end-to-end in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seed_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic, SQL-expressible codebooks: subspace j's centroids
+    are the j-th subvectors of the ksub corpus vectors with smallest
+    md5(id) — reproducible in any engine with md5, like ivf.py's seed
+    centroids.  Collect is bounded: ksub × dim floats.  Returns
+    ``codebooks[j][c] = list[dsub floats]``."""
+    rows = (
+        emb.select(
+            id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__h")
+        )
+        .orderBy("__h", id_col)
+        .limit(ksub)
+        .collect()
+    )
+    dim = len(rows[0][vec_col])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        [
+            [float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]]
+            for r in rows
+        ]
+        for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+    sample_size: int = 100_000,
+) -> list[list[list[float]]]:
+    """Production codebooks: per-subspace distributed KMeans over ONE
+    cached bounded sample (same sampling rationale as
+    ivf.train_ivf_centroids — Lloyd's needs enough points to place ksub
+    centroids, not the whole corpus); each of the m fits reads the
+    sample sliced by an array expression.  Returns the same
+    ``codebooks[j][c]`` shape as :func:`seed_pq_codebooks`."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = corpus.select(v.alias("__v"))
+    n = sample.count()
+    if n > sample_size:
+        sample = sample.sample(
+            fraction=min(1.0, 1.1 * sample_size / n), seed=seed
+        )
+    sample = sample.cache()
+    books = []
+    try:
+        for j in range(m):
+            sub = sample.select(
+                array_to_vector(
+                    F.slice(F.col("__v"), j * dsub + 1, dsub)
+                ).alias("features")
+            )
+            model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter).fit(sub)
+            books.append([c.tolist() for c in model.clusterCenters()])
+    finally:
+        sample.unpersist()
+    return books
+
+
+def _sq_dist(sub: Column, centroid: list[float]) -> Column:
+    """Σ (x−c)² over one subvector, summed LEFT TO RIGHT — the exact
+    fold order the DuckDB oracle's list_sum/list_transform mirror, so
+    argmin ordering cannot drift between engines."""
+    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Add ``out_col``: array<int> of length m, code j = argmin over the
+    subspace-j codebook of squared L2 distance (ties → lowest centroid
+    id).  Pure JVM array expressions: per subspace an array of
+    (distance, cid) structs is array_sort'ed and the head taken —
+    struct ordering compares distance first, cid second, which IS the
+    deterministic argmin."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    codes = []
+    for j, book in enumerate(codebooks):
+        dsub = len(book[0])
+        sub = F.slice(v, j * dsub + 1, dsub)
+        cands = F.array(
+            *[
+                F.struct(
+                    _sq_dist(sub, cent).alias("d"),
+                    F.lit(ci).alias("c"),
+                )
+                for ci, cent in enumerate(book)
+            ]
+        )
+        codes.append(F.array_sort(cands)[0]["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: list[tuple],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k: ``queries`` is a small collected list of
+    ``(qid, vector)`` (driver-bounded, like IVF's centroid collect).
+    Per query, the m×ksub inner-product tables are computed driver-side
+    and embedded as plan literals; every corpus code row then scores
+    ALL queries in one scan via m element_at lookups per query
+    (exploded), and a per-qid window keeps the top k.  Returns
+    (qid, vec_id, approx_ip) with the same 4-dp round + id tiebreak
+    contract as the other ANN paths."""
+    per_query = []
+    for qid, vec in queries:
+        q = [float(x) for x in vec]
+        score: Column = F.lit(0.0)
+        for j, book in enumerate(codebooks):
+            dsub = len(book[0])
+            qsub = q[j * dsub : (j + 1) * dsub]
+            # the ADC table: ⟨q_sub, centroid⟩ for every centroid, plain
+            # left-to-right float64 sums (the oracle's list_inner_product
+            # folds the same way)
+            table = [
+                sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
+            ]
+            tbl = F.array(*[F.lit(t) for t in table])
+            score = score + F.element_at(
+                tbl, F.element_at(F.col(code_col), j + 1) + 1
+            )
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("qid"), F.round(score, 4).alias("approx_ip")
+            )
+        )
+    scored = (
+        codes.select(
+            F.col(id_col), F.explode(F.array(*per_query)).alias("__q")
+        )
+        .select(
+            F.col("__q.qid").alias("qid"),
+            id_col,
+            F.col("__q.approx_ip").alias("approx_ip"),
+        )
+        .where(F.col(id_col) != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1097,3 +1097,69 @@ def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, path, d.where(F.col("doc_id") >= 400), "doc_id", "text",
         probe_bands=8, threshold=0.4,
     )
+
+
+@register(
+    "sim_pq_ann_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- md5-seeded codebooks: subspace j's centroids are the j-th
+    -- subvectors of the 16 corpus vectors with smallest md5(vec_id)
+    cents AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+               AS cid, v
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    -- encode: argmin centroid per (vector, subspace); the squared-L2 is
+    -- a LEFT-TO-RIGHT fold over the 8 dims, matching the Spark side
+    enc AS (
+      SELECT e.vec_id, g.j, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id, g.j
+               ORDER BY list_sum(list_transform(generate_series(1, 8),
+                        i -> (e.v[g.j*8+i] - c.v[g.j*8+i])^2)), c.cid) AS rn
+      FROM e CROSS JOIN generate_series(0, 7) AS g(j) CROSS JOIN cents c),
+    codes AS (SELECT vec_id, j, cid FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+    -- ADC: the score of a corpus vector is the sum over subspaces of
+    -- <query subvector, assigned centroid subvector>
+    scored AS (
+      SELECT q.qid, cd.vec_id,
+             round(sum(list_inner_product(
+                 list_slice(q.v, cd.j*8+1, cd.j*8+8),
+                 list_slice(c.v, cd.j*8+1, cd.j*8+8))), 4) AS approx_ip
+      FROM codes cd
+      JOIN cents c ON c.cid = cd.cid
+      CROSS JOIN q
+      WHERE cd.vec_id <> q.qid
+      GROUP BY q.qid, cd.vec_id)
+    SELECT qid, vec_id, approx_ip FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY approx_ip DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+    tags=("similarity", "pq"),
+)
+def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (m=8 subspaces × 16 centroids): corpus
+    vectors encode to 8 small ints (32× smaller than float32); queries
+    score via asymmetric distance — per-query lookup tables as broadcast
+    plan literals, m element_at adds per corpus row, one scan, top-5 per
+    query.  Codebooks are md5-seeded (seed_pq_codebooks) so encode → ADC
+    → rank reproduces in DuckDB end-to-end; production training is
+    per-subspace KMeans.  Carries the same 4-dp rounding fragility as
+    the IVF oracle (sum-order drift absorbed by the round)."""
+    from ubw_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        seed_pq_codebooks,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books).select("vec_id", "pq_code")
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    return pq_adc_topk(codes, queries, books, k=5)
