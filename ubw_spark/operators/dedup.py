@@ -378,14 +378,25 @@ def banded_minhash(
     num_hashes: int = 64,
     bands: int = 32,
     rows_per_band: int = 2,
+    parallelism: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The shared MinHash banding pipeline: filter short docs, shingle,
     hash, sign, band.  Returns ``(shingles, banded)`` where shingles is
     ``(id, sh_name)`` and banded is ``(id, __band, __key)`` — the two
     frames every LSH consumer (self-join dedup, cross-dataset
     contamination, the persisted index) builds candidates and verifies
-    from."""
+    from.
+
+    ``parallelism``: signature computation is the CPU-heavy stage; when
+    the input has fewer splits than cores (small/unsplittable files),
+    repartition BEFORE hashing so one cheap raw-text shuffle buys
+    full-width compute — same knob and rationale as
+    :func:`minhash_dedup_pairs` (measured 3-4× on the sf0.1
+    contamination bench, whose one-file input otherwise bands on a
+    couple of tasks)."""
     out_id = id_alias or id_col
+    if parallelism:
+        df = df.repartition(parallelism)
     df = df.where(
         F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
     )
@@ -427,6 +438,7 @@ def minhash_contamination_pairs(
     threshold: float = 0.4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     large_probe: bool = False,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Cross-dataset near-dup detection (decontamination): probe rows
     (an eval/test set) that near-duplicate corpus rows (training data).
@@ -454,7 +466,7 @@ def minhash_contamination_pairs(
             df, id_col, text_col,
             id_alias=f"{side}_id", sh_name=f"__sh_{side}",
             k=k, num_hashes=num_hashes, bands=bands,
-            rows_per_band=rows_per_band,
+            rows_per_band=rows_per_band, parallelism=parallelism,
         )
 
     c_sh, c_banded = prep(corpus, "corpus")

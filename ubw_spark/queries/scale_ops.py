@@ -641,6 +641,7 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         k=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -699,6 +700,7 @@ def dedup_contamination_large_probe(spark: SparkSession, sf_dir: str) -> DataFra
         "text",
         k=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4,
         large_probe=True,
+        parallelism=spark.sparkContext.defaultParallelism,
     )
 
 
@@ -1092,10 +1094,14 @@ def dedup_incremental_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame
     path = "/tmp/ubw_spark_minhash_idx_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
-    write_minhash_index(d.where(F.col("doc_id") < 400), "doc_id", "text", path)
+    par = spark.sparkContext.defaultParallelism
+    write_minhash_index(
+        d.where(F.col("doc_id") < 400), "doc_id", "text", path,
+        parallelism=par,
+    )
     return probe_minhash_index(
         spark, path, d.where(F.col("doc_id") >= 400), "doc_id", "text",
-        probe_bands=8, threshold=0.4,
+        probe_bands=8, threshold=0.4, parallelism=par,
     )
 
 
