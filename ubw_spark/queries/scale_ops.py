@@ -827,6 +827,10 @@ def sim_quantized_prerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubw_spark.operators.similarity import cosine_col
 
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # quantize/dequantize/cosine are per-row JVM array math and the
+    # embeddings table ships as ONE parquet split — spread the compute
+    # (same rationale as banded_minhash's parallelism knob)
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     dq = dequantize_int8(quantize_int8(emb)).where(F.col("q_scale") > 0)
     corpus = dq.select("vec_id", F.col("dequant").alias("cv"))
     qs = dq.where(F.col("vec_id") < 3).select(
