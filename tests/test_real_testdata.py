@@ -64,15 +64,21 @@ def test_events_ntz_cast_requires_utc_session(spark):
     """The NTZ→TIMESTAMP normalization in registry.table is only
     value-preserving under a UTC session timezone; a non-UTC session
     must fail LOUDLY instead of silently shifting every event by the
-    local offset (ADVICE r6)."""
+    local offset (ADVICE r6) — while UTC-by-rules ALIASES like Etc/UTC
+    and a fixed +00:00 must pass (a name-equality guard rejected a real
+    Etc/UTC box)."""
     import pyarrow.parquet as pq
 
     if str(pq.read_schema(os.path.join(SF_DIR, "events.parquet")).field("ts").type) != "timestamp[us]":
         pytest.skip("events.ts not NTZ-encoded in this testdata build")
     tz = spark.conf.get("spark.sql.session.timeZone")
-    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try:
-        with pytest.raises(AssertionError, match="UTC"):
-            table(spark, SF_DIR, "events").limit(1).collect()
+        for bad in ("America/New_York", "Europe/London"):  # London: UTC in winter ONLY
+            spark.conf.set("spark.sql.session.timeZone", bad)
+            with pytest.raises(AssertionError, match="UTC"):
+                table(spark, SF_DIR, "events").limit(1).collect()
+        for good in ("UTC", "Etc/UTC", "GMT"):
+            spark.conf.set("spark.sql.session.timeZone", good)
+            assert table(spark, SF_DIR, "events").limit(1).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz)

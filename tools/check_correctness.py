@@ -235,9 +235,11 @@ def main() -> int:
         import datetime
 
         mode = "--vanilla (bare SparkSession)" if vanilla else "get_session"
+        # vanilla runs get their own doc: the canonical evidence file
+        # must always describe the driver-equivalent default mode
         doc = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_LOCAL.md",
+            "CORRECTNESS_VANILLA.md" if vanilla else "CORRECTNESS_LOCAL.md",
         )
         with open(doc, "w") as f:
             f.write(

@@ -33,6 +33,26 @@ def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+def _is_utc_equivalent(tz: str) -> bool:
+    """True iff ``tz`` names a FIXED zero-offset zone (UTC by rules, any
+    name).  Offsets are probed in both January and July across years so
+    a DST zone that happens to sit at UTC when checked cannot pass."""
+    import datetime as _dt
+
+    try:
+        from zoneinfo import ZoneInfo
+
+        z = ZoneInfo(tz)
+    except Exception:
+        return tz in ("UTC", "Z", "+00:00")
+    zero = _dt.timedelta(0)
+    return all(
+        _dt.datetime(y, m, 1, tzinfo=z).utcoffset() == zero
+        for y in (2020, 2031)
+        for m in (1, 7)
+    )
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.parquet has shipped with two encodings for `ts`:
@@ -52,12 +72,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         elif dict(df.dtypes).get("ts") == "timestamp_ntz":
             # The NTZ→TIMESTAMP cast reinterprets the wall-clock value in
-            # the SESSION timezone: value-preserving only under UTC.  A
-            # session built outside get_session()/conftest on a non-UTC
-            # box would silently shift every event timestamp by the local
-            # offset — fail loudly instead.
+            # the SESSION timezone: value-preserving only when that zone
+            # is UTC.  A session built outside get_session()/conftest on
+            # a non-UTC box would silently shift every event timestamp by
+            # the local offset — fail loudly instead.  "UTC" must be
+            # judged by OFFSET RULES, not by name: boxes legitimately pin
+            # "Etc/UTC"/"GMT"/"Zulu" (a name-equality check here rejected
+            # a real Etc/UTC machine), while a DST zone that merely
+            # straddles UTC in winter is NOT safe.
             tz = spark.conf.get("spark.sql.session.timeZone")
-            if tz != "UTC":
+            if not _is_utc_equivalent(tz):
                 raise AssertionError(
                     f"events.ts is TIMESTAMP_NTZ and the session timezone "
                     f"is {tz!r}; the cast to TIMESTAMP is only "
