@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_contamination_large_probe",
     "dedup_incremental_index_probe",
     "multimodal_audio_features",
+    "sim_pq_ann_topk",
 ]
 
 
@@ -90,14 +91,25 @@ def composite_baseline(
     reflect box contention, and folding them in via min() would be
     harmless for queries present in a clean file but would set a bogus
     high floor for queries that only appear in the bad file.  Surviving
-    files contribute the per-query minimum."""
+    files contribute the per-query minimum.
+
+    Totals are compared over the queries COMMON to all files: the
+    headline set grows across rounds, so a whole-file total is not
+    comparable between a 15-query and a 24-query recording (r6's clean
+    20-query run was once discarded as "contaminated" against r4's
+    15-query total purely for being a bigger set)."""
     docs = {p: q for p, q in docs.items() if q}
     if not docs:
         return {}, []
-    best_total = min(sum(q.values()) for q in docs.values())
+    common: set[str] = set.intersection(*(set(q) for q in docs.values()))
+
+    def comparable_total(q: dict[str, float]) -> float:
+        return sum(q[n] for n in common) if common else sum(q.values())
+
+    best_total = min(comparable_total(q) for q in docs.values())
     skipped = [
         p for p, q in docs.items()
-        if sum(q.values()) > best_total * contamination_factor
+        if comparable_total(q) > best_total * contamination_factor
     ]
     base: dict[str, float] = {}
     for p, q in docs.items():

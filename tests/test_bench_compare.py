@@ -68,3 +68,24 @@ def test_lone_contaminated_file_is_its_own_best_known():
 def test_empty_docs_yield_empty_baseline():
     assert composite_baseline({}) == ({}, [])
     assert composite_baseline({"r": {}}) == ({}, [])
+
+
+def test_bigger_query_set_is_not_contamination():
+    """A clean recording with MORE queries must not be discarded just
+    because its whole-file total exceeds 2x an older smaller set's
+    total: contamination is judged on the common-query subset."""
+    old = {"a": 1.0, "b": 1.0}
+    grown = {"a": 1.1, "b": 1.1, "c": 10.0, "d": 10.0}  # clean, bigger set
+    base, skipped = composite_baseline({"old.json": old, "grown.json": grown})
+    assert skipped == []
+    assert base["a"] == 1.0 and base["c"] == 10.0  # new names contribute
+
+
+def test_contamination_still_detected_on_common_subset():
+    old = {"a": 1.0, "b": 1.0}
+    contended = {"a": 3.0, "b": 3.0, "c": 5.0}  # 3x on the common set
+    base, skipped = composite_baseline(
+        {"old.json": old, "contended.json": contended}
+    )
+    assert skipped == ["contended.json"]
+    assert "c" not in base  # the bad file's exclusive names set no floor
