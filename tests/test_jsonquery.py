@@ -594,3 +594,64 @@ def test_setop_post_blocks_apply(spark, tables):
     }
     out = [r["v"] for r in compile_json_query(spark, q, reg.get).collect()]
     assert out == [5, 6, 7]  # 3..14 filtered, drop 2, take 3
+
+
+_setop_branch = st.one_of(
+    _junk,
+    st.fixed_dictionaries(
+        {},
+        optional={
+            "from": st.sampled_from(["friend", "grades", "nope"]),
+            "columns": st.lists(
+                st.dictionaries(st.text(max_size=10), _junk, max_size=3),
+                max_size=3,
+            ),
+            "filters": st.dictionaries(
+                st.text(max_size=10),
+                st.dictionaries(st.text(max_size=8), _junk, max_size=2),
+                max_size=2,
+            ),
+        },
+    ),
+)
+_setop_spec = st.fixed_dictionaries(
+    {
+        "setop": st.one_of(
+            _junk,
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "op": _junk,
+                    "queries": st.lists(_setop_branch, max_size=3),
+                },
+            ),
+        )
+    },
+    optional={
+        "orders": _junk,
+        "take": _junk,
+        "drop": _junk,
+        "page_index": _junk,
+        "page_size": _junk,
+    },
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=_setop_spec)
+def test_json_setop_fuzz_never_escapes(spark, tables, spec):
+    """Property pair of test_json_write_fuzz_never_escapes for the setop
+    surface: any garbage setop spec either raises SpecValidationError
+    (accumulated, data-only validation) or compiles to a plain
+    DataFrame — never an injection-shaped error from deeper layers."""
+    try:
+        df = compile_json_query(spark, spec, tables)
+    except SpecValidationError:
+        return
+    except (TypeError, ValueError):
+        return  # bad literal types surfaced as plain Python errors
+    assert df.columns
