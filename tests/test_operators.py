@@ -817,3 +817,71 @@ def test_pq_adc_recall_vs_brute_force(spark, sf_dir):
     assert trained >= 0.15, f"trained PQ recall too low: {trained}"
     seeded = recall(seed_pq_codebooks(emb, m=8, ksub=16))
     assert trained >= seeded, (trained, seeded)
+
+
+def test_expectations_semantics(spark):
+    from ubw_spark.operators.expectations import validate_expectations
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, None), (None, "zz", -1.0)],
+        "k bigint, s string, v double",
+    )
+    rep = {
+        (r["check"], r["column"]): r
+        for r in validate_expectations(df, [
+            {"kind": "not_null", "column": "k"},
+            {"kind": "unique", "column": "k"},
+            {"kind": "in_range", "column": "v", "lo": 0.0, "hi": 10.0},
+            {"kind": "matches", "column": "s", "pattern": "^[ab]$"},
+            {"kind": "accepted_values", "column": "s", "values": ["a", "b"]},
+            {"kind": "min_rows", "n": 10},
+        ]).collect()
+    }
+    assert rep[("not_null", "k")]["violations"] == 1
+    assert rep[("unique", "k")]["violations"] == 1  # two k=2 rows
+    # NULL v skipped; 50.0 and -1.0 out of range
+    assert rep[("in_range", "v")]["violations"] == 2
+    assert rep[("matches", "s")]["violations"] == 1  # "zz"; NULL skipped
+    assert rep[("accepted_values", "s")]["violations"] == 1
+    assert rep[("min_rows", "*")]["violations"] == 6  # 10 - 4 rows
+    assert all(r["total"] == 4 for r in rep.values())
+    assert not rep[("unique", "k")]["passed"]
+
+
+def test_expectations_validation_accumulates(spark):
+    from ubw_spark.core.errors import SpecValidationError
+    from ubw_spark.operators.expectations import validate_expectations
+
+    df = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(SpecValidationError) as ei:
+        validate_expectations(df, [
+            {"kind": "drop_table", "column": "k"},     # unknown kind
+            {"kind": "not_null", "column": "nope"},    # unknown column
+            {"kind": "in_range", "column": "k"},       # missing bounds
+            {"kind": "matches", "column": "k"},        # missing pattern
+            {"kind": "min_rows", "n": -1},             # bad n
+        ])
+    msg = str(ei.value)
+    for frag in ("drop_table", "nope", "lo", "pattern", "min_rows"):
+        assert frag in msg, frag
+
+
+def test_expectations_single_scan_plan(spark, sf_dir):
+    """The whole report must read the table ONCE — one scan node, no
+    join of per-check subqueries (the N-scans-for-N-checks shape this
+    operator exists to avoid)."""
+    import re
+
+    from ubw_spark.operators.expectations import validate_expectations
+    from ubw_spark.plans.inspect import simple_plan
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = validate_expectations(o, [
+        {"kind": "not_null", "column": "o_orderkey"},
+        {"kind": "in_range", "column": "o_totalprice", "lo": 0.0, "hi": 1e9},
+        {"kind": "matches", "column": "o_orderpriority", "pattern": "-"},
+        {"kind": "min_rows", "n": 1},
+    ])
+    plan = simple_plan(rep)
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert "Join" not in plan

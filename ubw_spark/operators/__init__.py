@@ -29,6 +29,7 @@ from ubw_spark.operators.pq import (
     pq_encode,
     pq_adc_topk,
 )
+from ubw_spark.operators.expectations import validate_expectations
 from ubw_spark.operators.temporal import asof_join, range_join
 from ubw_spark.operators.multimodal import (
     with_payload_metadata,
@@ -69,6 +70,7 @@ __all__ = [
     "append_minhash_batch",
     "seed_pq_codebooks",
     "train_pq_codebooks",
+    "validate_expectations",
     "pq_encode",
     "pq_adc_topk",
     "simhash_signature",

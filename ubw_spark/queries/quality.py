@@ -284,3 +284,58 @@ def text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct"),
     )
+
+
+@register(
+    "quality_expectations_report",
+    oracle="""
+    WITH s AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS c0,
+             count(o_orderkey) - count(DISTINCT o_orderkey) AS c1,
+             sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 1.0 OR o_totalprice > 400000.0)
+                      THEN 1 ELSE 0 END) AS c2,
+             sum(CASE WHEN o_orderpriority IS NOT NULL
+                       AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                      THEN 1 ELSE 0 END) AS c3,
+             sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS c4,
+             greatest(1000 - count(*), 0) AS c5
+      FROM orders)
+    SELECT 'not_null' AS "check", 'o_orderkey' AS "column",
+           CAST(c0 AS BIGINT) AS violations, CAST(total AS BIGINT) AS total,
+           c0 = 0 AS passed FROM s
+    UNION ALL SELECT 'unique', 'o_orderkey', CAST(c1 AS BIGINT),
+           CAST(total AS BIGINT), c1 = 0 FROM s
+    UNION ALL SELECT 'in_range', 'o_totalprice', CAST(c2 AS BIGINT),
+           CAST(total AS BIGINT), c2 = 0 FROM s
+    UNION ALL SELECT 'matches', 'o_orderpriority', CAST(c3 AS BIGINT),
+           CAST(total AS BIGINT), c3 = 0 FROM s
+    UNION ALL SELECT 'accepted_values', 'o_orderstatus', CAST(c4 AS BIGINT),
+           CAST(total AS BIGINT), c4 = 0 FROM s
+    UNION ALL SELECT 'min_rows', '*', CAST(c5 AS BIGINT),
+           CAST(total AS BIGINT), c5 = 0 FROM s
+    """,
+    tags=("quality", "expectations"),
+)
+def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-contract validation (deequ-style) compiled to ONE scan:
+    six checks over orders — key not-null + uniqueness, price range
+    (bounds chosen so the check FAILS, exercising the violation path),
+    priority format regex, status value set, row-count floor — all as
+    conditional counts inside a single aggregate
+    (operators/expectations.py)."""
+    from ubw_spark.operators.expectations import validate_expectations
+
+    o = table(spark, sf_dir, "orders")
+    return validate_expectations(o, [
+        {"kind": "not_null", "column": "o_orderkey"},
+        {"kind": "unique", "column": "o_orderkey"},
+        {"kind": "in_range", "column": "o_totalprice", "lo": 1.0, "hi": 400000.0},
+        {"kind": "matches", "column": "o_orderpriority", "pattern": "^[1-5]-"},
+        {"kind": "accepted_values", "column": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"kind": "min_rows", "n": 1000},
+    ])
