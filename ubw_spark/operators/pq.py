@@ -106,18 +106,6 @@ def train_pq_codebooks(
     return books
 
 
-def _sq_dist(sub: Column, centroid: list[float]) -> Column:
-    """Σ (x−c)² over one subvector, summed LEFT TO RIGHT — the exact
-    fold order the DuckDB oracle's list_sum/list_transform mirror, so
-    argmin ordering cannot drift between engines."""
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
-    return F.aggregate(
-        F.zip_with(sub, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-
-
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -126,26 +114,43 @@ def pq_encode(
 ) -> DataFrame:
     """Add ``out_col``: array<int> of length m, code j = argmin over the
     subspace-j codebook of squared L2 distance (ties → lowest centroid
-    id).  Pure JVM array expressions: per subspace an array of
-    (distance, cid) structs is array_sort'ed and the head taken —
-    struct ordering compares distance first, cid second, which IS the
-    deterministic argmin."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    id).  Pure JVM array expressions: per subspace the codebook is a
+    2-D array literal, ``transform``'s (element, index) lambda scores
+    every centroid, and ``array_sort`` on (distance, cid) structs takes
+    the head — struct ordering compares distance first, cid second,
+    which IS the deterministic argmin.
+
+    The expression is emitted as ONE generated-SQL string per subspace
+    rather than composed Column objects: an m×ksub codebook otherwise
+    costs thousands of py4j round trips at PLAN BUILD time (measured
+    ~5 s of driver stall for 8×16×8 before any job ran).  The string is
+    generated from our own collected floats — no user input reaches it,
+    so the JSON-DSL no-expr-strings safety contract is untouched.  The
+    fold is the same left-to-right (x−y)² sum the DuckDB oracle
+    mirrors."""
+
+    def book_sql(book: list[list[float]]) -> str:
+        return "array(" + ",".join(
+            "array(" + ",".join(f"{float(c)!r}D" for c in cent) + ")"
+            for cent in book
+        ) + ")"
+
     codes = []
     for j, book in enumerate(codebooks):
         dsub = len(book[0])
-        sub = F.slice(v, j * dsub + 1, dsub)
-        cands = F.array(
-            *[
-                F.struct(
-                    _sq_dist(sub, cent).alias("d"),
-                    F.lit(ci).alias("c"),
-                )
-                for ci, cent in enumerate(book)
-            ]
+        codes.append(F.expr(
+            f"array_sort(transform({book_sql(book)}, (c, i) -> "
+            f"struct(aggregate(zip_with(slice(__pqv, {j * dsub + 1}, {dsub}), c, "
+            "(x, y) -> (x-y)*(x-y)), 0.0D, (a, t) -> a + t) AS d, "
+            "i AS c)))[0].c"
+        ))
+    return (
+        df.withColumn(
+            "__pqv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
         )
-        codes.append(F.array_sort(cands)[0]["c"])
-    return df.withColumn(out_col, F.array(*codes))
+        .withColumn(out_col, F.array(*codes))
+        .drop("__pqv")
+    )
 
 
 def pq_adc_topk(
