@@ -172,23 +172,25 @@ def pq_adc_topk(
     per_query = []
     for qid, vec in queries:
         q = [float(x) for x in vec]
-        score: Column = F.lit(0.0)
+        terms = []
         for j, book in enumerate(codebooks):
             dsub = len(book[0])
             qsub = q[j * dsub : (j + 1) * dsub]
             # the ADC table: ⟨q_sub, centroid⟩ for every centroid, plain
             # left-to-right float64 sums (the oracle's list_inner_product
-            # folds the same way)
+            # folds the same way); emitted as generated SQL for the same
+            # plan-build-cost reason as pq_encode
             table = [
                 sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
             ]
-            tbl = F.array(*[F.lit(t) for t in table])
-            score = score + F.element_at(
-                tbl, F.element_at(F.col(code_col), j + 1) + 1
+            tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
+            terms.append(
+                f"element_at({tbl}, element_at({code_col}, {j + 1}) + 1)"
             )
         per_query.append(
             F.struct(
-                F.lit(qid).alias("qid"), F.round(score, 4).alias("approx_ip")
+                F.lit(qid).alias("qid"),
+                F.expr(f"round({' + '.join(terms)}, 4)").alias("approx_ip"),
             )
         )
     scored = (
