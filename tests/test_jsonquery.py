@@ -655,3 +655,39 @@ def test_json_setop_fuzz_never_escapes(spark, tables, spec):
     except (TypeError, ValueError):
         return  # bad literal types surfaced as plain Python errors
     assert df.columns
+
+
+def test_json_validate_verb(spark, tables):
+    """The validate verb runs the single-scan expectations report from
+    the same JSON vocabulary as the write verbs."""
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    verb, rep = compile_json_write(
+        spark,
+        {
+            "verb": "validate",
+            "target": "friend",
+            "checks": [
+                {"kind": "not_null", "column": "name"},
+                {"kind": "unique", "column": "name"},
+                {"kind": "min_rows", "n": 1},
+            ],
+        },
+        tables,
+    )
+    assert verb == "validate"
+    rows = {(r["check"], r["column"]): r for r in rep.collect()}
+    assert rows[("min_rows", "*")]["passed"]
+    assert all(r["total"] == rows[("min_rows", "*")]["total"] for r in rows.values())
+
+    with pytest.raises(SpecValidationError, match="checks"):
+        compile_json_write(
+            spark, {"verb": "validate", "target": "friend"}, tables
+        )
+    with pytest.raises(SpecValidationError, match="unknown kind"):
+        compile_json_write(
+            spark,
+            {"verb": "validate", "target": "friend",
+             "checks": [{"kind": "exec", "column": "name"}]},
+            tables,
+        )

@@ -502,6 +502,13 @@ def _apply_post_blocks(
 #   {"verb": "update", "target": t, "filters": {DSL}, "assign":
 #    {col: expr-node}}                      → full target, matching rows
 #                                             rewritten
+#   {"verb": "validate", "target": t, "checks": [...]}
+#                                           → single-scan expectations
+#                                             report (operators/
+#                                             expectations.py) — the
+#                                             contract a write pipeline
+#                                             gates on before/after the
+#                                             verbs above
 #
 # Same safety contract as reads: every value is data (literals, column
 # refs, whitelisted _FNS) — no string-SQL escape; validation accumulates
@@ -632,8 +639,8 @@ def compile_json_write(
     result can be inspected/tested and written atomically."""
     acc = ErrorAccumulator()
     verb = spec.get("verb")
-    if verb not in ("insert", "upsert", "update"):
-        acc.add(f"unknown verb '{verb}' (insert|upsert|update)")
+    if verb not in ("insert", "upsert", "update", "validate"):
+        acc.add(f"unknown verb '{verb}' (insert|upsert|update|validate)")
         acc.raise_if_any()
 
     tname = spec.get("into") or spec.get("target")
@@ -645,6 +652,17 @@ def compile_json_write(
     except Exception as e:
         acc.add(f"cannot resolve table '{tname}': {e}")
         acc.raise_if_any()
+
+    if verb == "validate":
+        checks = spec.get("checks")
+        if not isinstance(checks, list) or not checks:
+            acc.add("validate: 'checks' must be a non-empty list")
+            acc.raise_if_any()
+        from ubw_spark.operators.expectations import validate_expectations
+
+        # validate_expectations shares the accumulate-all contract, so
+        # its SpecValidationError already lists every bad check
+        return verb, validate_expectations(target, checks)
 
     if verb == "update":
         assign = spec.get("assign", {})
