@@ -885,3 +885,52 @@ def test_expectations_single_scan_plan(spark, sf_dir):
     plan = simple_plan(rep)
     assert len(re.findall(r"Scan parquet", plan)) == 1
     assert "Join" not in plan
+
+
+def test_ivfpq_respects_probe_bound_and_adc_scores(spark, sf_dir):
+    """Every IVF-PQ result must come from the query's probed cells, and
+    its ADC score must equal the unrestricted PQ ADC score for the same
+    pair (IVF bounds WHICH rows are scored, never HOW)."""
+    from ubw_spark.operators.ivf import assign_ivf_cells
+    from ubw_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        seed_pq_codebooks,
+    )
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = seed_ivf_centroids(emb, k=8)
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    got = ivf_pq_topk(emb, queries, cells, books, k=5, nprobe=4).collect()
+    assert {r["qid"] for r in got} == {0, 1, 2}
+
+    cell_of = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in assign_ivf_cells(emb, cells).select("vec_id", "ivf_cell").collect()
+    }
+
+    def probe(qv):
+        d = [
+            (sum((x - c) * (x - c) for x, c in zip(qv, cent)), ci)
+            for ci, cent in enumerate(cells)
+        ]
+        return {ci for _, ci in sorted(d)[:4]}
+
+    probes = {qid: probe([float(x) for x in v]) for qid, v in queries}
+    for r in got:
+        assert r["vec_id"] != r["qid"]
+        assert cell_of[r["vec_id"]] in probes[r["qid"]], r
+
+    codes = pq_encode(emb, books).select("vec_id", "pq_code")
+    full = {
+        (r["qid"], r["vec_id"]): r["approx_ip"]
+        for r in pq_adc_topk(codes, queries, books, k=10**6).collect()
+    }
+    for r in got:
+        assert full[(r["qid"], r["vec_id"])] == r["approx_ip"], r

@@ -28,6 +28,7 @@ from ubw_spark.operators.pq import (
     train_pq_codebooks,
     pq_encode,
     pq_adc_topk,
+    ivf_pq_topk,
 )
 from ubw_spark.operators.expectations import validate_expectations
 from ubw_spark.operators.temporal import asof_join, range_join
@@ -73,6 +74,7 @@ __all__ = [
     "validate_expectations",
     "pq_encode",
     "pq_adc_topk",
+    "ivf_pq_topk",
     "simhash_signature",
     "simhash_near_pairs",
     "cap_buckets",

@@ -212,3 +212,84 @@ def pq_adc_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: list[tuple],
+    cell_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-vector layout (coarse cells bound
+    the candidate set, PQ codes bound the bytes scanned per candidate —
+    what FAISS calls IVFPQ).  One pass assigns cells + encodes codes
+    (both map-only); per query only rows in its ``nprobe`` nearest
+    cells are ADC-scored, so at 100 TB the scan reads nprobe/k_cells of
+    a cell-partitioned code store (see ivf.write_ivf_index for the
+    layout) and each row costs m table lookups.
+
+    Probe cells are picked driver-side from the collected queries
+    (bounded like every centroid collect); ordering is squared-L2 with
+    cid tiebreak — the same argmin contract as cell assignment."""
+    from ubw_spark.operators.ivf import assign_ivf_cells
+
+    coded = pq_encode(
+        assign_ivf_cells(corpus, cell_centroids, vec_col), codebooks
+    ).select(id_col, "ivf_cell", "pq_code")
+
+    def probe_cells(q: list[float]) -> list[int]:
+        d = [
+            (sum((x - c) * (x - c) for x, c in zip(q, cent)), ci)
+            for ci, cent in enumerate(cell_centroids)
+        ]
+        return [ci for _, ci in sorted(d)[:nprobe]]
+
+    per_query = []
+    for qid, vec in queries:
+        q = [float(x) for x in vec]
+        cells = probe_cells(q)
+        terms = []
+        for j, book in enumerate(codebooks):
+            dsub = len(book[0])
+            qsub = q[j * dsub : (j + 1) * dsub]
+            table = [
+                sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
+            ]
+            tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
+            terms.append(
+                f"element_at({tbl}, element_at(pq_code, {j + 1}) + 1)"
+            )
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("qid"),
+                F.expr(
+                    "array_contains(array("
+                    + ",".join(str(c) for c in cells)
+                    + "), ivf_cell)"
+                ).alias("in_probe"),
+                F.expr(f"round({' + '.join(terms)}, 4)").alias("approx_ip"),
+            )
+        )
+    scored = (
+        coded.select(
+            F.col(id_col), F.explode(F.array(*per_query)).alias("__q")
+        )
+        .where(F.col("__q.in_probe") & (F.col(id_col) != F.col("__q.qid")))
+        .select(
+            F.col("__q.qid").alias("qid"),
+            id_col,
+            F.col("__q.approx_ip").alias("approx_ip"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

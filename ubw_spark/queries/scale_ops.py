@@ -1173,3 +1173,78 @@ def sim_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in emb.where(F.col("vec_id") < 3).collect()
     ]
     return pq_adc_topk(codes, queries, books, k=5)
+
+
+@register(
+    "sim_ivfpq_ann_topk",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    -- coarse quantizer: 8 md5-seeded cells (same contract as sim_ivf_ann_topk)
+    cents AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+               AS cid, v
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+      FROM e CROSS JOIN cents c),
+    corpus_cell AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    probe AS (SELECT vec_id AS qid, cid FROM assign WHERE vec_id < 3 AND rn <= 4),
+    -- PQ codebooks: 16 md5-seeded vectors, subvector j per subspace
+    pcents AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+               AS pcid, v
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    enc AS (
+      SELECT e.vec_id, g.j, p.pcid,
+             row_number() OVER (
+               PARTITION BY e.vec_id, g.j
+               ORDER BY list_sum(list_transform(generate_series(1, 8),
+                        i -> (e.v[g.j*8+i] - p.v[g.j*8+i])^2)), p.pcid) AS rn
+      FROM e CROSS JOIN generate_series(0, 7) AS g(j) CROSS JOIN pcents p),
+    codes AS (SELECT vec_id, j, pcid FROM enc WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 3),
+    -- candidates: probed cells only (the IVF bound), then ADC (the PQ bound)
+    cand AS (SELECT p.qid, cc.vec_id
+             FROM corpus_cell cc JOIN probe p
+               ON cc.cid = p.cid AND cc.vec_id <> p.qid),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             round(sum(list_inner_product(
+                 list_slice(q.v, cd.j*8+1, cd.j*8+8),
+                 list_slice(pc.v, cd.j*8+1, cd.j*8+8))), 4) AS approx_ip
+      FROM cand c
+      JOIN codes cd ON cd.vec_id = c.vec_id
+      JOIN pcents pc ON pc.pcid = cd.pcid
+      JOIN q ON q.qid = c.qid
+      GROUP BY c.qid, c.vec_id)
+    SELECT qid, vec_id, approx_ip FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY approx_ip DESC, vec_id) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+    tags=("similarity", "pq", "ivf"),
+)
+def sim_ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (the FAISS IVFPQ layout): 8 coarse cells
+    bound WHICH rows are scored (probe 4), PQ codes bound the BYTES per
+    scored row (m=8 × 16 centroids, ADC lookup tables).  Both stages
+    md5-seeded, so cell assign → probe → encode → ADC → rank reproduces
+    in DuckDB end-to-end.  At 100 TB the code store is written
+    partitioned by ivf_cell (ivf.write_ivf_index layout), making the
+    probe a partition-pruned scan of 32× smaller rows."""
+    from ubw_spark.operators.pq import ivf_pq_topk, seed_pq_codebooks
+
+    emb = table(spark, sf_dir, "embeddings")
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    cells = seed_ivf_centroids(emb, k=8)
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    return ivf_pq_topk(emb, queries, cells, books, k=5, nprobe=4)
