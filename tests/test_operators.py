@@ -934,3 +934,40 @@ def test_ivfpq_respects_probe_bound_and_adc_scores(spark, sf_dir):
     }
     for r in got:
         assert full[(r["qid"], r["vec_id"])] == r["approx_ip"], r
+
+
+def test_ivfpq_index_write_probe_matches_inmemory(spark, sf_dir, tmp_path):
+    """The written IVFPQ store must return the same top-k as the
+    in-memory composition, and its scan must carry a PartitionFilter on
+    ivf_cell (the probe-reads-nprobe/k-of-the-data claim, mechanical)."""
+    import re
+
+    from ubw_spark.operators.pq import (
+        ivf_pq_topk,
+        probe_ivfpq_index,
+        seed_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from ubw_spark.plans.inspect import formatted_plan
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = seed_ivf_centroids(emb, k=8)
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 3).collect()
+    ]
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, cells, books, path)
+    from_store = probe_ivfpq_index(
+        spark, path, queries, cells, books, k=5, nprobe=4
+    )
+    in_memory = ivf_pq_topk(emb, queries, cells, books, k=5, nprobe=4)
+    a = sorted(map(tuple, from_store.collect()))
+    b = sorted(map(tuple, in_memory.collect()))
+    assert a == b
+
+    plan = formatted_plan(from_store)
+    m = re.search(r"PartitionFilters: \[([^\]]*ivf_cell[^\]]*)\]", plan)
+    assert m, f"no ivf_cell partition filter:\n{plan[:1500]}"

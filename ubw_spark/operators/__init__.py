@@ -29,6 +29,8 @@ from ubw_spark.operators.pq import (
     pq_encode,
     pq_adc_topk,
     ivf_pq_topk,
+    write_ivfpq_index,
+    probe_ivfpq_index,
 )
 from ubw_spark.operators.expectations import validate_expectations
 from ubw_spark.operators.temporal import asof_join, range_join
@@ -75,6 +77,8 @@ __all__ = [
     "pq_encode",
     "pq_adc_topk",
     "ivf_pq_topk",
+    "write_ivfpq_index",
+    "probe_ivfpq_index",
     "simhash_signature",
     "simhash_near_pairs",
     "cap_buckets",

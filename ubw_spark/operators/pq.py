@@ -293,3 +293,106 @@ def ivf_pq_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    cell_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVFPQ candidate store: (id, pq_code) rows written
+    ``partitionBy(ivf_cell)`` — the layout where a probe reads
+    nprobe/k_cells of the data AND each row is the m-byte code, not the
+    float vector.  ``repartition("ivf_cell")`` first for O(1) files per
+    cell (the ivf.write_ivf_index rationale)."""
+    from ubw_spark.operators.ivf import assign_ivf_cells
+
+    coded = pq_encode(
+        assign_ivf_cells(corpus, cell_centroids, vec_col), codebooks
+    ).select(id_col, "ivf_cell", "pq_code")
+    (
+        coded.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(path)
+    )
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    queries: list[tuple],
+    cell_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """ADC top-k against a written IVFPQ store, reading ONLY the probed
+    cells' partitions: the union of every query's probe set becomes a
+    static ``isin`` on the partition column (PartitionFilters in the
+    plan — the same pattern as ivf.probe_ivf_index), and the per-query
+    cell bound + ADC scoring then run exactly as :func:`ivf_pq_topk`.
+    Corpus text/vectors are never read — only m-int codes."""
+
+    def probe_cells(q: list[float]) -> list[int]:
+        d = [
+            (sum((x - c) * (x - c) for x, c in zip(q, cent)), ci)
+            for ci, cent in enumerate(cell_centroids)
+        ]
+        return [ci for _, ci in sorted(d)[:nprobe]]
+
+    probes = {
+        qid: probe_cells([float(x) for x in vec]) for qid, vec in queries
+    }
+    all_cells = sorted({c for cells in probes.values() for c in cells})
+    coded = spark.read.parquet(path).where(
+        F.col("ivf_cell").isin(all_cells)
+    )
+    per_query = []
+    for qid, vec in queries:
+        q = [float(x) for x in vec]
+        terms = []
+        for j, book in enumerate(codebooks):
+            dsub = len(book[0])
+            qsub = q[j * dsub : (j + 1) * dsub]
+            table = [
+                sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
+            ]
+            tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
+            terms.append(
+                f"element_at({tbl}, element_at(pq_code, {j + 1}) + 1)"
+            )
+        per_query.append(
+            F.struct(
+                F.lit(qid).alias("qid"),
+                F.expr(
+                    "array_contains(array("
+                    + ",".join(str(c) for c in probes[qid])
+                    + "), ivf_cell)"
+                ).alias("in_probe"),
+                F.expr(f"round({' + '.join(terms)}, 4)").alias("approx_ip"),
+            )
+        )
+    scored = (
+        coded.select(
+            F.col(id_col), F.explode(F.array(*per_query)).alias("__q")
+        )
+        .where(F.col("__q.in_probe") & (F.col(id_col) != F.col("__q.qid")))
+        .select(
+            F.col("__q.qid").alias("qid"),
+            id_col,
+            F.col("__q.approx_ip").alias("approx_ip"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
