@@ -691,3 +691,35 @@ def test_json_validate_verb(spark, tables):
              "checks": [{"kind": "exec", "column": "name"}]},
             tables,
         )
+
+
+def test_json_insert_select_from_setop(spark, tables):
+    """Write and read halves of the DSL compose: an insert whose source
+    is a setop spec (union of two projections) aligns to the target and
+    appends the combined distinct rows."""
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    reg = {
+        "t_low": spark.createDataFrame([(1,), (2,)], "k bigint"),
+        "t_high": spark.createDataFrame([(2,), (3,)], "k bigint"),
+        "sink": spark.createDataFrame([(0,)], "k bigint"),
+    }
+    verb, rows = compile_json_write(
+        spark,
+        {
+            "verb": "insert",
+            "into": "sink",
+            "select": {
+                "setop": {
+                    "op": "union",
+                    "queries": [
+                        {"from": "t_low", "columns": [{"name": "k", "expr": "k"}]},
+                        {"from": "t_high", "columns": [{"name": "k", "expr": "k"}]},
+                    ],
+                },
+            },
+        },
+        reg.get,
+    )
+    assert verb == "insert"
+    assert sorted(r["k"] for r in rows.collect()) == [1, 2, 3]

@@ -396,3 +396,59 @@ def test_stream_incremental_dedup_probe_and_append(spark, sf_dir, tmp_path):
         assert 100003 not in flagged
     finally:
         q.stop()
+
+
+def test_stream_quality_gate_rejects_bad_batches(spark, tmp_path):
+    """foreachBatch data-contract gate: each micro-batch runs the
+    single-scan expectations report and only batches with zero
+    violations land in the target — the write-pipeline gating pattern
+    the validate verb exists for."""
+    from ubw_spark.operators.expectations import validate_expectations
+
+    inc = str(tmp_path / "incoming")
+    target = str(tmp_path / "accepted")
+    os.makedirs(inc)
+    good = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k bigint, s string, v double"
+    )
+    bad = spark.createDataFrame(
+        [(3, "c", 30.0), (3, None, -5.0)], "k bigint, s string, v double"
+    )  # duplicate key, NULL s, v out of range
+
+    def arrive(df, name):
+        staging = str(tmp_path / f"st_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    rejected: list[int] = []
+
+    def gate(bdf, bid):
+        rep = validate_expectations(bdf, [
+            {"kind": "not_null", "column": "s"},
+            {"kind": "unique", "column": "k"},
+            {"kind": "in_range", "column": "v", "lo": 0.0, "hi": 100.0},
+        ])
+        if rep.where(~F.col("passed")).count():
+            rejected.append(bid)
+            return
+        bdf.write.mode("append").parquet(target)
+
+    stream = spark.readStream.schema("k bigint, s string, v double").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        arrive(good, "b1")
+        q.processAllAvailable()
+        arrive(bad, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = {r["k"] for r in spark.read.parquet(target).collect()}
+    assert accepted == {1, 2}  # bad batch fully rejected
+    assert len(rejected) == 1
