@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_incremental_index_probe",
     "multimodal_audio_features",
     "sim_pq_ann_topk",
+    "sim_ivfpq_ann_topk",
 ]
 
 
