@@ -971,3 +971,35 @@ def test_ivfpq_index_write_probe_matches_inmemory(spark, sf_dir, tmp_path):
     plan = formatted_plan(from_store)
     m = re.search(r"PartitionFilters: \[([^\]]*ivf_cell[^\]]*)\]", plan)
     assert m, f"no ivf_cell partition filter:\n{plan[:1500]}"
+
+
+def test_minhash_index_compaction_removes_dropped_ids(spark, sf_dir, tmp_path):
+    """write -> probe (match) -> compact away the matched corpus doc ->
+    probe again (no match): the full index lifecycle."""
+    from ubw_spark.operators.lsh_index import (
+        compact_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, "doc_id", "text", path)
+    near = docs.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("bigint").alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 6)").alias("text"),
+    )
+    before = probe_minhash_index(
+        spark, path, near, "doc_id", "text", threshold=0.6
+    ).collect()
+    assert any(r["corpus_id"] == 0 for r in before)
+
+    compact_minhash_index(
+        spark, path, spark.createDataFrame([(0,)], "corpus_id bigint")
+    )
+    after = probe_minhash_index(
+        spark, path, near, "doc_id", "text", threshold=0.6
+    ).collect()
+    assert not any(r["corpus_id"] == 0 for r in after)
+    # unrelated entries survive the rewrite
+    assert spark.read.parquet(f"{path}/docs").count() == 39

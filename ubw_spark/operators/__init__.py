@@ -15,6 +15,7 @@ from ubw_spark.operators.lsh_index import (
     write_minhash_index,
     probe_minhash_index,
     append_minhash_batch,
+    compact_minhash_index,
 )
 from ubw_spark.operators.similarity import (
     cosine_col,
@@ -71,6 +72,7 @@ __all__ = [
     "write_minhash_index",
     "probe_minhash_index",
     "append_minhash_batch",
+    "compact_minhash_index",
     "seed_pq_codebooks",
     "train_pq_codebooks",
     "validate_expectations",

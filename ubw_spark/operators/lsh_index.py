@@ -183,3 +183,44 @@ def probe_minhash_index(
         .where(jac >= threshold)
         .select("corpus_id", "probe_id", F.round(jac, 4).alias("jaccard"))
     )
+
+
+def compact_minhash_index(
+    spark: SparkSession,
+    path: str,
+    drop_ids: DataFrame,
+    id_col: str = "corpus_id",
+) -> None:
+    """Rewrite the index without ``drop_ids`` (one column of ids) — the
+    removal half of the append-only contract: after canonical selection
+    kills near-dup losers, compaction stops their signatures from
+    matching future batches.
+
+    Cost model: one anti-join pass over each store, band partitioning
+    preserved.  At 100 TB run it at the same cadence as any lakehouse
+    table compaction (per N appends, not per batch); the band store
+    rewrite shuffles only (id, band, key) rows, never documents.  The
+    rewrite stages to a sibling directory first and swaps via rename —
+    overwriting a parquet dir while reading it races the scan."""
+    import shutil as _sh
+
+    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
+    bands_new = _bands_path(path) + ".compact"
+    docs_new = _docs_path(path) + ".compact"
+    (
+        spark.read.parquet(_bands_path(path))
+        .join(broadcast(drops), id_col, "left_anti")
+        .repartition("band")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(bands_new)
+    )
+    (
+        spark.read.parquet(_docs_path(path))
+        .join(broadcast(drops), id_col, "left_anti")
+        .write.mode("overwrite")
+        .parquet(docs_new)
+    )
+    for cur, new in ((_bands_path(path), bands_new), (_docs_path(path), docs_new)):
+        _sh.rmtree(cur)
+        _sh.move(new, cur)
