@@ -428,9 +428,14 @@ _junk = st.one_of(
 _spec = st.fixed_dictionaries(
     {},
     optional={
-        "verb": _junk,
+        "verb": st.one_of(_junk, st.sampled_from(
+            ["insert", "upsert", "update", "validate"])),
         "into": _junk,
-        "target": _junk,
+        "target": st.one_of(_junk, st.just("friend")),
+        "checks": st.one_of(_junk, st.lists(
+            st.dictionaries(st.text(max_size=10), _junk, max_size=3),
+            max_size=3,
+        )),
         "rows": st.lists(
             st.dictionaries(st.text(max_size=15), _junk, max_size=3),
             max_size=3,
