@@ -64,6 +64,9 @@ HEADLINE = [
     "multimodal_audio_features",
     "sim_pq_ann_topk",
     "sim_ivfpq_ann_topk",
+    # ExactSubstr-style duplicated-span extraction (gram inverted index
+    # + per-doc interval merge — O(total tokens), no pair join).
+    "dedup_duplicate_spans",
 ]
 
 

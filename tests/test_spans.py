@@ -1,0 +1,136 @@
+"""Exact duplicated-substring span extraction (operators/spans.py).
+
+Planted-fixture tests: known shared sentences must come back as exact
+token spans; unique text must not.  Mirrors the suffix-array
+ExactSubstr semantics at k-token granularity.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.spans import (
+    duplicate_spans,
+    duplicated_token_fraction,
+    token_gram_table,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# 12 shared tokens -> with k=4 the shared block spans positions
+# [start, start+11] in each doc that contains it.
+SHARED = "the quick brown fox jumps over the lazy dog every single day"
+UNIQUE_A = "alpha beta gamma delta epsilon zeta eta theta"
+UNIQUE_B = "one two three four five six seven eight nine"
+
+
+def test_shared_block_becomes_one_exact_span(spark):
+    d = _docs(
+        spark,
+        [
+            (1, SHARED + " " + UNIQUE_A),
+            (2, UNIQUE_B + " " + SHARED),
+        ],
+    )
+    out = duplicate_spans(d, "doc_id", "text", k=4).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.span_tokens) for r in out}
+    assert len(out) == 2
+    # doc 1: shared block is tokens 0..11; doc 2: tokens 9..20.
+    assert spans[1] == (0, 11, 12)
+    assert spans[2] == (9, 20, 12)
+
+
+def test_unique_docs_produce_no_spans(spark):
+    d = _docs(spark, [(1, UNIQUE_A), (2, UNIQUE_B)])
+    assert duplicate_spans(d, "doc_id", "text", k=4).count() == 0
+
+
+def test_adjacent_duplicate_regions_merge(spark):
+    # Two shared 4-token blocks separated by one shared token form one
+    # contiguous 9-token duplicated region -> ONE span, not two.
+    block = "aa bb cc dd ee ff gg hh ii"
+    d = _docs(spark, [(1, block + " xx"), (2, "yy " + block)])
+    out = duplicate_spans(d, "doc_id", "text", k=4).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end) for r in out}
+    assert spans[1] == (0, 8)
+    assert spans[2] == (1, 9)
+
+
+def test_disjoint_regions_stay_separate_spans(spark):
+    # Shared prefix and shared suffix with unique middles -> two spans
+    # per doc, not merged across the gap.
+    pre = "p1 p2 p3 p4 p5"
+    suf = "s1 s2 s3 s4 s5"
+    d = _docs(
+        spark,
+        [
+            (1, pre + " u1 u2 u3 u4 u5 u6 " + suf),
+            (2, pre + " v1 v2 v3 v4 v5 v6 " + suf),
+        ],
+    )
+    out = duplicate_spans(d, "doc_id", "text", k=4)
+    per_doc = (
+        out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    assert {r.n for r in per_doc} == {2}
+    starts = sorted(
+        (r.span_start, r.span_end)
+        for r in out.where(F.col("doc_id") == 1).collect()
+    )
+    assert starts == [(0, 4), (11, 15)]
+
+
+def test_min_docs_three_ignores_pairs(spark):
+    d = _docs(
+        spark,
+        [(1, SHARED), (2, SHARED), (3, UNIQUE_A + " " + UNIQUE_B)],
+    )
+    assert (
+        duplicate_spans(d, "doc_id", "text", k=4, min_docs=3).count() == 0
+    )
+    assert (
+        duplicate_spans(d, "doc_id", "text", k=4, min_docs=2).count() == 2
+    )
+
+
+def test_short_and_empty_docs_are_safe(spark):
+    d = _docs(spark, [(1, "one two three"), (2, ""), (3, SHARED), (4, SHARED)])
+    out = duplicate_spans(d, "doc_id", "text", k=4)
+    assert {r.doc_id for r in out.collect()} == {3, 4}
+
+
+def test_repeat_within_single_doc_is_not_cross_doc_dup(spark):
+    # The same sentence twice in ONE doc: count(DISTINCT doc) == 1,
+    # so no span (this operator targets cross-document duplication).
+    d = _docs(spark, [(1, SHARED + " " + SHARED), (2, UNIQUE_A)])
+    assert duplicate_spans(d, "doc_id", "text", k=4).count() == 0
+
+
+def test_fraction_zero_filled_and_bounded(spark):
+    d = _docs(
+        spark,
+        [(1, SHARED), (2, SHARED), (3, UNIQUE_A)],
+    )
+    out = duplicated_token_fraction(d, "doc_id", "text", k=4)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}, "every doc appears"
+    assert rows[3].dup_tokens == 0 and rows[3].dup_fraction == 0.0
+    # Docs 1/2 are the shared block exactly -> fully duplicated.
+    assert rows[1].dup_fraction == 1.0
+    assert rows[1].dup_tokens == rows[1].n_tokens
+    assert all(0.0 <= r.dup_fraction <= 1.0 for r in rows.values())
+
+
+def test_gram_table_positions_and_count(spark):
+    d = _docs(spark, [(1, "a b c d e")])
+    g = token_gram_table(d, "doc_id", "text", 4).collect()
+    assert sorted(r["__pos"] for r in g) == [0, 1]
+
+
+@pytest.mark.parametrize("k", [2, 8])
+def test_spans_at_least_k_tokens(spark, k):
+    d = _docs(spark, [(1, SHARED), (2, SHARED)])
+    out = duplicate_spans(d, "doc_id", "text", k=k).collect()
+    assert out and all(r.span_tokens >= k for r in out)

@@ -1,0 +1,193 @@
+"""Exact duplicated-substring spans (token granularity).
+
+Spark-native re-expression of suffix-array ExactSubstr deduplication
+(Lee et al., "Deduplicating Training Data Makes Language Models
+Better", ACL'22): rather than building a monolithic suffix array —
+which needs global sorted adjacency and does not shard naturally —
+find every k-token gram that occurs in >= min_docs distinct documents,
+then merge overlapping/adjacent duplicated gram positions per document
+into maximal spans.
+
+Coverage argument: any duplicated substring of >= k tokens contains at
+least one duplicated k-gram starting at each of its first
+(len - k + 1) positions, so every such substring is covered by the
+union of duplicated grams — recall at k-token granularity is exact.
+Boundaries are quantized to token positions (the suffix-array method's
+byte-precise boundaries can differ by < k tokens at each end).
+
+100 TB shape — this is the part that matters:
+
+- The gram table is O(total tokens) rows of (id, pos, 8-byte hash) —
+  document text never shuffles.
+- Duplicated-gram detection is one groupBy on the gram hash
+  (map-side partial counts of distinct ids are cheap because a gram
+  rarely repeats within one doc's partition slice).
+- The join back from gram occurrences to the duplicated-gram set is
+  one row per occurrence — NO pair explosion, unlike candidate-pair
+  generation.  A boilerplate gram occurring in 10^6 documents costs
+  10^6 rows here, not 10^12 pairs, which is why span extraction needs
+  no hot-bucket cap.
+- Span merging is a per-document window (partitioned by id) — the
+  classic interval-coalescing running-max trick, never a global sort.
+
+Total work is O(total tokens) with two shuffles keyed on 8-byte
+hashes + one keyed on doc id.  That survives 100x.
+
+Hashing: grams are keyed by ``xxhash64`` (JVM, 8 bytes).  Unlike the
+MinHash pipeline this needs no cross-engine hash parity — the hash is
+purely an internal shuffle key and never appears in the output; the
+DuckDB oracle groups on the gram text itself.  A 64-bit collision
+would take ~2^32 distinct grams per corpus to matter (birthday bound);
+at that point switch the key to ``F.md5`` for 128 bits.
+
+Reference parity: the reference engine has no substring-dedup
+operator; this extends the dedup family required by the
+training-data-pipeline mandate (exact / MinHash / SimHash / winnowing
+live in dedup.py and winnow.py; see /root/reference/framework for the
+relational surface the rest of the repo mirrors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_gram_table(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, __pos, __gh): every k-token gram start position with its
+    64-bit gram hash.  0-based positions; docs shorter than k tokens
+    contribute nothing (the ``n >= k`` guard also keeps
+    ``F.sequence(0, n-k)`` from counting DOWN when n < k)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    d = df.select(F.col(id_col), toks.alias("__toks")).where(
+        F.size("__toks") >= k
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__toks", i + j + 1) for j in range(k)]
+        ),
+    )
+    return d.select(
+        F.col(id_col), F.posexplode(grams).alias("__pos", "__gram")
+    ).select(id_col, "__pos", F.xxhash64("__gram").alias("__gh"))
+
+
+def duplicate_gram_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, __pos) of every gram start whose k-gram occurs in
+    >= min_docs distinct documents."""
+    grams = token_gram_table(df, id_col, text_col, k)
+    dup = (
+        grams.groupBy("__gh")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__gh")
+    )
+    # Occurrence-preserving join: one output row per gram occurrence in
+    # a duplicated gram — linear, never pairwise.
+    return grams.join(dup, "__gh").select(id_col, "__pos")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    (id, span_start, span_end, span_tokens), positions 0-based
+    inclusive.
+
+    Interval coalescing: each duplicated gram start p covers tokens
+    [p, p+k-1]; sort positions per doc and open a new span only when a
+    position starts past (running max end) + 1 — overlapping OR
+    adjacent covered regions merge into one contiguous span."""
+    pos = duplicate_gram_positions(
+        df, id_col, text_col, k=k, min_docs=min_docs
+    )
+    prev = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = pos.select(
+        F.col(id_col),
+        "__pos",
+        F.max(F.col("__pos") + (k - 1)).over(prev).alias("__prev_end"),
+    ).select(
+        id_col,
+        "__pos",
+        F.when(
+            F.col("__prev_end").isNull()
+            | (F.col("__pos") > F.col("__prev_end") + 1),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__new"),
+    )
+    grp = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        marked.select(
+            F.col(id_col), "__pos", F.sum("__new").over(grp).alias("__grp")
+        )
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return spans
+
+
+def duplicated_token_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplication summary:
+    (id, n_tokens, dup_tokens, dup_fraction) — every document appears,
+    zero-filled when it has no duplicated span.  ``dup_fraction`` is
+    the removal-policy input (ExactSubstr cuts the spans; a cruder
+    policy drops docs above a fraction threshold)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy(id_col).agg(
+        F.sum("span_tokens").alias("__dup")
+    )
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("__dup"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_fraction"),
+    )

@@ -1,0 +1,88 @@
+"""Exact duplicated-substring span queries (ExactSubstr-style dedup).
+
+Both queries are fully SQL-expressible: the oracle groups on gram TEXT
+where Spark groups on xxhash64(gram) — identical results absent a
+64-bit collision (see operators/spans.py docstring for the birthday
+bound).  Window-based interval coalescing mirrors 1:1 between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ubw_spark.operators.spans import (
+    duplicate_spans,
+    duplicated_token_fraction,
+)
+from ubw_spark.queries.registry import register, table
+
+# Shared oracle prelude: token 8-grams with 0-based start positions and
+# the duplicated-gram join.  DuckDB list slicing t[i:i+7] is 1-based
+# inclusive = tokens i..i+7 (8 tokens), matching Spark's
+# element_at(toks, i+j+1) for j in 0..7.
+_GRAM_CTE = r"""
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+      WHERE len(toks) >= 8),
+    dup AS (SELECT gram FROM g GROUP BY gram
+            HAVING count(DISTINCT doc_id) >= 2),
+    dpos AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    m AS (
+      SELECT doc_id, pos,
+             max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dpos),
+    s AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM m),
+    spans AS (
+      SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+             max(pos) + 7 - min(pos) + 1 AS span_tokens
+      FROM s GROUP BY doc_id, grp)
+"""
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle="WITH " + _GRAM_CTE + """
+    SELECT doc_id, span_start, span_end, span_tokens FROM spans
+    """,
+    tags=("dedup", "spans", "text"),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal token spans (8-gram granularity) duplicated across >= 2
+    documents — the ExactSubstr cut list.  O(total tokens), no pair
+    join; see operators/spans.py for the 100 TB argument."""
+    d = table(spark, sf_dir, "documents")
+    return duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+
+
+@register(
+    "dedup_duplicated_fraction",
+    oracle="WITH " + _GRAM_CTE + r"""
+    , per_doc AS (
+      SELECT doc_id, sum(span_tokens) AS dup FROM spans GROUP BY doc_id)
+    SELECT b.doc_id,
+           len(regexp_split_to_array(trim(lower(b.text)), '\s+'))
+             AS n_tokens,
+           coalesce(p.dup, 0)::BIGINT AS dup_tokens,
+           round(coalesce(p.dup, 0) * 1.0 /
+                 greatest(len(regexp_split_to_array(
+                   trim(lower(b.text)), '\s+')), 1), 4) AS dup_fraction
+    FROM documents b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("dedup", "spans", "text"),
+)
+def dedup_duplicated_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token fraction — the removal-policy
+    input (cut spans, or drop docs above a threshold).  Every document
+    appears, zero-filled."""
+    d = table(spark, sf_dir, "documents")
+    return duplicated_token_fraction(d, "doc_id", "text", k=8, min_docs=2)
