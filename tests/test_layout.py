@@ -1,0 +1,138 @@
+"""Z-order layout (operators/layout.py): interleave math vs a Python
+reference, cross-engine SQL parity, and the actual on-disk property —
+z-ordered files have tight per-file bounding boxes in EVERY
+interleaved dimension, random layout does not.
+"""
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.layout import (
+    bucketize,
+    file_bounds,
+    interleave,
+    with_zvalue,
+    zorder_write,
+    zvalue_sql,
+)
+
+
+def py_morton(bx: int, by: int, bits: int = 8) -> int:
+    z = 0
+    for j in range(bits):
+        z |= ((bx >> j) & 1) << (2 * j)
+        z |= ((by >> j) & 1) << (2 * j + 1)
+    return z
+
+
+def test_interleave_matches_python_reference(spark):
+    rows = [(0b10100101, 0b01100011), (0, 255), (255, 0), (37, 200)]
+    df = spark.createDataFrame(rows, ["bx", "by"])
+    out = df.select(
+        "bx", "by", interleave([F.col("bx"), F.col("by")], 8).alias("z")
+    ).collect()
+    for r in out:
+        assert r.z == py_morton(r.bx, r.by), (r.bx, r.by)
+
+
+def test_interleave_rejects_overflow(spark):
+    with pytest.raises(ValueError, match="63 z-bits"):
+        interleave([F.col("a")] * 8, 8)
+
+
+def test_bucketize_null_lands_in_bucket_zero(spark):
+    df = spark.createDataFrame([(None,), (5.0,), (10.0,)], ["v"])
+    out = df.select(
+        bucketize(F.col("v"), F.lit(5.0), F.lit(10.0), 8).alias("b")
+    ).collect()
+    bs = [r.b for r in out]
+    assert bs[0] == 0
+    assert all(0 <= b <= 255 for b in bs)
+
+
+def test_zvalue_sql_parity_with_spark(spark):
+    """The generated-SQL twin produces byte-identical z-values in
+    DuckDB for the same bucketized inputs."""
+    random.seed(7)
+    rows = [
+        (i, random.randrange(0, 1500), random.uniform(1000.0, 500000.0))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    got = {
+        r.id: r["__z"]
+        for r in with_zvalue(df, ["x", "y"], bits=8).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},{x},{y!r})" for i, x, y in rows)
+        + ") v(id, x, y)"
+    )
+    sql = f"""
+    WITH s AS (SELECT min(x)::DOUBLE mnx, max(x)::DOUBLE mxx,
+                      min(y)::DOUBLE mny, max(y)::DOUBLE mxy FROM t),
+    b AS (SELECT id,
+      least(coalesce(floor((x::DOUBLE - mnx) / (mxx - mnx + 1e-9) * 256),
+               0), 255)::BIGINT AS bx,
+      least(coalesce(floor((y::DOUBLE - mny) / (mxy - mny + 1e-9) * 256),
+               0), 255)::BIGINT AS by
+      FROM t, s)
+    SELECT id, ({zvalue_sql(['bx', 'by'], 8)}) AS z FROM b
+    """
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def _mean_normalized_width(bounds, col, lo, hi):
+    widths = [
+        (r[f"max_{col}"] - r[f"min_{col}"]) / (hi - lo) for r in bounds
+    ]
+    return sum(widths) / len(widths)
+
+
+def test_zorder_files_have_tight_boxes_in_both_dims(spark, tmp_path):
+    """The on-disk property: after zorder_write, the average per-file
+    normalized min/max width shrinks in BOTH dimensions vs a random
+    layout (whose every file spans ~the full range)."""
+    random.seed(11)
+    rows = [
+        (random.randrange(0, 10_000), random.randrange(0, 10_000))
+        for _ in range(20_000)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "random")
+    zorder_write(df, ["x", "y"], zpath, num_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(rpath)
+
+    def bounds(path):
+        d = spark.read.parquet(path).withColumn(
+            "__file", F.input_file_name()
+        )
+        return file_bounds(d, ["x", "y"]).collect()
+
+    zb, rb = bounds(zpath), bounds(rpath)
+    assert len(zb) >= 4, "range partitioner produced too few files"
+    for col in ("x", "y"):
+        zw = _mean_normalized_width(zb, col, 0, 10_000)
+        rw = _mean_normalized_width(rb, col, 0, 10_000)
+        # 8 files along a 16-bit curve fix >=1 top bit per dim: widths
+        # ~<=0.5; random layout spans ~1.0 per file.
+        assert zw < 0.7 * rw, (col, zw, rw)
+
+
+def test_zorder_write_preserves_rows_and_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, float(i * 3 % 17)) for i in range(1000)], ["a", "b"]
+    )
+    p = str(tmp_path / "out")
+    zorder_write(df, ["a", "b"], p, num_files=4)
+    back = spark.read.parquet(p)
+    assert back.columns == ["a", "b"]
+    assert back.count() == 1000
+    assert back.agg(F.sum("a")).first()[0] == sum(range(1000))

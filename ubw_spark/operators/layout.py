@@ -1,0 +1,158 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+scan pruning.
+
+The 100 TB problem this solves: parquet row-group and file pruning
+works off per-file min/max statistics, and a table laid out by ONE
+sort key prunes only on that key.  Interleaving the bits of several
+normalized sort keys (the Z-order / Morton curve — Morton 1966;
+the technique behind Delta Lake's OPTIMIZE ZORDER BY and Iceberg's
+sort-order z-ordering) makes every file's bounding box narrow in ALL
+the interleaved dimensions, so selective predicates on any of them
+skip most files.  At 100 TB the difference between "scan 3 files" and
+"scan 30 000 files" IS the query time.
+
+Shapes:
+
+- :func:`bucketize` / :func:`zvalue` are pure JVM bit arithmetic —
+  map-only, codegen'd, no Python.
+- Column normalization needs per-column (min, max): ONE tiny one-row
+  aggregate, broadcast back via crossJoin — the plan stays lazy and
+  the lint-visible shape is the repo-standard "crossJoin broadcasts a
+  one-row aggregate".  Production note: uniform (min, max) buckets are
+  skew-sensitive; Delta uses approximate QUANTILE cutpoints instead.
+  With 2^bits buckets per dimension the skew cost is bounded (a hot
+  value occupies one bucket prefix, it cannot spill across the curve),
+  which is the same trade the range-partition sampler makes.
+- :func:`zorder_write` lays files out with ``repartitionByRange`` on
+  the z-value + an intra-partition sort.  RangePartitioning samples
+  the z-value to pick balanced cut points — that sampling pass is
+  Spark's own machinery and exactly what a 1000-executor OPTIMIZE job
+  runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default bits per dimension (2 dims × 8 bits = 16-bit z-values).
+DEFAULT_BITS = 8
+
+
+def bucketize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
+    """Uniform bucket index in [0, 2^bits) from (min, max) bounds.
+
+    The expression order — subtract, divide by (range + 1e-9), multiply
+    by 2^bits, floor, clamp — is part of the contract: the DuckDB
+    oracle mirrors it token for token, and IEEE doubles make the result
+    engine-identical only when the operation ORDER is identical.
+    NULLs land in bucket 0 (they sort first, same as NULLS FIRST)."""
+    nb = 1 << bits
+    raw = F.floor(
+        (col.cast("double") - mn) / (mx - mn + F.lit(1e-9)) * F.lit(nb)
+    )
+    # coalesce BEFORE least: Spark's least() SKIPS nulls (least(NULL,
+    # 255) = 255), so clamping first would silently send NULLs to the
+    # TOP bucket — and engines disagree on least-with-NULL semantics,
+    # so this ordering is also what keeps the SQL twin portable.
+    return F.least(
+        F.coalesce(raw, F.lit(0)), F.lit(nb - 1)
+    ).cast("long")
+
+
+def interleave(buckets: list[Column], bits: int) -> Column:
+    """Morton-interleave: bit j of dimension i → z bit ``j*ndims + i``.
+    Pure shift/mask/or chain — ``ndims * bits`` terms, all codegen'd.
+    Requires ``ndims * bits <= 63`` (signed BIGINT)."""
+    ndims = len(buckets)
+    if ndims * bits > 63:
+        raise ValueError(f"{ndims} dims x {bits} bits exceeds 63 z-bits")
+    z = F.lit(0).cast("long")
+    for i, b in enumerate(buckets):
+        for j in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftrightunsigned(b, j).bitwiseAND(F.lit(1)),
+                    j * ndims + i,
+                )
+            )
+    return z
+
+
+def zvalue_sql(cols: list[str], bits: int = DEFAULT_BITS) -> str:
+    """The DuckDB/ANSI twin of :func:`interleave` over pre-bucketized
+    integer columns ``cols`` — used by oracles and by generated-SQL
+    consumers (jsonquery-style).  Token-mirrors the Spark expression."""
+    terms = [
+        f"((({c} >> {j}) & 1) << {j * len(cols) + i})"
+        for i, c in enumerate(cols)
+        for j in range(bits)
+    ]
+    return " | ".join(terms)
+
+
+def with_zvalue(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = DEFAULT_BITS,
+    out_col: str = "__z",
+) -> DataFrame:
+    """Append the z-value of ``cols`` (numeric) as ``out_col``.
+
+    One one-row stats aggregate (min/max per column) broadcast back via
+    crossJoin; everything else is map-side bit math."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
+        aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
+    stats = df.agg(*aggs)
+    j = df.crossJoin(F.broadcast(stats))
+    buckets = [
+        bucketize(
+            F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits
+        )
+        for c in cols
+    ]
+    keep = [f for f in df.columns]
+    return j.select(*keep, interleave(buckets, bits).alias(out_col))
+
+
+def zorder_write(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    *,
+    bits: int = DEFAULT_BITS,
+    num_files: int = 8,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of ``cols``:
+    range-partition on the z-value (balanced cuts via Spark's range
+    sampler), sort within each partition, drop the helper column.
+
+    The projection dropping ``__z`` sits ABOVE the sort and does not
+    reorder rows, so file contents stay curve-ordered and parquet
+    min/max stats come out tight in every interleaved dimension."""
+    z = with_zvalue(df, cols, bits)
+    out = (
+        z.repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    w = out.write.mode("overwrite")
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def file_bounds(df_with_files: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-file bounding boxes: (file, min/max of each col) — the
+    pruning-quality report.  Input must carry ``__file`` (use
+    ``spark.read.parquet(path).withColumn('__file',
+    F.input_file_name())``).  Sum of normalized box volumes ≈ expected
+    fraction of files a random point predicate must touch."""
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df_with_files.groupBy("__file").agg(*aggs)
