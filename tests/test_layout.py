@@ -126,6 +126,39 @@ def test_zorder_files_have_tight_boxes_in_both_dims(spark, tmp_path):
         assert zw < 0.7 * rw, (col, zw, rw)
 
 
+def test_write_table_zorder_by_clusters_within_partitions(spark, tmp_path):
+    """writers.write_table(zorder_by=...) composes with partition_by:
+    partition directories exist, rows survive, and files within a
+    partition are z-clustered (tight boxes)."""
+    import os
+
+    from ubw_spark.sources.writers import write_table
+
+    random.seed(5)
+    rows = [
+        (random.randrange(2), random.randrange(10_000), random.randrange(10_000))
+        for _ in range(10_000)
+    ]
+    df = spark.createDataFrame(rows, ["p", "x", "y"])
+    path = str(tmp_path / "zp")
+    write_table(
+        df, path, mode="overwrite", partition_by=["p"],
+        zorder_by=["x", "y"], zorder_files=16,
+    )
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("p=")
+    ) == ["p=0", "p=1"]
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    bounds = file_bounds(
+        spark.read.parquet(path + "/p=0").withColumn(
+            "__file", F.input_file_name()
+        ),
+        ["x"],
+    ).collect()
+    assert _mean_normalized_width(bounds, "x", 0, 10_000) < 0.7
+
+
 def test_zorder_write_preserves_rows_and_schema(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, float(i * 3 % 17)) for i in range(1000)], ["a", "b"]

@@ -134,3 +134,53 @@ def test_spans_at_least_k_tokens(spark, k):
     d = _docs(spark, [(1, SHARED), (2, SHARED)])
     out = duplicate_spans(d, "doc_id", "text", k=k).collect()
     assert out and all(r.span_tokens >= k for r in out)
+
+
+def _brute_spans(docs, k, min_docs=2):
+    """Reference implementation: hash-free gram index + interval merge."""
+    from collections import defaultdict
+
+    toks = {i: t.strip().lower().split() for i, t in docs}
+    gram_docs = defaultdict(set)
+    for i, ts in toks.items():
+        for p in range(len(ts) - k + 1):
+            gram_docs[tuple(ts[p : p + k])].add(i)
+    out = set()
+    for i, ts in toks.items():
+        pos = [
+            p
+            for p in range(len(ts) - k + 1)
+            if len(gram_docs[tuple(ts[p : p + k])]) >= min_docs
+        ]
+        spans = []
+        for p in sorted(pos):
+            e = p + k - 1
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([p, e])
+        out |= {(i, s, e) for s, e in spans}
+    return out
+
+
+def test_random_corpora_match_brute_force(spark):
+    """Small-alphabet random corpora collide heavily, exercising every
+    merge path; Spark must agree with the brute-force reference
+    exactly."""
+    import random
+
+    rng = random.Random(1234)
+    words = [f"w{j}" for j in range(12)]
+    for trial in range(4):
+        docs = [
+            (i, " ".join(rng.choices(words, k=rng.randrange(0, 30))))
+            for i in range(25)
+        ]
+        want = _brute_spans(docs, k=3)
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_spans(
+                _docs(spark, docs), "doc_id", "text", k=3
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {got ^ want}"

@@ -28,9 +28,27 @@ def write_table(
     mode: str = "append",
     partition_by: Sequence[str] = (),
     max_records_per_file: int | None = None,
+    zorder_by: Sequence[str] = (),
+    zorder_files: int = 8,
 ) -> None:
+    """``zorder_by``: cluster the written files along the Z-curve of
+    the given numeric columns (operators/layout.py) so selective
+    predicates on ANY of them prune files — the lakehouse
+    OPTIMIZE-ZORDER layout applied at write time.  Composable with
+    ``partition_by`` (curve applies within each partition directory);
+    mutually exclusive with nothing else."""
     w = df
-    if partition_by:
+    if zorder_by:
+        from ubw_spark.operators.layout import with_zvalue
+
+        parts = [F.col(c) for c in partition_by]
+        w = (
+            with_zvalue(w, list(zorder_by), out_col="__z")
+            .repartitionByRange(zorder_files, *parts, F.col("__z"))
+            .sortWithinPartitions(*parts, F.col("__z"))
+            .drop("__z")
+        )
+    elif partition_by:
         w = w.repartition(*[F.col(c) for c in partition_by])
     writer = w.write.format(fmt).mode(mode)
     if partition_by:
