@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ubw_spark.operators.spans import (
+    cut_duplicate_spans,
     duplicate_spans,
     duplicated_token_fraction,
     token_gram_table,
@@ -134,6 +135,93 @@ def test_spans_at_least_k_tokens(spark, k):
     d = _docs(spark, [(1, SHARED), (2, SHARED)])
     out = duplicate_spans(d, "doc_id", "text", k=k).collect()
     assert out and all(r.span_tokens >= k for r in out)
+
+
+def test_cut_keeps_owner_copy_and_strips_others(spark):
+    d = _docs(
+        spark,
+        [
+            (1, SHARED),
+            (2, UNIQUE_B + " " + SHARED),
+            (3, SHARED + " " + UNIQUE_A),
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in cut_duplicate_spans(d, "doc_id", "text", k=4).collect()
+    }
+    # doc 1 owns every shared gram (min id) -> untouched, verbatim.
+    assert out[1].clean_text == SHARED and out[1].n_removed == 0
+    # docs 2/3 lose the shared block, keep their unique text.
+    assert out[2].clean_text == UNIQUE_B
+    assert out[2].n_removed == len(SHARED.split())
+    assert out[3].clean_text == UNIQUE_A
+
+
+def test_cut_preserves_case_and_outer_whitespace_semantics(spark):
+    upper = SHARED.upper()
+    d = _docs(spark, [(1, SHARED), (2, upper + " " + UNIQUE_A.upper())])
+    out = {
+        r.doc_id: r
+        for r in cut_duplicate_spans(d, "doc_id", "text", k=4).collect()
+    }
+    # detection is case-insensitive; the kept tokens keep their case.
+    assert out[2].clean_text == UNIQUE_A.upper()
+    # untouched doc with internal double spaces passes through verbatim
+    spaced = "zz1  zz2   zz3"
+    d2 = _docs(spark, [(1, SHARED), (2, SHARED), (3, spaced)])
+    out2 = {
+        r.doc_id: r.clean_text
+        for r in cut_duplicate_spans(d2, "doc_id", "text", k=4).collect()
+    }
+    assert out2[3] == spaced
+
+
+def _brute_cut(docs, k, min_docs=2):
+    from collections import defaultdict
+
+    lt = {i: t.strip().lower().split() for i, t in docs}
+    ot = {i: t.strip().split() for i, t in docs}
+    gram_docs = defaultdict(set)
+    for i, ts in lt.items():
+        for p in range(len(ts) - k + 1):
+            gram_docs[tuple(ts[p : p + k])].add(i)
+    out = {}
+    for i, ts in lt.items():
+        cut = set()
+        for p in range(len(ts) - k + 1):
+            g = gram_docs[tuple(ts[p : p + k])]
+            if len(g) >= min_docs and min(g) != i:
+                cut |= set(range(p, p + k))
+        if cut:
+            out[i] = (
+                " ".join(
+                    t for j, t in enumerate(ot[i]) if j not in cut
+                ),
+                len(cut),
+            )
+        else:
+            out[i] = (docs[i][1], 0)
+    return out
+
+
+def test_cut_random_corpora_match_brute_force(spark):
+    import random
+
+    rng = random.Random(99)
+    words = [f"w{j}" for j in range(10)]
+    docs = [
+        (i, " ".join(rng.choices(words, k=rng.randrange(0, 25))))
+        for i in range(30)
+    ]
+    want = _brute_cut(docs, k=3)
+    got = {
+        r.doc_id: (r.clean_text, r.n_removed)
+        for r in cut_duplicate_spans(
+            _docs(spark, docs), "doc_id", "text", k=3
+        ).collect()
+    }
+    assert got == want
 
 
 def _brute_spans(docs, k, min_docs=2):

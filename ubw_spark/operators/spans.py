@@ -162,6 +162,80 @@ def duplicate_spans(
     return spans
 
 
+def cut_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Apply the ExactSubstr policy: remove every NON-OWNER occurrence
+    of duplicated text, keeping exactly one copy corpus-wide.
+
+    Owner of a duplicated gram = the min id among documents containing
+    it (deterministic, engine-portable).  A token is cut iff it is
+    covered by some duplicated gram whose owner is another document.
+    Returns (id, out_col, n_tokens, n_removed) for EVERY input row.
+    Untouched docs pass through VERBATIM (original whitespace kept);
+    rewritten docs come back single-space joined.
+
+    Shape: cut positions explode each non-owner gram occurrence into
+    its k token indices (×k linear fanout, 8-byte rows), distinct,
+    then collect per doc — the per-row cut array is O(doc tokens),
+    the same order as the token array itself, so it adds no new
+    memory class.  Reconstruction is per-row higher-order functions
+    (transform + filter + concat_ws), map-only JVM.
+
+    The cut operates on the ORIGINAL whitespace tokenization (case
+    preserved); matching is case-insensitive like the detector, so a
+    span that matches modulo case is still cut."""
+    grams = token_gram_table(df, id_col, text_col, k)
+    owners = (
+        grams.groupBy("__gh")
+        .agg(
+            F.count_distinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__owner"),
+        )
+        .where(F.col("__nd") >= min_docs)
+        .select("__gh", "__owner")
+    )
+    cut = (
+        grams.join(owners, "__gh")
+        .where(F.col(id_col) != F.col("__owner"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__ci"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("__ci").alias("__cut"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    j = df.join(cut, id_col, "left")
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("__cut"), s["i"]), F.lit(False)
+        ),
+    )
+    rebuilt = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
+    return j.select(
+        F.col(id_col),
+        F.when(F.col("__cut").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias(out_col),
+        F.size(toks).alias("n_tokens"),
+        F.coalesce(F.size("__cut"), F.lit(0)).alias("n_removed"),
+    )
+
+
 def duplicated_token_fraction(
     df: DataFrame,
     id_col: str,

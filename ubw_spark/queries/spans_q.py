@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ubw_spark.operators.spans import (
+    cut_duplicate_spans,
     duplicate_spans,
     duplicated_token_fraction,
 )
@@ -86,3 +87,46 @@ def dedup_duplicated_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears, zero-filled."""
     d = table(spark, sf_dir, "documents")
     return duplicated_token_fraction(d, "doc_id", "text", k=8, min_docs=2)
+
+
+@register(
+    "dedup_cut_spans",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS lt,
+             regexp_split_to_array(trim(text), '\s+') AS ot
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(lt[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(lt) - 7)) AS u(i)
+      WHERE len(lt) >= 8),
+    st AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram
+           HAVING count(DISTINCT doc_id) >= 2),
+    cut AS (SELECT DISTINCT g.doc_id, g.pos + s.j AS ci
+            FROM g JOIN st USING (gram), generate_series(0, 7) AS s(j)
+            WHERE g.doc_id != st.owner),
+    cl AS (SELECT doc_id, list(ci) AS cis FROM cut GROUP BY doc_id)
+    SELECT t.doc_id,
+           CASE WHEN cl.cis IS NULL THEN d.text
+                -- coalesce: array_to_string([]) is NULL in DuckDB but
+                -- concat_ws over an empty array is '' in Spark
+                ELSE coalesce(array_to_string(list_filter(
+                  list_transform(generate_series(1, len(ot)),
+                    i -> CASE WHEN NOT list_contains(cl.cis, i - 1)
+                              THEN ot[i] END),
+                  x -> x IS NOT NULL), ' '), '')
+           END AS clean_text,
+           len(ot) AS n_tokens,
+           coalesce(len(cl.cis), 0) AS n_removed
+    FROM t JOIN documents d USING (doc_id) LEFT JOIN cl USING (doc_id)
+    """,
+    tags=("dedup", "spans", "text"),
+)
+def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply step: rewrite the corpus with every non-owner
+    occurrence of duplicated text removed (owner = min doc_id per
+    gram), keeping exactly one copy corpus-wide — ExactSubstr dedup
+    run end to end, output ready to replace the documents table."""
+    d = table(spark, sf_dir, "documents")
+    return cut_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
