@@ -38,6 +38,24 @@ def test_interleave_matches_python_reference(spark):
         assert r.z == py_morton(r.bx, r.by), (r.bx, r.by)
 
 
+def test_interleave_three_dims_matches_reference(spark):
+    def morton3(bs, bits=4):
+        z = 0
+        for j in range(bits):
+            for i, b in enumerate(bs):
+                z |= ((b >> j) & 1) << (j * 3 + i)
+        return z
+
+    rows = [(3, 9, 14), (0, 15, 7), (15, 15, 15), (1, 2, 4)]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    out = df.select(
+        "a", "b", "c",
+        interleave([F.col("a"), F.col("b"), F.col("c")], 4).alias("z"),
+    ).collect()
+    for r in out:
+        assert r.z == morton3((r.a, r.b, r.c)), (r.a, r.b, r.c)
+
+
 def test_interleave_rejects_overflow(spark):
     with pytest.raises(ValueError, match="63 z-bits"):
         interleave([F.col("a")] * 8, 8)

@@ -224,6 +224,22 @@ def test_cut_random_corpora_match_brute_force(spark):
     assert got == want
 
 
+def test_span_plans_are_linear_shapes(spark, sf_dir):
+    """Scale-shape pins: the span pipeline is a bounded number of
+    shuffles (gram hash x2 + doc id) and the cut path never plans a
+    cartesian product — the per-row rebuild must stay a projection."""
+    from ubw_spark.plans.inspect import shuffle_count, simple_plan
+    from ubw_spark.queries import REGISTRY
+
+    spans = REGISTRY["dedup_duplicate_spans"].fn(spark, sf_dir)
+    assert shuffle_count(spans) <= 4
+    cut = REGISTRY["dedup_cut_spans"].fn(spark, sf_dir)
+    p = simple_plan(cut)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert shuffle_count(cut) <= 5
+
+
 def _brute_spans(docs, k, min_docs=2):
     """Reference implementation: hash-free gram index + interval merge."""
     from collections import defaultdict
