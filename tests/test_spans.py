@@ -224,6 +224,75 @@ def test_cut_random_corpora_match_brute_force(spark):
     assert got == want
 
 
+def test_gram_index_lifecycle_write_probe_append(spark):
+    """Incremental loop: batch-2's copy of a corpus doc is flagged;
+    a novel doc is clean; after append, batch-3's copy of the novel
+    doc is flagged too (dedup against batch-2 without re-hashing)."""
+    from ubw_spark.operators.spans import (
+        append_gram_index,
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    tbl = "gram_idx_lifecycle_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        corpus = _docs(spark, [(1, SHARED), (2, UNIQUE_A + " " + UNIQUE_B)])
+        write_gram_index(corpus, "doc_id", "text", tbl, k=4)
+
+        novel = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10"
+        batch2 = _docs(spark, [(10, SHARED), (11, novel)])
+        out = {
+            r.doc_id: r.dup_fraction
+            for r in probe_gram_index(
+                spark, batch2, tbl, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert out[10] == 1.0 and out[11] == 0.0
+
+        append_gram_index(spark, batch2, tbl, "doc_id", "text", k=4)
+        batch3 = _docs(spark, [(20, novel)])
+        out3 = probe_gram_index(
+            spark, batch3, tbl, "doc_id", "text", k=4
+        ).collect()
+        assert out3[0].dup_fraction == 1.0
+
+        # append is anti-joined: re-appending the same batch adds no rows
+        n = spark.table(tbl).count()
+        append_gram_index(spark, batch2, tbl, "doc_id", "text", k=4)
+        assert spark.table(tbl).count() == n
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_gram_index_probe_has_no_index_side_shuffle(spark):
+    """The scale contract: probing shuffles ONLY the batch — the
+    bucketed index scan feeds the join with no Exchange above it."""
+    from ubw_spark.operators.spans import token_gram_table, write_gram_index
+    from ubw_spark.plans.inspect import shuffle_count
+
+    tbl = "gram_idx_plan_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus = _docs(
+            spark, [(i, f"{SHARED} tail{i} x{i} y{i} z{i}") for i in range(50)]
+        )
+        write_gram_index(corpus, "doc_id", "text", tbl, k=4, num_buckets=4)
+        batch = _docs(spark, [(100, SHARED)])
+        bg = token_gram_table(batch, "doc_id", "text", 4)
+        idx = spark.table(tbl).select(F.col("gh").alias("__gh"))
+        joined = bg.join(idx, "__gh")
+        assert shuffle_count(joined) == 1, (
+            "expected exactly one Exchange (batch side only); "
+            "index side must be bucket-aligned"
+        )
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_span_plans_are_linear_shapes(spark, sf_dir):
     """Scale-shape pins: the span pipeline is a bounded number of
     shuffles (gram hash x2 + doc id) and the cut path never plans a

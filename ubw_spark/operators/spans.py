@@ -236,6 +236,120 @@ def cut_duplicate_spans(
     )
 
 
+def write_gram_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table_name: str,
+    *,
+    k: int = 8,
+    num_buckets: int = 32,
+) -> None:
+    """Persist the corpus's distinct gram hashes as a BUCKETED table
+    (gh, owner, n_docs) — the incremental / streaming counterpart of
+    :func:`duplicate_spans`, mirroring the persisted MinHash index
+    (operators/lsh_index.py): hash the 100 TB corpus ONCE, then each
+    incoming batch probes membership without touching corpus text.
+
+    Bucketing by ``gh`` is the scale argument: on probe, the (huge)
+    index side is read bucket-aligned with ZERO index-side shuffle —
+    only the (small) batch reshuffles to the bucket scheme.
+    ``n_docs``/``owner`` are as-of index time (appends add only NOVEL
+    grams; membership — the probe semantics — stays exact)."""
+    grams = token_gram_table(df, id_col, text_col, k)
+    idx = (
+        grams.groupBy("__gh")
+        .agg(
+            F.min(id_col).alias("owner"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .select(F.col("__gh").alias("gh"), "owner", "n_docs")
+    )
+    (
+        idx.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, "gh")
+        .saveAsTable(table_name)
+    )
+
+
+def probe_gram_index(
+    spark,
+    batch: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Per-batch-document contamination vs the indexed corpus:
+    (id, n_tokens, dup_tokens, dup_fraction), where dup_tokens counts
+    tokens covered by any gram already present in the index.  Every
+    batch row appears, zero-filled."""
+    bg = token_gram_table(batch, id_col, text_col, k)
+    idx = spark.table(table_name).select(F.col("gh").alias("__gh"))
+    hits = bg.join(idx, "__gh").select(id_col, "__pos")
+    covered = (
+        hits.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
+            ).alias("__ci"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__dup"))
+    )
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = batch.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("__dup"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_fraction"),
+    )
+
+
+def append_gram_index(
+    spark,
+    batch: DataFrame,
+    table_name: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    num_buckets: int = 32,
+) -> None:
+    """Add a new batch's NOVEL grams to the index (anti-join on gh,
+    bucketed append) so the next batch dedups against this one too —
+    the foreachBatch loop body for streaming incremental substring
+    decontamination.  Existing grams are untouched: membership stays
+    exact; their n_docs is as-of their own index time (documented on
+    :func:`write_gram_index`)."""
+    grams = token_gram_table(batch, id_col, text_col, k)
+    agg = (
+        grams.groupBy("__gh")
+        .agg(
+            F.min(id_col).alias("owner"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .select(F.col("__gh").alias("gh"), "owner", "n_docs")
+    )
+    novel = agg.join(
+        spark.table(table_name).select("gh"), "gh", "left_anti"
+    )
+    (
+        novel.write.format("parquet")
+        .mode("append")
+        .bucketBy(num_buckets, "gh")
+        .saveAsTable(table_name)
+    )
+
+
 def duplicated_token_fraction(
     df: DataFrame,
     id_col: str,

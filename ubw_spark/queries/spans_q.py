@@ -9,6 +9,7 @@ bound).  Window-based interval coalescing mirrors 1:1 between engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ubw_spark.operators.spans import (
     cut_duplicate_spans,
@@ -87,6 +88,58 @@ def dedup_duplicated_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     appears, zero-filled."""
     d = table(spark, sf_dir, "documents")
     return duplicated_token_fraction(d, "doc_id", "text", k=8, min_docs=2)
+
+
+@register(
+    "dedup_span_index_probe",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)
+      WHERE len(toks) >= 8),
+    cg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 250),
+    hit AS (SELECT DISTINCT g.doc_id, g.pos FROM g JOIN cg USING (gram)
+            WHERE g.doc_id >= 250),
+    cut AS (SELECT DISTINCT doc_id, pos + s.j AS ci
+            FROM hit, generate_series(0, 7) AS s(j)),
+    cl AS (SELECT doc_id, count(*) AS dup FROM cut GROUP BY doc_id)
+    SELECT d.doc_id,
+           len(regexp_split_to_array(trim(lower(d.text)), '\s+'))
+             AS n_tokens,
+           coalesce(cl.dup, 0)::BIGINT AS dup_tokens,
+           round(coalesce(cl.dup, 0) * 1.0 /
+                 greatest(len(regexp_split_to_array(
+                   trim(lower(d.text)), '\s+')), 1), 4) AS dup_fraction
+    FROM documents d LEFT JOIN cl USING (doc_id)
+    WHERE d.doc_id >= 250
+    """,
+    tags=("dedup", "spans", "index"),
+)
+def dedup_span_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental substring decontamination against a PERSISTED gram
+    index: the corpus (doc_id < 250) is hashed once into a bucketed
+    (gh) table; the incoming batch (doc_id >= 250) probes membership
+    with zero index-side shuffle (bucket-aligned join; plan-asserted
+    in tests/test_spans.py).  The 100 TB shape that amortizes corpus
+    hashing across every incoming batch."""
+    import hashlib
+
+    from ubw_spark.operators.spans import (
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    tbl = "ubw_gram_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    write_gram_index(
+        d.where(F.col("doc_id") < 250), "doc_id", "text", tbl, k=8
+    )
+    return probe_gram_index(
+        spark, d.where(F.col("doc_id") >= 250), tbl, "doc_id", "text", k=8
+    )
 
 
 @register(
