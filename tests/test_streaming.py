@@ -398,6 +398,93 @@ def test_stream_incremental_dedup_probe_and_append(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_stream_incremental_substring_decontamination(spark, tmp_path):
+    """Same foreachBatch loop over the EXACT-substring gram index
+    (operators/spans.py): each micro-batch probes membership against
+    the bucketed gram table, drops contaminated docs (dup_fraction
+    above threshold), and appends only clean docs' grams — batch 2's
+    copy of a batch-1 doc is flagged against the APPENDED grams."""
+    from ubw_spark.operators.spans import (
+        append_gram_index,
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    tbl = "gram_idx_stream_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    corpus_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima"
+    )
+    novel_text = (
+        "mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray"
+    )
+    other_text = (
+        "one swift amber cloud drifts over nine quiet harbor towns "
+        "tonight again"
+    )
+    try:
+        write_gram_index(
+            spark.createDataFrame(
+                [(1, corpus_text)], "doc_id bigint, text string"
+            ),
+            "doc_id", "text", tbl, k=4,
+        )
+
+        inc = str(tmp_path / "ginc")
+        os.makedirs(inc)
+
+        def arrive(rows, name):
+            df = spark.createDataFrame(rows, "doc_id bigint, text string")
+            staging = str(tmp_path / f"gstage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            for f in os.listdir(staging):
+                if f.endswith(".parquet"):
+                    shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+            shutil.rmtree(staging)
+
+        fractions: dict[int, float] = {}
+
+        def handle(bdf, _bid):
+            rep = probe_gram_index(
+                bdf.sparkSession, bdf, tbl, "doc_id", "text", k=4
+            ).collect()
+            for r in rep:
+                fractions[r["doc_id"]] = r["dup_fraction"]
+            clean_ids = [
+                r["doc_id"] for r in rep if r["dup_fraction"] < 0.5
+            ]
+            append_gram_index(
+                bdf.sparkSession,
+                bdf.where(F.col("doc_id").isin(clean_ids)),
+                tbl, "doc_id", "text", k=4,
+            )
+
+        stream = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).parquet(inc)
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", str(tmp_path / "gckpt"))
+            .start()
+        )
+        try:
+            arrive([(10, corpus_text), (11, novel_text)], "b1")
+            q.processAllAvailable()
+            assert fractions[10] == 1.0  # copy of indexed corpus doc
+            assert fractions[11] == 0.0  # novel → grams appended
+
+            arrive([(20, novel_text), (21, other_text)], "b2")
+            q.processAllAvailable()
+            assert fractions[20] == 1.0  # flagged vs batch-1 append
+            assert fractions[21] == 0.0
+        finally:
+            q.stop()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_stream_quality_gate_rejects_bad_batches(spark, tmp_path):
     """foreachBatch data-contract gate: each micro-batch runs the
     single-scan expectations report and only batches with zero
