@@ -65,8 +65,11 @@ HEADLINE = [
     "sim_pq_ann_topk",
     "sim_ivfpq_ann_topk",
     # ExactSubstr-style duplicated-span extraction (gram inverted index
-    # + per-doc interval merge — O(total tokens), no pair join).
+    # + per-doc interval merge — O(total tokens), no pair join), and its
+    # persisted-index incremental probe (timing includes the bucketed
+    # index write — that IS the operation, as with the LSH index).
     "dedup_duplicate_spans",
+    "dedup_span_index_probe",
 ]
 
 
