@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ubw_spark.operators.layout import (
     bucketize,
     file_bounds,
+    footer_bounds,
     interleave,
     with_zvalue,
     zorder_write,
@@ -175,6 +176,41 @@ def test_write_table_zorder_by_clusters_within_partitions(spark, tmp_path):
         ["x"],
     ).collect()
     assert _mean_normalized_width(bounds, "x", 0, 10_000) < 0.7
+
+
+def test_footer_bounds_match_scan_bounds(spark, tmp_path):
+    """Footer-statistics bounding boxes must equal the scan-computed
+    ones on z-ordered output (footers are what a pruning planner
+    trusts, so they must agree with the data)."""
+    random.seed(3)
+    rows = [
+        (random.randrange(0, 5_000), random.randrange(0, 5_000))
+        for _ in range(8_000)
+    ]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    p = str(tmp_path / "zf")
+    zorder_write(df, ["x", "y"], p, num_files=6)
+
+    scan = {
+        r["__file"].removeprefix("file:"): (
+            r["min_x"], r["max_x"], r["min_y"], r["max_y"]
+        )
+        for r in file_bounds(
+            spark.read.parquet(p).withColumn("__file", F.input_file_name()),
+            ["x", "y"],
+        ).collect()
+    }
+    footer = {
+        r["file"]: (r["min_x"], r["max_x"], r["min_y"], r["max_y"])
+        for r in footer_bounds(spark, p, ["x", "y"]).collect()
+    }
+    assert set(scan) == set(footer)
+    for f, box in scan.items():
+        assert tuple(float(v) for v in box) == footer[f], f
+    total_rows = sum(
+        r["n_rows"] for r in footer_bounds(spark, p, ["x"]).collect()
+    )
+    assert total_rows == 8_000
 
 
 def test_zorder_write_preserves_rows_and_schema(spark, tmp_path):

@@ -145,6 +145,64 @@ def zorder_write(
     w.parquet(path)
 
 
+def footer_bounds(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file bounding boxes from parquet FOOTER statistics only —
+    no data pages are read.
+
+    (file, n_row_groups, n_rows, min_<col>, max_<col> ...), numeric
+    columns only (min/max surface as double).
+
+    This is what a pruning planner / OPTIMIZE job consults: at 100 TB
+    the footers are ~10^-5 of the bytes, so layout-quality reports and
+    skip-index construction must come from metadata, not scans.  The
+    file LIST is collected on the driver (bounded: one string per
+    file, the same listing every Spark scan performs); footer reads
+    are distributed — each task opens only its files' metadata via
+    pyarrow.  Local-path scheme only (file:); object stores go through
+    the FS-aware pyarrow filesystem at deployment."""
+    import pandas as pd
+
+    files = [
+        f.removeprefix("file:")
+        for f in spark.read.parquet(path).inputFiles()
+    ]
+    schema = ", ".join(
+        ["file string", "n_row_groups long", "n_rows long"]
+        + [f"min_{c} double, max_{c} double" for c in cols]
+    )
+    files_df = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                rec = {
+                    "file": p,
+                    "n_row_groups": md.num_row_groups,
+                    "n_rows": md.num_rows,
+                }
+                for c in cols:
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(float(st.min))
+                            maxs.append(float(st.max))
+                    rec[f"min_{c}"] = min(mins) if mins else None
+                    rec[f"max_{c}"] = max(maxs) if maxs else None
+                rows.append(rec)
+            yield pd.DataFrame(rows)
+
+    return files_df.mapInPandas(read_footers, schema)
+
+
 def file_bounds(df_with_files: DataFrame, cols: list[str]) -> DataFrame:
     """Per-file bounding boxes: (file, min/max of each col) — the
     pruning-quality report.  Input must carry ``__file`` (use
