@@ -1,0 +1,142 @@
+"""End-to-end corpus curation: the production recipe, materialized.
+
+Chains the operator families the way a real 100 TB curation run does —
+every stage WRITES parquet and the next stage reads its output, so each
+stage is independently restartable and its count comes from real files
+(contrast: the `corpus_curation_pipeline` registry query re-derives the
+same funnel lazily as a single report plan):
+
+  00 read          documents parquet
+  01 quality       length gate (min_chars)
+  02 exact dedup   md5 fingerprint, keep min id
+  03 near dedup    MinHash-LSH pairs -> connected components keep-list
+  04 span cut      ExactSubstr: cut non-owner duplicated spans
+  05 decontam      drop docs near-duplicating an eval set (optional)
+  06 splits        hash split train/valid/test
+  07 pack + write  token counts + packing offsets, written
+                   partitioned by split
+
+Run:  python examples/curate_corpus.py \
+        [--sf-dir /root/testdata/sf0.001] [--out /tmp/curated] \
+        [--eval-ids 480] [--min-chars 120]
+
+`--eval-ids N` treats doc_id >= N as the held-out eval set for the
+decontamination stage (stand-in for a real eval-suite table); pass a
+negative value to skip the stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+
+def curate(
+    spark,
+    sf_dir: str,
+    out: str,
+    *,
+    min_chars: int = 120,
+    eval_ids_from: int = 480,
+    jaccard: float = 0.5,
+) -> dict[str, int]:
+    """Run the staged pipeline; returns {stage: surviving row count}."""
+    from ubw_spark.operators.components import dedup_keep_list
+    from ubw_spark.operators.dedup import (
+        minhash_contamination_pairs,
+        minhash_dedup_pairs,
+    )
+    from ubw_spark.operators.spans import cut_duplicate_spans
+    from ubw_spark.operators.splits import assign_split
+    from ubw_spark.sources.writers import write_table
+
+    counts: dict[str, int] = {}
+
+    def stage(name: str, df):
+        path = os.path.join(out, name)
+        df.write.mode("overwrite").parquet(path)
+        back = spark.read.parquet(path)
+        counts[name] = back.count()
+        return back
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    counts["00_read"] = docs.count()
+
+    d = stage("01_quality", docs.where(F.length("text") >= min_chars))
+
+    from ubw_spark.operators.dedup import exact_dedup
+
+    d = stage("02_exact_dedup", exact_dedup(d, "doc_id", "text"))
+
+    pairs = minhash_dedup_pairs(
+        d, "doc_id", "text", k=3, threshold=jaccard,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
+    d = stage("03_near_dedup", dedup_keep_list(d, pairs, "doc_id"))
+
+    cut = cut_duplicate_spans(d, "doc_id", "text", k=8)
+    d = stage(
+        "04_span_cut",
+        d.drop("text").join(
+            cut.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        ),
+    )
+
+    if eval_ids_from >= 0:
+        evalset = docs.where(F.col("doc_id") >= eval_ids_from)
+        contaminated = minhash_contamination_pairs(
+            d, evalset, "doc_id", "text", k=3, threshold=jaccard,
+            parallelism=spark.sparkContext.defaultParallelism,
+        ).select(F.col("corpus_id").alias("doc_id")).distinct()
+        d = stage("05_decontam", d.join(contaminated, "doc_id", "left_anti"))
+
+    d = assign_split(d, "doc_id")
+    final = d.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    write_table(
+        final,
+        os.path.join(out, "07_final"),
+        mode="overwrite",
+        partition_by=["split"],
+        max_records_per_file=100_000,
+    )
+    back = spark.read.parquet(os.path.join(out, "07_final"))
+    counts["07_final"] = back.count()
+    for r in back.groupBy("split").count().collect():
+        counts[f"07_final_{r['split']}"] = r["count"]
+    return counts
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/ubw_curated")
+    ap.add_argument("--min-chars", type=int, default=120)
+    ap.add_argument("--eval-ids", type=int, default=480)
+    args = ap.parse_args()
+
+    from ubw_spark.session import get_session
+
+    spark = get_session("curate-corpus")
+    shutil.rmtree(args.out, ignore_errors=True)
+    counts = curate(
+        spark, args.sf_dir, args.out,
+        min_chars=args.min_chars, eval_ids_from=args.eval_ids,
+    )
+    for name in sorted(counts):
+        print(f"{name:24s} {counts[name]}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""The examples/curate_corpus.py staged pipeline runs end to end on
+real testdata and its funnel is monotone + meaningful."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
+    from curate_corpus import curate
+
+    out = str(tmp_path / "curated")
+    counts = curate(spark, sf_dir, out, min_chars=120, eval_ids_from=480)
+
+    assert counts["00_read"] == 500
+    # monotone funnel: every stage can only drop rows
+    order = [
+        "00_read", "01_quality", "02_exact_dedup", "03_near_dedup",
+        "04_span_cut", "05_decontam", "07_final",
+    ]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], (a, b, counts)
+    # each dedup stage actually did something on the synthetic corpus
+    # (it contains planted clones); quality gate drops short docs
+    assert counts["01_quality"] < counts["00_read"]
+    assert counts["03_near_dedup"] < counts["01_quality"]
+    assert counts["07_final"] > 0
+    # split partition dirs exist and add up
+    splits = [
+        d for d in os.listdir(os.path.join(out, "07_final"))
+        if d.startswith("split=")
+    ]
+    assert "split=train" in splits
+    total = sum(
+        counts[f"07_final_{s.removeprefix('split=')}"] for s in splits
+    )
+    assert total == counts["07_final"]
