@@ -265,6 +265,21 @@ def write_gram_index(
         )
         .select(F.col("__gh").alias("gh"), "owner", "n_docs")
     )
+    spark = df.sparkSession
+    # A managed-table location can be ORPHANED: a previous session (with
+    # its own metastore) wrote the table into this warehouse dir, so the
+    # current catalog has no entry but saveAsTable(overwrite) still
+    # refuses with LOCATION_ALREADY_EXISTS.  Drop any catalog entry,
+    # then clear the orphan location through the Hadoop FS API (works on
+    # any filesystem, not just file:).  Surfaced by the --vanilla
+    # correctness run, where the bare session shares cwd with get_session.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm
+    loc = jvm.org.apache.hadoop.fs.Path(
+        wh.rstrip("/") + "/" + table_name.lower()
+    )
+    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
     (
         idx.write.format("parquet")
         .mode("overwrite")
