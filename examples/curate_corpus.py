@@ -51,6 +51,7 @@ def curate(
     """Run the staged pipeline; returns {stage: surviving row count}."""
     from ubw_spark.operators.components import dedup_keep_list
     from ubw_spark.operators.dedup import (
+        exact_dedup,
         minhash_contamination_pairs,
         minhash_dedup_pairs,
     )
@@ -72,8 +73,6 @@ def curate(
 
     d = stage("01_quality", docs.where(F.length("text") >= min_chars))
 
-    from ubw_spark.operators.dedup import exact_dedup
-
     d = stage("02_exact_dedup", exact_dedup(d, "doc_id", "text"))
 
     pairs = minhash_dedup_pairs(
@@ -82,13 +81,18 @@ def curate(
     )
     d = stage("03_near_dedup", dedup_keep_list(d, pairs, "doc_id"))
 
+    # Docs whose every token was cut (a strict subset of an earlier doc
+    # — exact dedup can't catch those) come back with empty text: drop
+    # them here, or they'd reach the final corpus as garbage rows.
     cut = cut_duplicate_spans(d, "doc_id", "text", k=8)
     d = stage(
         "04_span_cut",
-        d.drop("text").join(
+        d.drop("text")
+        .join(
             cut.select("doc_id", F.col("clean_text").alias("text")),
             "doc_id",
-        ),
+        )
+        .where(F.length(F.trim("text")) > 0),
     )
 
     if eval_ids_from >= 0:
@@ -123,6 +127,10 @@ def main() -> None:
     ap.add_argument("--out", default="/tmp/ubw_curated")
     ap.add_argument("--min-chars", type=int, default=120)
     ap.add_argument("--eval-ids", type=int, default=480)
+    ap.add_argument(
+        "--jaccard", type=float, default=0.5,
+        help="near-dup / decontamination similarity threshold",
+    )
     args = ap.parse_args()
 
     from ubw_spark.session import get_session
@@ -132,6 +140,7 @@ def main() -> None:
     counts = curate(
         spark, args.sf_dir, args.out,
         min_chars=args.min_chars, eval_ids_from=args.eval_ids,
+        jaccard=args.jaccard,
     )
     for name in sorted(counts):
         print(f"{name:24s} {counts[name]}")

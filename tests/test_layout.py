@@ -191,8 +191,10 @@ def test_footer_bounds_match_scan_bounds(spark, tmp_path):
     p = str(tmp_path / "zf")
     zorder_write(df, ["x", "y"], p, num_files=6)
 
+    from urllib.parse import unquote, urlparse
+
     scan = {
-        r["__file"].removeprefix("file:"): (
+        unquote(urlparse(r["__file"]).path): (
             r["min_x"], r["max_x"], r["min_y"], r["max_y"]
         )
         for r in file_bounds(

@@ -117,6 +117,31 @@ def with_zvalue(
     return j.select(*keep, interleave(buckets, bits).alias(out_col))
 
 
+def zorder_layout(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    bits: int = DEFAULT_BITS,
+    num_files: int = 8,
+    extra_partition_cols: list[str] | tuple[str, ...] = (),
+) -> DataFrame:
+    """The layout core shared by :func:`zorder_write` and
+    ``sources.writers.write_table(zorder_by=...)``: range-partition on
+    (extra partition cols, z-value) — balanced cuts via Spark's range
+    sampler — sort within each partition, drop the helper column.
+
+    The projection dropping ``__z`` sits ABOVE the sort and does not
+    reorder rows, so file contents stay curve-ordered and parquet
+    min/max stats come out tight in every interleaved dimension."""
+    z = with_zvalue(df, list(cols), bits)
+    parts = [F.col(c) for c in extra_partition_cols]
+    return (
+        z.repartitionByRange(num_files, *parts, F.col("__z"))
+        .sortWithinPartitions(*parts, F.col("__z"))
+        .drop("__z")
+    )
+
+
 def zorder_write(
     df: DataFrame,
     cols: list[str],
@@ -126,19 +151,9 @@ def zorder_write(
     num_files: int = 8,
     max_records_per_file: int | None = None,
 ) -> None:
-    """Write ``df`` as parquet laid out along the Z-curve of ``cols``:
-    range-partition on the z-value (balanced cuts via Spark's range
-    sampler), sort within each partition, drop the helper column.
-
-    The projection dropping ``__z`` sits ABOVE the sort and does not
-    reorder rows, so file contents stay curve-ordered and parquet
-    min/max stats come out tight in every interleaved dimension."""
-    z = with_zvalue(df, cols, bits)
-    out = (
-        z.repartitionByRange(num_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-    )
+    """Write ``df`` as parquet laid out along the Z-curve of ``cols``
+    (see :func:`zorder_layout`)."""
+    out = zorder_layout(df, cols, bits=bits, num_files=num_files)
     w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)
@@ -160,10 +175,14 @@ def footer_bounds(spark, path: str, cols: list[str]) -> DataFrame:
     are distributed — each task opens only its files' metadata via
     pyarrow.  Local-path scheme only (file:); object stores go through
     the FS-aware pyarrow filesystem at deployment."""
+    from urllib.parse import unquote, urlparse
+
     import pandas as pd
 
+    # inputFiles() returns URIs (file:/...%20...): decode the path part
+    # or files under directories with spaces/percent chars fail to open.
     files = [
-        f.removeprefix("file:")
+        unquote(urlparse(f).path)
         for f in spark.read.parquet(path).inputFiles()
     ]
     schema = ", ".join(

@@ -185,8 +185,11 @@ def cut_duplicate_spans(
     its k token indices (×k linear fanout, 8-byte rows), distinct,
     then collect per doc — the per-row cut array is O(doc tokens),
     the same order as the token array itself, so it adds no new
-    memory class.  Reconstruction is per-row higher-order functions
-    (transform + filter + concat_ws), map-only JVM.
+    memory class.  Reconstruction is per-row higher-order functions:
+    kept indices via ``array_except`` (hash-based, O(n + cut)), then
+    one element_at per kept index — NOT a per-token array_contains
+    scan, which would go O(n·cut) on exactly the boilerplate-heavy
+    documents this operator targets.  All map-only JVM.
 
     The cut operates on the ORIGINAL whitespace tokenization (case
     preserved); matching is case-insensitive like the detector, so a
@@ -216,16 +219,19 @@ def cut_duplicate_spans(
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     j = df.join(cut, id_col, "left")
-    indexed = F.transform(
-        toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    # array_except is hash-based and order-preserving on its left input;
+    # sequence(0, n-1) is already sorted+distinct, so kept_idx is the
+    # sorted kept positions.  (array_sort kept anyway: the sort is cheap
+    # and the contract — tokens in original order — must not ride on an
+    # undocumented implementation detail.)
+    kept_idx = F.array_sort(
+        F.array_except(
+            F.sequence(F.lit(0), F.size(toks) - 1), F.col("__cut")
+        )
     )
-    kept = F.filter(
-        indexed,
-        lambda s: ~F.coalesce(
-            F.array_contains(F.col("__cut"), s["i"]), F.lit(False)
-        ),
+    rebuilt = F.concat_ws(
+        " ", F.transform(kept_idx, lambda i: F.element_at(toks, i + 1))
     )
-    rebuilt = F.concat_ws(" ", F.transform(kept, lambda s: s["t"]))
     return j.select(
         F.col(id_col),
         F.when(F.col("__cut").isNull(), F.col(text_col))
@@ -234,6 +240,62 @@ def cut_duplicate_spans(
         F.size(toks).alias("n_tokens"),
         F.coalesce(F.size("__cut"), F.lit(0)).alias("n_removed"),
     )
+
+
+def _coverage_report(
+    df: DataFrame, id_col: str, text_col: str, per_doc_dup: DataFrame
+) -> DataFrame:
+    """Zero-filled per-document report shared by the batch probe and
+    the whole-corpus fraction: join ``(id, __dup)`` onto every input
+    row → (id, n_tokens, dup_tokens, dup_fraction)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    return base.join(per_doc_dup, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.col("__dup"), F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            4,
+        ).alias("dup_fraction"),
+    )
+
+
+def _gram_index_rows(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """The index schema, defined ONCE for write and append:
+    one row per distinct gram hash — (gh, owner, n_docs)."""
+    grams = token_gram_table(df, id_col, text_col, k)
+    return (
+        grams.groupBy("__gh")
+        .agg(
+            F.min(id_col).alias("owner"),
+            F.count_distinct(id_col).alias("n_docs"),
+        )
+        .select(F.col("__gh").alias("gh"), "owner", "n_docs")
+    )
+
+
+def _clear_orphaned_location(spark, table_name: str) -> None:
+    """Remove a MANAGED-table location left behind by another session.
+
+    A previous session (with its own metastore) may have written
+    ``table_name`` into this warehouse dir: the current catalog has no
+    entry, but ``saveAsTable(overwrite)`` still refuses with
+    LOCATION_ALREADY_EXISTS (surfaced by the --vanilla correctness
+    run, whose bare session shares cwd with get_session's).  Deletion
+    happens ONLY when the catalog confirms the table does not exist —
+    a live table in this catalog is never touched — and goes through
+    the Hadoop FS API so any filesystem works."""
+    if spark.catalog.tableExists(table_name):
+        return
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(
+        wh.rstrip("/") + "/" + table_name.lower()
+    )
+    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
 
 
 def write_gram_index(
@@ -255,31 +317,20 @@ def write_gram_index(
     index side is read bucket-aligned with ZERO index-side shuffle —
     only the (small) batch reshuffles to the bucket scheme.
     ``n_docs``/``owner`` are as-of index time (appends add only NOVEL
-    grams; membership — the probe semantics — stays exact)."""
-    grams = token_gram_table(df, id_col, text_col, k)
-    idx = (
-        grams.groupBy("__gh")
-        .agg(
-            F.min(id_col).alias("owner"),
-            F.count_distinct(id_col).alias("n_docs"),
+    grams; membership — the probe semantics — stays exact).
+
+    ``table_name`` must be an UNQUALIFIED name in the session's
+    current database: the orphan-location recovery resolves the
+    managed location as ``<warehouse>/<name>``, which is wrong for
+    ``db.table`` names (those live under ``<warehouse>/<db>.db/``)."""
+    if "." in table_name:
+        raise ValueError(
+            f"gram index table must be unqualified, got {table_name!r}"
         )
-        .select(F.col("__gh").alias("gh"), "owner", "n_docs")
-    )
+    idx = _gram_index_rows(df, id_col, text_col, k)
     spark = df.sparkSession
-    # A managed-table location can be ORPHANED: a previous session (with
-    # its own metastore) wrote the table into this warehouse dir, so the
-    # current catalog has no entry but saveAsTable(overwrite) still
-    # refuses with LOCATION_ALREADY_EXISTS.  Drop any catalog entry,
-    # then clear the orphan location through the Hadoop FS API (works on
-    # any filesystem, not just file:).  Surfaced by the --vanilla
-    # correctness run, where the bare session shares cwd with get_session.
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    jvm = spark._jvm
-    loc = jvm.org.apache.hadoop.fs.Path(
-        wh.rstrip("/") + "/" + table_name.lower()
-    )
-    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
+    _clear_orphaned_location(spark, table_name)
     (
         idx.write.format("parquet")
         .mode("overwrite")
@@ -315,18 +366,7 @@ def probe_gram_index(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("__dup"))
     )
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = batch.select(F.col(id_col), F.size(toks).alias("n_tokens"))
-    return base.join(covered, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup_tokens"),
-        F.round(
-            F.coalesce(F.col("__dup"), F.lit(0))
-            / F.greatest(F.col("n_tokens"), F.lit(1)),
-            4,
-        ).alias("dup_fraction"),
-    )
+    return _coverage_report(batch, id_col, text_col, covered)
 
 
 def append_gram_index(
@@ -345,16 +385,7 @@ def append_gram_index(
     decontamination.  Existing grams are untouched: membership stays
     exact; their n_docs is as-of their own index time (documented on
     :func:`write_gram_index`)."""
-    grams = token_gram_table(batch, id_col, text_col, k)
-    agg = (
-        grams.groupBy("__gh")
-        .agg(
-            F.min(id_col).alias("owner"),
-            F.count_distinct(id_col).alias("n_docs"),
-        )
-        .select(F.col("__gh").alias("gh"), "owner", "n_docs")
-    )
-    novel = agg.join(
+    novel = _gram_index_rows(batch, id_col, text_col, k).join(
         spark.table(table_name).select("gh"), "gh", "left_anti"
     )
     (
@@ -378,19 +409,8 @@ def duplicated_token_fraction(
     zero-filled when it has no duplicated span.  ``dup_fraction`` is
     the removal-policy input (ExactSubstr cuts the spans; a cruder
     policy drops docs above a fraction threshold)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
     spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
     per_doc = spans.groupBy(id_col).agg(
         F.sum("span_tokens").alias("__dup")
     )
-    return base.join(per_doc, id_col, "left").select(
-        id_col,
-        "n_tokens",
-        F.coalesce(F.col("__dup"), F.lit(0)).alias("dup_tokens"),
-        F.round(
-            F.coalesce(F.col("__dup"), F.lit(0))
-            / F.greatest(F.col("n_tokens"), F.lit(1)),
-            4,
-        ).alias("dup_fraction"),
-    )
+    return _coverage_report(df, id_col, text_col, per_doc)

@@ -124,7 +124,12 @@ def dedup_span_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gh) table; the incoming batch (doc_id >= 250) probes membership
     with zero index-side shuffle (bucket-aligned join; plan-asserted
     in tests/test_spans.py).  The 100 TB shape that amortizes corpus
-    hashing across every incoming batch."""
+    hashing across every incoming batch.
+
+    The table name is a deterministic per-sf_dir scratch location,
+    OVERWRITTEN on every run (same convention as the LSH index's /tmp
+    path in dedup_incremental_index_probe) — at scale this is the
+    long-lived lake table the index lives in."""
     import hashlib
 
     from ubw_spark.operators.spans import (

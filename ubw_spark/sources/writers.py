@@ -39,14 +39,11 @@ def write_table(
     mutually exclusive with nothing else."""
     w = df
     if zorder_by:
-        from ubw_spark.operators.layout import with_zvalue
+        from ubw_spark.operators.layout import zorder_layout
 
-        parts = [F.col(c) for c in partition_by]
-        w = (
-            with_zvalue(w, list(zorder_by), out_col="__z")
-            .repartitionByRange(zorder_files, *parts, F.col("__z"))
-            .sortWithinPartitions(*parts, F.col("__z"))
-            .drop("__z")
+        w = zorder_layout(
+            w, list(zorder_by), num_files=zorder_files,
+            extra_partition_cols=list(partition_by),
         )
     elif partition_by:
         w = w.repartition(*[F.col(c) for c in partition_by])
