@@ -215,6 +215,44 @@ def test_footer_bounds_match_scan_bounds(spark, tmp_path):
     assert total_rows == 8_000
 
 
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    import os
+
+    from ubw_spark.operators.layout import compact_parquet
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(20_000)], ["a", "b"]
+    )
+    src = str(tmp_path / "small_files")
+    df.repartition(40).write.mode("overwrite").parquet(src)
+    n_src = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_src == 40
+
+    dst = str(tmp_path / "compacted")
+    stats = compact_parquet(spark, src, dst, target_mb=128)
+    n_dst = len(
+        [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    )
+    assert stats["files_before"] == 40
+    assert stats["rows"] == 20_000
+    assert n_dst == stats["target_files"] < 40
+    assert spark.read.parquet(dst).count() == 20_000
+
+    # compaction + clustering in one rewrite
+    dstz = str(tmp_path / "compacted_z")
+    statsz = compact_parquet(
+        spark, src, dstz, target_mb=128, zorder_by=["a", "b"]
+    )
+    assert statsz["rows"] == 20_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_parquet(spark, src, src)
+
+
 def test_zorder_write_preserves_rows_and_schema(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, float(i * 3 % 17)) for i in range(1000)], ["a", "b"]

@@ -222,6 +222,55 @@ def footer_bounds(spark, path: str, cols: list[str]) -> DataFrame:
     return files_df.mapInPandas(read_footers, schema)
 
 
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    *,
+    target_mb: int = 128,
+    zorder_by: list[str] | None = None,
+) -> dict:
+    """Compact a small-file parquet directory into ~``target_mb`` files
+    — the OPTIMIZE-compaction half of lake maintenance (the other half,
+    clustering, is :func:`zorder_write`; pass ``zorder_by`` to do both
+    in the single rewrite they should share).
+
+    Sizing comes from the filesystem METADATA (one Hadoop FS listing —
+    no data read), so the plan cost is known before any scan.  Without
+    z-ordering the rewrite uses ``coalesce`` — a NARROW dependency, no
+    shuffle: each output task concatenates whole input files, which is
+    exactly what compaction wants (skewed input-file sizes average out
+    over many files; a z-ordered rewrite shuffles anyway).
+
+    Writes to ``dst`` (must differ from ``src``); the caller owns the
+    atomic swap — same contract as every staged rewrite here.  Returns
+    {files_before, bytes_before, target_files, rows}."""
+    if src.rstrip("/") == dst.rstrip("/"):
+        raise ValueError("dst must differ from src (staged rewrite)")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(src)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = [
+        s.getLen()
+        for s in fs.listStatus(p)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    total = sum(sizes)
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(src)
+    if zorder_by:
+        zorder_write(df, zorder_by, dst, num_files=n)
+    else:
+        df.coalesce(n).write.mode("overwrite").parquet(dst)
+    rows = spark.read.parquet(dst).count()
+    return {
+        "files_before": len(sizes),
+        "bytes_before": total,
+        "target_files": n,
+        "rows": rows,
+    }
+
+
 def file_bounds(df_with_files: DataFrame, cols: list[str]) -> DataFrame:
     """Per-file bounding boxes: (file, min/max of each col) — the
     pruning-quality report.  Input must carry ``__file`` (use
