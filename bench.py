@@ -70,6 +70,8 @@ HEADLINE = [
     # index write — that IS the operation, as with the LSH index).
     "dedup_duplicate_spans",
     "dedup_span_index_probe",
+    # Z-order layout math (bucketize + Morton interleave + histogram).
+    "layout_zorder_histogram",
 ]
 
 
