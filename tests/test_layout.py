@@ -74,10 +74,15 @@ def test_bucketize_null_lands_in_bucket_zero(spark):
 
 def test_zvalue_sql_parity_with_spark(spark):
     """The generated-SQL twin produces byte-identical z-values in
-    DuckDB for the same bucketized inputs."""
+    DuckDB for the same bucketized inputs — including NEGATIVE ranges
+    (floor of negative quotients must agree engine-to-engine)."""
     random.seed(7)
     rows = [
-        (i, random.randrange(0, 1500), random.uniform(1000.0, 500000.0))
+        (
+            i,
+            random.randrange(-700, 1500),
+            random.uniform(-250000.0, 500000.0),
+        )
         for i in range(500)
     ]
     df = spark.createDataFrame(rows, ["id", "x", "y"])

@@ -224,6 +224,49 @@ def test_cut_random_corpora_match_brute_force(spark):
     assert got == want
 
 
+def test_cut_handles_large_heavily_duplicated_doc(spark):
+    """10k-token doc, ~full duplication: the array_except rebuild must
+    stay linear (this is the boilerplate-heavy shape the operator
+    targets) and produce the exact expected remainder."""
+    base = " ".join(f"t{i % 97}" for i in range(10_000))
+    d = _docs(spark, [(1, base), (2, base + " uniq1 uniq2 uniq3 uniq4")])
+    out = {
+        r.doc_id: r
+        for r in cut_duplicate_spans(d, "doc_id", "text", k=8).collect()
+    }
+    assert out[1].n_removed == 0  # owner keeps everything
+    assert out[2].clean_text == "uniq1 uniq2 uniq3 uniq4"
+    assert out[2].n_removed == 10_000
+
+
+def test_gram_index_empty_corpus_and_empty_probe(spark):
+    from ubw_spark.operators.spans import (
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    tbl = "gram_idx_empty_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        empty = spark.createDataFrame([], "doc_id bigint, text string")
+        write_gram_index(empty, "doc_id", "text", tbl, k=4)
+        assert spark.table(tbl).count() == 0
+        # probe against an empty index: every doc zero-filled
+        out = probe_gram_index(
+            spark, _docs(spark, [(1, SHARED)]), tbl, "doc_id", "text", k=4
+        ).collect()
+        assert out[0].dup_fraction == 0.0 and out[0].dup_tokens == 0
+        # empty probe against the empty index: empty report
+        assert (
+            probe_gram_index(
+                spark, empty, tbl, "doc_id", "text", k=4
+            ).count()
+            == 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_gram_index_lifecycle_write_probe_append(spark):
     """Incremental loop: batch-2's copy of a corpus doc is flagged;
     a novel doc is clean; after append, batch-3's copy of the novel
