@@ -257,6 +257,21 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     with _pytest.raises(ValueError, match="must differ"):
         compact_parquet(spark, src, src)
 
+    # partitioned layouts are refused (a flat rewrite would drop the
+    # partition structure and the old sizing saw 0 bytes)
+    psrc = str(tmp_path / "partitioned_src")
+    df.write.mode("overwrite").partitionBy("b").parquet(psrc)
+    with _pytest.raises(ValueError, match="partitioned layout"):
+        compact_parquet(spark, psrc, str(tmp_path / "pd"))
+
+
+def test_footer_bounds_rejects_missing_column(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.0)], ["a", "b"])
+    p = str(tmp_path / "fb")
+    df.write.mode("overwrite").parquet(p)
+    with pytest.raises(ValueError, match="not in parquet footers"):
+        footer_bounds(spark, p, ["nope"]).collect()
+
 
 def test_zorder_write_preserves_rows_and_schema(spark, tmp_path):
     df = spark.createDataFrame(

@@ -304,6 +304,13 @@ def test_gram_index_lifecycle_write_probe_append(spark):
         n = spark.table(tbl).count()
         append_gram_index(spark, batch2, tbl, "doc_id", "text", k=4)
         assert spark.table(tbl).count() == n
+
+        # probing or appending with a mismatched k raises instead of
+        # silently reporting zero contamination
+        with pytest.raises(ValueError, match="built with k=4"):
+            probe_gram_index(spark, batch3, tbl, "doc_id", "text", k=8)
+        with pytest.raises(ValueError, match="built with k=4"):
+            append_gram_index(spark, batch3, tbl, "doc_id", "text", k=8)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 

@@ -185,6 +185,24 @@ def footer_bounds(spark, path: str, cols: list[str]) -> DataFrame:
         unquote(urlparse(f).path)
         for f in spark.read.parquet(path).inputFiles()
     ]
+    if files and cols:
+        # Validate on the DRIVER against one real footer: a misspelled
+        # or partition column (present in the Spark schema, absent from
+        # footers) would otherwise surface as an opaque executor-side
+        # KeyError stack dump.
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(files[0]).metadata
+        present = {
+            md.schema.column(i).name for i in range(md.num_columns)
+        }
+        missing = [c for c in cols if c not in present]
+        if missing:
+            raise ValueError(
+                f"columns {missing} not in parquet footers of {path} "
+                "(partition columns live in directory names, not "
+                "footers)"
+            )
     schema = ", ".join(
         ["file string", "n_row_groups long", "n_rows long"]
         + [f"min_{c} double, max_{c} double" for c in cols]
@@ -250,11 +268,29 @@ def compact_parquet(
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(src)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    sizes = [
-        s.getLen()
-        for s in fs.listStatus(p)
-        if s.isFile() and s.getPath().getName().endswith(".parquet")
-    ]
+    # Recursive listing: a non-recursive listStatus on a PARTITIONED
+    # layout sees only the partition directories, sizes to total=0, and
+    # would silently coalesce terabytes into one file.  Nested files
+    # mean a partitioned layout — refuse it outright: a flat rewrite
+    # would also silently drop the partition structure; compact each
+    # partition directory instead.
+    it = fs.listFiles(p, True)
+    sizes, nested = [], False
+    src_uri = fs.makeQualified(p).toString().rstrip("/")
+    while it.hasNext():
+        s = it.next()
+        if not s.getPath().getName().endswith(".parquet"):
+            continue
+        sizes.append(s.getLen())
+        if s.getPath().getParent().toString().rstrip("/") != src_uri:
+            nested = True
+    if nested:
+        raise ValueError(
+            f"{src} is a partitioned layout (parquet files in "
+            "subdirectories); compact each partition directory"
+        )
+    if not sizes:
+        raise ValueError(f"no parquet files under {src}")
     total = sum(sizes)
     n = max(1, -(-total // (target_mb * 1024 * 1024)))
     df = spark.read.parquet(src)
@@ -262,12 +298,18 @@ def compact_parquet(
         zorder_write(df, zorder_by, dst, num_files=n)
     else:
         df.coalesce(n).write.mode("overwrite").parquet(dst)
-    rows = spark.read.parquet(dst).count()
+    # Row count from the output's FOOTERS — a data-pass count() over
+    # the freshly written files would be a second full read.
+    rows = (
+        footer_bounds(spark, dst, [])
+        .agg(F.sum("n_rows"))
+        .first()[0]
+    )
     return {
         "files_before": len(sizes),
         "bytes_before": total,
         "target_files": n,
-        "rows": rows,
+        "rows": int(rows),
     }
 
 

@@ -285,11 +285,20 @@ def _clear_orphaned_location(spark, table_name: str) -> None:
     ``table_name`` into this warehouse dir: the current catalog has no
     entry, but ``saveAsTable(overwrite)`` still refuses with
     LOCATION_ALREADY_EXISTS (surfaced by the --vanilla correctness
-    run, whose bare session shares cwd with get_session's).  Deletion
-    happens ONLY when the catalog confirms the table does not exist —
-    a live table in this catalog is never touched — and goes through
-    the Hadoop FS API so any filesystem works."""
-    if spark.catalog.tableExists(table_name):
+    run, whose bare session shares cwd with get_session's).
+
+    The path ``<warehouse>/<name>`` is where the DEFAULT database puts
+    managed tables, so deletion requires ALL of: the session's current
+    database IS default (otherwise the upcoming save goes under
+    ``<db>.db/`` and the default-path dir belongs to someone else),
+    and neither the current-database nor the default-qualified catalog
+    entry exists — a live table is never touched.  The delete goes
+    through the Hadoop FS API so any filesystem works."""
+    if spark.catalog.currentDatabase() != "default":
+        return
+    if spark.catalog.tableExists(table_name) or spark.catalog.tableExists(
+        f"default.{table_name}"
+    ):
         return
     wh = spark.conf.get("spark.sql.warehouse.dir")
     loc = spark._jvm.org.apache.hadoop.fs.Path(
@@ -337,6 +346,26 @@ def write_gram_index(
         .bucketBy(num_buckets, "gh")
         .saveAsTable(table_name)
     )
+    # Record k on the table: probing with a different k would silently
+    # report zero contamination (4-gram hashes never match 8-gram
+    # hashes) — a silent-wrong-result API unless the mismatch raises.
+    spark.sql(
+        f"ALTER TABLE {table_name} SET TBLPROPERTIES "
+        f"('ubw.gram_k' = '{int(k)}')"
+    )
+
+
+def _check_index_k(spark, table_name: str, k: int) -> None:
+    """Raise if ``table_name`` was built with a different gram size."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    props = {r["key"]: r["value"] for r in rows}
+    stored = props.get("ubw.gram_k")
+    if stored is not None and int(stored) != int(k):
+        raise ValueError(
+            f"gram index {table_name} was built with k={stored}, "
+            f"probed/appended with k={k} — results would be silently "
+            "empty; use the index's k or rebuild it"
+        )
 
 
 def probe_gram_index(
@@ -352,9 +381,13 @@ def probe_gram_index(
     (id, n_tokens, dup_tokens, dup_fraction), where dup_tokens counts
     tokens covered by any gram already present in the index.  Every
     batch row appears, zero-filled."""
+    _check_index_k(spark, table_name, k)
     bg = token_gram_table(batch, id_col, text_col, k)
     idx = spark.table(table_name).select(F.col("gh").alias("__gh"))
     hits = bg.join(idx, "__gh").select(id_col, "__pos")
+    # count_distinct dedups covered positions in ONE shuffle with
+    # map-side partials (a .distinct() + groupBy would shuffle the
+    # exploded rows twice — this is the per-micro-batch hot loop).
     covered = (
         hits.select(
             F.col(id_col),
@@ -362,9 +395,8 @@ def probe_gram_index(
                 F.sequence(F.col("__pos"), F.col("__pos") + (k - 1))
             ).alias("__ci"),
         )
-        .distinct()
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__dup"))
+        .agg(F.count_distinct("__ci").alias("__dup"))
     )
     return _coverage_report(batch, id_col, text_col, covered)
 
@@ -385,6 +417,7 @@ def append_gram_index(
     decontamination.  Existing grams are untouched: membership stays
     exact; their n_docs is as-of their own index time (documented on
     :func:`write_gram_index`)."""
+    _check_index_k(spark, table_name, k)
     novel = _gram_index_rows(batch, id_col, text_col, k).join(
         spark.table(table_name).select("gh"), "gh", "left_anti"
     )
