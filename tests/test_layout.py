@@ -265,6 +265,37 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
         compact_parquet(spark, psrc, str(tmp_path / "pd"))
 
 
+def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
+    """The read-side payoff: a 2-dim point-range predicate over a
+    z-ordered layout reads a strict minority of files and returns
+    exactly what a full-scan filter returns."""
+    from ubw_spark.operators.layout import read_pruned
+
+    random.seed(21)
+    rows = [
+        (i, random.randrange(0, 10_000), random.randrange(0, 10_000))
+        for i in range(30_000)
+    ]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    p = str(tmp_path / "zr")
+    zorder_write(df, ["x", "y"], p, num_files=16)
+
+    ranges = {"x": (1000, 2000), "y": (7000, 8000)}
+    pruned, stats = read_pruned(spark, p, ranges)
+    got = sorted(r.id for r in pruned.collect())
+    want = sorted(
+        i for i, x, y in rows if 1000 <= x <= 2000 and 7000 <= y <= 8000
+    )
+    assert got == want
+    assert stats["files_total"] >= 8
+    # a 10% x 10% box over a 2-dim z-layout must skip most files
+    assert stats["files_read"] <= stats["files_total"] // 2, stats
+
+    # empty-result range: no file intersects, still exact
+    none_df, none_stats = read_pruned(spark, p, {"x": (20_000, 30_000)})
+    assert none_df.count() == 0 and none_stats["files_read"] == 0
+
+
 def test_footer_bounds_rejects_missing_column(spark, tmp_path):
     df = spark.createDataFrame([(1, 2.0)], ["a", "b"])
     p = str(tmp_path / "fb")

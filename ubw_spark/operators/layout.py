@@ -313,6 +313,48 @@ def compact_parquet(
     }
 
 
+def read_pruned(
+    spark,
+    path: str,
+    ranges: dict[str, tuple[float, float]],
+) -> tuple[DataFrame, dict]:
+    """Read only the files whose footer bounding box intersects every
+    ``col: (lo, hi)`` range — manual file skipping, the read-side
+    payoff of :func:`zorder_write` (this is what a lakehouse log does
+    with its per-file stats; plain parquet directories get it here).
+
+    Returns ``(df, stats)`` where df carries the files' rows with the
+    range predicates REAPPLIED (bounding boxes admit false positives —
+    a file intersecting the box may still hold no matching row; the
+    residual filter restores exactness), and stats =
+    {files_total, files_read}.
+
+    The candidate file list is collected on the driver — bounded: one
+    row per file, the same cardinality every Spark scan's file index
+    holds.  A file with no stats for some column (all-NULL row group)
+    is conservatively KEPT."""
+    cols = list(ranges)
+    bounds = footer_bounds(spark, path, cols).collect()
+    keep = []
+    for r in bounds:
+        ok = True
+        for c, (lo, hi) in ranges.items():
+            mn, mx = r[f"min_{c}"], r[f"max_{c}"]
+            if mn is not None and mx is not None and (mx < lo or mn > hi):
+                ok = False
+                break
+        if ok:
+            keep.append(r["file"])
+    stats = {"files_total": len(bounds), "files_read": len(keep)}
+    if not keep:
+        df = spark.read.parquet(path).limit(0)
+    else:
+        df = spark.read.parquet(*keep)
+    for c, (lo, hi) in ranges.items():
+        df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
+    return df, stats
+
+
 def file_bounds(df_with_files: DataFrame, cols: list[str]) -> DataFrame:
     """Per-file bounding boxes: (file, min/max of each col) — the
     pruning-quality report.  Input must carry ``__file`` (use
