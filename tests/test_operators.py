@@ -1003,3 +1003,47 @@ def test_minhash_index_compaction_removes_dropped_ids(spark, sf_dir, tmp_path):
     assert not any(r["corpus_id"] == 0 for r in after)
     # unrelated entries survive the rewrite
     assert spark.read.parquet(f"{path}/docs").count() == 39
+
+
+def test_weighted_sample_per_group_exact_k_and_deterministic(spark):
+    from ubw_spark.operators.splits import weighted_sample_per_group
+
+    rows = [(g, g * 100 + i, float(1 + i % 7)) for g in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "id", "w"])
+    a = weighted_sample_per_group(df, "grp", "id", "w", k=6)
+    b = weighted_sample_per_group(df, "grp", "id", "w", k=6)
+    ra = sorted((r.grp, r.id) for r in a.collect())
+    rb = sorted((r.grp, r.id) for r in b.collect())
+    assert ra == rb, "deterministic across runs"
+    per_group = {}
+    for g, _ in ra:
+        per_group[g] = per_group.get(g, 0) + 1
+    assert per_group == {0: 6, 1: 6, 2: 6}
+
+
+def test_weighted_sample_prefers_heavy_weights(spark):
+    """E-S property: with one weight-1000 doc among 50 weight-1 docs,
+    P(heavy selected at k=1) = 1000/1050 ~ 0.95 -> across 20 salts the
+    heavy doc must win a clear majority."""
+    from ubw_spark.operators.splits import weighted_sample_per_group
+
+    rows = [("g", 0, 1000.0)] + [("g", i, 1.0) for i in range(1, 51)]
+    df = spark.createDataFrame(rows, ["grp", "id", "w"])
+    wins = 0
+    for s in range(20):
+        got = weighted_sample_per_group(
+            df, "grp", "id", "w", k=1, salt=f"s{s}"
+        ).collect()
+        wins += got[0].id == 0
+    assert wins >= 14, f"heavy doc won only {wins}/20"
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from ubw_spark.operators.splits import weighted_sample_per_group
+
+    rows = [("g", 1, 0.0), ("g", 2, -3.0), ("g", 3, 2.0)]
+    df = spark.createDataFrame(rows, ["grp", "id", "w"])
+    got = [r.id for r in weighted_sample_per_group(
+        df, "grp", "id", "w", k=5
+    ).collect()]
+    assert got == [3]

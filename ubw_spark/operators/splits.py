@@ -61,6 +61,47 @@ def assign_split(
     )
 
 
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Exactly-k weighted random sample per group WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, IPL 2006): key = u^(1/w) with u a
+    deterministic hash-uniform in (0,1]; the k largest keys per group
+    are a weighted sample.  Quality-weighted corpus selection ("keep 5
+    docs per language, preferring long/high-quality ones, but keep the
+    choice random and REPRODUCIBLE") in one partitioned window — no
+    driver-side randomness, re-runs/engines agree, oracle-checkable.
+
+    Rows with weight <= 0 are excluded (A-ES precondition).  Ordering
+    ties break on id.  One shuffle keyed by group; same scale shape as
+    every top-k-per-group here."""
+    from pyspark.sql import Window
+
+    u = (
+        portable_hash(
+            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+        )
+        % _BUCKETS
+        + 1
+    ) / float(_BUCKETS)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__es_key"), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__es_key", key)
+        .withColumn("__es_rn", F.row_number().over(w))
+        .where(F.col("__es_rn") <= k)
+        .drop("__es_key", "__es_rn")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -127,3 +127,37 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("source").alias("n_sources"),
     )
+
+
+@register(
+    "curation_weighted_sample",
+    oracle=r"""
+    WITH s AS (
+      SELECT lang, doc_id, n_chars,
+             pow(
+               ((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 8))
+                 ::BIGINT % 10000) + 1) / 10000.0,
+               1.0 / n_chars) AS es_key
+      FROM documents WHERE n_chars > 0),
+    r AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY es_key DESC, doc_id) AS rn
+      FROM s)
+    SELECT lang, doc_id, n_chars FROM r WHERE rn <= 5
+    """,
+    tags=("splits", "sampling", "curation"),
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-5 weighted sample per language (Efraimidis-Spirakis
+    A-ES over a deterministic hash-uniform, weight = n_chars): the
+    quality-weighted reproducible selection primitive -- long docs are
+    preferred but the choice stays random and identical across
+    runs/engines.  One group-keyed window shuffle."""
+    from ubw_spark.operators.splits import weighted_sample_per_group
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample_per_group(
+        d.select("lang", "doc_id", "n_chars"),
+        "lang", "doc_id", "n_chars", k=5,
+    ).select("lang", "doc_id", "n_chars")
