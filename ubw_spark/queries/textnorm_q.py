@@ -50,3 +50,30 @@ def text_normalize_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         mask_pii(F.col("clean")).alias("masked"),
         F.size(char_ngrams(F.col("clean"), 3)).alias("n_char_trigrams"),
     )
+
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=r"""
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    m AS (SELECT doc_id, text, n,
+                 greatest(1, (n - 64 + 447) // 448) AS n_chunks
+          FROM d),
+    c AS (SELECT doc_id, u.i AS chunk_idx, u.i * 448 AS chunk_start,
+                 substr(text, u.i * 448 + 1, 512) AS chunk_text
+          FROM m, unnest(generate_series(0, n_chunks - 1)) AS u(i))
+    SELECT doc_id, chunk_idx, chunk_start, chunk_text,
+           length(chunk_text) AS chunk_len
+    FROM c
+    """,
+    tags=("text", "chunking"),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 512-char chunks with 64-char overlap over every
+    document -- the RAG/embedding ingestion primitive.  Map-only
+    per-row explode; text never shuffles (operators/chunking.py)."""
+    from ubw_spark.operators.chunking import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_chars=512, overlap=64)
