@@ -1006,19 +1006,50 @@ def test_minhash_index_compaction_removes_dropped_ids(spark, sf_dir, tmp_path):
 
 
 def test_weighted_sample_per_group_exact_k_and_deterministic(spark):
+    """Determinism is pinned against a PYTHON reference computation of
+    the exact A-ES ranking (same md5 hash, same u, same key) — not by
+    collecting the same Spark plan twice, which could never fail."""
+    import hashlib
+    import math
+
     from ubw_spark.operators.splits import weighted_sample_per_group
 
     rows = [(g, g * 100 + i, float(1 + i % 7)) for g in range(3) for i in range(40)]
+
+    def expected(k=6):
+        out = []
+        for g in range(3):
+            grp = [(gg, i, w) for gg, i, w in rows if gg == g]
+            keyed = []
+            for _, i, w in grp:
+                b = int(
+                    hashlib.md5(f"wsample:{i}".encode()).hexdigest()[:8], 16
+                ) % 10_000
+                u = (b + 1) / 10_001.0
+                keyed.append((round(math.pow(u, 1.0 / w), 12), -i, i))
+            keyed.sort(reverse=True)
+            out += [(g, i) for _, _, i in keyed[:k]]
+        return sorted(out)
+
     df = spark.createDataFrame(rows, ["grp", "id", "w"])
-    a = weighted_sample_per_group(df, "grp", "id", "w", k=6)
-    b = weighted_sample_per_group(df, "grp", "id", "w", k=6)
-    ra = sorted((r.grp, r.id) for r in a.collect())
-    rb = sorted((r.grp, r.id) for r in b.collect())
-    assert ra == rb, "deterministic across runs"
-    per_group = {}
-    for g, _ in ra:
-        per_group[g] = per_group.get(g, 0) + 1
-    assert per_group == {0: 6, 1: 6, 2: 6}
+    got = sorted(
+        (r.grp, r.id)
+        for r in weighted_sample_per_group(df, "grp", "id", "w", k=6).collect()
+    )
+    assert got == expected()
+
+
+def test_weighted_sample_top_bucket_does_not_hijack(spark):
+    """Regression: u must lie in (0,1) EXCLUSIVE.  With u = 1.0 for the
+    top hash bucket (the old /BUCKETS math), key = pow(1, 1/w) = 1
+    outranks every row regardless of weight — id 11444 hashes to
+    bucket 9999 and would always win.  A heavy-weight row must beat it."""
+    from ubw_spark.operators.splits import weighted_sample_per_group
+
+    rows = [("g", 11444, 0.001), ("g", 1, 1_000_000.0), ("g", 2, 0.001)]
+    df = spark.createDataFrame(rows, ["grp", "id", "w"])
+    got = weighted_sample_per_group(df, "grp", "id", "w", k=1).collect()
+    assert got[0].id == 1, "weight must dominate the top hash bucket"
 
 
 def test_weighted_sample_prefers_heavy_weights(spark):

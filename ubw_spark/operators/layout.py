@@ -329,10 +329,23 @@ def read_pruned(
     residual filter restores exactness), and stats =
     {files_total, files_read}.
 
+    The skip test WIDENS each box by a few ulps: footer stats come
+    back through float64 (footer_bounds), and an int64 column with
+    values above 2^53 rounds — an unwidened ``mx < lo`` could then
+    skip a file that really contains matching rows, and the residual
+    filter can only drop rows, never restore unread ones.  False
+    positives are safe; false negatives are data loss.
+
     The candidate file list is collected on the driver — bounded: one
     row per file, the same cardinality every Spark scan's file index
     holds.  A file with no stats for some column (all-NULL row group)
     is conservatively KEPT."""
+
+    def pad(v: float) -> float:
+        # >= 4x the float64 representation error |v|*2^-53 of any
+        # int64 coerced through double
+        return abs(v) * 2.0**-50
+
     cols = list(ranges)
     bounds = footer_bounds(spark, path, cols).collect()
     keep = []
@@ -340,7 +353,11 @@ def read_pruned(
         ok = True
         for c, (lo, hi) in ranges.items():
             mn, mx = r[f"min_{c}"], r[f"max_{c}"]
-            if mn is not None and mx is not None and (mx < lo or mn > hi):
+            if (
+                mn is not None
+                and mx is not None
+                and (mx + pad(mx) < lo or mn - pad(mn) > hi)
+            ):
                 ok = False
                 break
         if ok:

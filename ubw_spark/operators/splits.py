@@ -22,6 +22,16 @@ from ubw_spark.operators.dedup import portable_hash
 _BUCKETS = 10_000
 
 
+def _salted_bucket(id_col: Column, salt: str) -> Column:
+    """THE hash-bucket recipe (md5-portable hash of "salt:id" mod
+    10000) — single definition for every sampling/splitting operator
+    in this module; the SQL oracles mirror it literally."""
+    return (
+        portable_hash(F.concat(F.lit(salt + ":"), id_col.cast("string")))
+        % _BUCKETS
+    )
+
+
 def split_column(
     id_col: Column, splits: dict[str, float], salt: str = "split"
 ) -> Column:
@@ -29,9 +39,7 @@ def split_column(
 
     Hash input is salt+id so different salts give independent splits."""
     total = sum(splits.values())
-    bucket = portable_hash(
-        F.concat(F.lit(salt + ":"), id_col.cast("string"))
-    ) % _BUCKETS
+    bucket = _salted_bucket(id_col, salt)
     expr = None
     acc = 0.0
     items = list(splits.items())
@@ -79,17 +87,22 @@ def weighted_sample_per_group(
 
     Rows with weight <= 0 are excluded (A-ES precondition).  Ordering
     ties break on id.  One shuffle keyed by group; same scale shape as
-    every top-k-per-group here."""
+    every top-k-per-group here.
+
+    Numerics, both load-bearing:
+    - u = (bucket+1)/(BUCKETS+1) lies in (0, 1) EXCLUSIVE: with
+      /BUCKETS the top bucket maps to u = 1.0 exactly, whose key
+      pow(1, 1/w) = 1 outranks every other row REGARDLESS of weight —
+      ~1/BUCKETS of rows would hijack the sample.
+    - the key is rounded to 12 dp before ranking (repo convention:
+      ranking doubles are rounded on both engine sides so a 1-ulp
+      libm pow divergence can't flip an order); ties break on id."""
     from pyspark.sql import Window
 
     u = (
-        portable_hash(
-            F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-        )
-        % _BUCKETS
-        + 1
-    ) / float(_BUCKETS)
-    key = F.pow(u, F.lit(1.0) / F.col(weight_col))
+        _salted_bucket(F.col(id_col), salt) + 1
+    ) / float(_BUCKETS + 1)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col(weight_col)), 12)
     w = Window.partitionBy(group_col).orderBy(
         F.desc("__es_key"), F.col(id_col)
     )
@@ -118,9 +131,7 @@ def stratified_sample(
     exactly reproducible across runs/engines/partitionings, stable under
     corpus growth, and membership is plain SQL (oracle-checkable).
     Map-only — no shuffle, filter runs at the scan."""
-    bucket = portable_hash(
-        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-    ) % _BUCKETS
+    bucket = _salted_bucket(F.col(id_col), salt)
     thr: Column | None = None
     for name, frac in fractions.items():
         t = F.lit(int(frac * _BUCKETS))

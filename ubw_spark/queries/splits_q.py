@@ -134,10 +134,12 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH s AS (
       SELECT lang, doc_id, n_chars,
-             pow(
+             -- u in (0,1) EXCLUSIVE ((b+1)/10001) and key rounded to
+             -- 12 dp: mirrors operators/splits.py numerics exactly
+             round(pow(
                ((('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 8))
-                 ::BIGINT % 10000) + 1) / 10000.0,
-               1.0 / n_chars) AS es_key
+                 ::BIGINT % 10000) + 1) / 10001.0,
+               1.0 / n_chars), 12) AS es_key
       FROM documents WHERE n_chars > 0),
     r AS (
       SELECT lang, doc_id, n_chars,
