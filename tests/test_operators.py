@@ -1078,3 +1078,24 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
         df, "grp", "id", "w", k=5
     ).collect()]
     assert got == [3]
+
+
+def test_quantile_gate_drops_expected_fraction(spark):
+    from ubw_spark.operators.curation import quantile_gate
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], ["id", "score"]
+    )
+    kept = quantile_gate(df, "score", 0.2, keep="above")
+    ids = sorted(r.id for r in kept.collect())
+    # threshold = exact 0.2-quantile of 0..99 -> keeps ids >= ~19.8
+    assert len(ids) == 80 and min(ids) == 20
+
+    low = quantile_gate(df, "score", 0.2, keep="below")
+    lids = sorted(r.id for r in low.collect())
+    assert max(lids) <= 20 and len(lids) >= 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="above"):
+        quantile_gate(df, "score", 0.2, keep="sideways")

@@ -23,6 +23,38 @@ from ubw_spark.operators.dedup import portable_hash
 from ubw_spark.operators.splits import _BUCKETS
 
 
+def quantile_gate(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    *,
+    keep: str = "above",
+) -> DataFrame:
+    """Keep rows whose score clears the corpus's own q-quantile —
+    auto-tuned quality filtering ("drop the worst 20%") with no
+    hand-picked threshold, so the gate adapts as the corpus shifts.
+
+    keep='above' keeps score >= quantile(q); 'below' keeps <=.
+
+    Shape: ONE exact interpolating percentile aggregate (a single
+    scalar) broadcast back via crossJoin, then a map-side filter —
+    the repo-standard reduced-aggregate-broadcast pattern.  At 100 TB
+    swap `percentile` for `approx_percentile` (sketch merge instead of
+    per-group sort); the gate semantics don't change."""
+    if keep not in ("above", "below"):
+        raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    thr = df.agg(
+        F.expr(f"percentile({score_col}, {q})").alias("__thr")
+    )
+    j = df.crossJoin(F.broadcast(thr))
+    cond = (
+        F.col(score_col) >= F.col("__thr")
+        if keep == "above"
+        else F.col(score_col) <= F.col("__thr")
+    )
+    return j.where(cond).drop("__thr")
+
+
 def quota_cap(
     df: DataFrame,
     group_col: str,

@@ -179,3 +179,50 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(qt, "03_quota"))
         .unionByName(split_counts)
     )
+
+
+@register(
+    "curation_quality_quantile_gate",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             round(len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x IN ('the','a','of','in','and','to','is'))) * 1.0
+                   / length(regexp_split_to_array(trim(text), '\s+')), 4)
+               AS score
+      FROM documents),
+    t AS (SELECT percentile_cont(0.2) WITHIN GROUP (ORDER BY score) AS thr
+          FROM s)
+    SELECT lang, count(*) AS n_kept,
+           round(min(score), 4) AS min_score,
+           round(max(score), 4) AS max_score
+    FROM s, t WHERE score >= thr
+    GROUP BY lang
+    """,
+    tags=("curation", "quality"),
+)
+def curation_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-tuned quality gate: drop the worst 20% of the corpus by
+    stopword ratio (the threshold is the corpus's own 0.2-quantile, no
+    hand-picked constant).  One scalar percentile aggregate broadcast
+    back + map-side filter (operators/curation.py::quantile_gate)."""
+    from ubw_spark.operators.curation import quantile_gate
+    from ubw_spark.queries.textops import _STOPWORDS, _tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    stop_cnt = F.size(
+        F.filter(_tokens(F.col("text")), lambda x: F.array_contains(stop_arr, x))
+    )
+    scored = d.select(
+        "doc_id", "lang",
+        F.round(stop_cnt / F.size(toks), 4).alias("score"),
+    )
+    kept = quantile_gate(scored, "score", 0.2, keep="above")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )
