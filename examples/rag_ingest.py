@@ -1,0 +1,143 @@
+"""RAG ingestion: chunk → embed → IVF-index → probe, end to end.
+
+The retrieval-side companion of examples/curate_corpus.py — every
+stage is the library's own operator, composed the way a production
+ingestion job would run:
+
+  01 chunk     sliding 256-char windows, 32-char overlap
+               (operators/chunking.py — map-only)
+  02 embed     deterministic fake embedder over the chunk bytes
+               (operators/multimodal.py::extract_features — the seam
+               where a real encoder model slots in; the Spark-side
+               plumbing — Arrow batches, unit-norm float vectors — is
+               identical)
+  03 index     k-means coarse quantizer + partitionBy(ivf_cell) layout
+               (operators/ivf.py::write_ivf_index)
+  04 probe     partition-pruned top-k search for query texts embedded
+               through the SAME pipeline (probe_ivf_index)
+
+Run:  python examples/rag_ingest.py \
+        [--sf-dir /root/testdata/sf0.001] [--out /tmp/rag_index] \
+        [--query "some text to search for"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: chunk_id = doc_id * CHUNK_STRIDE + chunk_idx — reversible, unique
+#: while docs stay under CHUNK_STRIDE chunks (65k chars at these sizes).
+CHUNK_STRIDE = 1_000
+
+
+def embed_texts(df: DataFrame, id_col: str, text_col: str, dim: int) -> DataFrame:
+    """(id, embedding): unit-norm float vector per text — the fake
+    deterministic encoder; swap extract_features' codec for a real
+    model without touching callers."""
+    from ubw_spark.operators.multimodal import extract_features
+
+    payload = df.withColumn("__payload", F.encode(F.col(text_col), "utf-8"))
+    feats = extract_features(payload, id_col, "__payload", feature_dim=dim)
+    return feats.select(
+        F.col("id").alias(id_col), F.col("feature").alias("embedding")
+    )
+
+
+def ingest(
+    spark,
+    sf_dir: str,
+    out: str,
+    *,
+    chunk_chars: int = 256,
+    overlap: int = 32,
+    dim: int = 32,
+    cells: int = 8,
+) -> dict:
+    """Chunk + embed + write the IVF index; returns
+    {n_docs, n_chunks, centroids} (centroids are needed to probe)."""
+    from ubw_spark.operators.chunking import chunk_documents
+    from ubw_spark.operators.ivf import train_ivf_centroids, write_ivf_index
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap
+    ).withColumn(
+        "chunk_id", F.col("doc_id") * CHUNK_STRIDE + F.col("chunk_idx")
+    )
+    chunks.select(
+        "chunk_id", "doc_id", "chunk_idx", "chunk_start", "chunk_text"
+    ).write.mode("overwrite").parquet(os.path.join(out, "chunks"))
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+
+    emb = embed_texts(chunks, "chunk_id", "chunk_text", dim).select(
+        F.col("chunk_id").alias("vec_id"), "embedding"
+    )
+    centroids = train_ivf_centroids(emb, "embedding", k=cells)
+    write_ivf_index(emb, centroids, os.path.join(out, "ivf"))
+    return {
+        "n_docs": docs.count(),
+        "n_chunks": chunks.count(),
+        "centroids": centroids,
+    }
+
+
+def search(
+    spark,
+    out: str,
+    centroids: list,
+    query_texts: list[tuple[int, str]],
+    *,
+    dim: int = 32,
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Embed query texts through the SAME pipeline and run the
+    partition-pruned probe; joins chunk text back for display."""
+    from ubw_spark.operators.ivf import probe_ivf_index
+
+    q = spark.createDataFrame(query_texts, "qid bigint, qtext string")
+    qemb = embed_texts(q, "qid", "qtext", dim).select(
+        F.col("qid").alias("vec_id"), "embedding"
+    )
+    hits = probe_ivf_index(
+        spark, os.path.join(out, "ivf"), qemb, centroids, k=k, nprobe=nprobe
+    )
+    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    return hits.join(
+        chunks.select(F.col("chunk_id").alias("vec_id"), "doc_id", "chunk_text"),
+        "vec_id",
+    ).select("qid", "vec_id", "doc_id", "cos_sim", "chunk_text")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", default="/tmp/ubw_rag_index")
+    ap.add_argument("--query", default="the quick brown fox")
+    ap.add_argument("--k", type=int, default=5)
+    args = ap.parse_args()
+
+    from ubw_spark.session import get_session
+
+    spark = get_session("rag-ingest")
+    stats = ingest(spark, args.sf_dir, args.out)
+    print(f"indexed {stats['n_chunks']} chunks from {stats['n_docs']} docs")
+    hits = search(
+        spark, args.out, stats["centroids"], [(0, args.query)], k=args.k
+    )
+    for r in hits.orderBy(F.desc("cos_sim")).collect():
+        print(f"  {r.cos_sim:6.4f}  doc {r.doc_id}  {r.chunk_text[:60]!r}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

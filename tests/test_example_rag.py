@@ -1,0 +1,41 @@
+"""examples/rag_ingest.py end-to-end: chunk → embed → IVF index →
+probe, with self-retrieval as the correctness check (a query that IS a
+chunk's text must retrieve that chunk at cos_sim ~1.0)."""
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
+)
+
+
+def test_rag_ingest_and_self_retrieval(spark, sf_dir, tmp_path):
+    from rag_ingest import ingest, search
+
+    out = str(tmp_path / "rag")
+    stats = ingest(spark, sf_dir, out, chunk_chars=256, overlap=32, dim=32)
+    assert stats["n_docs"] == 500
+    assert stats["n_chunks"] >= stats["n_docs"], "every doc yields >=1 chunk"
+    assert len(stats["centroids"]) == 8
+
+    # take two real chunks' texts as queries — the embedder is
+    # deterministic, so the identical-content chunk must come back
+    # as the top hit with cosine ~1.0
+    sample = (
+        spark.read.parquet(os.path.join(out, "chunks"))
+        .orderBy("chunk_id")
+        .limit(2)
+        .collect()
+    )
+    queries = [(100 + i, r.chunk_text) for i, r in enumerate(sample)]
+    hits = search(spark, out, stats["centroids"], queries, dim=32, k=3)
+    rows = hits.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for i, src in enumerate(sample):
+        got = sorted(by_q[100 + i], key=lambda r: -r.cos_sim)
+        assert got, "probe returned no candidates"
+        assert got[0].vec_id == src.chunk_id, "self-chunk must rank first"
+        assert got[0].cos_sim >= 0.9999
