@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: chunk_id = doc_id * CHUNK_STRIDE + chunk_idx — reversible, unique
-#: while docs stay under CHUNK_STRIDE chunks (65k chars at these sizes).
+#: while docs stay under CHUNK_STRIDE chunks (~224k chars at the
+#: default 224-char stride).
 CHUNK_STRIDE = 1_000
 
 
@@ -105,12 +106,18 @@ def search(
     from ubw_spark.operators.ivf import probe_ivf_index
 
     q = spark.createDataFrame(query_texts, "qid bigint, qtext string")
-    qemb = embed_texts(q, "qid", "qtext", dim).select(
-        F.col("qid").alias("vec_id"), "embedding"
+    # Probe ids must live in a namespace DISJOINT from chunk ids:
+    # probe_ivf_index excludes vec_id == qid (self-join ANN semantics),
+    # so a caller qid that collides with a chunk_id would silently drop
+    # that chunk from its own candidate set.  Chunk ids are >= 0;
+    # negate into (-inf, -1] and map back on output.
+    q = q.withColumn("__pid", -F.col("qid") - 1)
+    qemb = embed_texts(q, "__pid", "qtext", dim).select(
+        F.col("__pid").alias("vec_id"), "embedding"
     )
     hits = probe_ivf_index(
         spark, os.path.join(out, "ivf"), qemb, centroids, k=k, nprobe=nprobe
-    )
+    ).withColumn("qid", -F.col("qid") - 1)
     chunks = spark.read.parquet(os.path.join(out, "chunks"))
     return hits.join(
         chunks.select(F.col("chunk_id").alias("vec_id"), "doc_id", "chunk_text"),

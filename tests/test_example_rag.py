@@ -28,14 +28,16 @@ def test_rag_ingest_and_self_retrieval(spark, sf_dir, tmp_path):
         .limit(2)
         .collect()
     )
-    queries = [(100 + i, r.chunk_text) for i, r in enumerate(sample)]
+    # qid 0 deliberately COLLIDES with chunk_id 0 (doc 0, chunk 0):
+    # the probe-id namespace separation must keep that chunk reachable
+    queries = [(i * 100, r.chunk_text) for i, r in enumerate(sample)]
     hits = search(spark, out, stats["centroids"], queries, dim=32, k=3)
     rows = hits.collect()
     by_q = {}
     for r in rows:
         by_q.setdefault(r.qid, []).append(r)
     for i, src in enumerate(sample):
-        got = sorted(by_q[100 + i], key=lambda r: -r.cos_sim)
+        got = sorted(by_q[i * 100], key=lambda r: -r.cos_sim)
         assert got, "probe returned no candidates"
         assert got[0].vec_id == src.chunk_id, "self-chunk must rank first"
         assert got[0].cos_sim >= 0.9999

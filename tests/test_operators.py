@@ -1095,7 +1095,5 @@ def test_quantile_gate_drops_expected_fraction(spark):
     lids = sorted(r.id for r in low.collect())
     assert max(lids) <= 20 and len(lids) >= 20
 
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="above"):
+    with pytest.raises(ValueError, match="above"):
         quantile_gate(df, "score", 0.2, keep="sideways")

@@ -43,8 +43,10 @@ def quantile_gate(
     per-group sort); the gate semantics don't change."""
     if keep not in ("above", "below"):
         raise ValueError(f"keep must be 'above' or 'below', got {keep!r}")
+    # F.percentile (not an F.expr SQL string): survives column names
+    # that need backticks and keeps q out of interpolated SQL text
     thr = df.agg(
-        F.expr(f"percentile({score_col}, {q})").alias("__thr")
+        F.percentile(F.col(score_col), F.lit(q)).alias("__thr")
     )
     j = df.crossJoin(F.broadcast(thr))
     cond = (
