@@ -539,3 +539,43 @@ def test_stream_quality_gate_rejects_bad_batches(spark, tmp_path):
     accepted = {r["k"] for r in spark.read.parquet(target).collect()}
     assert accepted == {1, 2}  # bad batch fully rejected
     assert len(rejected) == 1
+
+
+def test_stream_static_enrich_matches_batch_and_broadcasts(spark, events_dir):
+    """Stream-static dim enrichment: streamed result == the same join
+    done in batch, and the dim side is a broadcast join (a per-batch
+    shuffle against a static small table is the anti-pattern)."""
+    from ubw_spark.streaming import read_stream, run_to_memory, stream_static_enrich
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"),
+         ("purchase", "revenue"), ("error", "ops")],
+        "event_type string, category string",
+    )
+    stream = read_stream(spark, events_dir)
+    enriched = stream_static_enrich(
+        stream.select("event_id", "event_type"), dim, on="event_type"
+    )
+    got = run_to_memory(
+        enriched.groupBy("category").count(), "enrich_test"
+    )()
+    want = (
+        batch_events(spark, events_dir)
+        .join(dim, "event_type", "left")
+        .groupBy("category")
+        .count()
+    )
+    g = {(r.category, r["count"]) for r in got.collect()}
+    w = {(r.category, r["count"]) for r in want.collect()}
+    assert g == w and len(w) >= 2
+
+    # plan check on the batch twin (streaming plans are per-batch, the
+    # join strategy is the same): dim side must broadcast
+    from ubw_spark.plans.inspect import has_broadcast_join
+
+    assert has_broadcast_join(
+        stream_static_enrich(
+            batch_events(spark, events_dir).select("event_id", "event_type"),
+            dim, on="event_type",
+        )
+    )

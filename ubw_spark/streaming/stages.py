@@ -237,6 +237,26 @@ def stream_dedup(
     )
 
 
+def stream_static_enrich(
+    stream_df: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join each micro-batch
+    against a static DataFrame, dim side broadcast (a shuffled
+    stream-static join would re-shuffle every micro-batch against the
+    same small table).
+
+    Staleness contract, stated because it bites: the static side's
+    FILE LISTING is fixed when its DataFrame is created — rows
+    appended to a parquet dim later are NOT picked up by a running
+    query.  For slowly-changing dims, re-read the dim inside a
+    foreachBatch body (see write_stream_upsert) so each batch replans
+    it fresh."""
+    return stream_df.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
