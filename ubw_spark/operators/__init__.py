@@ -33,6 +33,26 @@ from ubw_spark.operators.pq import (
     write_ivfpq_index,
     probe_ivfpq_index,
 )
+from ubw_spark.operators.spans import (
+    duplicate_spans,
+    duplicated_token_fraction,
+    cut_duplicate_spans,
+    write_gram_index,
+    probe_gram_index,
+    append_gram_index,
+)
+from ubw_spark.operators.layout import (
+    with_zvalue,
+    zorder_layout,
+    zorder_write,
+    file_bounds,
+    footer_bounds,
+    compact_parquet,
+    read_pruned,
+)
+from ubw_spark.operators.chunking import chunk_documents
+from ubw_spark.operators.splits import weighted_sample_per_group
+from ubw_spark.operators.curation import quantile_gate
 from ubw_spark.operators.expectations import validate_expectations
 from ubw_spark.operators.temporal import asof_join, range_join
 from ubw_spark.operators.multimodal import (
@@ -112,4 +132,20 @@ __all__ = [
     "split_column",
     "connected_components",
     "dedup_keep_list",
+    "duplicate_spans",
+    "duplicated_token_fraction",
+    "cut_duplicate_spans",
+    "write_gram_index",
+    "probe_gram_index",
+    "append_gram_index",
+    "with_zvalue",
+    "zorder_layout",
+    "zorder_write",
+    "file_bounds",
+    "footer_bounds",
+    "compact_parquet",
+    "read_pruned",
+    "chunk_documents",
+    "weighted_sample_per_group",
+    "quantile_gate",
 ]
