@@ -54,3 +54,44 @@ def test_overlap_must_be_smaller_than_chunk(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="must be <"):
         chunk_documents(df, "doc_id", "text", chunk_chars=5, overlap=5)
+
+
+def _py_chunks(text, chunk, overlap):
+    stride = chunk - overlap
+    n = len(text)
+    m = max(1, -(-(n - overlap) // stride)) if n > overlap else 1
+    return [
+        (i, i * stride, text[i * stride : i * stride + chunk])
+        for i in range(m)
+    ]
+
+
+def test_random_params_match_python_reference(spark):
+    """Random (text, chunk, overlap) combinations vs a direct Python
+    reference of the chunk math — boundary-heavy inputs (lengths at
+    exact multiples of the stride) included deliberately."""
+    import random
+
+    rng = random.Random(77)
+    alphabet = "abcdefghij "
+    for chunk, overlap in [(10, 3), (7, 6), (20, 0), (5, 1), (12, 11)]:
+        stride = chunk - overlap
+        lengths = [0, 1, overlap, chunk, chunk + 1, 3 * stride + overlap,
+                   rng.randrange(1, 200)]
+        docs = [
+            (i, "".join(rng.choice(alphabet) for _ in range(n)))
+            for i, n in enumerate(lengths)
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.chunk_idx, r.chunk_start, r.chunk_text)
+            for r in chunk_documents(
+                df, "doc_id", "text", chunk_chars=chunk, overlap=overlap
+            ).collect()
+        }
+        want = {
+            (i, idx, start, txt)
+            for i, text in docs
+            for idx, start, txt in _py_chunks(text, chunk, overlap)
+        }
+        assert got == want, (chunk, overlap)

@@ -247,3 +247,45 @@ def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_90d"),
         F.quarter("o_orderdate").alias("qtr"),
     )
+
+
+@register(
+    "scalar_url_funcs",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com:8443/corpus/' ||
+             lang || '/doc?id=' || doc_id::VARCHAR || '&v=2' AS url
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id, url,
+           regexp_extract(url, '^[a-z]+://([^/:]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]id=([^&#]*)', 1) AS id_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+    tags=("scalar", "url"),
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL vocabulary over Spark's native parse_url (JVM, codegen) —
+    host / path / query-param / protocol extraction, the per-document
+    provenance parsing a web-corpus pipeline runs on every row.  The
+    oracle mirrors each accessor with an equivalent regexp, pinning
+    parse_url's semantics cross-engine on the synthesized URLs."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com:8443/corpus/"),
+        F.col("lang"), F.lit("/doc?id="), F.col("doc_id").cast("string"),
+        F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("id")).alias(
+            "id_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )
