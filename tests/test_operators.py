@@ -1001,8 +1001,80 @@ def test_minhash_index_compaction_removes_dropped_ids(spark, sf_dir, tmp_path):
         spark, path, near, "doc_id", "text", threshold=0.6
     ).collect()
     assert not any(r["corpus_id"] == 0 for r in after)
-    # unrelated entries survive the rewrite
-    assert spark.read.parquet(f"{path}/docs").count() == 39
+    # unrelated entries survive the rewrite (read via the manifest)
+    from ubw_spark.operators.lsh_index import _docs_path, _resolve_root
+
+    assert spark.read.parquet(_docs_path(_resolve_root(path))).count() == 39
+
+
+def test_minhash_index_shuffled_compaction_and_versioned_swap(
+    spark, sf_dir, tmp_path
+):
+    """The corpus-fraction-drop posture: ``broadcast_drops=False`` plans
+    shuffled anti-joins (no broadcast anywhere), and compaction swaps
+    via the ``_CURRENT`` manifest — write-new, flip pointer, grace-keep
+    the previous version, GC the one before that."""
+    import os
+
+    from ubw_spark.operators.lsh_index import (
+        compact_minhash_index,
+        compacted_index_frames,
+        current_version,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from ubw_spark.plans import broadcast_join_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, "doc_id", "text", path)
+    assert current_version(path) == 0
+
+    drops = spark.createDataFrame([(0,), (1,)], "corpus_id bigint")
+    # Plan shape: with autoBroadcast disabled, the only way a broadcast
+    # appears is a hint in the operator — exactly the 100 TB bug.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b_sh, d_sh = compacted_index_frames(
+            spark, path, drops, broadcast_drops=False
+        )
+        assert broadcast_join_count(b_sh) == 0
+        assert broadcast_join_count(d_sh) == 0
+        b_bc, d_bc = compacted_index_frames(
+            spark, path, drops, broadcast_drops=True
+        )
+        assert broadcast_join_count(b_bc) >= 1  # positive control
+        assert broadcast_join_count(d_bc) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    # A reader that resolved the manifest BEFORE the compaction flip:
+    from ubw_spark.operators.lsh_index import _docs_path, _resolve_root
+
+    pre_flip_root = _resolve_root(path)
+    compact_minhash_index(spark, path, drops, broadcast_drops=False)
+    assert current_version(path) == 1
+    # ...still scans a complete grace-copy index after the flip,
+    assert spark.read.parquet(_docs_path(pre_flip_root)).count() == 40
+    # while new readers resolve the compacted version.
+    assert spark.read.parquet(_docs_path(_resolve_root(path))).count() == 38
+    near = docs.where(F.col("doc_id") == 0).select(
+        F.lit(100000).cast("bigint").alias("doc_id"), "text"
+    )
+    hits = probe_minhash_index(
+        spark, path, near, "doc_id", "text", threshold=0.6
+    ).collect()
+    assert not any(r["corpus_id"] in (0, 1) for r in hits)
+
+    # Second compaction: v0 has had its grace cycle and is GC'd; v1
+    # becomes the grace copy.
+    compact_minhash_index(
+        spark, path, spark.createDataFrame([(2,)], "corpus_id bigint")
+    )
+    assert current_version(path) == 2
+    versions = sorted(d for d in os.listdir(path) if d.startswith("v"))
+    assert versions == ["v00001", "v00002"]
 
 
 def test_weighted_sample_per_group_exact_k_and_deterministic(spark):

@@ -31,6 +31,16 @@ Naming: persisted columns are ``band``/``key`` (not the in-memory
 with underscores — a ``__band=0`` partition directory would be
 invisible on read.
 
+Layout versioning: the index root holds ``_CURRENT`` (a one-line
+manifest naming the live version) and ``vNNNNN/`` directories, each a
+complete ``bands``+``docs`` pair.  Readers resolve the manifest once
+per query; rewrites (overwrite, compaction) write a fresh version dir
+and flip the manifest with a single small-file write — atomic locally
+via rename, atomic on object stores as one PUT.  The previous version
+survives one cycle as a grace copy for in-flight readers.  This is the
+standard lakehouse-log trick (Delta/Iceberg metadata pointer) reduced
+to the one pointer this index needs.
+
 Reference parity: this extends the reference's CRUD/upsert surface
 (documentation/doc-01.md:136-158) the way a training-data lake needs —
 the index IS the long-lived table, batches are the writes.
@@ -38,7 +48,10 @@ the index IS the long-lived table, batches are the writes.
 
 from __future__ import annotations
 
+import os
 import posixpath
+import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +63,10 @@ from ubw_spark.operators.dedup import (
     cap_buckets,
 )
 
+#: Manifest file at the index root naming the live version directory.
+MANIFEST = "_CURRENT"
+_VDIR_RE = re.compile(r"^v(\d{5})$")
+
 
 def _bands_path(path: str) -> str:
     return posixpath.join(path, "bands")
@@ -57,6 +74,54 @@ def _bands_path(path: str) -> str:
 
 def _docs_path(path: str) -> str:
     return posixpath.join(path, "docs")
+
+
+def _version_dir(path: str, version: int) -> str:
+    return posixpath.join(path, f"v{version:05d}")
+
+
+def current_version(path: str) -> int | None:
+    """The live version number from ``path/_CURRENT``, or None when the
+    index has no manifest (legacy flat layout, or not written yet)."""
+    try:
+        with open(posixpath.join(path, MANIFEST)) as f:
+            return int(f.read().strip())
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+def _resolve_root(path: str) -> str:
+    """Directory holding the live ``bands``/``docs`` stores.
+
+    Manifest present → the version dir it names.  No manifest →
+    ``path`` itself (pre-manifest flat layout, still readable)."""
+    v = current_version(path)
+    return path if v is None else _version_dir(path, v)
+
+
+def _write_manifest(path: str, version: int) -> None:
+    """Atomically flip the pointer: write a temp file, then rename over
+    ``_CURRENT``.  Locally ``os.replace`` is atomic; on an object store
+    this step becomes a single small PUT of the manifest key — also
+    atomic — which is exactly why the pointer is a FILE and not a
+    directory rename (S3/GCS renames are copy+delete and readers race
+    them; overwriting one small object is not racy)."""
+    tmp = posixpath.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, posixpath.join(path, MANIFEST))
+
+
+def _gc_versions(path: str, keep_from: int) -> None:
+    """Delete version dirs older than ``keep_from``.  Compaction keeps
+    the immediately previous version as a grace copy: a reader that
+    resolved the manifest just before the flip still has a complete,
+    untouched index to finish its scan against; the version before THAT
+    has had a full compaction cycle to drain and is removed."""
+    for name in os.listdir(path):
+        m = _VDIR_RE.match(name)
+        if m and int(m.group(1)) < keep_from:
+            shutil.rmtree(posixpath.join(path, name))
 
 
 def write_minhash_index(
@@ -77,7 +142,16 @@ def write_minhash_index(
 
     ``repartition("band")`` before ``partitionBy("band")`` coalesces
     each band into O(1) files instead of (num_tasks × bands) — same
-    rationale as ivf.write_ivf_index."""
+    rationale as ivf.write_ivf_index.
+
+    Layout: stores land in a versioned subdirectory (``v00000`` on
+    first write) named by the ``_CURRENT`` manifest; every reader
+    resolves the manifest first.  Rewrites (a fresh ``overwrite`` or a
+    compaction) write a NEW version dir and flip the pointer — never
+    mutate a dir a reader may hold open."""
+    cur = current_version(path)
+    new_v = 0 if cur is None else cur + 1
+    root = _version_dir(path, new_v)
     sh, banded = banded_minhash(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
@@ -89,9 +163,11 @@ def write_minhash_index(
         .repartition("band")
         .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(_bands_path(path))
+        .parquet(_bands_path(root))
     )
-    sh.write.mode("overwrite").parquet(_docs_path(path))
+    sh.write.mode("overwrite").parquet(_docs_path(root))
+    _write_manifest(path, new_v)
+    _gc_versions(path, new_v - 1)
 
 
 def append_minhash_batch(
@@ -113,7 +189,13 @@ def append_minhash_batch(
     Append-only by design: rewriting a 100 TB index per batch is the
     thing this module exists to avoid.  Ids must be unique across
     appends (standard lakehouse contract); removals go through a
-    compaction rewrite, not this path."""
+    compaction rewrite, not this path.
+
+    Appends go INTO the current version dir (resolved via the
+    manifest): an append is additive, so readers racing it see either
+    the old or the new file set — both are complete indexes (the batch
+    is simply not yet visible in the old one)."""
+    root = _resolve_root(path)
     sh, banded = banded_minhash(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
@@ -124,9 +206,9 @@ def append_minhash_batch(
         .repartition("band")
         .write.mode("append")
         .partitionBy("band")
-        .parquet(_bands_path(path))
+        .parquet(_bands_path(root))
     )
-    sh.write.mode("append").parquet(_docs_path(path))
+    sh.write.mode("append").parquet(_docs_path(root))
 
 
 def probe_minhash_index(
@@ -152,7 +234,12 @@ def probe_minhash_index(
     ``probe_bands`` limits the sweep to the first N bands — a STATIC
     partition filter on the index scan (recall/IO knob; None = all).
     The banding parameters must match the ones the index was written
-    with (they are part of the layout contract, like IVF centroids)."""
+    with (they are part of the layout contract, like IVF centroids).
+
+    The manifest is resolved ONCE here, so the candidate scan and the
+    verify join read the same version even if a compaction flips the
+    pointer mid-query."""
+    root = _resolve_root(path)
     p_sh, p_banded = banded_minhash(
         probe, id_col, text_col, id_alias="probe_id", sh_name="sh_probe",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
@@ -161,7 +248,7 @@ def probe_minhash_index(
     p_banded = p_banded.withColumnRenamed("__band", "band").withColumnRenamed(
         "__key", "key"
     )
-    idx = spark.read.parquet(_bands_path(path))
+    idx = spark.read.parquet(_bands_path(root))
     if probe_bands is not None:
         idx = idx.where(F.col("band") < probe_bands)
         p_banded = p_banded.where(F.col("band") < probe_bands)
@@ -173,7 +260,7 @@ def probe_minhash_index(
         .select("corpus_id", "probe_id")
         .distinct()
     )
-    c_sh = spark.read.parquet(_docs_path(path))
+    c_sh = spark.read.parquet(_docs_path(root))
     inter = F.size(F.array_intersect("sh", "sh_probe"))
     union = F.size(F.array_union("sh", "sh_probe"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -185,11 +272,46 @@ def probe_minhash_index(
     )
 
 
+def compacted_index_frames(
+    spark: SparkSession,
+    path: str,
+    drop_ids: DataFrame,
+    id_col: str = "corpus_id",
+    *,
+    broadcast_drops: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The (bands, docs) frames of the index at ``path`` with
+    ``drop_ids`` anti-joined out — the lazy core of
+    :func:`compact_minhash_index`, exposed so plan tests can assert the
+    join strategy without executing a rewrite.
+
+    ``broadcast_drops=True`` broadcasts the drop set into both
+    anti-joins — right when the drop set is an eval-set-sized blocklist.
+    ``False`` plans shuffled anti-joins (both sides exchange on id, no
+    broadcast) — REQUIRED when the drop set is corpus-fraction-sized,
+    which is the normal near-dup case: canonical selection kills 30-50%
+    of a web corpus, billions of ids, far past any driver/broadcast
+    limit.  Same two-posture pattern as
+    dedup.minhash_contamination_pairs(large_probe=...)."""
+    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
+    maybe_bc = broadcast if broadcast_drops else (lambda d: d)
+    root = _resolve_root(path)
+    bands_kept = spark.read.parquet(_bands_path(root)).join(
+        maybe_bc(drops), id_col, "left_anti"
+    )
+    docs_kept = spark.read.parquet(_docs_path(root)).join(
+        maybe_bc(drops), id_col, "left_anti"
+    )
+    return bands_kept, docs_kept
+
+
 def compact_minhash_index(
     spark: SparkSession,
     path: str,
     drop_ids: DataFrame,
     id_col: str = "corpus_id",
+    *,
+    broadcast_drops: bool = True,
 ) -> None:
     """Rewrite the index without ``drop_ids`` (one column of ids) — the
     removal half of the append-only contract: after canonical selection
@@ -199,28 +321,37 @@ def compact_minhash_index(
     Cost model: one anti-join pass over each store, band partitioning
     preserved.  At 100 TB run it at the same cadence as any lakehouse
     table compaction (per N appends, not per batch); the band store
-    rewrite shuffles only (id, band, key) rows, never documents.  The
-    rewrite stages to a sibling directory first and swaps via rename —
-    overwriting a parquet dir while reading it races the scan."""
-    import shutil as _sh
+    rewrite shuffles only (id, band, key) rows, never documents.  Set
+    ``broadcast_drops=False`` when the drop set is corpus-fraction-
+    sized (the normal near-dup-loser case) — see
+    :func:`compacted_index_frames` for the strategy trade.
 
-    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
-    bands_new = _bands_path(path) + ".compact"
-    docs_new = _docs_path(path) + ".compact"
+    Swap protocol (object-store safe): the kept rows are written to a
+    NEW version directory, then the ``_CURRENT`` manifest flips to it
+    in one small-file write — no directory rename, no in-place
+    overwrite.  A reader that resolved the manifest just before the
+    flip keeps scanning the previous version, which survives as a
+    grace copy until the NEXT compaction garbage-collects it."""
+    cur = current_version(path)
+    new_v = 0 if cur is None else cur + 1
+    new_root = _version_dir(path, new_v)
+    bands_kept, docs_kept = compacted_index_frames(
+        spark, path, drop_ids, id_col, broadcast_drops=broadcast_drops
+    )
     (
-        spark.read.parquet(_bands_path(path))
-        .join(broadcast(drops), id_col, "left_anti")
-        .repartition("band")
+        bands_kept.repartition("band")
         .write.mode("overwrite")
         .partitionBy("band")
-        .parquet(bands_new)
+        .parquet(_bands_path(new_root))
     )
-    (
-        spark.read.parquet(_docs_path(path))
-        .join(broadcast(drops), id_col, "left_anti")
-        .write.mode("overwrite")
-        .parquet(docs_new)
-    )
-    for cur, new in ((_bands_path(path), bands_new), (_docs_path(path), docs_new)):
-        _sh.rmtree(cur)
-        _sh.move(new, cur)
+    docs_kept.write.mode("overwrite").parquet(_docs_path(new_root))
+    _write_manifest(path, new_v)
+    _gc_versions(path, new_v - 1)
+    # Pre-manifest flat stores at the root (an index written by an older
+    # release) follow the same grace policy as version dirs: they were
+    # live until this flip, so they survive one cycle and are removed
+    # once a versioned copy has existed for a full compaction.
+    if cur is not None and cur >= 1:
+        for legacy in (_bands_path(path), _docs_path(path)):
+            if os.path.isdir(legacy):
+                shutil.rmtree(legacy)
