@@ -407,3 +407,121 @@ def test_random_corpora_match_brute_force(spark):
             ).collect()
         }
         assert got == want, f"trial {trial}: {got ^ want}"
+
+
+def test_gram_index_compaction_retires_grams_and_keeps_layout(spark):
+    """Retire an eval doc's grams (decontamination loop): its probe
+    report drops to zero, survivors stay probed, the k property and the
+    zero-index-side-shuffle bucket alignment survive the DROP+RENAME
+    swap, and re-appending a surviving doc restores its shared grams."""
+    from ubw_spark.operators.spans import (
+        append_gram_index,
+        compact_gram_index,
+        compacted_gram_rows,
+        grams_of,
+        probe_gram_index,
+        write_gram_index,
+    )
+    from ubw_spark.plans import broadcast_join_count
+    from ubw_spark.plans.inspect import shuffle_count
+
+    tbl = "gram_idx_compact_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+    try:
+        corpus = _docs(
+            spark, [(1, SHARED), (2, UNIQUE_A), (3, UNIQUE_B + " " + SHARED)]
+        )
+        write_gram_index(corpus, "doc_id", "text", tbl, k=4, num_buckets=4)
+
+        probe = _docs(spark, [(10, SHARED), (11, UNIQUE_A)])
+        before = {
+            r.doc_id: r.dup_fraction
+            for r in probe_gram_index(
+                spark, probe, tbl, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert before[10] == 1.0 and before[11] == 1.0
+
+        # Plan shape, both postures (autoBroadcast off → only a hint
+        # can broadcast):
+        retire = grams_of(_docs(spark, [(0, SHARED)]), "doc_id", "text", k=4)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            sh = compacted_gram_rows(
+                spark, tbl, retire, broadcast_drops=False
+            )
+            assert broadcast_join_count(sh) == 0
+            bc = compacted_gram_rows(spark, tbl, retire, broadcast_drops=True)
+            assert broadcast_join_count(bc) >= 1  # positive control
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        compact_gram_index(spark, tbl, retire, broadcast_drops=False)
+        after = {
+            r.doc_id: r.dup_fraction
+            for r in probe_gram_index(
+                spark, probe, tbl, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert after[10] == 0.0  # retired
+        assert after[11] == 1.0  # survivor untouched
+
+        # k property survived the swap: mismatched probe still raises
+        with pytest.raises(ValueError, match="built with k=4"):
+            probe_gram_index(spark, probe, tbl, "doc_id", "text", k=8)
+
+        # bucket alignment survived: batch join has exactly one Exchange
+        from ubw_spark.operators.spans import token_gram_table
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            bg = token_gram_table(probe, "doc_id", "text", 4)
+            idx = spark.table(tbl).select(F.col("gh").alias("__gh"))
+            assert shuffle_count(bg.join(idx, "__gh")) == 1
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+        # doc 3 survived but shared SHARED's grams — conservative retire
+        # removed them; re-append restores exactly those (novel again)
+        append_gram_index(
+            spark, corpus.where("doc_id = 3"), tbl, "doc_id", "text", k=4
+        )
+        restored = {
+            r.doc_id: r.dup_fraction
+            for r in probe_gram_index(
+                spark, probe, tbl, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert restored[10] == 1.0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+
+
+def test_gram_probe_skew_guard_collapses_hot_gram(spark):
+    """A degenerate batch document repeating one gram 10^4 times joins
+    as ONE (doc, gram) row — and the coverage report is unchanged by
+    the pre-aggregation (every covered position still counted once)."""
+    from ubw_spark.operators.spans import (
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    tbl = "gram_idx_skew_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        hot = " ".join(["a b c d"] * 2500)  # one 4-gram repeated
+        corpus = _docs(spark, [(1, hot)])
+        write_gram_index(corpus, "doc_id", "text", tbl, k=4)
+        batch = _docs(spark, [(10, hot), (11, UNIQUE_A)])
+        out = {
+            r.doc_id: (r.n_tokens, r.dup_tokens, r.dup_fraction)
+            for r in probe_gram_index(
+                spark, batch, tbl, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert out[10] == (10_000, 10_000, 1.0)
+        assert out[11] == (8, 0, 0.0)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

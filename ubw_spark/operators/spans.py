@@ -384,7 +384,21 @@ def probe_gram_index(
     _check_index_k(spark, table_name, k)
     bg = token_gram_table(batch, id_col, text_col, k)
     idx = spark.table(table_name).select(F.col("gh").alias("__gh"))
-    hits = bg.join(idx, "__gh").select(id_col, "__pos")
+    # Skew guard: pre-aggregate the batch to ONE row per (doc, gram)
+    # before the bucket-aligned join.  A degenerate document repeating
+    # one gram 10^6 times would otherwise land 10^6 identical-key rows
+    # in a single bucket task; collapsed to a positions array it is one
+    # row whose array is O(doc tokens) — the same memory class as the
+    # token array itself.  Cross-document hot grams stay one row per
+    # doc (linear, the spans.py occurrence-preserving argument).
+    # Membership semantics are unchanged: explode restores positions.
+    bg_per_doc = bg.groupBy(id_col, "__gh").agg(
+        F.collect_list("__pos").alias("__ps")
+    )
+    hits = (
+        bg_per_doc.join(idx, "__gh")
+        .select(F.col(id_col), F.explode("__ps").alias("__pos"))
+    )
     # count_distinct dedups covered positions in ONE shuffle with
     # map-side partials (a .distinct() + groupBy would shuffle the
     # exploded rows twice — this is the per-micro-batch hot loop).
@@ -409,15 +423,20 @@ def append_gram_index(
     text_col: str,
     *,
     k: int = 8,
-    num_buckets: int = 32,
 ) -> None:
     """Add a new batch's NOVEL grams to the index (anti-join on gh,
     bucketed append) so the next batch dedups against this one too —
     the foreachBatch loop body for streaming incremental substring
     decontamination.  Existing grams are untouched: membership stays
     exact; their n_docs is as-of their own index time (documented on
-    :func:`write_gram_index`)."""
+    :func:`write_gram_index`).
+
+    The bucket spec is read from the CATALOG, not a parameter: an
+    append that re-declared a different bucket count would be refused
+    by Spark (and a silent mismatch would break the zero-shuffle probe
+    alignment) — the table's layout is the single source of truth."""
     _check_index_k(spark, table_name, k)
+    num_buckets = _table_num_buckets(spark, table_name) or 32
     novel = _gram_index_rows(batch, id_col, text_col, k).join(
         spark.table(table_name).select("gh"), "gh", "left_anti"
     )
@@ -427,6 +446,106 @@ def append_gram_index(
         .bucketBy(num_buckets, "gh")
         .saveAsTable(table_name)
     )
+
+
+def grams_of(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8
+) -> DataFrame:
+    """Distinct gram hashes occurring in ``df`` — the retire-set
+    builder for :func:`compact_gram_index`: "remove these documents'
+    grams from the index" is exactly the set of grams their text
+    contains.  One column ``gh``."""
+    return (
+        token_gram_table(df, id_col, text_col, k)
+        .select(F.col("__gh").alias("gh"))
+        .distinct()
+    )
+
+
+def _table_num_buckets(spark, table_name: str) -> int | None:
+    """Bucket count from DESCRIBE FORMATTED (the catalog keeps it; the
+    rewrite must reproduce it or probes silently lose the zero-shuffle
+    bucket alignment)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table_name}").collect():
+        if r["col_name"].strip() == "Num Buckets":
+            try:
+                return int(r["data_type"].strip())
+            except ValueError:
+                return None
+    return None
+
+
+def compacted_gram_rows(
+    spark,
+    table_name: str,
+    retired: DataFrame,
+    *,
+    broadcast_drops: bool = True,
+) -> DataFrame:
+    """The index rows with ``retired`` gram hashes anti-joined out —
+    the lazy core of :func:`compact_gram_index`, exposed so plan tests
+    can assert the join strategy (broadcast vs shuffled) without
+    executing a rewrite."""
+    drops = retired.select(F.col(retired.columns[0]).alias("gh"))
+    maybe_bc = F.broadcast if broadcast_drops else (lambda d: d)
+    return spark.table(table_name).join(maybe_bc(drops), "gh", "left_anti")
+
+
+def compact_gram_index(
+    spark,
+    table_name: str,
+    retired: DataFrame,
+    *,
+    broadcast_drops: bool = True,
+) -> None:
+    """Rewrite the gram index WITHOUT the ``retired`` gram hashes (one
+    column of ``gh`` values) — the removal half of the gram index's
+    append-only contract, mirroring
+    lsh_index.compact_minhash_index: eval-decontamination loops retire
+    an eval set's grams, right-to-be-forgotten removals retire a
+    document's grams (build the set with :func:`grams_of`).
+
+    Retiring by gram is CONSERVATIVE for document removal: a gram
+    shared with surviving documents is retired too (future probes stop
+    reporting it), because the index stores aggregated (gh, owner,
+    n_docs) rows and cannot tell which holders remain.  Re-appending
+    the surviving documents (:func:`append_gram_index`) restores
+    exactly the shared grams — their grams are novel again after the
+    compaction.
+
+    ``broadcast_drops=False`` plans a shuffled anti-join for
+    corpus-fraction-sized retire sets (billions of grams when an entire
+    eval dump or dropped corpus slice is retired) — same two-posture
+    rule as the LSH index compaction.
+
+    Swap protocol: the kept rows are written to a staging table
+    (``<name>__compact``, same bucket spec, same ``ubw.gram_k``), then
+    DROP + RENAME through the metastore — readers resolve the table
+    through the catalog, so the flip is a metadata operation, never an
+    in-place data overwrite.  (The versioned-dir manifest the LSH index
+    uses is unnecessary here: the metastore IS the pointer.)"""
+    k_rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
+    stored_k = {r["key"]: r["value"] for r in k_rows}.get("ubw.gram_k")
+    num_buckets = _table_num_buckets(spark, table_name) or 32
+    kept = compacted_gram_rows(
+        spark, table_name, retired, broadcast_drops=broadcast_drops
+    )
+    tmp = f"{table_name}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp}")
+    _clear_orphaned_location(spark, tmp)
+    (
+        kept.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(num_buckets, "gh")
+        .saveAsTable(tmp)
+    )
+    if stored_k is not None:
+        spark.sql(
+            f"ALTER TABLE {tmp} SET TBLPROPERTIES "
+            f"('ubw.gram_k' = '{int(stored_k)}')"
+        )
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
 
 
 def duplicated_token_fraction(
