@@ -314,3 +314,35 @@ def test_zorder_write_preserves_rows_and_schema(spark, tmp_path):
     assert back.columns == ["a", "b"]
     assert back.count() == 1000
     assert back.agg(F.sum("a")).first()[0] == sum(range(1000))
+
+
+def test_quantile_cutpoints_prune_better_on_power_law(spark, tmp_path):
+    """The skew case uniform bucketing loses: a Zipf-distributed column
+    parks ~96% of rows in uniform bucket 0, so a median-band predicate
+    (inside that bucket) cannot be distinguished by the curve and the
+    read touches nearly every file.  Quantile cutpoints give the band
+    its own bucket range and the read skips most files.  Both layouts
+    must return the identical row set (read_pruned reapplies the
+    predicate), so the comparison is purely about file skipping."""
+    from ubw_spark.operators.layout import read_pruned, zorder_write
+
+    n = 6000
+    rows = [(10_000_000 // (i + 1), i % 1000, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, i long")
+    xs = sorted(r[0] for r in rows)
+    lo, hi = float(xs[int(n * 0.45)]), float(xs[int(n * 0.55)])
+
+    uni, qua = str(tmp_path / "uni"), str(tmp_path / "qua")
+    zorder_write(df, ["x", "y"], uni, num_files=16)
+    zorder_write(df, ["x", "y"], qua, num_files=16, cutpoints="quantile")
+
+    du, su = read_pruned(spark, uni, {"x": (lo, hi)})
+    dq, sq = read_pruned(spark, qua, {"x": (lo, hi)})
+    assert sorted(r["i"] for r in du.collect()) == sorted(
+        r["i"] for r in dq.collect()
+    )
+    # uniform cannot skip: the band shares bucket 0 with most of the mass
+    assert su["files_read"] >= 12, su
+    # quantile localizes the band on the curve (comfortable margin: the
+    # range sampler's cuts vary run to run)
+    assert sq["files_read"] <= su["files_read"] - 4, (su, sq)

@@ -15,14 +15,14 @@ Shapes:
 
 - :func:`bucketize` / :func:`zvalue` are pure JVM bit arithmetic —
   map-only, codegen'd, no Python.
-- Column normalization needs per-column (min, max): ONE tiny one-row
+- Column normalization needs per-column stats: ONE tiny one-row
   aggregate, broadcast back via crossJoin — the plan stays lazy and
   the lint-visible shape is the repo-standard "crossJoin broadcasts a
-  one-row aggregate".  Production note: uniform (min, max) buckets are
-  skew-sensitive; Delta uses approximate QUANTILE cutpoints instead.
-  With 2^bits buckets per dimension the skew cost is bounded (a hot
-  value occupies one bucket prefix, it cannot spill across the curve),
-  which is the same trade the range-partition sampler makes.
+  one-row aggregate".  Two bucketing kernels: uniform (min, max) —
+  exact and oracle-portable — and ``cutpoints="quantile"`` (approx-
+  percentile equal-mass buckets, the Delta OPTIMIZE choice) for
+  skewed columns, where uniform buckets would park most rows in one
+  bucket and degrade the curve to a sort on the other dims.
 - :func:`zorder_write` lays files out with ``repartitionByRange`` on
   the z-value + an intra-partition sort.  RangePartitioning samples
   the z-value to pick balanced cut points — that sampling pass is
@@ -58,6 +58,28 @@ def bucketize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
     return F.least(
         F.coalesce(raw, F.lit(0)), F.lit(nb - 1)
     ).cast("long")
+
+
+def bucketize_by_cutpoints(col: Column, cuts: Column, bits: int) -> Column:
+    """Bucket index in [0, 2^bits) from an ARRAY of ascending cutpoints
+    (length 2^bits - 1): bucket = number of cutpoints <= value.
+
+    This is the quantile-bucketing kernel — with cutpoints at the
+    1/2^bits .. (2^bits-1)/2^bits approximate quantiles, every bucket
+    holds ~equal row mass regardless of the column's distribution,
+    which is what Delta's OPTIMIZE ZORDER uses instead of uniform
+    (min, max) ranges.  Cost: one pass over the cutpoint array per row
+    (2^bits - 1 comparisons), all codegen'd JVM — at the default 8 bits
+    that is 255 integer compares, far below the per-row hash work any
+    shuffle already does.  NULLs land in bucket 0 (each comparison is
+    NULL → contributes 0), matching the uniform kernel."""
+    v = col.cast("double")
+    return F.aggregate(
+        cuts,
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + F.coalesce(F.when(v >= c, F.lit(1)), F.lit(0)).cast("long"),
+    )
 
 
 def interleave(buckets: list[Column], bits: int) -> Column:
@@ -96,23 +118,54 @@ def with_zvalue(
     cols: list[str],
     bits: int = DEFAULT_BITS,
     out_col: str = "__z",
+    *,
+    cutpoints: str = "uniform",
 ) -> DataFrame:
     """Append the z-value of ``cols`` (numeric) as ``out_col``.
 
-    One one-row stats aggregate (min/max per column) broadcast back via
-    crossJoin; everything else is map-side bit math."""
+    One one-row stats aggregate broadcast back via crossJoin;
+    everything else is map-side bit math.
+
+    ``cutpoints`` picks the bucketing kernel:
+
+    - ``"uniform"`` — equal-width (min, max) buckets; exact, cheap,
+      engine-portable (the DuckDB oracle mirrors it token for token),
+      but skew-sensitive: a power-law column parks most rows in one
+      bucket and the curve degenerates to a sort on the other dims.
+    - ``"quantile"`` — approximate-quantile cutpoints
+      (``approx_percentile``, same one-row aggregate), equal row mass
+      per bucket regardless of skew — the Delta OPTIMIZE choice.  The
+      stats pass is approximate, so this mode is for LAYOUT, not for
+      oracle-parity arithmetic."""
+    if cutpoints not in ("uniform", "quantile"):
+        raise ValueError(f"cutpoints must be uniform|quantile: {cutpoints}")
+    nb = 1 << bits
     aggs = []
     for c in cols:
-        aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
-        aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
+        if cutpoints == "uniform":
+            aggs.append(F.min(c).cast("double").alias(f"__mn_{c}"))
+            aggs.append(F.max(c).cast("double").alias(f"__mx_{c}"))
+        else:
+            probs = [i / nb for i in range(1, nb)]
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c).cast("double"), probs, 10_000
+                ).alias(f"__qs_{c}")
+            )
     stats = df.agg(*aggs)
     j = df.crossJoin(F.broadcast(stats))
-    buckets = [
-        bucketize(
-            F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits
-        )
-        for c in cols
-    ]
+    if cutpoints == "uniform":
+        buckets = [
+            bucketize(
+                F.col(c), F.col(f"__mn_{c}"), F.col(f"__mx_{c}"), bits
+            )
+            for c in cols
+        ]
+    else:
+        buckets = [
+            bucketize_by_cutpoints(F.col(c), F.col(f"__qs_{c}"), bits)
+            for c in cols
+        ]
     keep = [f for f in df.columns]
     return j.select(*keep, interleave(buckets, bits).alias(out_col))
 
@@ -124,6 +177,7 @@ def zorder_layout(
     bits: int = DEFAULT_BITS,
     num_files: int = 8,
     extra_partition_cols: list[str] | tuple[str, ...] = (),
+    cutpoints: str = "uniform",
 ) -> DataFrame:
     """The layout core shared by :func:`zorder_write` and
     ``sources.writers.write_table(zorder_by=...)``: range-partition on
@@ -133,7 +187,7 @@ def zorder_layout(
     The projection dropping ``__z`` sits ABOVE the sort and does not
     reorder rows, so file contents stay curve-ordered and parquet
     min/max stats come out tight in every interleaved dimension."""
-    z = with_zvalue(df, list(cols), bits)
+    z = with_zvalue(df, list(cols), bits, cutpoints=cutpoints)
     parts = [F.col(c) for c in extra_partition_cols]
     return (
         z.repartitionByRange(num_files, *parts, F.col("__z"))
@@ -150,10 +204,14 @@ def zorder_write(
     bits: int = DEFAULT_BITS,
     num_files: int = 8,
     max_records_per_file: int | None = None,
+    cutpoints: str = "uniform",
 ) -> None:
     """Write ``df`` as parquet laid out along the Z-curve of ``cols``
-    (see :func:`zorder_layout`)."""
-    out = zorder_layout(df, cols, bits=bits, num_files=num_files)
+    (see :func:`zorder_layout`); ``cutpoints="quantile"`` switches to
+    skew-robust equal-mass buckets (see :func:`with_zvalue`)."""
+    out = zorder_layout(
+        df, cols, bits=bits, num_files=num_files, cutpoints=cutpoints
+    )
     w = out.write.mode("overwrite")
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", max_records_per_file)

@@ -53,3 +53,53 @@ def engine_pipeline_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         requires=["discount_amt"],
     )
     return p.run(table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "engine_observe_summary",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           max(l_orderkey) AS max_order
+    FROM lineitem
+    WHERE l_quantity > 45
+    """,
+    tags=("engine", "pipeline", "observe"),
+)
+def engine_observe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/C4 withFilter/afterResult summaries (reference: PileFilter
+    afterResult, framework/ubw-core/.../PileSyntax.scala:95-112),
+    oracled: the observed metrics ARE the result rows.
+
+    The summary is computed by ``observe`` DURING the job that
+    materializes the stage output — no second scan; the action here is
+    a noop sink, so the only data movement is the filtered scan
+    feeding the observation aggregates.  Sum runs over DECIMAL so the
+    observed value is engine-exact (a double sum's value depends on
+    reduction order and cannot be oracled bit-for-bit).  DISTINCT
+    aggregates are rejected by CollectMetrics (they need a shuffle the
+    observation mechanism deliberately lacks), so the metric vocabulary
+    here is count/sum/min/max — the reference's afterResult summaries
+    are the same algebraic class."""
+    from ubw_spark.pipeline import Pipeline
+
+    p = Pipeline()
+    p.append(
+        lambda df: df.where(F.col("l_quantity") > 45),
+        name="qty_filter",
+        observe={
+            "n_rows": F.count(F.lit(1)),
+            "sum_price": F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+            ),
+            "max_order": F.max("l_orderkey"),
+        },
+    )
+    out = p.run(table(spark, sf_dir, "lineitem"))
+    out.write.format("noop").mode("overwrite").save()
+    m = p.summaries()["qty_filter"]
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["sum_price"]), int(m["max_order"]))],
+        "n_rows bigint, sum_price double, max_order bigint",
+    )
