@@ -173,32 +173,56 @@ def main() -> None:
     # Two timed passes, report the per-query MIN: single-pass numbers on
     # a shared box carry ±10-30% scheduler noise, which flaps the
     # regression gate; the minimum is the standard steady-state estimate.
-    timings: dict[str, float] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            qd = REGISTRY[name]
-            t0 = time.perf_counter()
-            qd.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+    def timed_pass(target_dir: str) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for _pass in range(2):
+            for name in HEADLINE:
+                qd = REGISTRY[name]
+                t0 = time.perf_counter()
+                qd.fn(spark, target_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in out or dt < out[name]:
+                    out[name] = dt
+        return out
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    try:
-        sf = float(m.group(1).rstrip(".")) if m else None
-    except ValueError:
-        sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    def parse_sf(d: str) -> float | None:
+        m = re.search(r"sf([0-9.]+)", d)
+        try:
+            return float(m.group(1).rstrip(".")) if m else None
+        except ValueError:
+            return None
+
+    timings = timed_pass(sf_dir)
+
+    # Second scale factor (default sf0.01; SPARK_GRAFT_SF2_DIR overrides,
+    # empty disables): round-over-round comparisons need to separate
+    # fixed overhead (session, planning, index-write latency floors) from
+    # data-scaling cost — a single sf conflates them.  The regression
+    # comparator gates ONLY on the primary block; this one is recorded
+    # evidence.  Already-warm session: one timed double-pass, no extra
+    # warmup loop (plan caches are per-query shapes, not per-path data).
+    sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
+    sf_extra = None
+    if sf2_dir and os.path.isdir(sf2_dir) and sf2_dir != sf_dir:
+        t2 = timed_pass(sf2_dir)
+        sf_extra = {
+            "sf": parse_sf(sf2_dir),
+            "value": round(sum(t2.values()), 3),
+            "queries": t2,
+        }
+
+    doc = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": parse_sf(sf_dir),
+    }
+    if sf_extra is not None:
+        doc["sf_extra"] = sf_extra
+    print(json.dumps(doc))
     spark.stop()
 
     baseline_args: list[str] = []

@@ -346,3 +346,29 @@ def test_quantile_cutpoints_prune_better_on_power_law(spark, tmp_path):
     # quantile localizes the band on the curve (comfortable margin: the
     # range sampler's cuts vary run to run)
     assert sq["files_read"] <= su["files_read"] - 4, (su, sq)
+
+
+def test_read_pruned_handles_thousand_plus_file_lists(spark, tmp_path):
+    """1 200 kept files cross the _READ_BATCH boundary: the batched
+    union must return every row exactly once, and a selective range
+    must still skip files."""
+    from ubw_spark.operators.layout import read_pruned
+
+    path = str(tmp_path / "many")
+    df = spark.range(1200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # one row per file -> 1200 files, each with a one-point k box
+    df.repartitionByRange(1200, "k").write.mode("overwrite").option(
+        "maxRecordsPerFile", 1
+    ).parquet(path)
+
+    full, s_full = read_pruned(spark, path, {"k": (0, 1199)})
+    assert s_full["files_total"] >= 1200
+    assert s_full["files_read"] == s_full["files_total"]
+    assert full.count() == 1200
+    assert full.agg(F.sum("v")).first()[0] == 2 * sum(range(1200))
+
+    sel, s_sel = read_pruned(spark, path, {"k": (100, 104)})
+    assert s_sel["files_read"] <= 10
+    assert sorted(r["k"] for r in sel.collect()) == [100, 101, 102, 103, 104]

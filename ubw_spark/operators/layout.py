@@ -38,6 +38,9 @@ from pyspark.sql import functions as F
 #: Default bits per dimension (2 dims × 8 bits = 16-bit z-values).
 DEFAULT_BITS = 8
 
+#: Max paths per read call in :func:`read_pruned` (batched-union above).
+_READ_BATCH = 1000
+
 
 def bucketize(col: Column, mn: Column, mx: Column, bits: int) -> Column:
     """Uniform bucket index in [0, 2^bits) from (min, max) bounds.
@@ -397,7 +400,15 @@ def read_pruned(
     The candidate file list is collected on the driver — bounded: one
     row per file, the same cardinality every Spark scan's file index
     holds.  A file with no stats for some column (all-NULL row group)
-    is conservatively KEPT."""
+    is conservatively KEPT.
+
+    Large kept lists are read in batches of ``_READ_BATCH`` paths
+    unioned together: ``spark.read.parquet(*paths)`` marshals every
+    path through the py4j varargs call in one go, which is the kind of
+    driver argv-style API that degrades at 10^5 files; per-batch
+    ``load(list)`` keeps each call bounded while the union stays a
+    metadata-only plan node (each branch is its own file-index scan,
+    no shuffle)."""
 
     def pad(v: float) -> float:
         # >= 4x the float64 representation error |v|*2^-53 of any
@@ -424,7 +435,13 @@ def read_pruned(
     if not keep:
         df = spark.read.parquet(path).limit(0)
     else:
-        df = spark.read.parquet(*keep)
+        batches = [
+            spark.read.format("parquet").load(keep[i : i + _READ_BATCH])
+            for i in range(0, len(keep), _READ_BATCH)
+        ]
+        df = batches[0]
+        for b in batches[1:]:
+            df = df.union(b)
     for c, (lo, hi) in ranges.items():
         df = df.where((F.col(c) >= lo) & (F.col(c) <= hi))
     return df, stats
