@@ -1169,3 +1169,46 @@ def test_quantile_gate_drops_expected_fraction(spark):
 
     with pytest.raises(ValueError, match="above"):
         quantile_gate(df, "score", 0.2, keep="sideways")
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    """SemDeDup on planted geometry: two tight clusters around known
+    centroids; the near-identical pair in each cluster drops its higher
+    id, singletons keep, and max_cell=1 disables comparisons (overflow
+    rows are auto-kept, never silently dropped)."""
+    from ubw_spark.operators.semdedup import (
+        semantic_dedup_report,
+        semantic_dup_pairs,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cell 0
+        (2, [0.99, 0.01, 0.0, 0.0]),  # cell 0, ~dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),    # cell 1
+        (4, [0.01, 0.99, 0.0, 0.0]),  # cell 1, ~dup of 3 -> dropped
+        (5, [0.6, 0.6, 0.2, 0.5]),    # nearer cell 0, no near-dup
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+
+    pairs = semantic_dup_pairs(
+        df, "vec_id", "embedding", cents, threshold=0.95
+    ).collect()
+    assert sorted((r.id_a, r.id_b) for r in pairs) == [(1, 2), (3, 4)]
+    assert all(r.cos_sim >= 0.95 for r in pairs)
+
+    rep = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_report(
+            df, "vec_id", "embedding", cents, threshold=0.95
+        ).collect()
+    }
+    assert len(rep) == 5  # every input row reported
+    assert rep[1] == (0, 1) and rep[2] == (0, 0)
+    assert rep[3] == (1, 1) and rep[4] == (1, 0)
+    assert rep[5][1] == 1
+
+    capped = semantic_dedup_report(
+        df, "vec_id", "embedding", cents, threshold=0.95, max_cell=1
+    ).collect()
+    assert all(r.keep == 1 for r in capped)

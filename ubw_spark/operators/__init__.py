@@ -17,6 +17,11 @@ from ubw_spark.operators.lsh_index import (
     append_minhash_batch,
     compact_minhash_index,
 )
+from ubw_spark.operators.semdedup import (
+    assign_cells,
+    semantic_dup_pairs,
+    semantic_dedup_report,
+)
 from ubw_spark.operators.similarity import (
     cosine_col,
     brute_force_topk,
@@ -40,6 +45,8 @@ from ubw_spark.operators.spans import (
     write_gram_index,
     probe_gram_index,
     append_gram_index,
+    compact_gram_index,
+    grams_of,
 )
 from ubw_spark.operators.layout import (
     with_zvalue,
@@ -93,6 +100,11 @@ __all__ = [
     "probe_minhash_index",
     "append_minhash_batch",
     "compact_minhash_index",
+    "assign_cells",
+    "semantic_dup_pairs",
+    "semantic_dedup_report",
+    "compact_gram_index",
+    "grams_of",
     "seed_pq_codebooks",
     "train_pq_codebooks",
     "validate_expectations",

@@ -1,0 +1,130 @@
+"""SemDeDup — cluster-bounded semantic deduplication over embeddings.
+
+Spark-native re-expression of SemDeDup (Abbas et al., 2023,
+arXiv:2303.09540, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication"): embed documents, k-means-cluster the
+embeddings, and compare pairs ONLY within a cluster — semantically
+duplicated pairs land in the same cluster with high probability, so
+the O(N²) cosine comparison collapses to sum-over-cells of n_c², the
+same bounded-candidates discipline every dedup operator in this repo
+follows (LSH bands in dedup.py, hyperplane buckets in similarity.py;
+this is the k-means member of the family — it catches SEMANTIC
+duplicates that share no n-grams and hash into different LSH buckets).
+
+Keep policy: within a cosine ≥ threshold pair, the LOWER id wins; a
+row is dropped iff it loses ANY pair.  This is the repo-standard
+deterministic canonicalization (dedup.py exact/minhash use min-id
+keepers too).  The paper keeps the member farthest from the centroid
+and notes random choice performs the same (§4.3); a transitive-group
+treatment (keep exactly one per connected component) is available by
+feeding the pair list to operators/components.py.
+
+100 TB shape:
+
+- Cell assignment is map-only against broadcast centroid literals
+  (k × dim floats — the operators/ivf.py coarse-quantizer machinery).
+- The pair join shuffles on the cell id once; per-cell work is n_c²
+  with n_c ≈ N/k, so k is the knob that bounds the quadratic term
+  (the paper runs k = 50 000 on LAION).  ``max_cell`` caps degenerate
+  cells exactly like dedup.cap_buckets caps hot LSH buckets —
+  overflow rows are auto-kept, never silently dropped.
+- Cosines are JVM ``zip_with``/``aggregate`` folds (similarity.
+  cosine_col); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.ivf import _nearest_cells
+from ubw_spark.operators.similarity import cosine_col
+
+
+def assign_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment, map-only."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
+    )
+
+
+def semantic_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    threshold: float = 0.95,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Within-cluster near-dup pairs: (id_a, id_b, cell, cos_sim) with
+    id_a < id_b and cosine ≥ threshold.  Pairs across clusters are by
+    construction not examined — that is the SemDeDup trade (recall
+    bounded by the quantizer's ability to co-locate duplicates)."""
+    cells = assign_cells(df, id_col, vec_col, centroids)
+    if max_cell is not None:
+        w = Window.partitionBy("cell").orderBy(id_col)
+        cells = (
+            cells.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_cell)
+            .drop("__rn")
+        )
+    a = cells.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        F.col("cell").alias("__cb"),
+    )
+    cos = cosine_col(F.col("__va"), F.col("__vb"))
+    return (
+        a.join(b, (F.col("cell") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        .where(cos >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "cell",
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+def semantic_dedup_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    threshold: float = 0.95,
+    max_cell: int | None = None,
+) -> DataFrame:
+    """Per-row keep decision: (id, cell, keep) for EVERY input row —
+    keep = 0 iff the row loses some within-cluster pair (higher id at
+    cosine ≥ threshold).  Filtering ``keep = 1`` applies the SemDeDup
+    policy; the report form (rather than a filtered frame) is what a
+    curation funnel audits and what the oracle checks row-for-row."""
+    cells = assign_cells(df, id_col, vec_col, centroids)
+    losers = (
+        semantic_dup_pairs(
+            df, id_col, vec_col, centroids,
+            threshold=threshold, max_cell=max_cell,
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__lost", F.lit(1))
+    )
+    return cells.join(losers, id_col, "left").select(
+        F.col(id_col),
+        "cell",
+        F.when(F.col("__lost").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )

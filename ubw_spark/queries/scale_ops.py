@@ -528,6 +528,55 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_ORACLE = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+               AS cid, v
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+    assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY list_distance(e.v, c.v), c.cid) AS rn
+      FROM e CROSS JOIN cents c),
+    cell AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+    losers AS (
+      SELECT DISTINCT b.vec_id
+      FROM cell a JOIN cell b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45)
+    SELECT c.vec_id, c.cid AS cell,
+           CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM cell c LEFT JOIN losers l ON c.vec_id = l.vec_id
+    """
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=_SEMDEDUP_ORACLE,
+    tags=("dedup", "similarity", "semdedup"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cell-bounded semantic
+    dedup — per-row (vec_id, cell, keep) where keep = 0 iff the row
+    loses a within-cell cosine-≥-0.45 pair to a lower id.  Fully
+    oracled via the md5-seeded deterministic quantizer (the
+    sim_ivf_ann_topk contract); production training uses
+    operators.ivf.train_ivf_centroids (KMeans).  Threshold margin at
+    sf0.01: nearest within-cell pair sits 1.6e-3 from 0.45 — far above
+    cross-engine float drift.  The pair join is cell-bounded (sum of
+    n_c², never N²); degenerate cells cap via max_cell."""
+    from ubw_spark.operators.semdedup import semantic_dedup_report
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = seed_ivf_centroids(emb, k=8)
+    return semantic_dedup_report(
+        emb, "vec_id", "embedding", centroids, threshold=0.45
+    )
+
+
 @register(
     "grouped_robust_stats",
     oracle="""
