@@ -32,7 +32,7 @@ Shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Default bits per dimension (2 dims × 8 bits = 16-bit z-values).
@@ -83,6 +83,42 @@ def bucketize_by_cutpoints(col: Column, cuts: Column, bits: int) -> Column:
         lambda acc, c: acc
         + F.coalesce(F.when(v >= c, F.lit(1)), F.lit(0)).cast("long"),
     )
+
+
+def exact_quantile_cuts(df: DataFrame, col: str, nb: int) -> DataFrame:
+    """ONE-row frame with the exact nb-quantile cutpoints of ``col`` as
+    a sorted array ``__cuts`` (length nb - 1) — the oracle-parity twin
+    of the ``approx_percentile`` path in :func:`with_zvalue`.
+
+    Definition (pure counting, NO interpolation, so any engine
+    reproduces it exactly): cutpoint i (i = 1..nb-1) is the smallest
+    value whose cumulative count reaches ``ceil(i * n / nb)``.  Built
+    from a groupBy on the value (distinct-value cardinality, not raw
+    rows) + a cumulative window over that aggregate + a broadcast of
+    the nb-1 target ranks; the result is nb-1 doubles, broadcast back
+    wherever the caller crossJoins it.  Use for oracled bucketing and
+    tests; production layout uses the approx path (one pass, no
+    distinct-value shuffle)."""
+    vc = (
+        df.groupBy(F.col(col).cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select("__v", F.sum("__c").over(w).alias("__cc"))
+    n1 = df.agg(F.count(F.lit(1)).alias("__n"))
+    ranks = (
+        df.sparkSession.range(1, nb)
+        .select(F.col("id").alias("__i"))
+        .crossJoin(F.broadcast(n1))
+        .select("__i", F.ceil(F.col("__i") * F.col("__n") / nb).alias("__r"))
+    )
+    cuts = (
+        cum.crossJoin(F.broadcast(ranks))
+        .where(F.col("__cc") >= F.col("__r"))
+        .groupBy("__i")
+        .agg(F.min("__v").alias("__cut"))
+    )
+    return cuts.agg(F.array_sort(F.collect_list("__cut")).alias("__cuts"))
 
 
 def interleave(buckets: list[Column], bits: int) -> Column:
