@@ -1212,3 +1212,42 @@ def test_semantic_dedup_planted_clusters(spark):
         df, "vec_id", "embedding", cents, threshold=0.95, max_cell=1
     ).collect()
     assert all(r.keep == 1 for r in capped)
+
+
+def test_dsir_weights_favor_target_style(spark):
+    """Planted distribution shift: the pool mixes two disjoint bigram
+    styles; with style-A as target, every style-A doc outweighs every
+    style-B doc, the featureless doc gets the neutral weight, and
+    Gumbel top-k selects predominantly style-A."""
+    from ubw_spark.operators.dsir import dsir_log_weights, dsir_select
+
+    a = [(i, "alpha beta gamma delta alpha beta") for i in range(10)]
+    b = [(i, "omega psi chi phi omega psi") for i in range(10, 20)]
+    short = [(99, "solo")]  # < 2 tokens -> no bigram features
+    pool = spark.createDataFrame(a + b + short, "doc_id bigint, text string")
+    target = spark.createDataFrame(a[:5], "doc_id bigint, text string")
+
+    w = {
+        r.doc_id: (r.n_feats, r.log_weight)
+        for r in dsir_log_weights(
+            pool, target, "doc_id", "text", n=2, buckets=256
+        ).collect()
+    }
+    assert len(w) == 21  # every pool row reported
+    assert w[99] == (0, 0.0)  # neutral, not NULL
+    a_w = [w[i][1] for i in range(10)]
+    b_w = [w[i][1] for i in range(10, 20)]
+    # relative ordering is the semantic guarantee (absolute sign depends
+    # on the smoothing mass, which dominates at toy counts)
+    assert min(a_w) > max(b_w) + 1.0
+
+    sel = dsir_select(
+        pool, target, "doc_id", "text", 10, n=2, buckets=256
+    ).collect()
+    assert [r.rank for r in sorted(sel, key=lambda r: r.rank)] == list(
+        range(1, 11)
+    )
+    picked = {r.doc_id for r in sel}
+    assert 99 not in picked  # featureless excluded
+    # style-A dominates the resample (weights differ by several nats)
+    assert len([i for i in picked if i < 10]) >= 8

@@ -22,6 +22,11 @@ from ubw_spark.operators.semdedup import (
     semantic_dup_pairs,
     semantic_dedup_report,
 )
+from ubw_spark.operators.dsir import (
+    dsir_log_weights,
+    dsir_select,
+    hashed_ngram_features,
+)
 from ubw_spark.operators.similarity import (
     cosine_col,
     brute_force_topk,
@@ -103,6 +108,9 @@ __all__ = [
     "assign_cells",
     "semantic_dup_pairs",
     "semantic_dedup_report",
+    "dsir_log_weights",
+    "dsir_select",
+    "hashed_ngram_features",
     "compact_gram_index",
     "grams_of",
     "seed_pq_codebooks",

@@ -226,3 +226,97 @@ def curation_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.min("score"), 4).alias("min_score"),
         F.round(F.max("score"), 4).alias("max_score"),
     )
+
+
+_DSIR_CTES = r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    gr AS (SELECT doc_id,
+                  list_transform(generate_series(1, len(t) - 1),
+                                 i -> concat_ws(' ', t[i], t[i+1])) AS g
+           FROM toks WHERE len(t) >= 2),
+    f AS (SELECT gr.doc_id,
+                 ('0x' || substr(md5(u.s2), 1, 8))::BIGINT % 1024 AS b
+          FROM gr, unnest(g) AS u(s2)),
+    tgt AS (SELECT f.b FROM f JOIN documents d ON f.doc_id = d.doc_id
+            WHERE d.lang = 'en'),
+    sc AS (SELECT b, count(*) AS cs FROM f GROUP BY 1),
+    tc AS (SELECT b, count(*) AS ct FROM tgt GROUP BY 1),
+    tot AS (SELECT (SELECT count(*) FROM f) AS ts,
+                   (SELECT count(*) FROM tgt) AS tt),
+    ratio AS (SELECT coalesce(sc.b, tc.b) AS b,
+                     ln((coalesce(ct, 0) + 1.0) / (tt + 1024.0))
+                   - ln((coalesce(cs, 0) + 1.0) / (ts + 1024.0)) AS lr
+              FROM sc FULL OUTER JOIN tc ON sc.b = tc.b, tot),
+    pdb AS (SELECT doc_id, b, count(*) AS k2 FROM f GROUP BY 1, 2),
+    wts AS (SELECT pdb.doc_id, CAST(sum(k2) AS BIGINT) AS n_feats,
+                   sum(k2 * lr) AS lw
+            FROM pdb JOIN ratio ON pdb.b = ratio.b GROUP BY 1)
+"""
+
+
+@register(
+    "curation_dsir_weights",
+    oracle=_DSIR_CTES
+    + """
+    SELECT d.doc_id, coalesce(n_feats, 0) AS n_feats,
+           round(coalesce(lw, 0.0), 4) AS log_weight
+    FROM documents d LEFT JOIN wts ON d.doc_id = wts.doc_id
+    """,
+    tags=("curation", "dsir"),
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169):
+    every document in the pool scored by how much more likely the
+    TARGET distribution (here: the English slice) finds its hashed
+    bigrams than the pool distribution does.  Bucket model tables are
+    broadcast (1024 rows regardless of corpus size); the only
+    doc-keyed shuffle is the per-doc aggregate.  See operators/dsir.py
+    for the 100 TB argument."""
+    from ubw_spark.operators.dsir import dsir_log_weights
+
+    d = table(spark, sf_dir, "documents")
+    lw = dsir_log_weights(
+        d, d.where(F.col("lang") == "en"), "doc_id", "text",
+        n=2, buckets=1024,
+    )
+    return lw.select(
+        "doc_id", "n_feats", F.round("log_weight", 4).alias("log_weight")
+    )
+
+
+@register(
+    "curation_dsir_select",
+    oracle=_DSIR_CTES
+    + """
+    , keyed AS (
+      SELECT doc_id, n_feats,
+             round(lw, 4) AS log_weight,
+             round(round(lw, 6)
+                   + round(-ln(-ln(
+                       ((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 8))::BIGINT)
+                        + 0.5) / 4294967296.0)), 6),
+                   12) AS sel_key
+      FROM wts WHERE n_feats > 0)
+    SELECT doc_id, n_feats, log_weight, round(sel_key, 4) AS sel_key,
+           row_number() OVER (ORDER BY sel_key DESC, doc_id) AS rank
+    FROM keyed
+    ORDER BY sel_key DESC, doc_id LIMIT 25
+    """,
+    tags=("curation", "dsir"),
+)
+def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-25 importance resample toward the English target —
+    the selection half of DSIR.  Global top-k plans as
+    TakeOrderedAndProject (per-partition heaps); the rank window runs
+    over the 25 survivors only.  Hash-derived noise and two-stage
+    rounding make the key bit-identical across engines (see
+    operators/dsir.py::dsir_select)."""
+    from ubw_spark.operators.dsir import dsir_select
+
+    d = table(spark, sf_dir, "documents")
+    return dsir_select(
+        d, d.where(F.col("lang") == "en"), "doc_id", "text", 25,
+        n=2, buckets=1024,
+    )

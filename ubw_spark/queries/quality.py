@@ -339,3 +339,66 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          "values": ["O", "F", "P"]},
         {"kind": "min_rows", "n": 1000},
     ])
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, u.tok FROM toks, unnest(t) AS u(tok)),
+    tf AS (SELECT doc_id, tok, count(*) AS k FROM ex GROUP BY 1, 2),
+    cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+    tot AS (SELECT count(*) AS tt, count(DISTINCT tok) AS vv FROM ex),
+    s AS (SELECT tf.doc_id,
+                 sum(tf.k * ln((cnt.c + 1.0) / (tt + vv))) AS lpsum,
+                 CAST(sum(tf.k) AS BIGINT) AS n
+          FROM tf JOIN cnt USING (tok), tot GROUP BY 1)
+    SELECT doc_id, n AS n_tokens, round(-lpsum / n, 4) AS avg_neg_logprob
+    FROM s
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality score (the CCNet idea — Wenzek et al. 2020,
+    "CCNet: Extracting high quality monolingual datasets from web crawl
+    data" — reduced to a self-trained unigram model): per document, the
+    average negative log-probability of its tokens under the corpus
+    unigram distribution with add-one smoothing.  Outlier documents
+    (gibberish, wrong language, boilerplate floods) score high and feed
+    the same corpus-quantile gate as the other quality signals.
+
+    Scale shape: token counting is two map-side-combinable groupBys;
+    the model join runs on per-doc DISTINCT tokens (tf), so a hot token
+    costs one row per containing doc — linear, the same skew-guard
+    shape as probe_gram_index — and the (T, V) totals are a one-row
+    broadcast.  The model table (vocab counts) joins by token hash; a
+    web-scale vocab is ~10^7 rows, far below the corpus, and never
+    broadcast.  Sum-order float drift across engines is ~1e-12 relative
+    (same accepted class as the tf-idf oracle); rounding at 4 decimals
+    is 8 orders above it."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = ex.agg(
+        F.count(F.lit(1)).alias("tt"), F.count_distinct("tok").alias("vv")
+    )
+    lp = F.log((F.col("c") + F.lit(1.0)) / (F.col("tt") + F.col("vv")))
+    s = (
+        tf.join(cnt, "tok")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("k") * lp).alias("lpsum"),
+            F.sum("k").alias("n_tokens"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        F.round(-F.col("lpsum") / F.col("n_tokens"), 4).alias(
+            "avg_neg_logprob"
+        ),
+    )
