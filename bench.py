@@ -72,6 +72,13 @@ HEADLINE = [
     "dedup_span_index_probe",
     # Z-order layout math (bucketize + Morton interleave + histogram).
     "layout_zorder_histogram",
+    # Round-8 additions: cluster-bounded semantic dedup (SemDeDup),
+    # DSIR importance resampling, corpus-unigram-LM quality scoring,
+    # and the exact-quantile bucketing kernel.
+    "dedup_semantic_semdedup",
+    "curation_dsir_select",
+    "text_unigram_logprob",
+    "layout_quantile_bucket_histogram",
 ]
 
 
