@@ -212,7 +212,13 @@ def main() -> None:
     # warmup loop (plan caches are per-query shapes, not per-path data).
     sf2_dir = os.environ.get("SPARK_GRAFT_SF2_DIR", "/root/testdata/sf0.01")
     sf_extra = None
-    if sf2_dir and os.path.isdir(sf2_dir) and sf2_dir != sf_dir:
+    # realpath comparison: a trailing slash or symlink alias of the
+    # primary dir must not be double-timed and recorded as a second sf
+    if (
+        sf2_dir
+        and os.path.isdir(sf2_dir)
+        and os.path.realpath(sf2_dir) != os.path.realpath(sf_dir)
+    ):
         t2 = timed_pass(sf2_dir)
         sf_extra = {
             "sf": parse_sf(sf2_dir),

@@ -124,3 +124,79 @@ def test_stream_dedup_uses_watermark_bounded_state(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     plan = stream_dedup(df, ["event_id"])._jdf.queryExecution().logical().toString()
     assert "DeduplicateWithinWatermark" in plan
+
+
+def test_corrupt_index_manifest_raises_not_stale_fallback(tmp_path):
+    """A _CURRENT manifest that exists but doesn't parse must raise —
+    falling back to the flat root would silently serve a stale
+    grace-kept index (review finding, round 8)."""
+    from ubw_spark.operators.lsh_index import current_version
+
+    path = str(tmp_path / "idx")
+    import os
+
+    os.makedirs(path)
+    assert current_version(path) is None  # absent = legacy, fine
+    with open(os.path.join(path, "_CURRENT"), "w") as f:
+        f.write("garbage")
+    with pytest.raises(ValueError, match="corrupt index manifest"):
+        current_version(path)
+
+
+def test_cutpoint_bucketize_clamps_oversized_cut_arrays(spark):
+    """cuts built for 32 buckets fed to bits=4 must clamp to bucket 15,
+    not alias high buckets onto low ones through interleave's bit mask
+    (review finding, round 8)."""
+    from ubw_spark.operators.layout import bucketize_by_cutpoints
+
+    df = spark.createDataFrame([(float(v),) for v in range(40)], "v double")
+    cuts = F.array(*[F.lit(float(c)) for c in range(1, 32)])  # 31 cuts
+    out = {
+        r["v"]: r["b"]
+        for r in df.select(
+            "v", bucketize_by_cutpoints(F.col("v"), cuts, 4).alias("b")
+        ).collect()
+    }
+    assert out[0.0] == 0
+    assert out[10.0] == 10
+    assert all(out[float(v)] == 15 for v in range(15, 40))
+
+
+def test_gram_compaction_leaves_no_staging_tables(spark):
+    """The rename-shuffle swap must clean up __old and __compact on
+    success (review finding, round 8: the swap window is documented,
+    but a SUCCESSFUL compaction must not leak catalog entries)."""
+    from ubw_spark.operators.spans import (
+        compact_gram_index,
+        grams_of,
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    tbl = "gram_idx_residue_test"
+    for t in (tbl, f"{tbl}__compact", f"{tbl}__old"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "g h i j k l")],
+            "doc_id bigint, text string",
+        )
+        write_gram_index(docs, "doc_id", "text", tbl, k=4, num_buckets=2)
+        retire = grams_of(
+            spark.createDataFrame([(0, "a b c d e f")], "doc_id bigint, text string"),
+            "doc_id", "text", k=4,
+        )
+        compact_gram_index(spark, tbl, retire)
+        assert spark.catalog.tableExists(tbl)
+        assert not spark.catalog.tableExists(f"{tbl}__compact")
+        assert not spark.catalog.tableExists(f"{tbl}__old")
+        out = {
+            r.doc_id: r.dup_fraction
+            for r in probe_gram_index(
+                spark, docs, tbl, "doc_id", "text", k=4
+            ).collect()
+        }
+        assert out[1] == 0.0 and out[2] == 1.0
+    finally:
+        for t in (tbl, f"{tbl}__compact", f"{tbl}__old"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

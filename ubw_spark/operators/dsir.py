@@ -103,7 +103,15 @@ def dsir_log_weights(
     t_feats = hashed_ngram_features(
         target, id_col, text_col, n=n, buckets=buckets
     )
-    sc = _bucket_counts(s_feats, "__cs")
+    # The (doc, bucket) aggregate is the ONE pass over the pool's
+    # features; the source bucket counts roll up FROM it (sum of __k)
+    # rather than re-aggregating s_feats — numerically identical, and
+    # the expensive tokenize/hash/explode lineage is shared instead of
+    # executing twice.
+    per_doc_bucket = s_feats.groupBy(id_col, "__bucket").agg(
+        F.count(F.lit(1)).alias("__k")
+    )
+    sc = per_doc_bucket.groupBy("__bucket").agg(F.sum("__k").alias("__cs"))
     tc = _bucket_counts(t_feats, "__ct")
     totals = sc.agg(F.sum("__cs").alias("__ts")).crossJoin(
         tc.agg(F.sum("__ct").alias("__tt"))
@@ -126,9 +134,6 @@ def dsir_log_weights(
                 )
             ).alias("__lr"),
         )
-    )
-    per_doc_bucket = s_feats.groupBy(id_col, "__bucket").agg(
-        F.count(F.lit(1)).alias("__k")
     )
     weights = (
         per_doc_bucket.join(broadcast(ratio), "__bucket")

@@ -75,13 +75,22 @@ def bucketize_by_cutpoints(col: Column, cuts: Column, bits: int) -> Column:
     (2^bits - 1 comparisons), all codegen'd JVM — at the default 8 bits
     that is 255 integer compares, far below the per-row hash work any
     shuffle already does.  NULLs land in bucket 0 (each comparison is
-    NULL → contributes 0), matching the uniform kernel."""
+    NULL → contributes 0), matching the uniform kernel.
+
+    The count is clamped to 2^bits - 1, so the [0, 2^bits) contract
+    holds even for an OVERSIZED cutpoint array (e.g. cuts built for 32
+    buckets fed to bits=4) — without the clamp, interleave() would read
+    only the low ``bits`` bits and silently alias high buckets onto low
+    ones, scrambling the curve with no error anywhere."""
     v = col.cast("double")
-    return F.aggregate(
-        cuts,
-        F.lit(0).cast("long"),
-        lambda acc, c: acc
-        + F.coalesce(F.when(v >= c, F.lit(1)), F.lit(0)).cast("long"),
+    return F.least(
+        F.aggregate(
+            cuts,
+            F.lit(0).cast("long"),
+            lambda acc, c: acc
+            + F.coalesce(F.when(v >= c, F.lit(1)), F.lit(0)).cast("long"),
+        ),
+        F.lit((1 << bits) - 1).cast("long"),
     )
 
 

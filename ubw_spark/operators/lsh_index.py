@@ -82,12 +82,26 @@ def _version_dir(path: str, version: int) -> str:
 
 def current_version(path: str) -> int | None:
     """The live version number from ``path/_CURRENT``, or None when the
-    index has no manifest (legacy flat layout, or not written yet)."""
+    index has no manifest (legacy flat layout, or not written yet).
+
+    A manifest that EXISTS but does not parse raises: falling back to
+    the flat root on corruption would silently serve a stale grace-kept
+    index (compacted documents resurface as novel) — absent-manifest
+    and corrupt-manifest are different conditions and only the first
+    means 'legacy layout'."""
     try:
         with open(posixpath.join(path, MANIFEST)) as f:
-            return int(f.read().strip())
-    except (FileNotFoundError, ValueError):
+            raw = f.read().strip()
+    except FileNotFoundError:
         return None
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"corrupt index manifest {path}/{MANIFEST}: {raw!r} — refusing "
+            "to fall back to an older layout; restore the manifest to the "
+            "latest complete vNNNNN directory"
+        ) from None
 
 
 def _resolve_root(path: str) -> str:
@@ -349,9 +363,10 @@ def compact_minhash_index(
     _gc_versions(path, new_v - 1)
     # Pre-manifest flat stores at the root (an index written by an older
     # release) follow the same grace policy as version dirs: they were
-    # live until this flip, so they survive one cycle and are removed
-    # once a versioned copy has existed for a full compaction.
-    if cur is not None and cur >= 1:
+    # live until the flip that created v00000, so they survive that one
+    # cycle and are removed by the NEXT compaction (cur is not None ⇔ a
+    # versioned copy has already existed for a full cycle).
+    if cur is not None:
         for legacy in (_bands_path(path), _docs_path(path)):
             if os.path.isdir(legacy):
                 shutil.rmtree(legacy)

@@ -69,6 +69,23 @@ def semantic_dup_pairs(
     construction not examined — that is the SemDeDup trade (recall
     bounded by the quantizer's ability to co-locate duplicates)."""
     cells = assign_cells(df, id_col, vec_col, centroids)
+    return _pairs_from_cells(
+        cells, id_col, vec_col, threshold=threshold, max_cell=max_cell
+    )
+
+
+def _pairs_from_cells(
+    cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float,
+    max_cell: int | None,
+) -> DataFrame:
+    """Pair generation over an ALREADY-ASSIGNED (id, vec, cell) frame —
+    split out so semantic_dedup_report assigns cells once (the O(k·dim)
+    per-row fold is the dominant map cost at paper-scale k) and both
+    the report and the self-join reuse the same frame."""
     if max_cell is not None:
         w = Window.partitionBy("cell").orderBy(id_col)
         cells = (
@@ -115,9 +132,8 @@ def semantic_dedup_report(
     curation funnel audits and what the oracle checks row-for-row."""
     cells = assign_cells(df, id_col, vec_col, centroids)
     losers = (
-        semantic_dup_pairs(
-            df, id_col, vec_col, centroids,
-            threshold=threshold, max_cell=max_cell,
+        _pairs_from_cells(
+            cells, id_col, vec_col, threshold=threshold, max_cell=max_cell
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

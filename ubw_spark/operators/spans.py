@@ -519,11 +519,16 @@ def compact_gram_index(
     rule as the LSH index compaction.
 
     Swap protocol: the kept rows are written to a staging table
-    (``<name>__compact``, same bucket spec, same ``ubw.gram_k``), then
-    DROP + RENAME through the metastore — readers resolve the table
-    through the catalog, so the flip is a metadata operation, never an
-    in-place data overwrite.  (The versioned-dir manifest the LSH index
-    uses is unnecessary here: the metastore IS the pointer.)"""
+    (``<name>__compact``, same bucket spec, same ``ubw.gram_k``); the
+    flip is then rename-out / rename-in / drop-old — metadata
+    operations only, never an in-place data overwrite.  Catalog renames
+    are not jointly atomic, so there is a crash window between the two
+    renames in which ``table_name`` does not resolve — but BOTH tables
+    still exist (as ``<name>__old`` and ``<name>__compact``), so the
+    failure is loud (table-not-found), recovery is one RENAME, and no
+    data is ever lost — the two properties a plain DROP+CREATE swap
+    lacks.  A single-statement swap needs an engine-level transactional
+    catalog (Iceberg/Delta commit) and composes here unchanged."""
     k_rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
     stored_k = {r["key"]: r["value"] for r in k_rows}.get("ubw.gram_k")
     num_buckets = _table_num_buckets(spark, table_name) or 32
@@ -531,6 +536,7 @@ def compact_gram_index(
         spark, table_name, retired, broadcast_drops=broadcast_drops
     )
     tmp = f"{table_name}__compact"
+    old = f"{table_name}__old"
     spark.sql(f"DROP TABLE IF EXISTS {tmp}")
     _clear_orphaned_location(spark, tmp)
     (
@@ -544,8 +550,10 @@ def compact_gram_index(
             f"ALTER TABLE {tmp} SET TBLPROPERTIES "
             f"('ubw.gram_k' = '{int(stored_k)}')"
         )
-    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {tmp} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
 
 
 def duplicated_token_fraction(
