@@ -1251,3 +1251,84 @@ def test_dsir_weights_favor_target_style(spark):
     assert 99 not in picked  # featureless excluded
     # style-A dominates the resample (weights differ by several nats)
     assert len([i for i in picked if i < 10]) >= 8
+
+
+def test_ivf_index_versioned_lifecycle(spark, sf_dir, tmp_path):
+    """write → probe → append → compact for the IVF store under the
+    shared versioned-manifest contract: the appended vector becomes
+    findable, the compacted one stops surfacing, versions advance, and
+    the shuffled-drop path plans no broadcast."""
+    import os
+
+    from ubw_spark.operators.ivf import (
+        append_ivf_batch,
+        compact_ivf_index,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from ubw_spark.operators.versioned import current_version
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    cents = seed_ivf_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    assert current_version(path) == 0
+
+    queries = emb.where(F.col("vec_id") < 3)
+    base = probe_ivf_index(spark, path, queries, cents, k=5, nprobe=4)
+    assert base.count() > 0
+
+    # append a clone of vec 0 under a fresh id: it must become the
+    # top hit for query 0 (cosine 1.0), with no version bump
+    clone = emb.where(F.col("vec_id") == 0).select(
+        F.lit(900000).cast("bigint").alias("vec_id"), "embedding"
+    )
+    append_ivf_batch(clone, cents, path)
+    assert current_version(path) == 0
+    hits = probe_ivf_index(
+        spark, path, queries.where(F.col("vec_id") == 0), cents, k=1, nprobe=4
+    ).collect()
+    assert hits[0]["vec_id"] == 900000 and hits[0]["cos_sim"] == 1.0
+
+    compact_ivf_index(
+        spark,
+        path,
+        spark.createDataFrame([(900000,)], "vec_id bigint"),
+        broadcast_drops=False,
+    )
+    assert current_version(path) == 1
+    after = probe_ivf_index(
+        spark, path, queries.where(F.col("vec_id") == 0), cents, k=5, nprobe=4
+    ).collect()
+    assert all(r["vec_id"] != 900000 for r in after)
+    # grace copy: v00000 still on disk until the next compaction
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("v0")
+    ) == ["v00000", "v00001"]
+
+
+def test_ivf_compaction_shuffled_path_plans_no_broadcast(spark, sf_dir, tmp_path):
+    from ubw_spark.operators.ivf import write_ivf_index
+    from ubw_spark.operators.versioned import resolve_root
+    from ubw_spark.plans import broadcast_join_count
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    cents = seed_ivf_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    drops = spark.createDataFrame([(0,)], "vec_id bigint")
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        kept_sh = spark.read.parquet(resolve_root(path)).join(
+            drops, "vec_id", "left_anti"
+        )
+        assert broadcast_join_count(kept_sh) == 0
+        kept_bc = spark.read.parquet(resolve_root(path)).join(
+            F.broadcast(drops), "vec_id", "left_anti"
+        )
+        assert broadcast_join_count(kept_bc) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

@@ -236,9 +236,13 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[ivf_cell#\d+ IN \(([\d,]+)\)", plan)
     assert m, plan
     probed = {int(x) for x in m.group(1).split(",")}
+    from pathlib import Path
+
+    from ubw_spark.operators.versioned import resolve_root
+
     all_cells = {
         int(d.name.split("=")[1])
-        for d in (tmp_path / "ivf_index").iterdir()
+        for d in Path(resolve_root(idx)).iterdir()
         if d.name.startswith("ivf_cell=")
     }
     # 1 query × nprobe=2 of 8 written cells: a strict, tiny subset

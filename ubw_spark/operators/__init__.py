@@ -85,7 +85,10 @@ from ubw_spark.operators.ivf import (
     train_ivf_centroids,
     assign_ivf_cells,
     ivf_ann_topk,
+    append_ivf_batch,
+    compact_ivf_index,
 )
+from ubw_spark.operators.pq import compact_ivfpq_index
 from ubw_spark.operators.splits import assign_split, split_column
 from ubw_spark.operators.stats import grouped_robust_stats
 from ubw_spark.operators.components import (
@@ -148,6 +151,9 @@ __all__ = [
     "train_ivf_centroids",
     "assign_ivf_cells",
     "ivf_ann_topk",
+    "append_ivf_batch",
+    "compact_ivf_index",
+    "compact_ivfpq_index",
     "assign_split",
     "split_column",
     "connected_components",

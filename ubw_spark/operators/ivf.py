@@ -92,14 +92,22 @@ def write_ivf_index(
     ``partitionBy(ivf_cell)`` so every cell is its own partition
     directory.  ``repartition("ivf_cell")`` first, so each cell's rows
     coalesce into O(1) files instead of (num_tasks × num_cells) small
-    files — the classic partitionBy small-file explosion."""
+    files — the classic partitionBy small-file explosion.
+
+    The store is VERSIONED (operators/versioned.py): rewrites land in a
+    fresh ``vNNNNN/`` dir and the ``_CURRENT`` manifest flips in one
+    small-object write — same lifecycle as the LSH and gram indexes."""
+    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+
+    cur, new_v, root = begin_rewrite(path)
     (
         assign_ivf_cells(corpus, centroids, vec_col)
         .repartition("ivf_cell")
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
-        .parquet(path)
+        .parquet(root)
     )
+    commit_rewrite(path, cur, new_v)
 
 
 def probe_ivf_index(
@@ -123,6 +131,9 @@ def probe_ivf_index(
     tests/test_plans.py) rather than relying on runtime DPP.  The
     subsequent broadcast join on ivf_cell then only fans candidates out
     of the surviving partitions."""
+    from ubw_spark.operators.versioned import resolve_root
+
+    root = resolve_root(path)
     probes = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("__qv"),
@@ -133,7 +144,7 @@ def probe_ivf_index(
     cells = [
         r["ivf_cell"] for r in probes.select("ivf_cell").distinct().collect()
     ]
-    indexed = spark.read.parquet(path).where(F.col("ivf_cell").isin(cells))
+    indexed = spark.read.parquet(root).where(F.col("ivf_cell").isin(cells))
     cands = (
         indexed.join(broadcast(probes), "ivf_cell")
         .where(F.col(id_col) != F.col("qid"))
@@ -190,3 +201,66 @@ def ivf_ann_topk(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def append_ivf_batch(
+    batch: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Fold a new vector batch into the written index: cell-assign and
+    append into the live version's cell partitions — additive, so
+    racing readers see either file set, both complete (the batch is
+    simply not yet visible in the older one).  Ids must be unique
+    across appends; removals go through :func:`compact_ivf_index`."""
+    from ubw_spark.operators.versioned import resolve_root
+
+    root = resolve_root(path)
+    (
+        assign_ivf_cells(batch, centroids, vec_col)
+        .repartition("ivf_cell")
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(root)
+    )
+
+
+def compact_ivf_index(
+    spark,
+    path: str,
+    drop_ids: DataFrame,
+    id_col: str = "vec_id",
+    *,
+    broadcast_drops: bool = True,
+) -> None:
+    """Rewrite the cell store without ``drop_ids`` (one column of ids)
+    — retired vectors (deleted documents, dedup losers) must stop
+    surfacing as neighbors.  Same two-posture anti-join as the LSH
+    index compaction: ``broadcast_drops=False`` for corpus-fraction
+    drop sets plans a shuffled anti-join (no broadcast limit in the
+    path).  Cell partitioning is preserved; the swap is the shared
+    versioned-manifest flip (operators/versioned.py) — write new
+    version, one small-object pointer write, grace-keep the previous."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        resolve_root,
+    )
+
+    old_root = resolve_root(path)
+    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
+    maybe_bc = _bc if broadcast_drops else (lambda d: d)
+    kept = spark.read.parquet(old_root).join(
+        maybe_bc(drops), id_col, "left_anti"
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    (
+        kept.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(new_root)
+    )
+    commit_rewrite(path, cur, new_v)

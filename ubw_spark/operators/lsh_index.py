@@ -37,9 +37,9 @@ complete ``bands``+``docs`` pair.  Readers resolve the manifest once
 per query; rewrites (overwrite, compaction) write a fresh version dir
 and flip the manifest with a single small-file write — atomic locally
 via rename, atomic on object stores as one PUT.  The previous version
-survives one cycle as a grace copy for in-flight readers.  This is the
-standard lakehouse-log trick (Delta/Iceberg metadata pointer) reduced
-to the one pointer this index needs.
+survives one cycle as a grace copy for in-flight readers.  The
+machinery is shared by every persisted index store here — see
+operators/versioned.py for the full contract.
 
 Reference parity: this extends the reference's CRUD/upsert surface
 (documentation/doc-01.md:136-158) the way a training-data lake needs —
@@ -48,10 +48,7 @@ the index IS the long-lived table, batches are the writes.
 
 from __future__ import annotations
 
-import os
 import posixpath
-import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,10 +59,21 @@ from ubw_spark.operators.dedup import (
     banded_minhash,
     cap_buckets,
 )
+from ubw_spark.operators.versioned import (
+    begin_rewrite,
+    commit_rewrite,
+    current_version,  # re-exported: part of this module's public API
+    resolve_root as _resolve_root,
+)
 
-#: Manifest file at the index root naming the live version directory.
-MANIFEST = "_CURRENT"
-_VDIR_RE = re.compile(r"^v(\d{5})$")
+__all__ = [
+    "write_minhash_index",
+    "append_minhash_batch",
+    "probe_minhash_index",
+    "compacted_index_frames",
+    "compact_minhash_index",
+    "current_version",
+]
 
 
 def _bands_path(path: str) -> str:
@@ -74,68 +82,6 @@ def _bands_path(path: str) -> str:
 
 def _docs_path(path: str) -> str:
     return posixpath.join(path, "docs")
-
-
-def _version_dir(path: str, version: int) -> str:
-    return posixpath.join(path, f"v{version:05d}")
-
-
-def current_version(path: str) -> int | None:
-    """The live version number from ``path/_CURRENT``, or None when the
-    index has no manifest (legacy flat layout, or not written yet).
-
-    A manifest that EXISTS but does not parse raises: falling back to
-    the flat root on corruption would silently serve a stale grace-kept
-    index (compacted documents resurface as novel) — absent-manifest
-    and corrupt-manifest are different conditions and only the first
-    means 'legacy layout'."""
-    try:
-        with open(posixpath.join(path, MANIFEST)) as f:
-            raw = f.read().strip()
-    except FileNotFoundError:
-        return None
-    try:
-        return int(raw)
-    except ValueError:
-        raise ValueError(
-            f"corrupt index manifest {path}/{MANIFEST}: {raw!r} — refusing "
-            "to fall back to an older layout; restore the manifest to the "
-            "latest complete vNNNNN directory"
-        ) from None
-
-
-def _resolve_root(path: str) -> str:
-    """Directory holding the live ``bands``/``docs`` stores.
-
-    Manifest present → the version dir it names.  No manifest →
-    ``path`` itself (pre-manifest flat layout, still readable)."""
-    v = current_version(path)
-    return path if v is None else _version_dir(path, v)
-
-
-def _write_manifest(path: str, version: int) -> None:
-    """Atomically flip the pointer: write a temp file, then rename over
-    ``_CURRENT``.  Locally ``os.replace`` is atomic; on an object store
-    this step becomes a single small PUT of the manifest key — also
-    atomic — which is exactly why the pointer is a FILE and not a
-    directory rename (S3/GCS renames are copy+delete and readers race
-    them; overwriting one small object is not racy)."""
-    tmp = posixpath.join(path, MANIFEST + ".tmp")
-    with open(tmp, "w") as f:
-        f.write(str(version))
-    os.replace(tmp, posixpath.join(path, MANIFEST))
-
-
-def _gc_versions(path: str, keep_from: int) -> None:
-    """Delete version dirs older than ``keep_from``.  Compaction keeps
-    the immediately previous version as a grace copy: a reader that
-    resolved the manifest just before the flip still has a complete,
-    untouched index to finish its scan against; the version before THAT
-    has had a full compaction cycle to drain and is removed."""
-    for name in os.listdir(path):
-        m = _VDIR_RE.match(name)
-        if m and int(m.group(1)) < keep_from:
-            shutil.rmtree(posixpath.join(path, name))
 
 
 def write_minhash_index(
@@ -163,9 +109,7 @@ def write_minhash_index(
     resolves the manifest first.  Rewrites (a fresh ``overwrite`` or a
     compaction) write a NEW version dir and flip the pointer — never
     mutate a dir a reader may hold open."""
-    cur = current_version(path)
-    new_v = 0 if cur is None else cur + 1
-    root = _version_dir(path, new_v)
+    cur, new_v, root = begin_rewrite(path)
     sh, banded = banded_minhash(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
@@ -180,8 +124,7 @@ def write_minhash_index(
         .parquet(_bands_path(root))
     )
     sh.write.mode("overwrite").parquet(_docs_path(root))
-    _write_manifest(path, new_v)
-    _gc_versions(path, new_v - 1)
+    commit_rewrite(path, cur, new_v)
 
 
 def append_minhash_batch(
@@ -346,9 +289,7 @@ def compact_minhash_index(
     overwrite.  A reader that resolved the manifest just before the
     flip keeps scanning the previous version, which survives as a
     grace copy until the NEXT compaction garbage-collects it."""
-    cur = current_version(path)
-    new_v = 0 if cur is None else cur + 1
-    new_root = _version_dir(path, new_v)
+    cur, new_v, new_root = begin_rewrite(path)
     bands_kept, docs_kept = compacted_index_frames(
         spark, path, drop_ids, id_col, broadcast_drops=broadcast_drops
     )
@@ -359,14 +300,6 @@ def compact_minhash_index(
         .parquet(_bands_path(new_root))
     )
     docs_kept.write.mode("overwrite").parquet(_docs_path(new_root))
-    _write_manifest(path, new_v)
-    _gc_versions(path, new_v - 1)
-    # Pre-manifest flat stores at the root (an index written by an older
-    # release) follow the same grace policy as version dirs: they were
-    # live until the flip that created v00000, so they survive that one
-    # cycle and are removed by the NEXT compaction (cur is not None ⇔ a
-    # versioned copy has already existed for a full cycle).
-    if cur is not None:
-        for legacy in (_bands_path(path), _docs_path(path)):
-            if os.path.isdir(legacy):
-                shutil.rmtree(legacy)
+    # Flip + GC + legacy flat-store cleanup, shared contract:
+    # operators/versioned.py::commit_rewrite.
+    commit_rewrite(path, cur, new_v)

@@ -310,6 +310,9 @@ def write_ivfpq_index(
     cell (the ivf.write_ivf_index rationale)."""
     from ubw_spark.operators.ivf import assign_ivf_cells
 
+    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+
+    cur, new_v, root = begin_rewrite(path)
     coded = pq_encode(
         assign_ivf_cells(corpus, cell_centroids, vec_col), codebooks
     ).select(id_col, "ivf_cell", "pq_code")
@@ -317,8 +320,9 @@ def write_ivfpq_index(
         coded.repartition("ivf_cell")
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
-        .parquet(path)
+        .parquet(root)
     )
+    commit_rewrite(path, cur, new_v)
 
 
 def probe_ivfpq_index(
@@ -349,7 +353,9 @@ def probe_ivfpq_index(
         qid: probe_cells([float(x) for x in vec]) for qid, vec in queries
     }
     all_cells = sorted({c for cells in probes.values() for c in cells})
-    coded = spark.read.parquet(path).where(
+    from ubw_spark.operators.versioned import resolve_root
+
+    coded = spark.read.parquet(resolve_root(path)).where(
         F.col("ivf_cell").isin(all_cells)
     )
     per_query = []
@@ -396,3 +402,42 @@ def probe_ivfpq_index(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def compact_ivfpq_index(
+    spark,
+    path: str,
+    drop_ids,
+    id_col: str = "vec_id",
+    *,
+    broadcast_drops: bool = True,
+) -> None:
+    """Rewrite the code store without ``drop_ids`` — the IVFPQ member
+    of the shared index-compaction contract (see
+    ivf.compact_ivf_index; the rows here are m-int codes, so the
+    rewrite moves 32× fewer bytes than the raw-vector store).
+    ``broadcast_drops=False`` plans a shuffled anti-join for
+    corpus-fraction drop sets; cell partitioning preserved; swap via
+    the versioned-manifest flip."""
+    from pyspark.sql.functions import broadcast as _bc
+
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        resolve_root,
+    )
+
+    old_root = resolve_root(path)
+    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
+    maybe_bc = _bc if broadcast_drops else (lambda d: d)
+    kept = spark.read.parquet(old_root).join(
+        maybe_bc(drops), id_col, "left_anti"
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    (
+        kept.repartition("ivf_cell")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(new_root)
+    )
+    commit_rewrite(path, cur, new_v)

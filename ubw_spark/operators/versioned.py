@@ -1,0 +1,112 @@
+"""Versioned directory layout for persisted index stores.
+
+Every long-lived index in this repo (MinHash-LSH bands/docs, IVF cell
+layout, IVFPQ code layout) needs the same three lifecycle properties at
+object-store scale:
+
+- **rewrites never mutate a directory a reader may hold open** — a new
+  version directory is written complete, then a one-line ``_CURRENT``
+  manifest flips to it;
+- **the flip is a single small-object write** — atomic locally via
+  ``os.replace``, atomic on S3/GCS as one PUT (directory renames there
+  are copy+delete and race readers — the reason rmtree+move is banned);
+- **the previous version survives one rewrite cycle** as a grace copy
+  for readers that resolved the manifest just before the flip; older
+  versions are garbage-collected.
+
+This is the lakehouse-log pointer trick (Delta/Iceberg metadata file)
+reduced to the one pointer an index needs.  Readers resolve ONCE per
+query so a mid-query flip cannot split a plan across versions.
+
+A manifest that exists but does not parse RAISES: falling back to an
+older layout on corruption would silently serve stale data (documents
+compacted out would resurface) — absent-manifest and corrupt-manifest
+are different conditions, and only the first means "legacy flat
+layout".
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+import shutil
+
+#: Manifest file at the store root naming the live version directory.
+MANIFEST = "_CURRENT"
+_VDIR_RE = re.compile(r"^v(\d{5})$")
+
+
+def version_dir(path: str, version: int) -> str:
+    return posixpath.join(path, f"v{version:05d}")
+
+
+def current_version(path: str) -> int | None:
+    """The live version number from ``path/_CURRENT``, or None when the
+    store has no manifest (legacy flat layout, or not written yet)."""
+    try:
+        with open(posixpath.join(path, MANIFEST)) as f:
+            raw = f.read().strip()
+    except FileNotFoundError:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        raise ValueError(
+            f"corrupt index manifest {path}/{MANIFEST}: {raw!r} — refusing "
+            "to fall back to an older layout; restore the manifest to the "
+            "latest complete vNNNNN directory"
+        ) from None
+
+
+def resolve_root(path: str) -> str:
+    """Directory holding the live store: the manifest's version dir, or
+    ``path`` itself for a pre-manifest flat layout (still readable)."""
+    v = current_version(path)
+    return path if v is None else version_dir(path, v)
+
+
+def write_manifest(path: str, version: int) -> None:
+    """Atomically flip the pointer (write temp, rename over
+    ``_CURRENT``; one PUT on an object store)."""
+    os.makedirs(path, exist_ok=True)
+    tmp = posixpath.join(path, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, posixpath.join(path, MANIFEST))
+
+
+def gc_versions(path: str, keep_from: int) -> None:
+    """Delete version dirs older than ``keep_from`` (grace policy: the
+    caller passes ``new_version - 1`` so the immediately previous
+    version survives one cycle for in-flight readers)."""
+    for name in os.listdir(path):
+        m = _VDIR_RE.match(name)
+        if m and int(m.group(1)) < keep_from:
+            shutil.rmtree(posixpath.join(path, name))
+
+
+def begin_rewrite(path: str) -> tuple[int | None, int, str]:
+    """(current_version, new_version, new_root) for a rewrite cycle —
+    the caller writes the new root COMPLETELY, then calls
+    :func:`commit_rewrite`."""
+    cur = current_version(path)
+    new_v = 0 if cur is None else cur + 1
+    return cur, new_v, version_dir(path, new_v)
+
+
+def commit_rewrite(path: str, cur: int | None, new_v: int) -> None:
+    """Flip the manifest to ``new_v``, GC versions past grace, and —
+    once a versioned copy has existed for a full cycle — remove
+    pre-manifest flat stores left at the root by older releases."""
+    write_manifest(path, new_v)
+    gc_versions(path, new_v - 1)
+    if cur is not None:
+        for name in os.listdir(path):
+            p = posixpath.join(path, name)
+            if (
+                os.path.isdir(p)
+                and not _VDIR_RE.match(name)
+                and not name.startswith(MANIFEST)
+            ):
+                shutil.rmtree(p)
