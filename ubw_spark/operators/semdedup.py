@@ -63,14 +63,23 @@ def semantic_dup_pairs(
     *,
     threshold: float = 0.95,
     max_cell: int | None = None,
+    pair_salt: int = 1,
 ) -> DataFrame:
     """Within-cluster near-dup pairs: (id_a, id_b, cell, cos_sim) with
     id_a < id_b and cosine ≥ threshold.  Pairs across clusters are by
     construction not examined — that is the SemDeDup trade (recall
-    bounded by the quantizer's ability to co-locate duplicates)."""
+    bounded by the quantizer's ability to co-locate duplicates).
+
+    ``pair_salt > 1`` splits each cell's pair work across salt
+    sub-partitions (a-side rows get a deterministic salt, b-side rows
+    replicate salt-fold): output-identical, parallelism × salt.  Use
+    when the quantizer is COARSE relative to the executor count (few
+    cells, each big) — at paper-scale k (10^4-10^5 cells) leave it at 1,
+    the cell key already saturates any cluster."""
     cells = assign_cells(df, id_col, vec_col, centroids)
     return _pairs_from_cells(
-        cells, id_col, vec_col, threshold=threshold, max_cell=max_cell
+        cells, id_col, vec_col,
+        threshold=threshold, max_cell=max_cell, pair_salt=pair_salt,
     )
 
 
@@ -81,11 +90,19 @@ def _pairs_from_cells(
     *,
     threshold: float,
     max_cell: int | None,
+    pair_salt: int = 1,
 ) -> DataFrame:
     """Pair generation over an ALREADY-ASSIGNED (id, vec, cell) frame —
     split out so semantic_dedup_report assigns cells once (the O(k·dim)
     per-row fold is the dominant map cost at paper-scale k) and both
-    the report and the self-join reuse the same frame."""
+    the report and the self-join reuse the same frame.
+
+    Norms are precomputed PER ROW before the join (|cells| sqrt-folds),
+    so each of the Σ n_c² pairs evaluates one dot-product fold instead
+    of cosine_col's three — the pair side is the quadratic term and
+    higher-order-function folds are the expensive part of a pair.  The
+    per-pair float math is unchanged: dot / (norm_a * norm_b), the
+    exact cosine_col operation order."""
     if max_cell is not None:
         w = Window.partitionBy("cell").orderBy(id_col)
         cells = (
@@ -93,26 +110,63 @@ def _pairs_from_cells(
             .where(F.col("__rn") <= max_cell)
             .drop("__rn")
         )
-    a = cells.select(
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    keyed = cells.withColumn("__nrm", nrm)
+    # The a-side repartition spreads the quadratic per-pair work: under
+    # a broadcast join the output parallelism IS the stream side's
+    # partitioning (a single-file corpus would otherwise compute every
+    # pair in one task, salt or no salt).  The partition COUNT is given
+    # explicitly (REPARTITION_BY_NUM): the a-side rows are the LINEAR
+    # term, small enough that AQE's advisory-size coalescing would fold
+    # them back into one partition and re-serialize the quadratic
+    # output work it cannot see at plan time.
+    n_parts = cells.sparkSession.sparkContext.defaultParallelism * max(
+        1, pair_salt
+    )
+    a = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
+        F.col("__nrm").alias("__na"),
         "cell",
-    )
-    b = cells.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(pair_salt)).alias("__salt"),
+    ).repartition(n_parts, F.col("cell"), F.col("__salt"))
+    b = keyed.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),
+        F.col("__nrm").alias("__nb"),
         F.col("cell").alias("__cb"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(pair_salt - 1)).cast("array<long>")
+        ).alias("__salt_b"),
     )
-    cos = cosine_col(F.col("__va"), F.col("__vb"))
-    return (
-        a.join(b, (F.col("cell") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
-        .where(cos >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            "cell",
-            F.round(cos, 4).alias("cos_sim"),
-        )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__va"),
+            F.col("__vb"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = a.join(
+        b,
+        (F.col("cell") == F.col("__cb"))
+        & (F.col("__salt") == F.col("__salt_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select(
+        "id_a",
+        "id_b",
+        "cell",
+        (dot / (F.col("__na") * F.col("__nb"))).alias("__cos"),
+    )
+    return scored.where(F.col("__cos") >= threshold).select(
+        "id_a", "id_b", "cell", F.round("__cos", 4).alias("cos_sim")
     )
 
 
@@ -124,6 +178,7 @@ def semantic_dedup_report(
     *,
     threshold: float = 0.95,
     max_cell: int | None = None,
+    pair_salt: int = 1,
 ) -> DataFrame:
     """Per-row keep decision: (id, cell, keep) for EVERY input row —
     keep = 0 iff the row loses some within-cluster pair (higher id at
@@ -133,7 +188,8 @@ def semantic_dedup_report(
     cells = assign_cells(df, id_col, vec_col, centroids)
     losers = (
         _pairs_from_cells(
-            cells, id_col, vec_col, threshold=threshold, max_cell=max_cell
+            cells, id_col, vec_col,
+            threshold=threshold, max_cell=max_cell, pair_salt=pair_salt,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -572,8 +572,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     centroids = seed_ivf_centroids(emb, k=8)
+    # pair_salt=8: with only 8 quantizer cells, the pair join would run
+    # on 8 partitions; salting splits each cell's quadratic work 8-way
+    # (output-identical — see semantic_dup_pairs).
     return semantic_dedup_report(
-        emb, "vec_id", "embedding", centroids, threshold=0.45
+        emb, "vec_id", "embedding", centroids, threshold=0.45, pair_salt=8
     )
 
 
