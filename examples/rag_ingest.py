@@ -91,6 +91,59 @@ def ingest(
     }
 
 
+def update(
+    spark,
+    out: str,
+    centroids: list,
+    new_docs: DataFrame,
+    deleted_doc_ids: DataFrame | None = None,
+    *,
+    chunk_chars: int = 256,
+    overlap: int = 32,
+    dim: int = 32,
+) -> dict:
+    """Incremental maintenance — the lifecycle a long-lived retrieval
+    corpus runs instead of re-ingesting:
+
+    - new documents: chunk → embed → ``append_ivf_batch`` into the live
+      index version (additive, no pointer flip);
+    - deleted documents: their chunk ids (resolved from the chunk
+      store) are compacted out via the versioned-manifest rewrite
+      (``compact_ivf_index``), so retired content stops surfacing as
+      retrieval hits while in-flight probes finish on the grace copy.
+
+    Chunk parameters must match :func:`ingest`'s (layout contract,
+    like the banding parameters of the LSH index).  The chunk store is
+    append-only: rows whose vectors were compacted away simply stop
+    being joined (hits drive the join), the standard tombstone-free
+    pattern for a display-side store."""
+    from ubw_spark.operators.chunking import chunk_documents
+    from ubw_spark.operators.ivf import append_ivf_batch, compact_ivf_index
+
+    chunks = chunk_documents(
+        new_docs, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap
+    ).withColumn(
+        "chunk_id", F.col("doc_id") * CHUNK_STRIDE + F.col("chunk_idx")
+    )
+    chunks.select(
+        "chunk_id", "doc_id", "chunk_idx", "chunk_start", "chunk_text"
+    ).write.mode("append").parquet(os.path.join(out, "chunks"))
+    emb = embed_texts(chunks, "chunk_id", "chunk_text", dim).select(
+        F.col("chunk_id").alias("vec_id"), "embedding"
+    )
+    append_ivf_batch(emb, centroids, os.path.join(out, "ivf"))
+    n_dropped = 0
+    if deleted_doc_ids is not None:
+        drop = (
+            spark.read.parquet(os.path.join(out, "chunks"))
+            .join(deleted_doc_ids, "doc_id")
+            .select(F.col("chunk_id").alias("vec_id"))
+        )
+        n_dropped = drop.count()
+        compact_ivf_index(spark, os.path.join(out, "ivf"), drop)
+    return {"n_new_chunks": emb.count(), "n_dropped_chunks": n_dropped}
+
+
 def search(
     spark,
     out: str,

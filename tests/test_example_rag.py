@@ -41,3 +41,43 @@ def test_rag_ingest_and_self_retrieval(spark, sf_dir, tmp_path):
         assert got, "probe returned no candidates"
         assert got[0].vec_id == src.chunk_id, "self-chunk must rank first"
         assert got[0].cos_sim >= 0.9999
+
+
+def test_rag_incremental_update_and_retire(spark, sf_dir, tmp_path):
+    """The maintenance loop: a newly appended document becomes
+    retrievable (self-query at cosine ~1), then retiring it compacts
+    its chunks out of the index and the same query stops returning
+    them — all through the versioned store, no re-ingest."""
+    from rag_ingest import ingest, search, update
+
+    from ubw_spark.operators.versioned import current_version
+
+    out = str(tmp_path / "rag")
+    stats = ingest(spark, sf_dir, out, chunk_chars=256, overlap=32, dim=32)
+
+    new_doc_text = (
+        "zephyr quokka paradox lantern mosaic " * 12
+    )  # distinctive content, > one chunk
+    new_docs = spark.createDataFrame(
+        [(700001, new_doc_text)], "doc_id bigint, text string"
+    )
+    up = update(spark, out, stats["centroids"], new_docs)
+    assert up["n_new_chunks"] >= 1 and up["n_dropped_chunks"] == 0
+    assert current_version(os.path.join(out, "ivf")) == 0  # append, no flip
+
+    hits = search(
+        spark, out, stats["centroids"], [(0, new_doc_text[:256])], dim=32, k=3
+    ).collect()
+    assert hits and hits[0].doc_id == 700001
+    assert hits[0].cos_sim >= 0.9999
+
+    empty_new = spark.createDataFrame([], "doc_id bigint, text string")
+    deleted = spark.createDataFrame([(700001,)], "doc_id bigint")
+    up2 = update(spark, out, stats["centroids"], empty_new, deleted)
+    assert up2["n_dropped_chunks"] == up["n_new_chunks"]
+    assert current_version(os.path.join(out, "ivf")) == 1  # compaction flip
+
+    after = search(
+        spark, out, stats["centroids"], [(0, new_doc_text[:256])], dim=32, k=3
+    ).collect()
+    assert all(r.doc_id != 700001 for r in after)
