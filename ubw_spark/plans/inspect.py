@@ -91,9 +91,15 @@ _WINDOW_PASSTHROUGH_EXACT = frozenset(
     {
         "Sort", "Exchange", "Project", "Filter", "ColumnarToRow",
         "InputAdapter", "AdaptiveSparkPlan", "AQEShuffleRead", "Coalesce",
-        "LocalLimit", "GlobalLimit", "Window",
+        "LocalLimit", "Window",
     }
 )
+#: Nodes that GROUND an unpartitioned window the way an Aggregate does:
+#: their output cardinality is statically bounded by a literal limit
+#: (the rank-the-top-k pattern — orderBy().limit(k) then row_number over
+#: the k survivors, e.g. dsir_select).  LocalLimit stays pass-through:
+#: it bounds per partition, not globally.
+_WINDOW_GROUNDING_LIMITS = ("GlobalLimit", "TakeOrderedAndProject")
 _WINDOW_PASSTHROUGH_PREFIX = (
     "WholeStageCodegen", "ShuffleQueryStage", "ResultQueryStage",
 )
@@ -109,9 +115,11 @@ def global_window_violations(df: DataFrame) -> list[str]:
     wrappers — ``_WINDOW_PASSTHROUGH_*``) reaches an Aggregate first:
     that is the two-phase-prefix-sum ledger pattern (packing.py,
     ranking.py, quality.py's ~20-row report window), where the window's
-    input is a per-group aggregate of bounded cardinality.  Hitting
-    anything else first — a Join, Generate, Union, or a scan — means the
-    window reads raw-row-derived cardinality → violation.  (This is
+    input is a per-group aggregate of bounded cardinality — or a
+    GlobalLimit/TakeOrderedAndProject (the rank-the-top-k pattern:
+    cardinality bounded by the literal k).  Hitting anything else
+    first — a Join, Generate, Union, or a scan — means the window
+    reads raw-row-derived cardinality → violation.  (This is
     deliberately stricter than "an Aggregate exists anywhere below": a
     join whose OTHER branch aggregates used to slip through.)
 
@@ -142,13 +150,15 @@ def global_window_violations(df: DataFrame) -> list[str]:
 
     def direct_input_aggregate(node) -> bool:
         """True iff every path down through pass-through nodes hits an
-        Aggregate before anything else."""
+        Aggregate — or a literal global limit — before anything else."""
         stack = list(children(node))
         while stack:
             cur = stack.pop()
             name = cur.nodeName()
             if "Aggregate" in name:
                 continue  # this path is grounded in an aggregate
+            if any(name.startswith(g) for g in _WINDOW_GROUNDING_LIMITS):
+                continue  # grounded: cardinality bounded by a literal k
             if is_passthrough(name):
                 stack.extend(children(cur))
                 continue
