@@ -1332,3 +1332,51 @@ def test_ivf_compaction_shuffled_path_plans_no_broadcast(spark, sf_dir, tmp_path
         assert broadcast_join_count(kept_bc) >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_ivfpq_index_compaction_retires_vectors(spark, sf_dir, tmp_path):
+    """Compacting the code store drops the retired vector from every
+    probe result and advances the manifest version, leaving the grace
+    copy on disk."""
+    import os
+
+    from ubw_spark.operators.pq import (
+        compact_ivfpq_index,
+        probe_ivfpq_index,
+        seed_pq_codebooks,
+        write_ivfpq_index,
+    )
+    from ubw_spark.operators.versioned import current_version
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    cells = seed_ivf_centroids(emb, k=4)
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.where(F.col("vec_id") < 2).collect()
+    ]
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, cells, books, path)
+    assert current_version(path) == 0
+
+    before = probe_ivfpq_index(
+        spark, path, queries, cells, books, k=5, nprobe=4
+    ).collect()
+    assert before
+    victim = int(before[0]["vec_id"])
+
+    compact_ivfpq_index(
+        spark,
+        path,
+        spark.createDataFrame([(victim,)], "vec_id bigint"),
+        broadcast_drops=False,
+    )
+    assert current_version(path) == 1
+    after = probe_ivfpq_index(
+        spark, path, queries, cells, books, k=5, nprobe=4
+    ).collect()
+    assert after and all(r["vec_id"] != victim for r in after)
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("v0")
+    ) == ["v00000", "v00001"]

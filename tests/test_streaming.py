@@ -579,3 +579,73 @@ def test_stream_static_enrich_matches_batch_and_broadcasts(spark, events_dir):
             dim, on="event_type",
         )
     )
+
+
+def test_stream_incremental_ann_ingest_dedup_and_append(spark, sf_dir, tmp_path):
+    """The third index kind run incrementally: each micro-batch of
+    embeddings probes the persisted IVF store for an existing
+    near-identical vector (cos >= 0.999), drops matches, and appends
+    only novel vectors — batch 2's replay of a batch-1 vector is caught
+    against the APPENDED store, exactly like the LSH and gram loops."""
+    from ubw_spark.operators.ivf import append_ivf_batch, probe_ivf_index
+    from ubw_spark.operators.ivf import write_ivf_index
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(60)
+    cents = seed_ivf_centroids(emb, k=4)
+    idx = str(tmp_path / "aivf")
+    write_ivf_index(emb.where(F.col("vec_id") < 40), cents, idx)
+
+    base = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.where(F.col("vec_id").isin(0, 45)).collect()
+    }
+    inc = str(tmp_path / "ainc")
+    os.makedirs(inc)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        staging = str(tmp_path / f"astage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    appended: dict[int, bool] = {}
+
+    def handle(bdf, _bid):
+        sp = bdf.sparkSession
+        hits = probe_ivf_index(
+            sp, idx, bdf, cents, k=1, nprobe=4
+        ).where(F.col("cos_sim") >= 0.999)
+        dup_ids = [r["qid"] for r in hits.collect()]
+        batch_ids = [r["vec_id"] for r in bdf.select("vec_id").collect()]
+        for i in batch_ids:
+            appended[i] = i not in dup_ids
+        novel = bdf.where(~F.col("vec_id").isin(dup_ids))
+        append_ivf_batch(novel, cents, idx)
+
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ackpt"))
+        .start()
+    )
+    try:
+        # batch 1: a replay of indexed vec 0 (dup) + unindexed vec 45 (novel)
+        arrive(
+            [(100, base[0]), (101, base[45])], "b1"
+        )
+        q.processAllAvailable()
+        assert appended[100] is False  # replay of the indexed corpus
+        assert appended[101] is True   # novel -> appended
+
+        # batch 2: replay of batch-1's APPENDED vector -> now a dup
+        arrive([(200, base[45])], "b2")
+        q.processAllAvailable()
+        assert appended[200] is False
+    finally:
+        q.stop()
