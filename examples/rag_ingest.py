@@ -67,6 +67,11 @@ def ingest(
     {n_docs, n_chunks, centroids} (centroids are needed to probe)."""
     from ubw_spark.operators.chunking import chunk_documents
     from ubw_spark.operators.ivf import train_ivf_centroids, write_ivf_index
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        resolve_root,
+    )
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     chunks = chunk_documents(
@@ -74,10 +79,15 @@ def ingest(
     ).withColumn(
         "chunk_id", F.col("doc_id") * CHUNK_STRIDE + F.col("chunk_idx")
     )
+    # The chunk store is versioned like the index: update() rewrites it
+    # on deletions via the same manifest swap.
+    chunks_path = os.path.join(out, "chunks")
+    cur, new_v, root = begin_rewrite(chunks_path)
     chunks.select(
         "chunk_id", "doc_id", "chunk_idx", "chunk_start", "chunk_text"
-    ).write.mode("overwrite").parquet(os.path.join(out, "chunks"))
-    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    ).write.mode("overwrite").parquet(root)
+    commit_rewrite(chunks_path, cur, new_v)
+    chunks = spark.read.parquet(resolve_root(chunks_path))
 
     emb = embed_texts(chunks, "chunk_id", "chunk_text", dim).select(
         F.col("chunk_id").alias("vec_id"), "embedding"
@@ -113,35 +123,64 @@ def update(
       retrieval hits while in-flight probes finish on the grace copy.
 
     Chunk parameters must match :func:`ingest`'s (layout contract,
-    like the banding parameters of the LSH index).  The chunk store is
-    append-only: rows whose vectors were compacted away simply stop
-    being joined (hits drive the join), the standard tombstone-free
-    pattern for a display-side store."""
+    like the banding parameters of the LSH index).
+
+    Deletions run BEFORE appends, so replacing a document — the same
+    doc_id in both ``new_docs`` and ``deleted_doc_ids`` — works in one
+    call: chunk ids are doc-derived (doc_id × stride + idx), and an
+    append-first ordering would compact the replacement's own vectors
+    away with the old ones.  The chunk store is rewritten without the
+    deleted docs' rows through the same versioned swap as the index
+    (a replaced doc would otherwise carry two text rows per chunk id).
+    ``n_dropped_chunks`` counts vectors actually present in the live
+    index — an idempotent replay of a deletion reports 0, not the
+    chunk store's row count."""
     from ubw_spark.operators.chunking import chunk_documents
     from ubw_spark.operators.ivf import append_ivf_batch, compact_ivf_index
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        resolve_root,
+    )
 
-    chunks = chunk_documents(
-        new_docs, "doc_id", "text", chunk_chars=chunk_chars, overlap=overlap
-    ).withColumn(
-        "chunk_id", F.col("doc_id") * CHUNK_STRIDE + F.col("chunk_idx")
-    )
-    chunks.select(
-        "chunk_id", "doc_id", "chunk_idx", "chunk_start", "chunk_text"
-    ).write.mode("append").parquet(os.path.join(out, "chunks"))
-    emb = embed_texts(chunks, "chunk_id", "chunk_text", dim).select(
-        F.col("chunk_id").alias("vec_id"), "embedding"
-    )
-    append_ivf_batch(emb, centroids, os.path.join(out, "ivf"))
+    chunks_path = os.path.join(out, "chunks")
+    ivf_path = os.path.join(out, "ivf")
+
     n_dropped = 0
     if deleted_doc_ids is not None:
-        drop = (
-            spark.read.parquet(os.path.join(out, "chunks"))
-            .join(deleted_doc_ids, "doc_id")
-            .select(F.col("chunk_id").alias("vec_id"))
+        live_chunks = spark.read.parquet(resolve_root(chunks_path))
+        drop = live_chunks.join(deleted_doc_ids, "doc_id").select(
+            F.col("chunk_id").alias("vec_id")
         )
-        n_dropped = drop.count()
-        compact_ivf_index(spark, os.path.join(out, "ivf"), drop)
-    return {"n_new_chunks": emb.count(), "n_dropped_chunks": n_dropped}
+        live_ids = spark.read.parquet(resolve_root(ivf_path)).select("vec_id")
+        n_dropped = drop.join(live_ids, "vec_id").count()
+        if n_dropped:
+            compact_ivf_index(spark, ivf_path, drop)
+            kept = live_chunks.join(deleted_doc_ids, "doc_id", "left_anti")
+            cur, new_v, new_root = begin_rewrite(chunks_path)
+            kept.write.mode("overwrite").parquet(new_root)
+            commit_rewrite(chunks_path, cur, new_v)
+
+    chunks = (
+        chunk_documents(
+            new_docs, "doc_id", "text",
+            chunk_chars=chunk_chars, overlap=overlap,
+        )
+        .withColumn(
+            "chunk_id", F.col("doc_id") * CHUNK_STRIDE + F.col("chunk_idx")
+        )
+        .select("chunk_id", "doc_id", "chunk_idx", "chunk_start", "chunk_text")
+        .persist()  # counted, written, AND embedded — one computation
+    )
+    n_new = chunks.count()
+    if n_new:
+        chunks.write.mode("append").parquet(resolve_root(chunks_path))
+        emb = embed_texts(chunks, "chunk_id", "chunk_text", dim).select(
+            F.col("chunk_id").alias("vec_id"), "embedding"
+        )
+        append_ivf_batch(emb, centroids, ivf_path)
+    chunks.unpersist()
+    return {"n_new_chunks": n_new, "n_dropped_chunks": n_dropped}
 
 
 def search(
@@ -168,10 +207,12 @@ def search(
     qemb = embed_texts(q, "__pid", "qtext", dim).select(
         F.col("__pid").alias("vec_id"), "embedding"
     )
+    from ubw_spark.operators.versioned import resolve_root
+
     hits = probe_ivf_index(
         spark, os.path.join(out, "ivf"), qemb, centroids, k=k, nprobe=nprobe
     ).withColumn("qid", -F.col("qid") - 1)
-    chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    chunks = spark.read.parquet(resolve_root(os.path.join(out, "chunks")))
     return hits.join(
         chunks.select(F.col("chunk_id").alias("vec_id"), "doc_id", "chunk_text"),
         "vec_id",

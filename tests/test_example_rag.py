@@ -5,6 +5,8 @@ chunk's text must retrieve that chunk at cos_sim ~1.0)."""
 import os
 import sys
 
+from pyspark.sql import functions as F
+
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "examples")
 )
@@ -22,8 +24,10 @@ def test_rag_ingest_and_self_retrieval(spark, sf_dir, tmp_path):
     # take two real chunks' texts as queries — the embedder is
     # deterministic, so the identical-content chunk must come back
     # as the top hit with cosine ~1.0
+    from ubw_spark.operators.versioned import resolve_root
+
     sample = (
-        spark.read.parquet(os.path.join(out, "chunks"))
+        spark.read.parquet(resolve_root(os.path.join(out, "chunks")))
         .orderBy("chunk_id")
         .limit(2)
         .collect()
@@ -81,3 +85,31 @@ def test_rag_incremental_update_and_retire(spark, sf_dir, tmp_path):
         spark, out, stats["centroids"], [(0, new_doc_text[:256])], dim=32, k=3
     ).collect()
     assert all(r.doc_id != 700001 for r in after)
+
+    # idempotent replay: re-deleting reports 0 dropped (live-index count)
+    up3 = update(spark, out, stats["centroids"], empty_new, deleted)
+    assert up3["n_dropped_chunks"] == 0
+
+    # replace-in-one-call: same doc_id deleted AND re-ingested — the
+    # replacement text must be retrievable and the old text gone
+    v2_text = "granite harbor whisper falcon meadow " * 12
+    doc5 = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") == 5
+    )
+    old5 = doc5.select("text").first()["text"]
+    up4 = update(
+        spark,
+        out,
+        stats["centroids"],
+        spark.createDataFrame([(5, v2_text)], "doc_id bigint, text string"),
+        spark.createDataFrame([(5,)], "doc_id bigint"),
+    )
+    assert up4["n_dropped_chunks"] >= 1 and up4["n_new_chunks"] >= 1
+    got = search(
+        spark, out, stats["centroids"], [(0, v2_text[:256])], dim=32, k=3
+    ).collect()
+    assert got and got[0].doc_id == 5 and got[0].cos_sim >= 0.9999
+    stale = search(
+        spark, out, stats["centroids"], [(0, old5[:256])], dim=32, k=3
+    ).collect()
+    assert all(r.doc_id != 5 for r in stale)

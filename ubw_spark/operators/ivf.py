@@ -107,7 +107,7 @@ def write_ivf_index(
         .partitionBy("ivf_cell")
         .parquet(root)
     )
-    commit_rewrite(path, cur, new_v)
+    commit_rewrite(path, cur, new_v, legacy_prefixes=("ivf_cell=",))
 
 
 def probe_ivf_index(
@@ -242,25 +242,9 @@ def compact_ivf_index(
     path).  Cell partitioning is preserved; the swap is the shared
     versioned-manifest flip (operators/versioned.py) — write new
     version, one small-object pointer write, grace-keep the previous."""
-    from pyspark.sql.functions import broadcast as _bc
+    from ubw_spark.operators.versioned import compact_partitioned_store
 
-    from ubw_spark.operators.versioned import (
-        begin_rewrite,
-        commit_rewrite,
-        resolve_root,
+    compact_partitioned_store(
+        spark, path, drop_ids, id_col, "ivf_cell",
+        broadcast_drops=broadcast_drops, legacy_prefixes=("ivf_cell=",),
     )
-
-    old_root = resolve_root(path)
-    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
-    maybe_bc = _bc if broadcast_drops else (lambda d: d)
-    kept = spark.read.parquet(old_root).join(
-        maybe_bc(drops), id_col, "left_anti"
-    )
-    cur, new_v, new_root = begin_rewrite(path)
-    (
-        kept.repartition("ivf_cell")
-        .write.mode("overwrite")
-        .partitionBy("ivf_cell")
-        .parquet(new_root)
-    )
-    commit_rewrite(path, cur, new_v)

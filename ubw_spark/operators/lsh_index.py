@@ -124,7 +124,7 @@ def write_minhash_index(
         .parquet(_bands_path(root))
     )
     sh.write.mode("overwrite").parquet(_docs_path(root))
-    commit_rewrite(path, cur, new_v)
+    commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))
 
 
 def append_minhash_batch(
@@ -302,4 +302,4 @@ def compact_minhash_index(
     docs_kept.write.mode("overwrite").parquet(_docs_path(new_root))
     # Flip + GC + legacy flat-store cleanup, shared contract:
     # operators/versioned.py::commit_rewrite.
-    commit_rewrite(path, cur, new_v)
+    commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))

@@ -322,7 +322,7 @@ def write_ivfpq_index(
         .partitionBy("ivf_cell")
         .parquet(root)
     )
-    commit_rewrite(path, cur, new_v)
+    commit_rewrite(path, cur, new_v, legacy_prefixes=("ivf_cell=",))
 
 
 def probe_ivfpq_index(
@@ -418,26 +418,11 @@ def compact_ivfpq_index(
     rewrite moves 32× fewer bytes than the raw-vector store).
     ``broadcast_drops=False`` plans a shuffled anti-join for
     corpus-fraction drop sets; cell partitioning preserved; swap via
-    the versioned-manifest flip."""
-    from pyspark.sql.functions import broadcast as _bc
+    the versioned-manifest flip — one shared body for both
+    cell-partitioned stores (versioned.compact_partitioned_store)."""
+    from ubw_spark.operators.versioned import compact_partitioned_store
 
-    from ubw_spark.operators.versioned import (
-        begin_rewrite,
-        commit_rewrite,
-        resolve_root,
+    compact_partitioned_store(
+        spark, path, drop_ids, id_col, "ivf_cell",
+        broadcast_drops=broadcast_drops, legacy_prefixes=("ivf_cell=",),
     )
-
-    old_root = resolve_root(path)
-    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
-    maybe_bc = _bc if broadcast_drops else (lambda d: d)
-    kept = spark.read.parquet(old_root).join(
-        maybe_bc(drops), id_col, "left_anti"
-    )
-    cur, new_v, new_root = begin_rewrite(path)
-    (
-        kept.repartition("ivf_cell")
-        .write.mode("overwrite")
-        .partitionBy("ivf_cell")
-        .parquet(new_root)
-    )
-    commit_rewrite(path, cur, new_v)

@@ -118,6 +118,11 @@ def _pairs_from_cells(
         )
     )
     keyed = cells.withColumn("__nrm", nrm)
+    if pair_salt < 1:
+        # pmod(x, 0) is NULL in non-ANSI mode: the join predicate would
+        # silently match nothing and the report would keep every
+        # duplicate — a wrong data-quality answer, so refuse loudly.
+        raise ValueError(f"pair_salt must be >= 1, got {pair_salt}")
     # The a-side repartition spreads the quadratic per-pair work: under
     # a broadcast join the output parallelism IS the stream side's
     # partitioning (a single-file corpus would otherwise compute every
@@ -125,17 +130,22 @@ def _pairs_from_cells(
     # explicitly (REPARTITION_BY_NUM): the a-side rows are the LINEAR
     # term, small enough that AQE's advisory-size coalescing would fold
     # them back into one partition and re-serialize the quadratic
-    # output work it cannot see at plan time.
-    n_parts = cells.sparkSession.sparkContext.defaultParallelism * max(
-        1, pair_salt
-    )
+    # output work it cannot see at plan time.  At pair_salt=1 the
+    # spread is ROUND-ROBIN: hashing on (cell, constant) would cap
+    # parallelism at the distinct-cell count, strictly worse than the
+    # corpus's natural splits for a coarse quantizer.
+    n_parts = cells.sparkSession.sparkContext.defaultParallelism * pair_salt
     a = keyed.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"),
         F.col("__nrm").alias("__na"),
         "cell",
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(pair_salt)).alias("__salt"),
-    ).repartition(n_parts, F.col("cell"), F.col("__salt"))
+    )
+    if pair_salt > 1:
+        a = a.repartition(n_parts, F.col("cell"), F.col("__salt"))
+    else:
+        a = a.repartition(n_parts)
     b = keyed.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("__vb"),

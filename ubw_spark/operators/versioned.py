@@ -34,7 +34,11 @@ import shutil
 
 #: Manifest file at the store root naming the live version directory.
 MANIFEST = "_CURRENT"
-_VDIR_RE = re.compile(r"^v(\d{5})$")
+#: {5,} not {5}: version_dir's {:05d} is a MINIMUM width — v100000 is
+#: six digits, and a five-digit-only match would make the legacy sweep
+#: delete the live version dir the moment a long-lived store passes
+#: v99999.
+_VDIR_RE = re.compile(r"^v(\d{5,})$")
 
 
 def version_dir(path: str, version: int) -> str:
@@ -95,18 +99,63 @@ def begin_rewrite(path: str) -> tuple[int | None, int, str]:
     return cur, new_v, version_dir(path, new_v)
 
 
-def commit_rewrite(path: str, cur: int | None, new_v: int) -> None:
+def commit_rewrite(
+    path: str,
+    cur: int | None,
+    new_v: int,
+    *,
+    legacy_names: tuple[str, ...] = (),
+    legacy_prefixes: tuple[str, ...] = (),
+) -> None:
     """Flip the manifest to ``new_v``, GC versions past grace, and —
-    once a versioned copy has existed for a full cycle — remove
-    pre-manifest flat stores left at the root by older releases."""
+    once a versioned copy has existed for a full cycle — remove the
+    NAMED pre-manifest flat stores left at the root by older releases
+    (``legacy_names`` exact dir names, ``legacy_prefixes`` dir-name
+    prefixes like ``ivf_cell=``).  Only what the caller names is ever
+    deleted: the store root may legitimately hold user co-located
+    directories (backups, checkpoints) that a blanket
+    everything-but-vNNNNN sweep would silently destroy."""
     write_manifest(path, new_v)
     gc_versions(path, new_v - 1)
-    if cur is not None:
+    if cur is not None and (legacy_names or legacy_prefixes):
         for name in os.listdir(path):
             p = posixpath.join(path, name)
-            if (
-                os.path.isdir(p)
-                and not _VDIR_RE.match(name)
-                and not name.startswith(MANIFEST)
-            ):
+            if not os.path.isdir(p) or _VDIR_RE.match(name):
+                continue
+            if name in legacy_names or name.startswith(legacy_prefixes):
                 shutil.rmtree(p)
+
+
+def compact_partitioned_store(
+    spark,
+    path: str,
+    drop_ids,
+    id_col: str,
+    partition_col: str,
+    *,
+    broadcast_drops: bool = True,
+    legacy_prefixes: tuple[str, ...] = (),
+) -> None:
+    """The shared compaction body for partitionBy-laid-out stores (IVF
+    cells, IVFPQ codes): anti-join ``drop_ids`` out of the live
+    version, rewrite partition-preserving into a new version dir, flip
+    the manifest.  ``broadcast_drops=False`` plans a shuffled anti-join
+    for corpus-fraction drop sets — the same two-posture rule as every
+    compaction here."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    old_root = resolve_root(path)
+    drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
+    maybe_bc = broadcast if broadcast_drops else (lambda d: d)
+    kept = spark.read.parquet(old_root).join(
+        maybe_bc(drops), id_col, "left_anti"
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    (
+        kept.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(new_root)
+    )
+    commit_rewrite(path, cur, new_v, legacy_prefixes=legacy_prefixes)

@@ -123,11 +123,16 @@ def global_window_violations(df: DataFrame) -> list[str]:
     deliberately stricter than "an Aggregate exists anywhere below": a
     join whose OTHER branch aggregates used to slip through.)
 
-    Known gap (not statically decidable): an unpartitioned window whose
+    Known gaps (not statically decidable): an unpartitioned window whose
     direct input aggregate groups by a high-cardinality key (billions of
     groups) still passes — group-count is a runtime quantity.  The
     ledger call sites all group by a synthetic ≤num_buckets bucket
-    column; new exempted windows must keep that property.
+    column; new exempted windows must keep that property.  Likewise the
+    limit grounding does not inspect the limit's MAGNITUDE: a
+    ``.limit(500_000_000)`` under a window passes even though it still
+    funnels those rows through one task — call sites keep k small
+    (top-k ranking), and a literal that large is a reviewable constant,
+    unlike runtime cardinality.
     Returns one descriptive string per offending node (empty == clean).
     """
 
