@@ -103,6 +103,21 @@ def curate(
         ).select(F.col("corpus_id").alias("doc_id")).distinct()
         d = stage("05_decontam", d.join(contaminated, "doc_id", "left_anti"))
 
+    # Importance resampling toward the English slice (DSIR): keep the
+    # 80% of survivors whose hashed-bigram profile the target model
+    # favors — the distribution-matching stage a data recipe runs after
+    # dedup/decontamination.  Selection is deterministic (hash-derived
+    # Gumbel noise), so the funnel is restartable like every stage.
+    from ubw_spark.operators.dsir import dsir_select
+
+    prev = list(counts.values())[-1]
+    k_keep = max(1, int(prev * 0.8))
+    sel = dsir_select(
+        d, d.where(F.col("lang") == "en"), "doc_id", "text", k_keep,
+        n=2, buckets=1024,
+    )
+    d = stage("06_dsir_select", d.join(sel.select("doc_id"), "doc_id"))
+
     d = assign_split(d, "doc_id")
     final = d.withColumn(
         "n_tokens", F.size(F.split(F.trim(F.col("text")), r"\s+"))

@@ -19,10 +19,14 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     # monotone funnel: every stage can only drop rows
     order = [
         "00_read", "01_quality", "02_exact_dedup", "03_near_dedup",
-        "04_span_cut", "05_decontam", "07_final",
+        "04_span_cut", "05_decontam", "06_dsir_select", "07_final",
     ]
     for a, b in zip(order, order[1:]):
         assert counts[b] <= counts[a], (a, b, counts)
+    # the DSIR resample keeps ~80% of decontam survivors, exactly k
+    assert counts["06_dsir_select"] == max(
+        1, int(counts["05_decontam"] * 0.8)
+    )
     # each dedup stage actually did something on the synthetic corpus
     # (it contains planted clones); quality gate drops short docs
     assert counts["01_quality"] < counts["00_read"]
