@@ -402,3 +402,55 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neg_logprob"
         ),
     )
+
+
+@register(
+    "quality_lm_quantile_gate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, u.tok FROM toks, unnest(t) AS u(tok)),
+    tf AS (SELECT doc_id, tok, count(*) AS k FROM ex GROUP BY 1, 2),
+    cnt AS (SELECT tok, count(*) AS c FROM ex GROUP BY 1),
+    tot AS (SELECT count(*) AS tt, count(DISTINCT tok) AS vv FROM ex),
+    s AS (SELECT tf.doc_id,
+                 round(-sum(tf.k * ln((cnt.c + 1.0) / (tt + vv)))
+                       / sum(tf.k), 4) AS score
+          FROM tf JOIN cnt USING (tok), tot GROUP BY 1),
+    sl AS (SELECT s.doc_id, d.lang, s.score
+           FROM s JOIN documents d ON s.doc_id = d.doc_id),
+    t AS (SELECT percentile_cont(0.8) WITHIN GROUP (ORDER BY score) AS thr
+          FROM sl)
+    SELECT lang, count(*) AS n_kept,
+           round(min(score), 4) AS min_score,
+           round(max(score), 4) AS max_score
+    FROM sl, t WHERE score <= thr
+    GROUP BY lang
+    """,
+    tags=("text", "quality", "lm", "curation"),
+)
+def quality_lm_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM filter composed with the corpus-quantile gate (the CCNet
+    recipe end-to-end): score every document by its corpus-unigram
+    average negative log-prob, then drop the worst 20% — documents the
+    corpus model finds most surprising (gibberish, boilerplate floods,
+    off-distribution text).  The threshold is the corpus's OWN
+    0.8-quantile, so the gate adapts as the corpus shifts; one scalar
+    percentile broadcast + map-side filter on top of the
+    text_unigram_logprob plan.  Scores are rounded to 4 dp BEFORE the
+    percentile (repo convention: both engines interpolate over
+    identical doubles)."""
+    from ubw_spark.operators.curation import quantile_gate
+
+    scores = text_unigram_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_neg_logprob").alias("score")
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    sl = scores.join(d, "doc_id")
+    kept = quantile_gate(sl, "score", 0.8, keep="below")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+    )

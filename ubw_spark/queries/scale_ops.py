@@ -278,6 +278,37 @@ def sim_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ivf_store_probe",
+    oracle=_IVF_ORACLE,
+    tags=("similarity", "ivf", "index"),
+)
+def sim_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED form of sim_ivf_ann_topk: the corpus is written
+    ``partitionBy(ivf_cell)`` through the versioned-manifest store and
+    the probe reads only its nprobe cells' partitions (static partition
+    filter, plan-asserted in tests/test_plans.py).  Same oracle as the
+    in-memory query — the store layout must not change a single result
+    row, which is exactly what this entry pins.  Timing includes the
+    index write: at 100 TB that write amortizes across every probe
+    batch, and benching the whole lifecycle is honest (same contract as
+    dedup_incremental_index_probe)."""
+    import hashlib
+
+    from ubw_spark.operators.ivf import probe_ivf_index, write_ivf_index
+
+    emb = table(spark, sf_dir, "embeddings")
+    centroids = seed_ivf_centroids(emb, k=8)
+    path = "/tmp/ubw_spark_ivf_store_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    write_ivf_index(emb, centroids, path)
+    return probe_ivf_index(
+        spark, path, emb.where(F.col("vec_id") < 5), centroids,
+        k=5, nprobe=4,
+    )
+
+
+@register(
     "asof_join_last_click",
     oracle="""
     SELECT p.event_id AS purchase_id,
