@@ -1380,3 +1380,25 @@ def test_ivfpq_index_compaction_retires_vectors(spark, sf_dir, tmp_path):
     assert sorted(
         d for d in os.listdir(path) if d.startswith("v0")
     ) == ["v00000", "v00001"]
+
+
+def test_versioned_store_stats_reports_metadata_only(spark, sf_dir, tmp_path):
+    from ubw_spark.operators.ivf import compact_ivf_index, write_ivf_index
+    from ubw_spark.operators.versioned import store_stats
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    cents = seed_ivf_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    s0 = store_stats(path)
+    assert s0["current"] == 0
+    assert s0["versions"][0]["files"] >= 1 and s0["versions"][0]["bytes"] > 0
+
+    compact_ivf_index(
+        spark, path, spark.createDataFrame([(0,)], "vec_id bigint")
+    )
+    s1 = store_stats(path)
+    assert s1["current"] == 1
+    assert set(s1["versions"]) == {0, 1}  # grace copy + live
+    assert s1["legacy_dirs"] == []

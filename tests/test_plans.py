@@ -345,3 +345,14 @@ def test_global_window_lint_fixtures(spark):
     )
     ledger.collect()
     assert global_window_violations(ledger) == []
+
+
+def test_ivf_store_probe_query_prunes_partitions(spark, sf_dir):
+    """The REGISTERED store-probe query (sim_ivf_store_probe) must carry
+    the static ivf_cell partition filter — the registry-level pin of the
+    probe-reads-nprobe/k-of-the-data claim."""
+    df = REGISTRY["sim_ivf_store_probe"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[ivf_cell#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    assert len({int(x) for x in m.group(1).split(",")}) <= 8

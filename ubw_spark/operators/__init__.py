@@ -89,6 +89,7 @@ from ubw_spark.operators.ivf import (
     compact_ivf_index,
 )
 from ubw_spark.operators.pq import compact_ivfpq_index
+from ubw_spark.operators.versioned import store_stats, current_version, resolve_root
 from ubw_spark.operators.splits import assign_split, split_column
 from ubw_spark.operators.stats import grouped_robust_stats
 from ubw_spark.operators.components import (
@@ -154,6 +155,9 @@ __all__ = [
     "append_ivf_batch",
     "compact_ivf_index",
     "compact_ivfpq_index",
+    "store_stats",
+    "current_version",
+    "resolve_root",
     "assign_split",
     "split_column",
     "connected_components",

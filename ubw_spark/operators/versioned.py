@@ -159,3 +159,33 @@ def compact_partitioned_store(
         .parquet(new_root)
     )
     commit_rewrite(path, cur, new_v, legacy_prefixes=legacy_prefixes)
+
+
+def store_stats(path: str) -> dict:
+    """Maintenance report for a versioned store, from FS METADATA only
+    (no data read — the footer_bounds discipline): the live version,
+    every version dir's file count and byte size, and whether legacy
+    flat stores remain at the root.  What an OPTIMIZE/GC scheduler
+    consults to decide when a rewrite pays for itself."""
+    versions: dict[int, dict] = {}
+    legacy: list[str] = []
+    for name in sorted(os.listdir(path)):
+        p = posixpath.join(path, name)
+        if not os.path.isdir(p):
+            continue
+        m = _VDIR_RE.match(name)
+        if not m:
+            legacy.append(name)
+            continue
+        files = n_bytes = 0
+        for root, _dirs, fnames in os.walk(p):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    files += 1
+                    n_bytes += os.path.getsize(os.path.join(root, f))
+        versions[int(m.group(1))] = {"files": files, "bytes": n_bytes}
+    return {
+        "current": current_version(path),
+        "versions": versions,
+        "legacy_dirs": legacy,
+    }
