@@ -1402,3 +1402,38 @@ def test_versioned_store_stats_reports_metadata_only(spark, sf_dir, tmp_path):
     assert s1["current"] == 1
     assert set(s1["versions"]) == {0, 1}  # grace copy + live
     assert s1["legacy_dirs"] == []
+
+
+def test_lang_lm_scores_gibberish_worst_within_language(spark, tmp_path, sf_dir):
+    """Semantic check beyond the oracle: within one language, a
+    gibberish document (every token unique, nothing shared with the
+    language's corpus) must score strictly worse than documents made of
+    the language's common vocabulary — and a doc of another language is
+    scored under ITS OWN model, not penalized by the first's."""
+    import shutil as _sh
+
+    from ubw_spark.queries.registry import REGISTRY
+
+    rows = (
+        [(i, " ".join(["bonjour le monde chaque jour"] * 4), "fr", "s", 100)
+         for i in range(8)]
+        + [(20, "zz9 qq8 vv7 kk6 jj5 hh4 gg3 ff2 ee1 dd0", "fr", "s", 100)]
+        + [(30, "hello common words appear here often indeed", "en", "s", 100)]
+    )
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    # the registry's table() reads <dir>/documents.parquet
+    out = {
+        r.doc_id: (r.lang, r.avg_neg_logprob)
+        for r in REGISTRY["text_lang_lm_logprob"].fn(spark, d).collect()
+    }
+    fr_common = max(out[i][1] for i in range(8))
+    assert out[20][0] == "fr" and out[20][1] > fr_common + 1.0
+    # the lone-English doc self-scores under the en model: finite, and
+    # far below the cross-language score it would get under fr
+    assert out[30][0] == "en" and out[30][1] < out[20][1]

@@ -454,3 +454,73 @@ def quality_lm_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("score"), 4).alias("min_score"),
         F.round(F.max("score"), 4).alias("max_score"),
     )
+
+
+@register(
+    "text_lang_lm_logprob",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM documents),
+    ex AS (SELECT doc_id, lang, u.tok FROM toks, unnest(t) AS u(tok)),
+    tf AS (SELECT doc_id, lang, tok, count(*) AS k FROM ex GROUP BY 1, 2, 3),
+    cnt AS (SELECT lang, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS tt, count(DISTINCT tok) AS vv
+            FROM ex GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.lang,
+                 sum(tf.k * ln((cnt.c + 1.0) / (tot.tt + tot.vv))) AS lpsum,
+                 CAST(sum(tf.k) AS BIGINT) AS n
+          FROM tf
+          JOIN cnt ON tf.lang = cnt.lang AND tf.tok = cnt.tok
+          JOIN tot ON tf.lang = tot.lang
+          GROUP BY 1, 2)
+    SELECT doc_id, lang, n AS n_tokens,
+           round(-lpsum / n, 4) AS avg_neg_logprob
+    FROM s
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_lang_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-faithful form of the LM filter: each document scored
+    under ITS OWN LANGUAGE's unigram model (per-language counts and
+    totals), so a French document isn't penalized merely for not being
+    English — the per-language score ranks documents WITHIN their
+    language, which is how CCNet buckets head/middle/tail per language.
+
+    Scale shape is the global model's with ``lang`` added to every
+    key: counts group by (lang, tok), totals by lang (a
+    languages-count row table, broadcast), and the model join runs on
+    per-doc DISTINCT tokens — hot tokens stay skew-linear.  A document
+    whose language has no other members degenerates to self-scoring
+    (smoothing keeps it finite), exactly like a tiny-language CCNet
+    shard."""
+    d = table(spark, sf_dir, "documents")
+    ex = d.select(
+        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = ex.groupBy("doc_id", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    cnt = ex.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = ex.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("tt"), F.count_distinct("tok").alias("vv")
+    )
+    lp = F.log((F.col("c") + F.lit(1.0)) / (F.col("tt") + F.col("vv")))
+    s = (
+        tf.join(cnt, ["lang", "tok"])
+        .join(broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("k") * lp).alias("lpsum"),
+            F.sum("k").alias("n_tokens"),
+        )
+    )
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(-F.col("lpsum") / F.col("n_tokens"), 4).alias(
+            "avg_neg_logprob"
+        ),
+    )
