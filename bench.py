@@ -74,11 +74,14 @@ HEADLINE = [
     "layout_zorder_histogram",
     # Round-8 additions: cluster-bounded semantic dedup (SemDeDup),
     # DSIR importance resampling, corpus-unigram-LM quality scoring,
-    # and the exact-quantile bucketing kernel.
+    # the exact-quantile bucketing kernel, and the persisted IVF probe
+    # (timing includes the versioned index write — that IS the
+    # operation, as with the LSH/gram index entries).
     "dedup_semantic_semdedup",
     "curation_dsir_select",
     "text_unigram_logprob",
     "layout_quantile_bucket_histogram",
+    "sim_ivf_store_probe",
 ]
 
 
