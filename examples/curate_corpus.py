@@ -12,9 +12,12 @@ same funnel lazily as a single report plan):
   03 near dedup    MinHash-LSH pairs -> connected components keep-list
   04 span cut      ExactSubstr: cut non-owner duplicated spans
   05 decontam      drop docs near-duplicating an eval set (optional)
-  06 splits        hash split train/valid/test
-  07 pack + write  token counts + packing offsets, written
-                   partitioned by split
+  06 dsir select   importance-resample toward the English slice:
+                   keep ~80% of survivors by hashed-bigram likelihood
+                   ratio (deterministic Gumbel top-k; documents with
+                   no bigram features are excluded from the pool)
+  07 pack + write  hash split train/valid/test, token counts + packing
+                   offsets, written partitioned by split
 
 Run:  python examples/curate_corpus.py \
         [--sf-dir /root/testdata/sf0.001] [--out /tmp/curated] \

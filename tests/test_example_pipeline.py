@@ -23,10 +23,12 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     ]
     for a, b in zip(order, order[1:]):
         assert counts[b] <= counts[a], (a, b, counts)
-    # the DSIR resample keeps ~80% of decontam survivors, exactly k
-    assert counts["06_dsir_select"] == max(
-        1, int(counts["05_decontam"] * 0.8)
-    )
+    # the DSIR resample keeps ~80% of decontam survivors; documents
+    # left with <2 tokens after the span cut have no bigram features
+    # and are excluded from the pool, so the kept count is AT MOST k
+    # (exactly k on this fixture, but that is data-dependent)
+    k = max(1, int(counts["05_decontam"] * 0.8))
+    assert 0 < counts["06_dsir_select"] <= k
     # each dedup stage actually did something on the synthetic corpus
     # (it contains planted clones); quality gate drops short docs
     assert counts["01_quality"] < counts["00_read"]

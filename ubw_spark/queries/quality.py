@@ -341,6 +341,47 @@ def quality_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+def _lm_logprob_scores(d: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared add-one-smoothed unigram-LM scorer: per document, the
+    average negative log-prob of its tokens under the model trained on
+    the corpus sliced by ``keys`` ([] = one global model, ["lang"] =
+    one model per language).  Both registered LM queries and their
+    oracles are this one computation with different model keys — keep
+    tokenization, smoothing, and the 4-dp rounding convention HERE so
+    the variants cannot drift apart.
+
+    Shape (independent of keys): two map-side-combinable groupBys for
+    the counts, a one-row-per-key-group totals broadcast, and a model
+    join on per-doc DISTINCT tokens so hot tokens stay skew-linear."""
+    ex = d.select(
+        "doc_id", *keys, F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = ex.groupBy("doc_id", *keys, "tok").agg(F.count(F.lit(1)).alias("k"))
+    cnt = ex.groupBy(*keys, "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = (ex.groupBy(*keys) if keys else ex.groupBy()).agg(
+        F.count(F.lit(1)).alias("tt"), F.count_distinct("tok").alias("vv")
+    )
+    lp = F.log((F.col("c") + F.lit(1.0)) / (F.col("tt") + F.col("vv")))
+    joined = tf.join(cnt, [*keys, "tok"])
+    joined = (
+        joined.join(broadcast(tot), keys)
+        if keys
+        else joined.crossJoin(broadcast(tot))
+    )
+    s = joined.groupBy("doc_id", *keys).agg(
+        F.sum(F.col("k") * lp).alias("lpsum"),
+        F.sum("k").alias("n_tokens"),
+    )
+    return s.select(
+        "doc_id",
+        *keys,
+        "n_tokens",
+        F.round(-F.col("lpsum") / F.col("n_tokens"), 4).alias(
+            "avg_neg_logprob"
+        ),
+    )
+
+
 @register(
     "text_unigram_logprob",
     oracle=r"""
@@ -378,30 +419,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  Sum-order float drift across engines is ~1e-12 relative
     (same accepted class as the tf-idf oracle); rounding at 4 decimals
     is 8 orders above it."""
-    d = table(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
-    cnt = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = ex.agg(
-        F.count(F.lit(1)).alias("tt"), F.count_distinct("tok").alias("vv")
-    )
-    lp = F.log((F.col("c") + F.lit(1.0)) / (F.col("tt") + F.col("vv")))
-    s = (
-        tf.join(cnt, "tok")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.col("k") * lp).alias("lpsum"),
-            F.sum("k").alias("n_tokens"),
-        )
-    )
-    return s.select(
-        "doc_id",
-        "n_tokens",
-        F.round(-F.col("lpsum") / F.col("n_tokens"), 4).alias(
-            "avg_neg_logprob"
-        ),
-    )
+    return _lm_logprob_scores(table(spark, sf_dir, "documents"), keys=[])
 
 
 @register(
@@ -495,32 +513,6 @@ def text_lang_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose language has no other members degenerates to self-scoring
     (smoothing keeps it finite), exactly like a tiny-language CCNet
     shard."""
-    d = table(spark, sf_dir, "documents")
-    ex = d.select(
-        "doc_id", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    tf = ex.groupBy("doc_id", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    cnt = ex.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
-    tot = ex.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("tt"), F.count_distinct("tok").alias("vv")
-    )
-    lp = F.log((F.col("c") + F.lit(1.0)) / (F.col("tt") + F.col("vv")))
-    s = (
-        tf.join(cnt, ["lang", "tok"])
-        .join(broadcast(tot), "lang")
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.sum(F.col("k") * lp).alias("lpsum"),
-            F.sum("k").alias("n_tokens"),
-        )
-    )
-    return s.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.round(-F.col("lpsum") / F.col("n_tokens"), 4).alias(
-            "avg_neg_logprob"
-        ),
+    return _lm_logprob_scores(
+        table(spark, sf_dir, "documents"), keys=["lang"]
     )
