@@ -82,6 +82,9 @@ HEADLINE = [
     "text_unigram_logprob",
     "layout_quantile_bucket_histogram",
     "sim_ivf_store_probe",
+    # Bloom-filter decontamination: fixed-size bitset membership instead
+    # of a corpus-side join — build ∝ benchmark, probe map-only.
+    "dedup_bloom_decontaminate",
 ]
 
 

@@ -1437,3 +1437,54 @@ def test_lang_lm_scores_gibberish_worst_within_language(spark, tmp_path, sf_dir)
     # the lone-English doc self-scores under the en model: finite, and
     # far below the cross-language score it would get under fr
     assert out[30][0] == "en" and out[30][1] < out[20][1]
+
+
+def test_let_binding_parity_and_single_eval(spark):
+    """functions/hof.py `let`: identical results to the unbound
+    formulation, for every context that lacks HOF-lambda CSE (Project,
+    Filter, Generate).  word_shingles is the canonical user — compare
+    against a plain Python shingler."""
+    from ubw_spark.functions.hof import let
+    from ubw_spark.operators.dedup import word_shingles
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "x y"),          # shorter than k -> empty
+        (3, "one one one one"),  # duplicate windows -> distinct
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "id bigint, text string")
+
+    def py_shingles(text, k=3):
+        t = text.strip().lower().split()
+        return sorted({" ".join(t[i : i + k]) for i in range(len(t) - k + 1)})
+
+    # Project context
+    got = {
+        r["id"]: sorted(r["g"])
+        for r in df.select(
+            "id", word_shingles(F.col("text"), 3).alias("g")
+        ).collect()
+    }
+    for i, text in rows:
+        assert got[i] == py_shingles(text), (i, got[i])
+
+    # Generate context (explode) — same multiset of grams
+    exploded = sorted(
+        r["g"]
+        for r in df.select(
+            F.explode(word_shingles(F.col("text"), 3)).alias("g")
+        ).collect()
+    )
+    assert exploded == sorted(
+        g for _, text in rows for g in py_shingles(text)
+    )
+
+    # generic let(): bound value visible, evaluated once semantically
+    out = df.select(
+        let(
+            F.split(F.col("text"), " "),
+            lambda t: F.size(t) + F.size(t),
+        ).alias("twice")
+    ).collect()
+    assert [r["twice"] for r in out] == [10, 4, 8, 2]

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ubw_spark.functions.hof import let
+
 
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace runs, strip edges — the canonical
@@ -48,18 +50,24 @@ def mask_pii(c: Column) -> Column:
 
 def char_ngrams(c: Column, n: int = 3) -> Column:
     """Distinct character n-grams (for n-gram Jaccard on short strings
-    where word shingles are too coarse).  Strings shorter than n yield
-    an empty array (Spark's sequence(1, 0) counts DOWN — guard needed)."""
-    chars = F.split(c, "")
+    where word shingles are too coarse).  The char array is let-bound
+    (functions/hof.py) so the split runs once per string, not once per
+    element_at reference — no CSE exists inside HOF lambdas.  Strings
+    shorter than n yield an empty array (Spark's sequence(1, 0) counts
+    DOWN — guard needed)."""
     length = F.length(c)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), length - (n - 1)),
-            lambda i: F.concat(
-                *[F.element_at(chars, i + j) for j in range(n)]
-            ),
+
+    def grams(chars: Column) -> Column:
+        g = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), length - (n - 1)),
+                lambda i: F.concat(
+                    *[F.element_at(chars, i + j) for j in range(n)]
+                ),
+            )
         )
-    )
-    return F.when(length >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
+        return F.when(length >= n, g).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(F.split(c, ""), grams)

@@ -11,6 +11,12 @@ from ubw_spark.operators.dedup import (
     oversized_buckets,
     banded_minhash,
 )
+from ubw_spark.operators.bloom import (
+    bloom_positions,
+    build_bloom,
+    bloom_probe,
+    bloom_audit,
+)
 from ubw_spark.operators.lsh_index import (
     write_minhash_index,
     probe_minhash_index,
@@ -105,6 +111,10 @@ __all__ = [
     "minhash_dedup_pairs",
     "minhash_contamination_pairs",
     "banded_minhash",
+    "bloom_positions",
+    "build_bloom",
+    "bloom_probe",
+    "bloom_audit",
     "write_minhash_index",
     "probe_minhash_index",
     "append_minhash_batch",

@@ -1,0 +1,240 @@
+"""Bloom-filter membership for corpus decontamination (Bloom, CACM'70).
+
+The 100 TB shape this adds: every other decontamination path in this
+repo (MinHash bands, gram index) JOINS the corpus against the benchmark
+— a shuffle whose cost scales with corpus size.  A Bloom filter replaces
+the join with a FIXED-SIZE bitset: aggregate the benchmark's gram hashes
+into m bits once (cost ∝ benchmark, not corpus), broadcast the packed
+bits as ONE row, and probe map-only — the corpus streams through a
+single stage with zero shuffle and zero explode.  False positives only
+(over-removal, measurable via :func:`bloom_audit`); false negatives
+impossible — a contaminated gram always has all k bits set, so the
+filter never misses contamination.
+
+Everything is deterministic given the hash construction, so the whole
+pipeline has an exact DuckDB oracle (queries/bloom_q.py): h1/h2 are the
+first/second 8 hex chars of one md5 (the repo's portable-hash idiom,
+operators/dedup.py:100), and position i = (h1 + i·(2·h2+1)) mod m —
+classic double hashing (Kirsch & Mitzenmacher, ESA'06), the 2h2+1 step
+kept odd so power-of-two m never degenerates.
+
+Reference parity: the reference (scalax/ubw) has no sketch surface;
+this is part of the LLM-pipeline extension mandated by the build spec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.dedup import word_shingles
+
+M_DEFAULT = 1 << 18  # bits in the filter (32 KiB packed)
+K_DEFAULT = 4  # probes per gram
+
+
+def bloom_hash_pair(gram: Column) -> tuple[Column, Column]:
+    """Two independent 32-bit hashes from ONE md5 — portable to any
+    engine with md5 (h1 = hex[0:8], h2 = hex[8:16])."""
+    hx = F.md5(gram)
+    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return h1, h2
+
+
+def bloom_positions(gram: Column, m: int = M_DEFAULT, k: int = K_DEFAULT) -> Column:
+    """array<bigint> of the k bit positions for a gram.
+
+    Double hashing: pos_i = (h1 + i·(2·h2+1)) mod m.  Max intermediate
+    is ~2^35 — no bigint overflow.  Duplicate positions (step·Δi ≡ 0
+    mod m) are harmless: membership tests every listed position and a
+    duplicate has one truth value."""
+    h1, h2 = bloom_hash_pair(gram)
+    step = h2 * F.lit(2) + F.lit(1)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (h1 + i.cast("long") * step) % F.lit(m),
+    )
+
+
+def build_bloom(
+    bench: DataFrame,
+    text_col: str,
+    *,
+    n: int = 3,
+    m: int = M_DEFAULT,
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """ONE-row DataFrame ``(bloom_bits: array<bigint>)`` — the packed
+    filter, dense length m/64, built from the benchmark's word-n-grams.
+
+    Two distributed stages then a one-row assembly: (1) explode grams →
+    k positions each, distinct (shuffle bounded by m, NOT by benchmark
+    cardinality); (2) pack 64 positions per word via bit_or (≤ m/64
+    rows); (3) assemble the dense array in a final single-row aggregate
+    — the same cardinality a driver-side bitset would hold, which is the
+    point of a Bloom filter: it fits one node by design (m=2^27 → 16 MB).
+    """
+    if m % 64:
+        raise ValueError(f"m must be a multiple of 64, got {m}")
+    pos = (
+        bench.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+        )
+        .select(F.explode(bloom_positions(F.col("gram"), m, k)).alias("pos"))
+        .distinct()
+    )
+    packed = pos.select(
+        F.expr("pos DIV 64").alias("word_idx"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+        ).alias("mask"),
+    ).groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits"))
+    return packed.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("__bm")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m // 64 - 1)),
+            lambda i: F.coalesce(
+                F.try_element_at("__bm", i.cast("long")), F.lit(0)
+            ),
+        ).alias("bloom_bits")
+    )
+
+
+def _gram_hit(pos_arrays: str, bits: str) -> Column:
+    """size(filter(pos_arrays, ps -> all positions set in bits)) — the
+    per-document count of Bloom-positive grams, fully inside the row.
+    SQL expr because shiftleft with a COLUMN shift amount has no Python
+    functions.* binding."""
+    return F.expr(
+        f"""size(filter({pos_arrays}, ps -> forall(ps, p ->
+              (element_at({bits}, CAST(p DIV 64 AS INT) + 1)
+               & shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0)))"""
+    )
+
+
+def bloom_probe(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    bloom: DataFrame,
+    *,
+    n: int = 3,
+    m: int = M_DEFAULT,
+    k: int = K_DEFAULT,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Per-document contamination counts ``(id, total_grams, hit_grams)``
+    — MAP-ONLY: the one-row packed filter arrives via broadcast
+    nested-loop join, then grams → positions → bit tests are all
+    higher-order functions inside the row.  No shuffle, no explode; the
+    corpus is read once.  Docs with zero grams (< n words) are dropped,
+    matching the gram-level oracle.
+
+    ``parallelism``: same knob as minhash_lsh_pairs (dedup.py:209) —
+    gram hashing is CPU-heavy per row; when the input has fewer splits
+    than cores (small/unsplittable files), one cheap repartition of raw
+    text buys full-width compute.  Default None keeps the input
+    partitioning and the pure zero-shuffle plan.
+
+    The per-gram hash pair is materialized into the positions array by
+    one transform, so md5 runs ~2× per gram (h1, h2) — NOT once per bit
+    probe (lambda vars are bound values; see the CollapseProject note at
+    operators/dedup.py:118)."""
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+    # Docs with < n tokens (zero grams) are dropped HERE, on the raw
+    # token count, NOT via a where(total_grams > 0) on the output: the
+    # output-side predicate pushes down as size(<full shingle expr>) > 0
+    # — an interpreted re-evaluation of the whole gram pipeline inside
+    # the Filter that measured 25× slower than the probe itself.
+    probed = (
+        corpus.where(
+            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+            >= n
+        )
+        .select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), n).alias("__grams"),
+        )
+        .crossJoin(F.broadcast(bloom))
+        .select(
+            F.col(id_col),
+            F.size("__grams").alias("total_grams"),
+            F.transform(
+                F.col("__grams"),
+                lambda g: bloom_positions(g, m, k),
+            ).alias("__pos"),
+            F.col("bloom_bits"),
+        )
+    )
+    return probed.select(
+        F.col(id_col),
+        F.col("total_grams").cast("long").alias("total_grams"),
+        _gram_hit("__pos", "bloom_bits").cast("long").alias("hit_grams"),
+    )
+
+
+def bloom_audit(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    *,
+    n: int = 3,
+    m: int = M_DEFAULT,
+    k: int = K_DEFAULT,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """ONE-row gram-level audit of the filter against exact membership:
+    ``(n_grams, bloom_hits, exact_hits, false_positives, fp_rate)``.
+
+    The exact side is the shuffle join the Bloom path avoids — that is
+    the point: the audit certifies the cheap path against the expensive
+    truth on demand.  At 100 TB run it on a corpus SAMPLE (the FP rate
+    is a global property of the filter, not of any document).  False
+    negatives are impossible by construction — property-tested in
+    tests/test_bloom.py."""
+    if parallelism:
+        corpus = corpus.repartition(parallelism)
+        bench = bench.repartition(parallelism)
+    bg = bench.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    cg = corpus.select(
+        F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    ).distinct()
+    bloom = build_bloom(bench, text_col, n=n, m=m, k=k)
+    checked = (
+        cg.crossJoin(F.broadcast(bloom))
+        .select(
+            "gram",
+            F.array(bloom_positions(F.col("gram"), m, k)).alias("__pos"),
+            F.col("bloom_bits"),
+        )
+        .select(
+            "gram",
+            (_gram_hit("__pos", "bloom_bits") == 1).alias("bloom_hit"),
+        )
+        .join(bg.withColumn("__exact", F.lit(True)), "gram", "left")
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.col("bloom_hit").cast("long")).alias("bloom_hits"),
+        F.sum(F.col("__exact").isNotNull().cast("long")).alias("exact_hits"),
+        F.sum(
+            (F.col("bloom_hit") & F.col("__exact").isNull()).cast("long")
+        ).alias("false_positives"),
+    ).select(
+        "n_grams",
+        "bloom_hits",
+        "exact_hits",
+        "false_positives",
+        F.round(
+            F.col("false_positives")
+            / F.greatest(F.col("n_grams") - F.col("exact_hits"), F.lit(1)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -20,6 +20,8 @@ ubw_spark/queries/scale_ops.py.
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ubw_spark.functions.hof import let
+
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 #: Default hot-bucket cap for banded candidate generation.  A bucket of
@@ -78,23 +80,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def word_shingles(text: Column, k: int = 1) -> Column:
     """Distinct k-word shingles of a text column (array expr, no explode).
 
-    k=1 → word set; k≥2 → sliding windows via sequence+element_at.
-    Documents with fewer than k words yield an empty array — the
-    ``n >= k`` guard matters because ``F.sequence(1, 0)`` counts DOWN
-    ([1, 0]) and element_at(_, 0) throws."""
+    k=1 → word set; k≥2 → sliding windows over a LET-BOUND token array
+    (functions/hof.py): the regex split runs once per document, not once
+    per window reference — the unbound formulation re-evaluated it ~3k×
+    per doc and measured 18× slower end to end.  ``array_join(slice(t,
+    i, k), ' ')`` ≡ the old per-element concat_ws for never-null split
+    output.  Documents with fewer than k words yield an empty array —
+    the ``n >= k`` guard matters because ``F.sequence(1, 0)`` counts
+    DOWN ([1, 0]) and slice past the end misbehaves."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     if k == 1:
         return F.array_distinct(toks)
-    n = F.size(toks)
-    win = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
-    return F.when(n >= k, F.array_distinct(win)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def windows(t: Column) -> Column:
+        n = F.size(t)
+        win = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(t, i, k), " "),
+        )
+        return F.when(n >= k, F.array_distinct(win)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(toks, windows)
 
 
 def portable_hash(s: Column) -> Column:

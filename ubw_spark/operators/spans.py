@@ -219,19 +219,27 @@ def cut_duplicate_spans(
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     j = df.join(cut, id_col, "left")
+
     # array_except is hash-based and order-preserving on its left input;
     # sequence(0, n-1) is already sorted+distinct, so kept_idx is the
     # sorted kept positions.  (array_sort kept anyway: the sort is cheap
     # and the contract — tokens in original order — must not ride on an
-    # undocumented implementation detail.)
-    kept_idx = F.array_sort(
-        F.array_except(
-            F.sequence(F.lit(0), F.size(toks) - 1), F.col("__cut")
+    # undocumented implementation detail.)  The token array is let-bound
+    # (functions/hof.py): referenced unbound inside the transform lambda,
+    # the regex split would re-run once per KEPT TOKEN — O(n²) per doc.
+    def _rebuild(t):
+        kept_idx = F.array_sort(
+            F.array_except(
+                F.sequence(F.lit(0), F.size(t) - 1), F.col("__cut")
+            )
         )
-    )
-    rebuilt = F.concat_ws(
-        " ", F.transform(kept_idx, lambda i: F.element_at(toks, i + 1))
-    )
+        return F.concat_ws(
+            " ", F.transform(kept_idx, lambda i: F.element_at(t, i + 1))
+        )
+
+    from ubw_spark.functions.hof import let
+
+    rebuilt = let(toks, _rebuild)
     return j.select(
         F.col(id_col),
         F.when(F.col("__cut").isNull(), F.col(text_col))

@@ -17,23 +17,33 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from ubw_spark.functions.hof import let
 from ubw_spark.operators.dedup import portable_hash
 
 
 def gram_hashes(text: Column, k: int = 5) -> Column:
     """Rolling char-k-gram portable hashes as array<bigint> — linear.
 
-    Texts shorter than k chars yield an empty array (guarded: Spark's
-    ``sequence(1, 0)`` counts DOWN and element_at(_, 0) throws)."""
-    chars = F.split(text, "")
+    The char array is LET-BOUND (functions/hof.py) so the split runs
+    once per document — referenced unbound, each of the k element_at
+    copies re-ran it per window (no CSE inside HOF lambdas; measured
+    ~18× on the analogous word-shingle pipeline).  Texts shorter than
+    k chars yield an empty array (guarded: Spark's ``sequence(1, 0)``
+    counts DOWN and element_at(_, 0) throws)."""
     n = F.length(text)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat(*[F.element_at(chars, i + j) for j in range(k)]),
-    )
-    return F.when(n >= k, F.transform(grams, portable_hash)).otherwise(
-        F.array().cast("array<bigint>")
-    )
+
+    def hashes(chars: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat(
+                *[F.element_at(chars, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, F.transform(grams, portable_hash)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+    return let(F.split(text, ""), hashes)
 
 
 def winnow_fingerprints_df(

@@ -90,19 +90,29 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns are rounded."""
     d = table(spark, sf_dir, "documents")
     ts = _token_stats(d)
-    t = _tokens(F.col("text"))
-    n = F.size(t)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-    )
-    # sequence(1, 0) counts DOWN in Spark — guard short docs explicitly
+    from ubw_spark.functions.hof import let
+
+    def bigram_stats(t):
+        n = F.size(t)
+        bigrams = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.array_join(F.slice(t, i, 2), " "),
+        )
+        # sequence(1, 0) counts DOWN in Spark — guard short docs
+        return F.struct(
+            F.greatest(n - 1, F.lit(0)).alias("n_bigrams"),
+            F.when(n >= 2, F.size(F.array_distinct(bigrams)))
+            .otherwise(0)
+            .alias("n_distinct_bigrams"),
+        )
+
+    # token array let-bound (functions/hof.py): split once per doc,
+    # not once per window reference
+    bst = let(_tokens(F.col("text")), bigram_stats)
     bs = d.select(
         "doc_id",
-        F.greatest(n - 1, F.lit(0)).alias("n_bigrams"),
-        F.when(n >= 2, F.size(F.array_distinct(bigrams)))
-        .otherwise(0)
-        .alias("n_distinct_bigrams"),
+        bst["n_bigrams"].alias("n_bigrams"),
+        bst["n_distinct_bigrams"].alias("n_distinct_bigrams"),
     )
     top_frac = F.col("top_cnt") / F.col("n_tokens")
     dup_big = F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")
@@ -204,20 +214,13 @@ def corpus_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition reach the driver-side sort.  (shingle, doc_freq) ordering
     is total — doc_freq ties break on the shingle text — so the LIMIT
     cut is deterministic on both engines."""
+    from ubw_spark.operators.dedup import word_shingles
+
     d = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
-    n = F.size(t)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
-    guarded = F.when(n >= 3, F.array_distinct(shingles)).otherwise(
-        F.array().cast("array<string>")
-    )
+    # word_shingles let-binds the token array (functions/hof.py) — vital
+    # under Generate, where an unbound token expr re-split per window
     return (
-        d.select(F.explode(guarded).alias("shingle"))
+        d.select(F.explode(word_shingles(F.col("text"), 3)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
         .orderBy(F.col("doc_freq").desc(), "shingle")

@@ -191,26 +191,34 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word shingling — the MinHash front end.  Array expressions only
-    (sequence/transform/element_at): no explode, so no row blowup; the
-    shingle set stays inside the row until hashed."""
+    (no explode, so no row blowup; the shingle set stays inside the row
+    until hashed), with the token array let-bound (functions/hof.py) so
+    the regex split runs once per doc, not per window reference."""
+    from ubw_spark.functions.hof import let
+
     d = table(spark, sf_dir, "documents")
-    t = _tokens(F.col("text"))
-    n = F.size(t)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ", F.element_at(t, i), F.element_at(t, i + 1), F.element_at(t, i + 2)
-        ),
-    )
-    # n >= 3 guard: Spark's sequence(1, 0) counts DOWN, unlike SQL
-    # generate_series — short docs must yield empty, not crash
-    distinct_shingles = F.when(n >= 3, F.array_distinct(shingles)).otherwise(
-        F.array().cast("array<string>")
-    )
+
+    def stats(t):
+        n = F.size(t)
+        shingles = F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.array_join(F.slice(t, i, 3), " "),
+        )
+        # n >= 3 guard: Spark's sequence(1, 0) counts DOWN, unlike SQL
+        # generate_series — short docs must yield empty, not crash
+        distinct_shingles = F.when(
+            n >= 3, F.array_distinct(shingles)
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            F.greatest(n - 2, F.lit(0)).alias("n_shingles"),
+            F.size(distinct_shingles).alias("n_distinct_shingles"),
+        )
+
+    s = let(_tokens(F.col("text")), stats)
     return d.select(
         "doc_id",
-        F.greatest(n - 2, F.lit(0)).alias("n_shingles"),
-        F.size(distinct_shingles).alias("n_distinct_shingles"),
+        s["n_shingles"].alias("n_shingles"),
+        s["n_distinct_shingles"].alias("n_distinct_shingles"),
     )
 
 
