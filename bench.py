@@ -83,8 +83,11 @@ HEADLINE = [
     "layout_quantile_bucket_histogram",
     "sim_ivf_store_probe",
     # Bloom-filter decontamination: fixed-size bitset membership instead
-    # of a corpus-side join — build ∝ benchmark, probe map-only.
+    # of a corpus-side join — build ∝ benchmark, probe map-only.  The
+    # store variant times the full persisted lifecycle (write + OR-merge
+    # append + probe) like the other index-store entries.
     "dedup_bloom_decontaminate",
+    "dedup_bloom_store_probe",
 ]
 
 

@@ -98,3 +98,62 @@ def test_probe_plan_is_shuffle_free(spark, corpora):
     above, _, below = plan.partition("BroadcastExchange")
     assert "Exchange" not in above
     assert "BroadcastNestedLoopJoin" in above
+
+
+def test_store_lifecycle_append_equals_rebuild(spark, corpora, tmp_path):
+    """write -> append must equal a one-shot build over the union
+    (bloom union is bitwise OR), the manifest must advance with the
+    previous version grace-kept, and probing through the store must
+    match the in-memory probe row-for-row."""
+    from ubw_spark.operators.bloom import (
+        append_bloom_store,
+        load_bloom,
+        probe_bloom_store,
+        read_bloom_params,
+        write_bloom_store,
+    )
+    from ubw_spark.operators.versioned import current_version, version_dir
+    import os
+
+    bench, corpus = corpora
+    half_a = bench.where(F.col("id") == 1)
+    half_b = bench.where(F.col("id") == 2)
+    path = str(tmp_path / "bloom_store")
+
+    write_bloom_store(half_a, "text", path, n=3, m=1 << 12, k=4)
+    assert current_version(path) == 0
+    assert read_bloom_params(path) == {"n": 3, "m": 1 << 12, "k": 4}
+    append_bloom_store(spark, half_b, "text", path)
+    assert current_version(path) == 1
+    # grace copy: v0 survives one cycle
+    assert os.path.isdir(version_dir(path, 0))
+
+    dense, p = load_bloom(spark, path)
+    rebuilt = build_bloom(bench, "text", n=3, m=1 << 12, k=4)
+    assert dense.collect()[0]["bloom_bits"] == rebuilt.collect()[0][
+        "bloom_bits"
+    ], "append-merged bits must be bit-identical to a one-shot build"
+
+    via_store = sorted(
+        map(tuple, probe_bloom_store(spark, corpus, "id", "text", path).collect())
+    )
+    in_mem = sorted(
+        map(
+            tuple,
+            bloom_probe(
+                corpus, "id", "text", rebuilt, n=3, m=1 << 12, k=4
+            ).collect(),
+        )
+    )
+    assert via_store == in_mem
+
+
+def test_store_missing_params_raises(spark, corpora, tmp_path):
+    from ubw_spark.operators.bloom import read_bloom_params
+
+    path = str(tmp_path / "not_a_bloom_store")
+    import os
+
+    os.makedirs(path)
+    with pytest.raises(ValueError, match="no _BLOOM_PARAMS"):
+        read_bloom_params(path)

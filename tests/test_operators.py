@@ -1488,3 +1488,30 @@ def test_let_binding_parity_and_single_eval(spark):
         ).alias("twice")
     ).collect()
     assert [r["twice"] for r in out] == [10, 4, 8, 2]
+
+
+def test_fence_identity_and_pushdown_block(spark):
+    """functions/hof.py `fence`: value-identical to the unfenced column
+    (incl. NULL), and a predicate on a fenced derived column stays ABOVE
+    the projection instead of being pushdown-substituted into a per-row
+    HOF re-evaluation."""
+    from ubw_spark.functions.hof import fence
+    from ubw_spark.operators.dedup import word_shingles
+    from ubw_spark.plans.inspect import hof_filter_violations
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x"), (3, None)], "id bigint, text string"
+    )
+    a = df.select("id", F.size(word_shingles(F.col("text"), 3)).alias("n"))
+    b = df.select(
+        "id", fence(F.size(word_shingles(F.col("text"), 3))).alias("n")
+    )
+    assert sorted((r["id"], r["n"]) for r in a.collect()) == sorted(
+        (r["id"], r["n"]) for r in b.collect()
+    )
+    # unfenced: predicate pushes below the projection -> flagged
+    assert hof_filter_violations(a.where(F.col("n") > 0))
+    # fenced: same result, clean plan
+    fenced = b.where(F.col("n") > 0)
+    assert hof_filter_violations(fenced) == []
+    assert sorted(r["id"] for r in fenced.collect()) == [1]

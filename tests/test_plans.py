@@ -386,3 +386,42 @@ def test_ivf_store_probe_query_prunes_partitions(spark, sf_dir):
     assert m2, formatted_plan(narrow)
     probed = {int(x) for x in m2.group(1).split(",")}
     assert len(probed) <= 2 and probed < on_disk, (probed, on_disk)
+
+
+def test_no_registered_query_filters_through_a_hof(spark, sf_dir):
+    """Registry-wide lint: no query may plan a Filter that evaluates a
+    higher-order-function lambda per row — the interpreted
+    re-evaluation hazard (no CSE in Filter predicates; a predicate on a
+    derived array pipeline gets pushed below the projection and re-runs
+    the pipeline per input row — measured 25x on the Bloom probe before
+    its guard moved to the raw token count)."""
+    from ubw_spark.plans.inspect import hof_filter_violations
+
+    offenders = {}
+    for name, qd in sorted(REGISTRY.items()):
+        df = qd.fn(spark, sf_dir)
+        v = hof_filter_violations(df)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders
+
+
+def test_hof_filter_lint_fixtures(spark):
+    """The lint's decision table on hand-built plans: a predicate over a
+    derived shingle count (pushed down as size(<array pipeline>) > 0)
+    is flagged; the cheap raw-token-count guard is clean."""
+    from ubw_spark.operators.dedup import word_shingles
+    from ubw_spark.plans.inspect import hof_filter_violations
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "x")], "id bigint, text string"
+    )
+    bad = df.select(
+        "id", F.size(word_shingles(F.col("text"), 3)).alias("n")
+    ).where(F.col("n") > 0)
+    assert hof_filter_violations(bad), "pushed HOF predicate must flag"
+
+    good = df.where(
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
+    ).select("id", word_shingles(F.col("text"), 3).alias("g"))
+    assert hof_filter_violations(good) == []

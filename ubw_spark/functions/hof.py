@@ -34,6 +34,28 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def fence(value: Column) -> Column:
+    """Identity wrapper that PINS ``value`` to the projection computing
+    it: predicates on the column can no longer be pushed below it, and
+    CollapseProject can no longer inline it into later expressions.
+
+    Mechanism: ``shuffle`` of a single-element array is semantically the
+    identity but formally non-deterministic, and Catalyst neither
+    substitutes predicates through non-deterministic projections
+    (PushDownPredicates) nor collapses them (CollapseProject).  Task
+    retries are safe — the value IS deterministic, only the marker says
+    otherwise.
+
+    Use on an expensive derived column (a cosine, a norm, a quality
+    score) that a later ``where`` filters on: without the fence the
+    pushed predicate re-evaluates the whole expression tree per input
+    row — interpreted, uncached — and the projection then evaluates it
+    AGAIN for the output (2-3× the query's dominant kernel; the lint
+    ``plans/inspect.py::hof_filter_violations`` flags exactly this
+    shape).  Cost: one single-element array copy per row."""
+    return F.element_at(F.shuffle(F.array(value)), 1)
+
+
 def let(value: Column, body: Callable[[Column], Column]) -> Column:
     """``body(value)`` with ``value`` evaluated exactly once.
 

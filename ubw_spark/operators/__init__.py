@@ -16,6 +16,10 @@ from ubw_spark.operators.bloom import (
     build_bloom,
     bloom_probe,
     bloom_audit,
+    write_bloom_store,
+    append_bloom_store,
+    probe_bloom_store,
+    load_bloom,
 )
 from ubw_spark.operators.lsh_index import (
     write_minhash_index,
@@ -115,6 +119,10 @@ __all__ = [
     "build_bloom",
     "bloom_probe",
     "bloom_audit",
+    "write_bloom_store",
+    "append_bloom_store",
+    "probe_bloom_store",
+    "load_bloom",
     "write_minhash_index",
     "probe_minhash_index",
     "append_minhash_batch",

@@ -57,7 +57,7 @@ def bloom_positions(gram: Column, m: int = M_DEFAULT, k: int = K_DEFAULT) -> Col
     )
 
 
-def build_bloom(
+def packed_bloom_words(
     bench: DataFrame,
     text_col: str,
     *,
@@ -65,16 +65,14 @@ def build_bloom(
     m: int = M_DEFAULT,
     k: int = K_DEFAULT,
 ) -> DataFrame:
-    """ONE-row DataFrame ``(bloom_bits: array<bigint>)`` — the packed
-    filter, dense length m/64, built from the benchmark's word-n-grams.
+    """SPARSE packed filter ``(word_idx: bigint, bits: bigint)`` — one
+    row per 64-bit word with at least one set bit (≤ m/64 rows).
 
-    Two distributed stages then a one-row assembly: (1) explode grams →
-    k positions each, distinct (shuffle bounded by m, NOT by benchmark
-    cardinality); (2) pack 64 positions per word via bit_or (≤ m/64
-    rows); (3) assemble the dense array in a final single-row aggregate
-    — the same cardinality a driver-side bitset would hold, which is the
-    point of a Bloom filter: it fits one node by design (m=2^27 → 16 MB).
-    """
+    Two distributed stages: (1) explode grams → k positions each,
+    distinct (shuffle bounded by m, NOT by benchmark cardinality);
+    (2) pack 64 positions per word via bit_or.  This sparse form is
+    what the persisted store holds — and what two filters UNION through
+    (bitwise OR is the exact Bloom union, see append_bloom_store)."""
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
     pos = (
@@ -84,12 +82,20 @@ def build_bloom(
         .select(F.explode(bloom_positions(F.col("gram"), m, k)).alias("pos"))
         .distinct()
     )
-    packed = pos.select(
+    return pos.select(
         F.expr("pos DIV 64").alias("word_idx"),
         F.expr(
             "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
         ).alias("mask"),
     ).groupBy("word_idx").agg(F.expr("bit_or(mask)").alias("bits"))
+
+
+def dense_bloom_row(packed: DataFrame, m: int = M_DEFAULT) -> DataFrame:
+    """ONE-row ``(bloom_bits: array<bigint>)`` — dense length m/64 —
+    assembled from the sparse packed words in a final single-row
+    aggregate: the same cardinality a driver-side bitset would hold,
+    which is the point of a Bloom filter — it fits one node by design
+    (m=2^27 → 16 MB)."""
     return packed.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word_idx", "bits"))
@@ -101,6 +107,21 @@ def build_bloom(
                 F.try_element_at("__bm", i.cast("long")), F.lit(0)
             ),
         ).alias("bloom_bits")
+    )
+
+
+def build_bloom(
+    bench: DataFrame,
+    text_col: str,
+    *,
+    n: int = 3,
+    m: int = M_DEFAULT,
+    k: int = K_DEFAULT,
+) -> DataFrame:
+    """ONE-row dense filter built from the benchmark's word-n-grams —
+    ``dense_bloom_row(packed_bloom_words(...))``."""
+    return dense_bloom_row(
+        packed_bloom_words(bench, text_col, n=n, m=m, k=k), m
     )
 
 
@@ -237,4 +258,131 @@ def bloom_audit(
             / F.greatest(F.col("n_grams") - F.col("exact_hits"), F.lit(1)),
             6,
         ).alias("fp_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted bloom store — the fifth member of the versioned-store family
+# (LSH bands, gram index, IVF cells, IVFPQ codes share the same
+# _CURRENT-manifest lifecycle; operators/versioned.py).
+# ---------------------------------------------------------------------------
+
+#: Sidecar in each version dir pinning (n, m, k).  Underscore-prefixed,
+#: so Spark's parquet reader ignores it.  A probe under DIFFERENT hash
+#: params would silently report zero contamination — exactly the
+#: k-mismatch failure the gram index guards against with TBLPROPERTIES —
+#: so append/load RAISE on mismatch instead.
+PARAMS_FILE = "_BLOOM_PARAMS"
+
+
+def _write_params(root: str, n: int, m: int, k: int) -> None:
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, PARAMS_FILE), "w") as f:
+        json.dump({"n": n, "m": m, "k": k}, f)
+
+
+def read_bloom_params(path: str) -> dict:
+    """(n, m, k) of the LIVE store version; raises if the sidecar is
+    missing — probing with guessed params is the silent-zero failure."""
+    import json
+    import os
+
+    from ubw_spark.operators.versioned import resolve_root
+
+    p = os.path.join(resolve_root(path), PARAMS_FILE)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"bloom store at {path} has no {PARAMS_FILE} sidecar — not a "
+            "bloom store (or written by hand); refusing to guess (n, m, k)"
+        ) from None
+
+
+def write_bloom_store(
+    bench: DataFrame,
+    text_col: str,
+    path: str,
+    *,
+    n: int = 3,
+    m: int = M_DEFAULT,
+    k: int = K_DEFAULT,
+) -> None:
+    """Persist the sparse packed filter as a versioned store: write the
+    ``(word_idx, bits)`` parquet + params sidecar into a fresh version
+    dir, then flip ``_CURRENT`` (one small-object write; previous
+    version grace-kept — operators/versioned.py)."""
+    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+
+    packed = packed_bloom_words(bench, text_col, n=n, m=m, k=k)
+    cur, new_v, new_root = begin_rewrite(path)
+    # ≤ m/64 rows of two bigints: one file reads in one footer+scan
+    packed.coalesce(1).write.mode("overwrite").parquet(new_root)
+    _write_params(new_root, n, m, k)
+    commit_rewrite(path, cur, new_v)
+
+
+def append_bloom_store(
+    spark,
+    batch: DataFrame,
+    text_col: str,
+    path: str,
+) -> None:
+    """Fold a new benchmark batch into the persisted filter WITHOUT
+    rebuilding: bloom(A ∪ B) == bloom(A) | bloom(B) bit-for-bit (both
+    sides hash the same way), so the append is the old packed words
+    unioned with the batch's, bit_or-merged per word — cost ∝ batch +
+    m/64, never ∝ the accumulated benchmark.  Params come from the
+    store's sidecar; the batch CANNOT override them."""
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        resolve_root,
+    )
+
+    p = read_bloom_params(path)
+    old = spark.read.parquet(resolve_root(path))
+    new = packed_bloom_words(
+        batch, text_col, n=p["n"], m=p["m"], k=p["k"]
+    ).withColumnRenamed("bits", "mask")
+    merged = (
+        old.withColumnRenamed("bits", "mask")
+        .unionByName(new)
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    _write_params(new_root, p["n"], p["m"], p["k"])
+    commit_rewrite(path, cur, new_v)
+
+
+def load_bloom(spark, path: str) -> tuple[DataFrame, dict]:
+    """(one-row dense filter, params) from the live store version."""
+    from ubw_spark.operators.versioned import resolve_root
+
+    p = read_bloom_params(path)
+    packed = spark.read.parquet(resolve_root(path))
+    return dense_bloom_row(packed, p["m"]), p
+
+
+def probe_bloom_store(
+    spark,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """bloom_probe against the persisted filter, under the params the
+    store was built with."""
+    bloom, p = load_bloom(spark, path)
+    return bloom_probe(
+        corpus, id_col, text_col, bloom,
+        n=p["n"], m=p["m"], k=p["k"], parallelism=parallelism,
     )

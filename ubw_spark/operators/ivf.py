@@ -22,6 +22,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ubw_spark.functions.hof import fence
+
 from ubw_spark.operators.similarity import cosine_col
 
 
@@ -68,7 +70,11 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
         )
         dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
     ranked = F.array_sort(F.array(*dists))
-    return F.transform(F.slice(ranked, 1, n), lambda s: s["c"])
+    # fence: every caller joins or explodes on the result, and the
+    # inferred isnotnull predicates would otherwise be pushdown-
+    # substituted, re-running the full centroid-distance pipeline per
+    # row just to check a null (hof_filter_violations)
+    return fence(F.transform(F.slice(ranked, 1, n), lambda s: s["c"]))
 
 
 def assign_ivf_cells(

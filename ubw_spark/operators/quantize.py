@@ -36,9 +36,18 @@ def quantize_int8(
             F.floor((x - mn) / scale + F.lit(0.5)).cast("int") - F.lit(127)
         ),
     )).otherwise(F.transform(v, lambda x: F.lit(0)))
+    # fence (scalars only): downstream predicates / join-key null checks
+    # on q_min/q_scale would otherwise be pushdown-substituted and re-run
+    # the min/max pipeline per row (hof_filter_violations).  The codes
+    # array itself is never filtered on, and fencing it would add a
+    # per-row array copy for nothing.
+    from ubw_spark.functions.hof import fence
+
     return (
-        df.withColumn("q_min", mn)
-        .withColumn("q_scale", F.when(mx > mn, scale).otherwise(F.lit(0.0)))
+        df.withColumn("q_min", fence(mn))
+        .withColumn(
+            "q_scale", fence(F.when(mx > mn, scale).otherwise(F.lit(0.0)))
+        )
         .withColumn(out_col, codes)
     )
 

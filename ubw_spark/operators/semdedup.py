@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ubw_spark.functions.hof import fence
 from ubw_spark.operators.ivf import _nearest_cells
 from ubw_spark.operators.similarity import cosine_col
 
@@ -173,7 +174,11 @@ def _pairs_from_cells(
         "id_a",
         "id_b",
         "cell",
-        (dot / (F.col("__na") * F.col("__nb"))).alias("__cos"),
+        # fence: the threshold filter below would otherwise be pushed
+        # into this projection with __cos substituted — re-running the
+        # dot fold per pair in the Filter AND again here (2× the
+        # quadratic kernel; caught by hof_filter_violations)
+        fence(dot / (F.col("__na") * F.col("__nb"))).alias("__cos"),
     )
     return scored.where(F.col("__cos") >= threshold).select(
         "id_a", "id_b", "cell", F.round("__cos", 4).alias("cos_sim")

@@ -186,11 +186,18 @@ def embedding_near_dup_pairs(
         b = corpus.select(
             F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
         )
-        cos = cosine_col(F.col("__va"), F.col("__vb"))
-        return (
-            a.join(b, F.col("id_a") < F.col("id_b"))
-            .where(cos >= threshold)
-            .select("id_a", "id_b", F.round(cos, 3).alias("cos_sim"))
+        # fence: project the cosine ONCE, then filter on the attribute —
+        # an unfenced where(cos >= t) is pushed back into the join and
+        # re-runs the fold per pair (hof_filter_violations)
+        from ubw_spark.functions.hof import fence
+
+        scored = a.join(b, F.col("id_a") < F.col("id_b")).select(
+            "id_a",
+            "id_b",
+            fence(cosine_col(F.col("__va"), F.col("__vb"))).alias("__cos"),
+        )
+        return scored.where(F.col("__cos") >= threshold).select(
+            "id_a", "id_b", F.round("__cos", 3).alias("cos_sim")
         )
     if method != "lsh":
         raise ValueError(f"unknown method '{method}' (brute|lsh)")
@@ -221,8 +228,15 @@ def embedding_near_dup_pairs(
         # vectors into the shuffle key and move them as key bytes
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = cosine_col(F.col("__va"), F.col("__vb"))
-    return (
-        cands.where(cos >= threshold)
-        .select("id_a", "id_b", F.round(cos, 3).alias("cos_sim"))
+    # fence: same compute-once-then-filter shape as the brute branch —
+    # the verification fold is the per-candidate kernel
+    from ubw_spark.functions.hof import fence
+
+    scored = cands.select(
+        "id_a",
+        "id_b",
+        fence(cosine_col(F.col("__va"), F.col("__vb"))).alias("__cos"),
+    )
+    return scored.where(F.col("__cos") >= threshold).select(
+        "id_a", "id_b", F.round("__cos", 3).alias("cos_sim")
     )

@@ -8,6 +8,7 @@ from ubw_spark.plans.inspect import (
     sortmerge_or_shuffledhash_count,
     has_take_ordered,
     shuffle_count,
+    hof_filter_violations,
     assert_plan,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "sortmerge_or_shuffledhash_count",
     "has_take_ordered",
     "shuffle_count",
+    "hof_filter_violations",
     "assert_plan",
 ]

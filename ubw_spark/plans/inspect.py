@@ -190,6 +190,55 @@ def global_window_violations(df: DataFrame) -> list[str]:
     return out
 
 
+def hof_filter_violations(df: DataFrame) -> list[str]:
+    """Filter predicates that evaluate a higher-order-function lambda —
+    the interpreted re-evaluation hazard.
+
+    Catalyst performs NO common-subexpression elimination inside HOF
+    lambdas or Filter predicates, and a predicate over a derived column
+    (``where(size(<array pipeline>) > 0)``) is pushed below the
+    projection and re-evaluates the WHOLE pipeline per input row in the
+    interpreted path — measured 25× on the Bloom probe before the guard
+    moved to the raw token count (operators/bloom.py) and documented
+    earlier for minhash (operators/dedup.py:216-222).  The marker is
+    precise: cheap scalar guards (``size(split(x)) >= 3``) contain no
+    ``lambdafunction``; any Filter whose condition carries one is
+    rebuilding an array pipeline per row to decide a boolean.
+
+    Scope: Filter nodes of the executed plan.  Generate nodes are NOT
+    linted — ``explode(transform(...))`` is the normal gram-explode
+    shape and is fine when, as everywhere in this repo, expensive
+    subtrees feeding the lambdas are let-bound (functions/hof.py) or
+    materialized attributes.  Returns one string per offending Filter
+    (empty == clean)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    out: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "Filter":
+            try:
+                cond = node.condition().toString()
+            except Exception:
+                cond = node.toString().split("\n", 1)[0]
+            if "lambdafunction(" in cond:
+                out.append(
+                    f"Filter evaluates a HOF lambda per row: {cond[:160]}"
+                )
+        seq = node.children()
+        kids = [seq.apply(i) for i in range(seq.size())]
+        if not kids:
+            for probe in ("inputPlan", "plan", "child"):
+                try:
+                    kids = [getattr(node, probe)()]
+                    break
+                except Exception:
+                    continue
+        stack.extend(kids)
+    return out
+
+
 def assert_plan(
     df: DataFrame,
     *,

@@ -132,3 +132,61 @@ def dedup_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         parallelism=spark.sparkContext.defaultParallelism,
     )
+
+
+@register(
+    "dedup_bloom_store_probe",
+    oracle=r"""
+    WITH
+    """
+    + _ORACLE_GRAMS
+    + r""",
+    cp AS (
+      SELECT doc_id, u.g,
+             ((('0x' || substr(md5(u.g), 1, 8))::BIGINT
+               + p.i * (2 * ('0x' || substr(md5(u.g), 9, 8))::BIGINT + 1))
+              % 262144) AS pos
+      FROM sh, unnest(sh.s) AS u(g)
+      CROSS JOIN generate_series(0, 3) AS p(i)
+      WHERE doc_id % 10 != 0),
+    gh AS (
+      SELECT doc_id, g,
+             count(*) FILTER (WHERE pos IN (SELECT pos FROM bpos)) = 4 AS hit
+      FROM cp GROUP BY doc_id, g)
+    SELECT doc_id,
+           count(*)::BIGINT AS total_grams,
+           count(*) FILTER (WHERE hit)::BIGINT AS hit_grams
+    FROM gh GROUP BY doc_id
+    """,
+    tags=("dedup", "bloom", "contamination", "index"),
+)
+def dedup_bloom_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PERSISTED-filter lifecycle, value-equal to the in-memory
+    path: WRITE a versioned bloom store from half the eval set
+    (doc_id % 20 == 0), APPEND the other half (% 20 == 10) — bloom
+    union is bitwise OR, bit-exact, cost ∝ batch — then PROBE the
+    corpus from the store.  The two batches together are exactly the
+    ``doc_id % 10 == 0`` benchmark, so the oracle is the SAME SQL as
+    ``dedup_bloom_decontaminate``: the lifecycle must not change a
+    single count.  Timing includes both store writes — that IS the
+    operation, as with the LSH/gram/IVF store entries."""
+    import hashlib
+
+    from ubw_spark.operators.bloom import (
+        append_bloom_store,
+        probe_bloom_store,
+        write_bloom_store,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    path = "/tmp/ubw_spark_bloom_store_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    write_bloom_store(d.where(F.col("doc_id") % 20 == 0), "text", path, n=3)
+    append_bloom_store(
+        spark, d.where(F.col("doc_id") % 20 == 10), "text", path
+    )
+    return probe_bloom_store(
+        spark, d.where(F.col("doc_id") % 10 != 0), "doc_id", "text", path,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )

@@ -216,9 +216,13 @@ def curation_quality_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFram
     stop_cnt = F.size(
         F.filter(_tokens(F.col("text")), lambda x: F.array_contains(stop_arr, x))
     )
+    from ubw_spark.functions.hof import fence
+
+    # fence: the gate filters on `score`; unfenced, the pushed predicate
+    # re-ran the whole stopword pipeline per row (hof_filter_violations)
     scored = d.select(
         "doc_id", "lang",
-        F.round(stop_cnt / F.size(toks), 4).alias("score"),
+        fence(F.round(stop_cnt / F.size(toks), 4)).alias("score"),
     )
     kept = quantile_gate(scored, "score", 0.2, keep="above")
     return kept.groupBy("lang").agg(
