@@ -157,3 +157,18 @@ def test_store_missing_params_raises(spark, corpora, tmp_path):
     os.makedirs(path)
     with pytest.raises(ValueError, match="no _BLOOM_PARAMS"):
         read_bloom_params(path)
+
+
+def test_probe_raises_on_m_mismatch(spark, corpora):
+    """A filter built with one m probed under another must RAISE, not
+    silently report zero hits (element_at past the array end is NULL in
+    non-ANSI mode -> every gram would drop from hit_grams)."""
+    bench, corpus = corpora
+    small = build_bloom(bench, "text", m=1 << 12)
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        bloom_probe(corpus, "id", "text", small).collect()  # default m
+        assert False, "mismatched m must raise"
+    except Exception as e:
+        assert "length mismatch" in str(e)

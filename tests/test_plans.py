@@ -425,3 +425,39 @@ def test_hof_filter_lint_fixtures(spark):
         F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")) >= 3
     ).select("id", word_shingles(F.col("text"), 3).alias("g"))
     assert hof_filter_violations(good) == []
+
+
+def test_hof_filter_lint_catches_join_conditions(spark):
+    """A both-sides HOF predicate (where(cosine >= t) on a pair join)
+    is moved INTO the join condition by PushPredicateThroughJoin —
+    leaving no Filter node.  The lint must still flag it, and the
+    fence + project-then-filter rewrite must clear it."""
+    from ubw_spark.functions.hof import fence
+    from ubw_spark.plans.inspect import hof_filter_violations
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 1.0])],
+        "id bigint, v array<double>",
+    )
+    a = df.select(F.col("id").alias("ia"), F.col("v").alias("va"))
+    b = df.select(F.col("id").alias("ib"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bad = a.join(b, F.col("ia") < F.col("ib")).where(dot >= 0.5)
+    offenders = hof_filter_violations(bad)
+    # small fixtures plan a CartesianProduct; real pair joins a BNLJ —
+    # both are join nodes the lint must cover
+    assert offenders and (
+        "Join" in offenders[0] or "CartesianProduct" in offenders[0]
+    ), offenders
+
+    good = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select("ia", "ib", fence(dot).alias("__d"))
+        .where(F.col("__d") >= 0.5)
+    )
+    assert hof_filter_violations(good) == []
+    assert sorted((r["ia"], r["ib"]) for r in good.collect()) == [(1, 2)]

@@ -52,7 +52,15 @@ def fence(value: Column) -> Column:
     row — interpreted, uncached — and the projection then evaluates it
     AGAIN for the output (2-3× the query's dominant kernel; the lint
     ``plans/inspect.py::hof_filter_violations`` flags exactly this
-    shape).  Cost: one single-element array copy per row."""
+    shape).  Cost: one single-element array copy per row.
+
+    CAVEAT — fence is an OPERATOR-level barrier, not a per-column one:
+    PushPredicateThroughNonJoin requires every field of a projection to
+    be deterministic, so NO predicate (even on unrelated cheap columns)
+    pushes below a projection containing a fenced column.  Place the
+    fenced projection as LATE as possible — selective id/partition
+    filters belong below it, next to the scan.  (quantize_int8 fences
+    its outputs, so filter the corpus BEFORE quantizing, not after.)"""
     return F.element_at(F.shuffle(F.array(value)), 1)
 
 

@@ -16,6 +16,19 @@ from pyspark.sql import functions as F
 from ubw_spark.functions.hof import let
 
 
+def tokens(c: Column) -> Column:
+    r"""THE whitespace tokenization every gram operator shares:
+    ``split(trim(lower(c)), '\s+')`` — DuckDB twin
+    ``regexp_split_to_array(trim(lower(text)), '\s+')``.
+
+    One definition on purpose: word_shingles (dedup), the bloom probe's
+    short-doc guard, and the query-side helpers must agree EXACTLY on
+    what a token is, because guards like "tokens >= n iff grams
+    nonempty" and every gram oracle ride on that equivalence — four
+    hand-inlined copies of this expression used to drift-risk it."""
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
 def normalize_text(c: Column) -> Column:
     """Lowercase, collapse whitespace runs, strip edges — the canonical
     form used by fingerprinting and dedup."""

@@ -27,19 +27,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ubw_spark.functions.hof import let
+from ubw_spark.functions.text import tokens
 from ubw_spark.operators.dedup import word_shingles
 
 M_DEFAULT = 1 << 18  # bits in the filter (32 KiB packed)
 K_DEFAULT = 4  # probes per gram
-
-
-def bloom_hash_pair(gram: Column) -> tuple[Column, Column]:
-    """Two independent 32-bit hashes from ONE md5 — portable to any
-    engine with md5 (h1 = hex[0:8], h2 = hex[8:16])."""
-    hx = F.md5(gram)
-    h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
-    return h1, h2
 
 
 def bloom_positions(gram: Column, m: int = M_DEFAULT, k: int = K_DEFAULT) -> Column:
@@ -48,13 +41,23 @@ def bloom_positions(gram: Column, m: int = M_DEFAULT, k: int = K_DEFAULT) -> Col
     Double hashing: pos_i = (h1 + i·(2·h2+1)) mod m.  Max intermediate
     is ~2^35 — no bigint overflow.  Duplicate positions (step·Δi ≡ 0
     mod m) are harmless: membership tests every listed position and a
-    duplicate has one truth value."""
-    h1, h2 = bloom_hash_pair(gram)
-    step = h2 * F.lit(2) + F.lit(1)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: (h1 + i.cast("long") * step) % F.lit(m),
-    )
+    duplicate has one truth value.
+
+    The md5 hex string is LET-BOUND so it is computed ONCE per gram —
+    unbound, the position lambda's h1/step subtrees each embed their
+    own md5 copy and the hash runs 2k times per gram (no CSE inside
+    HOF lambdas; functions/hof.py)."""
+
+    def positions(hx: Column) -> Column:
+        h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        step = h2 * F.lit(2) + F.lit(1)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: (h1 + i.cast("long") * step) % F.lit(m),
+        )
+
+    return let(F.md5(gram), positions)
 
 
 def packed_bloom_words(
@@ -137,6 +140,28 @@ def _gram_hit(pos_arrays: str, bits: str) -> Column:
     )
 
 
+def _checked_gram_hit(pos_arrays: str, bits: str, m: int) -> Column:
+    """_gram_hit guarded against an m-mismatched filter: positions are
+    taken mod the CALLER's m, so a filter built with a different m
+    would be indexed past its end — element_at → NULL → forall → NULL →
+    the gram silently drops from the hit count (false negatives, which
+    this module promises are impossible).  Raise instead."""
+    return F.when(
+        F.size(bits) == m // 64, _gram_hit(pos_arrays, bits)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "bloom filter length mismatch: bloom_bits has "
+                ),
+                F.size(bits).cast("string"),
+                F.lit(f" words but the probe's m={m} needs {m // 64} — "),
+                F.lit("the filter was built with a different m"),
+            )
+        ).cast("int")
+    )
+
+
 def bloom_probe(
     corpus: DataFrame,
     id_col: str,
@@ -161,10 +186,16 @@ def bloom_probe(
     text buys full-width compute.  Default None keeps the input
     partitioning and the pure zero-shuffle plan.
 
-    The per-gram hash pair is materialized into the positions array by
-    one transform, so md5 runs ~2× per gram (h1, h2) — NOT once per bit
-    probe (lambda vars are bound values; see the CollapseProject note at
-    operators/dedup.py:118)."""
+    The md5 hex is let-bound inside bloom_positions, so the hash runs
+    ONCE per gram — not once per bit probe (lambda vars are bound
+    values; functions/hof.py).
+
+    Guard: the per-row hit computation verifies the packed filter's
+    length matches ``m`` and raises otherwise — a mismatched (m, k)
+    would index past the array, element_at would return NULL, and every
+    contaminated gram would silently drop out of ``hit_grams`` (the
+    exact silent-zero failure the store's params sidecar exists to
+    prevent; this closes the same hole for the in-memory API)."""
     if parallelism:
         corpus = corpus.repartition(parallelism)
     # Docs with < n tokens (zero grams) are dropped HERE, on the raw
@@ -173,10 +204,7 @@ def bloom_probe(
     # — an interpreted re-evaluation of the whole gram pipeline inside
     # the Filter that measured 25× slower than the probe itself.
     probed = (
-        corpus.where(
-            F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-            >= n
-        )
+        corpus.where(F.size(tokens(F.col(text_col))) >= n)
         .select(
             F.col(id_col),
             word_shingles(F.col(text_col), n).alias("__grams"),
@@ -195,7 +223,9 @@ def bloom_probe(
     return probed.select(
         F.col(id_col),
         F.col("total_grams").cast("long").alias("total_grams"),
-        _gram_hit("__pos", "bloom_bits").cast("long").alias("hit_grams"),
+        _checked_gram_hit("__pos", "bloom_bits", m)
+        .cast("long")
+        .alias("hit_grams"),
     )
 
 
@@ -237,7 +267,9 @@ def bloom_audit(
         )
         .select(
             "gram",
-            (_gram_hit("__pos", "bloom_bits") == 1).alias("bloom_hit"),
+            (_checked_gram_hit("__pos", "bloom_bits", m) == 1).alias(
+                "bloom_hit"
+            ),
         )
         .join(bg.withColumn("__exact", F.lit(True)), "gram", "left")
     )

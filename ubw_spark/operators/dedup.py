@@ -88,7 +88,9 @@ def word_shingles(text: Column, k: int = 1) -> Column:
     output.  Documents with fewer than k words yield an empty array —
     the ``n >= k`` guard matters because ``F.sequence(1, 0)`` counts
     DOWN ([1, 0]) and slice past the end misbehaves."""
-    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    from ubw_spark.functions.text import tokens
+
+    toks = tokens(text)
     if k == 1:
         return F.array_distinct(toks)
 

@@ -27,28 +27,49 @@ def quantize_int8(
 
     Degenerate constant vectors (max == min) quantize to all-zero codes
     with scale 0 — dequant returns the constant exactly."""
+    from ubw_spark.functions.hof import fence, let
+
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     mn, mx = F.array_min(v), F.array_max(v)
-    scale = (mx - mn) / F.lit(254.0)
-    codes = F.when(mx > mn, F.transform(
-        v,
-        lambda x: (
-            F.floor((x - mn) / scale + F.lit(0.5)).cast("int") - F.lit(127)
-        ),
-    )).otherwise(F.transform(v, lambda x: F.lit(0)))
+
+    # codes: the per-element lambda references mn/scale — let-bound
+    # (functions/hof.py), because unbound each of the d elements would
+    # re-walk the O(d) min/max folds (O(d²) per row; no CSE inside HOF
+    # lambdas).  The cast vector is bound too so it is built once.
+    def codes_of(vv: F.Column) -> F.Column:
+        def with_stats(s: F.Column) -> F.Column:
+            lo, hi = s["mn"], s["mx"]
+            sc = (hi - lo) / F.lit(254.0)
+            return F.when(
+                hi > lo,
+                F.transform(
+                    vv,
+                    lambda x: (
+                        F.floor((x - lo) / sc + F.lit(0.5)).cast("int")
+                        - F.lit(127)
+                    ),
+                ),
+            ).otherwise(F.transform(vv, lambda x: F.lit(0)))
+
+        return let(
+            F.struct(
+                F.array_min(vv).alias("mn"), F.array_max(vv).alias("mx")
+            ),
+            with_stats,
+        )
+
     # fence (scalars only): downstream predicates / join-key null checks
     # on q_min/q_scale would otherwise be pushdown-substituted and re-run
     # the min/max pipeline per row (hof_filter_violations).  The codes
     # array itself is never filtered on, and fencing it would add a
     # per-row array copy for nothing.
-    from ubw_spark.functions.hof import fence
-
     return (
         df.withColumn("q_min", fence(mn))
         .withColumn(
-            "q_scale", fence(F.when(mx > mn, scale).otherwise(F.lit(0.0)))
+            "q_scale",
+            fence(F.when(mx > mn, (mx - mn) / F.lit(254.0)).otherwise(F.lit(0.0))),
         )
-        .withColumn(out_col, codes)
+        .withColumn(out_col, let(v, codes_of))
     )
 
 

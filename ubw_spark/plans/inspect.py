@@ -200,31 +200,67 @@ def hof_filter_violations(df: DataFrame) -> list[str]:
     projection and re-evaluates the WHOLE pipeline per input row in the
     interpreted path — measured 25× on the Bloom probe before the guard
     moved to the raw token count (operators/bloom.py) and documented
-    earlier for minhash (operators/dedup.py:216-222).  The marker is
-    precise: cheap scalar guards (``size(split(x)) >= 3``) contain no
-    ``lambdafunction``; any Filter whose condition carries one is
-    rebuilding an array pipeline per row to decide a boolean.
+    earlier for minhash (operators/dedup.py:216-222).  Cheap scalar
+    guards (``size(split(x)) >= 3``) contain no ``lambdafunction`` and
+    pass; a condition carrying one is rebuilding an array pipeline per
+    row to decide a boolean — or, see the precision caveat below,
+    iterating a stored array, which the lint cannot tell apart.
 
-    Scope: Filter nodes of the executed plan.  Generate nodes are NOT
-    linted — ``explode(transform(...))`` is the normal gram-explode
-    shape and is fine when, as everywhere in this repo, expensive
-    subtrees feeding the lambdas are let-bound (functions/hof.py) or
-    materialized attributes.  Returns one string per offending Filter
+    Scope: Filter nodes AND join conditions of the executed plan — a
+    predicate referencing both sides (``where(cosine(a, b) >= t)``) is
+    moved into the join condition by PushPredicateThroughJoin, leaving
+    NO Filter node, and the fold then re-runs per considered pair in
+    BroadcastNestedLoopJoin/CartesianProduct; a Filter-only lint would
+    wave that exact shape through.  Generate nodes are NOT linted —
+    ``explode(transform(...))`` is the normal gram-explode shape and is
+    fine when, as everywhere in this repo, expensive subtrees feeding
+    the lambdas are let-bound (functions/hof.py) or materialized
+    attributes.
+
+    Precision caveat: a lambda over an already-materialized ARRAY
+    ATTRIBUTE (``where(exists(col("tags"), ...))`` on a scanned column)
+    is cheap but still flagged — distinguishing an attribute-input
+    lambda from a pipeline-rebuilding one is not robustly decidable
+    from the condition string.  No registered query needs the shape;
+    if one ever does, restructure it as project-the-flag-then-filter
+    with `fence` (functions/hof.py), which is also the faster plan when
+    the flag feeds the output.  Returns one string per offending node
     (empty == clean)."""
+
+    def _opt_condition(node) -> str:
+        """Join/filter condition as a string; '' when absent.  Join
+        nodes return scala Option[Expression], Filter returns the bare
+        Expression — and py4j proxies claim EVERY attribute exists, so
+        the Option unwrap must be call-and-catch, not hasattr."""
+        try:
+            c = node.condition()
+        except Exception:
+            return ""
+        if c is None:
+            return ""
+        try:
+            if c.isEmpty():  # scala None
+                return ""
+            c = c.get()  # scala Some(expr)
+        except Exception:
+            pass  # bare Expression (Filter)
+        try:
+            return c.toString()
+        except Exception:
+            return ""
+
     plan = df._jdf.queryExecution().executedPlan()
     out: list[str] = []
     stack = [plan]
     while stack:
         node = stack.pop()
         name = node.nodeName()
-        if name == "Filter":
-            try:
-                cond = node.condition().toString()
-            except Exception:
-                cond = node.toString().split("\n", 1)[0]
+        if name == "Filter" or "Join" in name or "CartesianProduct" in name:
+            cond = _opt_condition(node)
             if "lambdafunction(" in cond:
+                kind = "Filter" if name == "Filter" else name
                 out.append(
-                    f"Filter evaluates a HOF lambda per row: {cond[:160]}"
+                    f"{kind} evaluates a HOF lambda per row: {cond[:160]}"
                 )
         seq = node.children()
         kids = [seq.apply(i) for i in range(seq.size())]

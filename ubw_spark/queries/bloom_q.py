@@ -42,10 +42,12 @@ _ORACLE_GRAMS = r"""
       WHERE doc_id % 10 = 0)
 """
 
-
-@register(
-    "dedup_bloom_decontaminate",
-    oracle=r"""
+# The full probe oracle, shared VERBATIM by the in-memory decontaminate
+# query and the persisted-store lifecycle query: the store path must not
+# change a single count, and a one-sided edit to the hit condition would
+# silently break that parity if the SQL existed twice.
+_ORACLE_PROBE = (
+    r"""
     WITH
     """
     + _ORACLE_GRAMS
@@ -66,7 +68,13 @@ _ORACLE_GRAMS = r"""
            count(*)::BIGINT AS total_grams,
            count(*) FILTER (WHERE hit)::BIGINT AS hit_grams
     FROM gh GROUP BY doc_id
-    """,
+    """
+)
+
+
+@register(
+    "dedup_bloom_decontaminate",
+    oracle=_ORACLE_PROBE,
     tags=("dedup", "bloom", "contamination"),
 )
 def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,28 +144,7 @@ def dedup_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_bloom_store_probe",
-    oracle=r"""
-    WITH
-    """
-    + _ORACLE_GRAMS
-    + r""",
-    cp AS (
-      SELECT doc_id, u.g,
-             ((('0x' || substr(md5(u.g), 1, 8))::BIGINT
-               + p.i * (2 * ('0x' || substr(md5(u.g), 9, 8))::BIGINT + 1))
-              % 262144) AS pos
-      FROM sh, unnest(sh.s) AS u(g)
-      CROSS JOIN generate_series(0, 3) AS p(i)
-      WHERE doc_id % 10 != 0),
-    gh AS (
-      SELECT doc_id, g,
-             count(*) FILTER (WHERE pos IN (SELECT pos FROM bpos)) = 4 AS hit
-      FROM cp GROUP BY doc_id, g)
-    SELECT doc_id,
-           count(*)::BIGINT AS total_grams,
-           count(*) FILTER (WHERE hit)::BIGINT AS hit_grams
-    FROM gh GROUP BY doc_id
-    """,
+    oracle=_ORACLE_PROBE,
     tags=("dedup", "bloom", "contamination", "index"),
 )
 def dedup_bloom_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,9 @@ from ubw_spark.queries.registry import register, table
 
 
 def _tokens(col):
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    from ubw_spark.functions.text import tokens
+
+    return tokens(col)
 
 
 def _token_stats(d: DataFrame) -> DataFrame:

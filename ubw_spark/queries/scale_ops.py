@@ -978,14 +978,23 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = e.agg(
         F.min(F.array_min("v")).alias("mn"), F.max(F.array_max("v")).alias("mx")
     )
+    from ubw_spark.functions.hof import fence
+
+    # fence: InferFiltersFromGenerate grounds the posexplode below with
+    # size(qv) > 0 AND isnotnull(qv); unfenced those land in the join
+    # condition with the quantize transform substituted — 3 evaluations
+    # per row instead of 1 (caught by hof_filter_violations' join scope)
     q = e.crossJoin(broadcast(bounds)).select(
         "label",
-        F.transform(
-            "v",
-            lambda x: F.floor(
-                (x - F.col("mn")) / ((F.col("mx") - F.col("mn")) / F.lit(254.0))
-                + F.lit(0.5)
-            ).cast("long"),
+        fence(
+            F.transform(
+                "v",
+                lambda x: F.floor(
+                    (x - F.col("mn"))
+                    / ((F.col("mx") - F.col("mn")) / F.lit(254.0))
+                    + F.lit(0.5)
+                ).cast("long"),
+            )
         ).alias("qv"),
     )
     return (

@@ -93,14 +93,20 @@ def sim_pairs_above_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     The id<150 block stands in for one LSH bucket: at scale the
     operators.similarity LSH assigns bucket ids and this exact kernel
     runs per bucket — same plan shape, bounded pair count."""
+    from ubw_spark.functions.hof import fence
+
     emb = table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    c = cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(broadcast(b), F.col("id_a") < F.col("id_b"))
-        .where(c >= 0.25)
-        .select("id_a", "id_b", F.round(c, 4).alias("cos_sim"))
+    # fence + project-then-filter: an inline where(cos >= t) references
+    # both join sides, so PushPredicateThroughJoin would move the fold
+    # into the BNLJ condition AND the projection would re-run it — 2×
+    # the pair kernel (caught by hof_filter_violations' join scope)
+    scored = a.join(broadcast(b), F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", fence(cosine(F.col("ea"), F.col("eb"))).alias("__c")
+    )
+    return scored.where(F.col("__c") >= 0.25).select(
+        "id_a", "id_b", F.round("__c", 4).alias("cos_sim")
     )
 
 

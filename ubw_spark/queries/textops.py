@@ -20,7 +20,9 @@ _STOPWORDS = ["the", "a", "of", "in", "and", "to", "is"]
 
 
 def _tokens(col):
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    from ubw_spark.functions.text import tokens
+
+    return tokens(col)
 
 
 @register(
