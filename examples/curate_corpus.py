@@ -100,9 +100,27 @@ def curate(
 
     if eval_ids_from >= 0:
         evalset = docs.where(F.col("doc_id") >= eval_ids_from)
+        # Two-phase decontamination — the production composition:
+        # (a) a Bloom filter over the eval set's 3-grams prefilters the
+        #     corpus MAP-ONLY (zero shuffle, false positives only), so
+        # (b) the expensive MinHash band join + Jaccard verify runs on
+        #     the small flagged slice, not the whole corpus.
+        # Sound because bloom has NO false negatives: a doc sharing any
+        # 3-gram with the eval set always gets hit_grams >= 1, and a
+        # doc sharing NO 3-gram cannot reach Jaccard >= threshold.
+        from ubw_spark.operators.bloom import bloom_probe, build_bloom
+
+        par = spark.sparkContext.defaultParallelism
+        bloom = build_bloom(evalset, "text", n=3)
+        suspects = (
+            bloom_probe(d, "doc_id", "text", bloom, n=3, parallelism=par)
+            .where(F.col("hit_grams") > 0)
+            .select("doc_id")
+        )
         contaminated = minhash_contamination_pairs(
-            d, evalset, "doc_id", "text", k=3, threshold=jaccard,
-            parallelism=spark.sparkContext.defaultParallelism,
+            d.join(suspects, "doc_id", "left_semi"),
+            evalset, "doc_id", "text", k=3, threshold=jaccard,
+            parallelism=par,
         ).select(F.col("corpus_id").alias("doc_id")).distinct()
         d = stage("05_decontam", d.join(contaminated, "doc_id", "left_anti"))
 

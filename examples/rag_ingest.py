@@ -183,6 +183,51 @@ def update(
     return {"n_new_chunks": n_new, "n_dropped_chunks": n_dropped}
 
 
+def sync(
+    spark,
+    out: str,
+    centroids: list,
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    *,
+    chunk_chars: int = 256,
+    overlap: int = 32,
+    dim: int = 32,
+) -> dict:
+    """Snapshot-driven maintenance: diff two corpus snapshots
+    (operators/cdc.py::snapshot_diff — only (id, fingerprint) pairs
+    shuffle) and feed the delta to :func:`update`:
+
+    - added + changed docs (re)ingest;
+    - removed + changed docs retire (changed docs appear on BOTH sides
+      — update() deletes before appending, so an edit is a replace).
+
+    This is the loop a recurring crawl runs: no per-doc bookkeeping
+    upstream, just "here is the new dump" — the diff derives the
+    minimal index work.  Unchanged docs cost one fingerprint compare
+    and touch neither the chunk store nor the index."""
+    from ubw_spark.operators.cdc import snapshot_diff
+
+    diff = snapshot_diff(old_docs, new_docs, "doc_id", "text")
+    to_retire = diff.where(
+        F.col("status").isin("removed", "changed")
+    ).select("doc_id")
+    to_ingest = new_docs.join(
+        diff.where(F.col("status").isin("added", "changed")),
+        "doc_id",
+        "left_semi",
+    )
+    stats = update(
+        spark, out, centroids, to_ingest, to_retire,
+        chunk_chars=chunk_chars, overlap=overlap, dim=dim,
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in diff.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {**stats, "diff_counts": counts}
+
+
 def search(
     spark,
     out: str,

@@ -113,3 +113,50 @@ def test_rag_incremental_update_and_retire(spark, sf_dir, tmp_path):
         spark, out, stats["centroids"], [(0, old5[:256])], dim=32, k=3
     ).collect()
     assert all(r.doc_id != 5 for r in stale)
+
+
+def test_rag_snapshot_sync(spark, sf_dir, tmp_path):
+    """Dump-to-dump maintenance with NO per-doc bookkeeping: ingest
+    snapshot A, sync to snapshot B (one doc edited, one removed, one
+    added).  The edited doc's new text and the added doc must retrieve;
+    the removed doc and the edited doc's OLD text must not."""
+    from rag_ingest import ingest, search, sync
+
+    out = str(tmp_path / "rag")
+    stats = ingest(spark, sf_dir, out, chunk_chars=256, overlap=32, dim=32)
+
+    base = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    ids = [r["doc_id"] for r in base.orderBy("doc_id").limit(3).collect()]
+    edited_id, removed_id = ids[0], ids[1]
+    v2_text = "orchid tundra velvet quasar bramble " * 12
+    added_text = "saffron glacier mandolin pepper nimbus " * 12
+    new_snapshot = (
+        base.where(~F.col("doc_id").isin([edited_id, removed_id]))
+        .unionByName(
+            spark.createDataFrame(
+                [(edited_id, v2_text), (900001, added_text)],
+                "doc_id bigint, text string",
+            )
+        )
+    )
+    up = sync(spark, out, stats["centroids"], base, new_snapshot)
+    assert up["diff_counts"]["changed"] == 1
+    assert up["diff_counts"]["removed"] == 1
+    assert up["diff_counts"]["added"] == 1
+    assert up["n_dropped_chunks"] >= 1 and up["n_new_chunks"] >= 2
+
+    hits = search(
+        spark, out, stats["centroids"],
+        [(0, v2_text[:256]), (1, added_text[:256])], dim=32, k=3,
+    ).collect()
+    by_q = {}
+    for r in hits:
+        by_q.setdefault(r.qid, []).append(r)
+    assert by_q[0][0].doc_id == edited_id and by_q[0][0].cos_sim >= 0.9999
+    assert by_q[1][0].doc_id == 900001 and by_q[1][0].cos_sim >= 0.9999
+    # the removed doc's chunks are gone from the index
+    assert all(
+        r.doc_id != removed_id for rs in by_q.values() for r in rs
+    )

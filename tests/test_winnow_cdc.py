@@ -89,3 +89,26 @@ def test_scd2_merge_is_idempotent_for_identical_batch(spark, dim_v1):
     once = scd2_merge(dim_v1, changes, keys=["id"])
     twice = scd2_merge(once, changes, keys=["id"])
     assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+
+def test_snapshot_diff_status_matrix(spark):
+    """All four statuses from a hand-built pair of snapshots; content
+    comparison is by normalized fingerprint (case/edge whitespace
+    insensitive, like exact dedup)."""
+    from ubw_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma EDITED"), (4, "delta"), (5, "  ALPHA ")],
+        "id bigint, text string",
+    )
+    out = {r["id"]: r["status"] for r in snapshot_diff(old, new, "id", "text").collect()}
+    assert out == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "added",
+        5: "added",
+    }

@@ -90,7 +90,7 @@ from ubw_spark.operators.winnow import (
     fingerprint_index,
     winnow_overlap_pairs,
 )
-from ubw_spark.operators.cdc import scd2_init, scd2_merge
+from ubw_spark.operators.cdc import scd2_init, scd2_merge, snapshot_diff
 from ubw_spark.operators.ivf import (
     train_ivf_centroids,
     assign_ivf_cells,
@@ -167,6 +167,7 @@ __all__ = [
     "winnow_overlap_pairs",
     "scd2_init",
     "scd2_merge",
+    "snapshot_diff",
     "train_ivf_centroids",
     "assign_ivf_cells",
     "ivf_ann_topk",

@@ -113,3 +113,32 @@ def scd2_merge(
         .unionByName(closed.select(cols))
         .unionByName(fresh.select(cols))
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_col: str,
+) -> DataFrame:
+    """Corpus snapshot delta: one row per doc present in either
+    snapshot, with ``status`` ∈ added / removed / changed / unchanged —
+    the "what moved between dump N and N+1" report every recurring
+    crawl ingest starts with (and the input to incremental index
+    maintenance: added+changed re-embed/re-band, removed compact out).
+
+    Scale shape: each side reduces to (id, 16-byte md5 fingerprint)
+    map-side, so the full-outer join shuffles fingerprints, never
+    document bodies — the same discipline as exact dedup."""
+    fp = F.md5(F.lower(F.trim(F.col(content_col))))
+    a = old.select(F.col(id_col), fp.alias("__fp_old"))
+    b = new.select(F.col(id_col), fp.alias("__fp_new"))
+    j = a.join(b, id_col, "full_outer")
+    return j.select(
+        id_col,
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )

@@ -199,3 +199,42 @@ def engine_literal_rows_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal") * 100, 0).cast("long").alias("bal_cents"),
         )
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp
+      FROM documents WHERE doc_id % 7 != 0),
+    new AS (
+      SELECT doc_id,
+             md5(lower(trim(CASE WHEN doc_id % 11 = 0
+                                 THEN text || ' v2' ELSE text END))) AS fp
+      FROM documents WHERE doc_id % 5 != 0)
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN new.doc_id IS NULL THEN 'removed'
+                WHEN old.fp != new.fp THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+    """,
+    tags=("cdc", "dedup"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot corpus delta (added / removed / changed /
+    unchanged by content fingerprint) — operators/cdc.py::snapshot_diff.
+    The two snapshots are modulo slices of `documents`, with docs at
+    doc_id % 11 == 0 edited in the new snapshot so every status value
+    is exercised.  Only (id, fingerprint) pairs shuffle."""
+    from ubw_spark.operators.cdc import snapshot_diff
+
+    d = table(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
