@@ -172,3 +172,47 @@ def test_probe_raises_on_m_mismatch(spark, corpora):
         assert False, "mismatched m must raise"
     except Exception as e:
         assert "length mismatch" in str(e)
+
+
+def test_positions_match_python_reference(spark):
+    """Property check independent of the DuckDB oracle: the Spark-side
+    double-hash positions equal a pure-Python md5 reference for
+    arbitrary gram strings (incl. unicode and spaces)."""
+    import hashlib
+
+    from hypothesis import given, settings, strategies as st
+
+    m, k = 1 << 10, 4
+
+    def py_positions(g: str) -> list[int]:
+        hx = hashlib.md5(g.encode("utf-8")).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        return [(h1 + i * (2 * h2 + 1)) % m for i in range(k)]
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    blacklist_categories=("Cs",), max_codepoint=0x2FFF
+                ),
+                min_size=1,
+                max_size=30,
+            ),
+            min_size=1,
+            max_size=8,
+            unique=True,
+        )
+    )
+    def check(grams):
+        df = spark.createDataFrame([(g,) for g in grams], "g string")
+        got = {
+            r["g"]: list(r["p"])
+            for r in df.select(
+                "g", bloom_positions(F.col("g"), m=m, k=k).alias("p")
+            ).collect()
+        }
+        for g in grams:
+            assert got[g] == py_positions(g), g
+
+    check()
