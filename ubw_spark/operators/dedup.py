@@ -121,28 +121,33 @@ def _hash_params(i: int) -> tuple[int, int]:
 
 def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
     """MinHash signature (array<bigint>, length num_hashes) from a
-    PRE-MATERIALIZED column of shingle hashes.
+    column of shingle hashes.
 
     sig[i] = min over shingle hashes h of (a_i·h + b_i) mod P.
 
-    ``hashes`` must be a plain column reference, not an inline
-    ``transform(shingles, portable_hash)`` expression: this signature
-    references it num_hashes times, and Catalyst inlines single-use
-    expensive expressions into each lambda — with md5 inline that
-    re-hashes every shingle 64 times (measured 100+ s at 5k docs; ~2 s
-    materialized).  Multi-referenced non-cheap columns are kept
-    materialized by CollapseProject, which is what we exploit."""
-    mins = []
-    for i in range(num_hashes):
-        a, b = _hash_params(i)
-        mins.append(
-            F.array_min(
-                F.transform(
-                    hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P
+    The input is LET-BOUND (functions/hof.py), so ``hashes`` is
+    evaluated exactly once no matter what expression the caller passes:
+    the signature references it num_hashes times, and before the
+    binding an inline ``transform(shingles, portable_hash)`` argument
+    was re-hashed by every one of the 64 lambdas (measured 100+ s at
+    5k docs vs ~2 s) — callers had to know to pre-materialize, a
+    contract that rode on CollapseProject's multi-reference heuristic.
+    Now the guarantee is structural."""
+
+    def sig(h: Column) -> Column:
+        mins = []
+        for i in range(num_hashes):
+            a, b = _hash_params(i)
+            mins.append(
+                F.array_min(
+                    F.transform(
+                        h, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
+                    )
                 )
             )
-        )
-    return F.array(*mins)
+        return F.array(*mins)
+
+    return let(hashes, sig)
 
 
 def lsh_candidate_pairs(
@@ -222,9 +227,9 @@ def minhash_dedup_pairs(
     # shingle expression — a where(size(__sh)>0) after the projection
     # gets pushed down and re-evaluates the whole shingle pipeline
     # (measured 4x on the sf0.1 bench).
-    df = df.where(
-        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
-    )
+    from ubw_spark.functions.text import tokens
+
+    df = df.where(F.size(tokens(F.col(text_col))) >= k)
     sh = df.select(
         F.col(id_col),
         word_shingles(F.col(text_col), k).alias("__sh"),
@@ -407,9 +412,9 @@ def banded_minhash(
     out_id = id_alias or id_col
     if parallelism:
         df = df.repartition(parallelism)
-    df = df.where(
-        F.size(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")) >= k
-    )
+    from ubw_spark.functions.text import tokens
+
+    df = df.where(F.size(tokens(F.col(text_col))) >= k)
     sh = df.select(
         F.col(id_col).alias(out_id),
         word_shingles(F.col(text_col), k).alias(sh_name),

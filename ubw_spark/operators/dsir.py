@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from ubw_spark.functions.text import tokens
 from ubw_spark.operators.dedup import portable_hash
 
 #: Hash-uniform denominator: portable_hash yields 32-bit values.
@@ -54,7 +55,7 @@ def hashed_ngram_features(
     """(id, __bucket) — one row per n-gram OCCURRENCE, bucketed by the
     portable md5 hash.  n=2 (bigrams) is the paper's default feature
     class; docs shorter than n tokens contribute nothing."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = tokens(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("__toks")).where(
         F.size("__toks") >= n
     )

@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ubw_spark.functions.text import tokens
+
 
 def token_gram_table(
     df: DataFrame, id_col: str, text_col: str, k: int
@@ -60,7 +62,7 @@ def token_gram_table(
     64-bit gram hash.  0-based positions; docs shorter than k tokens
     contribute nothing (the ``n >= k`` guard also keeps
     ``F.sequence(0, n-k)`` from counting DOWN when n < k)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = tokens(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("__toks")).where(
         F.size("__toks") >= k
     )
@@ -256,7 +258,7 @@ def _coverage_report(
     """Zero-filled per-document report shared by the batch probe and
     the whole-corpus fraction: join ``(id, __dup)`` onto every input
     row → (id, n_tokens, dup_tokens, dup_fraction)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
     return base.join(per_doc_dup, id_col, "left").select(
         id_col,
