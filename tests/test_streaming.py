@@ -649,3 +649,82 @@ def test_stream_incremental_ann_ingest_dedup_and_append(spark, sf_dir, tmp_path)
         assert appended[200] is False
     finally:
         q.stop()
+
+
+def test_stream_incremental_bloom_decontamination(spark, tmp_path):
+    """The foreachBatch loop over the BLOOM store — the cheapest of the
+    three incremental decontamination kinds (map-only probe, OR-merge
+    append): each micro-batch probes the persisted filter, drops docs
+    with any benchmark gram hit, and folds the clean docs' grams into
+    the store.  A batch-2 copy of a batch-1 clean doc is flagged
+    against the APPENDED filter — same semantics as the LSH and gram
+    loops, at a fraction of the shuffle cost."""
+    from ubw_spark.operators.bloom import (
+        append_bloom_store,
+        probe_bloom_store,
+        write_bloom_store,
+    )
+
+    path = str(tmp_path / "bloom_store")
+    eval_text = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima"
+    )
+    novel_text = (
+        "mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray"
+    )
+    other_text = (
+        "one swift amber cloud drifts over nine quiet harbor towns "
+        "tonight again"
+    )
+    write_bloom_store(
+        spark.createDataFrame([(1, eval_text)], "doc_id bigint, text string"),
+        "text", path, n=3,
+    )
+
+    inc = str(tmp_path / "binc")
+    os.makedirs(inc)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        staging = str(tmp_path / f"bstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    hits: dict[int, int] = {}
+
+    def handle(bdf, _bid):
+        rep = probe_bloom_store(
+            bdf.sparkSession, bdf, "doc_id", "text", path
+        ).collect()
+        for r in rep:
+            hits[r["doc_id"]] = r["hit_grams"]
+        clean_ids = [r["doc_id"] for r in rep if r["hit_grams"] == 0]
+        append_bloom_store(
+            bdf.sparkSession,
+            bdf.where(F.col("doc_id").isin(clean_ids)),
+            "text", path,
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "bckpt"))
+        .start()
+    )
+    try:
+        arrive([(10, eval_text), (11, novel_text)], "b1")
+        q.processAllAvailable()
+        assert hits[10] > 0  # copy of the eval doc -> flagged
+        assert hits[11] == 0  # novel -> grams folded into the filter
+
+        arrive([(20, novel_text), (21, other_text)], "b2")
+        q.processAllAvailable()
+        assert hits[20] > 0  # flagged vs the batch-1 OR-merge append
+        assert hits[21] == 0
+    finally:
+        q.stop()
