@@ -112,3 +112,54 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("canonical_chars"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+      SELECT * FROM r),
+    comp AS (
+      SELECT node, least(node, min_reach) AS component FROM (
+        SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)),
+    sizes AS (SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component)
+    SELECT cluster_size,
+           count(*)::BIGINT AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs,
+           (cluster_size * count(*) - count(*))::BIGINT AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+    tags=("dedup", "graph", "report"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-impact report every fuzzy-dedup run publishes: how many
+    duplicate clusters of each size exist, how many docs they hold, and
+    how many a keep-one-per-cluster policy removes (size-1 "clusters"
+    never appear — singletons have no edges).  Two small aggregates on
+    top of the component labels; the histogram is |distinct sizes| rows,
+    driver-safe at any corpus scale."""
+    comp = connected_components(_sim_edges(spark, sf_dir))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_docs"),
+        (F.col("cluster_size") * F.count(F.lit(1)) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_removable"),
+    )

@@ -521,3 +521,62 @@ def text_lang_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm_logprob_scores(
         table(spark, sf_dir, "documents"), keys=["lang"]
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle=r"""
+    WITH base AS (
+      SELECT source, lang,
+             length(regexp_split_to_array(trim(text), '\s+')) AS n_toks,
+             md5(lower(trim(text))) AS fp,
+             CASE WHEN length(regexp_split_to_array(trim(text), '\s+'))
+                       BETWEEN 10 AND 1000
+                   AND length(replace(text, ' ', '')) * 1.0
+                       / length(regexp_split_to_array(trim(text), '\s+'))
+                       BETWEEN 2 AND 12
+                  THEN 1 ELSE 0 END AS ok
+      FROM documents)
+    SELECT source, lang,
+           count(*)::BIGINT AS n_docs,
+           CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+           count(DISTINCT fp)::BIGINT AS n_unique,
+           (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dupes,
+           round(avg(ok), 4) AS quality_ok_rate
+    FROM base GROUP BY source, lang
+    """,
+    tags=("quality", "report", "curation"),
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(source, lang) data card a corpus release ships: doc and
+    token counts, exact-duplicate rate (distinct content fingerprints),
+    and the quality-gate pass rate (same composite gate as
+    text_quality_score).  ONE scan, one (source, lang)-keyed aggregate
+    with map-side partials; distinct-fingerprint counting rides the
+    same shuffle.  Output is |sources × langs| rows — driver-safe at
+    any corpus scale.  Token counting matches text_quality_score's
+    case-preserving split (quality gates count raw tokens; the LOWERED
+    shared tokenizer in functions/text.py is the GRAM pipeline's)."""
+    d = table(spark, sf_dir, "documents")
+    raw_toks = F.split(F.trim("text"), r"\s+")
+    n_toks = F.size(raw_toks)
+    nonspace = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    ok = F.when(
+        n_toks.between(10, 1000) & (nonspace / n_toks).between(2, 12), 1
+    ).otherwise(0)
+    base = d.select(
+        "source",
+        "lang",
+        n_toks.alias("__nt"),
+        F.md5(F.lower(F.trim("text"))).alias("__fp"),
+        ok.alias("__ok"),
+    )
+    return base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.count_distinct("__fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.count_distinct("__fp"))
+        .cast("long")
+        .alias("n_exact_dupes"),
+        F.round(F.avg("__ok"), 4).alias("quality_ok_rate"),
+    )
