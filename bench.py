@@ -88,6 +88,11 @@ HEADLINE = [
     # append + probe) like the other index-store entries.
     "dedup_bloom_decontaminate",
     "dedup_bloom_store_probe",
+    # BM25 lexical retrieval against the persisted inverted index:
+    # timing includes the term-bucketed index write (the lifecycle IS
+    # the operation); the probe itself reads only the query terms'
+    # hash-bucket partitions.
+    "search_bm25_store_probe",
 ]
 
 

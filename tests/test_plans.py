@@ -461,3 +461,37 @@ def test_hof_filter_lint_catches_join_conditions(spark):
     )
     assert hof_filter_violations(good) == []
     assert sorted((r["ia"], r["ib"]) for r in good.collect()) == [(1, 2)]
+
+
+def test_bm25_topk_plan_shape(q):
+    """search_bm25_topk: top-k is TakeOrderedAndProject (never a global
+    sort), and the query-term IN filter sits BELOW the tf aggregate's
+    exchange — only hit rows shuffle, which is the whole 100 TB
+    argument for the operator."""
+    df = q("search_bm25_topk")
+    assert has_take_ordered(df)
+    plan = formatted_plan(df)
+    m = re.search(
+        r"\((\d+)\) Filter\nInput.*\nCondition : term#\d+ IN \(hash",
+        plan,
+    )
+    assert m, plan
+    filter_node = int(m.group(1))
+    first_exchange = min(
+        int(x) for x in re.findall(r"\((\d+)\) Exchange", plan)
+    )
+    # bottom-up numbering: a smaller node number = deeper in the plan
+    assert filter_node < first_exchange, plan
+
+
+def test_bm25_store_probe_prunes_term_buckets(q, sf_dir):
+    """The persisted probe must read ONLY the query terms' hash-bucket
+    partitions (static tb filter — 4 distinct terms can touch at most
+    4 of 32 buckets) and push the term IN predicate into the parquet
+    scan of those partitions."""
+    df = q("search_bm25_store_probe")
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[tb#\d+ IN \(([\d,]+)\)", plan)
+    assert m, plan
+    assert len(m.group(1).split(",")) <= 4
+    assert any("term" in pf and "In" in pf for pf in pushed_filters(df)), plan

@@ -1,0 +1,155 @@
+"""BM25 retrieval: scoring vs a pure-Python reference, and the
+persisted inverted-index lifecycle (write → probe → append → compact),
+whose contract is that NO lifecycle step may change a score."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.retrieval import (
+    append_term_batch,
+    bm25_topk,
+    compact_term_index,
+    probe_term_index,
+    read_term_stats,
+    write_term_index,
+)
+
+DOCS = [
+    (0, "hash join beats sort join on small tables"),
+    (1, "the scan is slow because the filter never pushed"),
+    (2, "stream stream stream processing with watermarks"),
+    (3, "hash partitioning makes the join shuffle balanced"),
+    (4, "a slow hash join on a skewed stream"),
+    (5, "completely unrelated words about gardening and tea"),
+]
+
+
+def bm25_reference(docs, query_terms, k1=1.2, b=0.75):
+    """Straight-from-the-formula reference scorer (float64 math,
+    rounding mirrored from the operator contract)."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(docs)
+    avgdl = (sum(len(t) for t in toks.values()) * 1.0) / n
+    dfs = {
+        q: sum(1 for t in toks.values() if q in t) for q in query_terms
+    }
+    out = {}
+    for i, t in toks.items():
+        s, hits = 0.0, 0
+        for q in query_terms:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(
+                1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5)
+            )
+            s += round(
+                idf
+                * ((tf * (k1 + 1))
+                   / (tf + k1 * ((1 - b) + b * len(t) / avgdl))),
+                6,
+            )
+        if hits:
+            out[i] = (hits, round(s, 4))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_bm25_matches_reference(spark, docs_df):
+    got = {
+        r["doc_id"]: (r["n_terms_hit"], r["score"])
+        for r in bm25_topk(
+            docs_df, "doc_id", "text", "hash join slow stream", k=10
+        ).collect()
+    }
+    want = bm25_reference(DOCS, ["hash", "join", "slow", "stream"])
+    assert got == want
+    # doc 5 has no query term: absent, not zero-scored
+    assert 5 not in got
+
+
+def test_bm25_ranking_sane(spark, docs_df):
+    rows = bm25_topk(
+        docs_df, "doc_id", "text", "stream", k=3
+    ).collect()
+    # doc 2 says "stream" 3× in a short doc — must rank first
+    assert rows[0]["doc_id"] == 2
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_empty_and_unseen_queries(spark, docs_df):
+    assert bm25_topk(docs_df, "doc_id", "text", "   ", k=5).count() == 0
+    assert (
+        bm25_topk(docs_df, "doc_id", "text", "zzz qqq", k=5).count() == 0
+    )
+
+
+def test_store_probe_equals_in_memory(spark, docs_df, tmp_path):
+    path = str(tmp_path / "ti")
+    write_term_index(docs_df, "doc_id", "text", path)
+    q = "hash join slow stream"
+    mem = sorted(
+        bm25_topk(docs_df, "doc_id", "text", q, k=10).collect()
+    )
+    store = sorted(probe_term_index(spark, path, q, k=10).collect())
+    assert [tuple(r) for r in mem] == [tuple(r) for r in store]
+
+
+def test_append_then_probe_sees_whole_corpus(spark, docs_df, tmp_path):
+    path = str(tmp_path / "ti")
+    first = docs_df.where(F.col("doc_id") < 3)
+    rest = docs_df.where(F.col("doc_id") >= 3)
+    write_term_index(first, "doc_id", "text", path)
+    append_term_batch(spark, rest, "doc_id", "text", path)
+    st = read_term_stats(path)
+    assert st["n_docs"] == len(DOCS)
+    assert st["total_tokens"] == sum(len(t.split()) for _, t in DOCS)
+    q = "hash join slow stream"
+    got = sorted(probe_term_index(spark, path, q, k=10).collect())
+    want = sorted(
+        bm25_topk(docs_df, "doc_id", "text", q, k=10).collect()
+    )
+    # append must land on the SAME scores as a from-scratch corpus:
+    # df/N/avgdl all reflect the merged state
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+@pytest.mark.parametrize("bc", [True, False])
+def test_compact_retires_docs_and_restats(spark, docs_df, tmp_path, bc):
+    path = str(tmp_path / f"ti_{bc}")
+    write_term_index(docs_df, "doc_id", "text", path)
+    drops = spark.createDataFrame([(0,), (4,)], "doc_id bigint")
+    compact_term_index(
+        spark, path, drops, broadcast_drops=bc
+    )
+    kept_docs = [(i, t) for i, t in DOCS if i not in (0, 4)]
+    st = read_term_stats(path)
+    assert st["n_docs"] == len(kept_docs)
+    assert st["total_tokens"] == sum(
+        len(t.split()) for _, t in kept_docs
+    )
+    q = "hash join slow stream"
+    kept_df = docs_df.where(~F.col("doc_id").isin([0, 4]))
+    got = sorted(probe_term_index(spark, path, q, k=10).collect())
+    want = sorted(
+        bm25_topk(kept_df, "doc_id", "text", q, k=10).collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert all(r[0] not in (0, 4) for r in got)
+
+
+def test_probe_missing_sidecar_raises(spark, docs_df, tmp_path):
+    # a bare parquet dir is NOT a term store: guessed stats would skew
+    # every idf silently
+    path = str(tmp_path / "bare")
+    docs_df.write.parquet(path)
+    with pytest.raises(ValueError, match="sidecar"):
+        probe_term_index(spark, path, "hash")

@@ -1,0 +1,386 @@
+"""BM25 lexical retrieval over the document corpus — the keyword half
+of the RAG/search stack (the ANN operators in similarity.py/ivf.py/pq.py
+are the dense half; production retrieval runs both and fuses).
+
+Scoring is Robertson/Spärck Jones BM25 (Okapi, "+1" idf variant so
+every addend is positive):
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    s(d, t) = idf(t) * (tf * (k1+1)) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Scale posture — why this is not "grep on a cluster":
+
+- the query-term filter lands IMMEDIATELY after tokenization, so the
+  only rows that ever shuffle are (doc, query-term) hits — at 100 TB
+  and a 5-term query that's ~|matching docs|×5 rows, not the token
+  stream;
+- document frequencies are a per-term count over those same hits (≤
+  |query terms| rows), broadcast back; corpus stats (N, total tokens)
+  are a one-row aggregate broadcast the same way every curation
+  operator here broadcasts its reduced aggregate;
+- top-k is ``ORDER BY score LIMIT k`` → TakeOrderedAndProject, never a
+  global sort;
+- the PERSISTED form (:func:`write_term_index`) is a classic inverted
+  index laid out as parquet partitioned by a portable hash bucket of
+  the term: a probe computes its query terms' buckets DRIVER-SIDE (the
+  same md5 the executors use) and reads only those partitions — static
+  partition filter, the lsh_index.py `probe_bands` trick applied to
+  vocabulary instead of signatures.  Posting rows carry the doc length
+  (Lucene stores norms in the postings for the same reason): scoring
+  never rejoins the corpus.
+
+Cross-engine float contract (the repo rule memoryized from
+dsir_select): every per-(doc, term) addend is rounded to 6 dp before
+the per-doc sum, and the sum is rounded to 4 dp for output + ordering,
+with doc id as the final tiebreak — the DuckDB oracle mirrors the
+operation ORDER token for token.
+
+Reference parity: extends the reference's query surface
+(documentation/doc-01.md query pipelines) with the retrieval operator a
+training-data/RAG user needs; the reference has no search operator, so
+this is net-new capability, same as the ANN family.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ubw_spark.functions.text import tokens
+from ubw_spark.operators.dedup import portable_hash
+from ubw_spark.operators.versioned import (
+    begin_rewrite,
+    commit_rewrite,
+    resolve_root,
+)
+
+__all__ = [
+    "doc_postings",
+    "bm25_topk",
+    "write_term_index",
+    "append_term_batch",
+    "probe_term_index",
+    "compact_term_index",
+]
+
+#: Sidecar naming the exact-mergeable corpus stats (doc count, total
+#: token count).  avgdl is DERIVED at read time — storing the division
+#: result would make append merges inexact.
+STATS_FILE = "_TERM_STATS"
+
+_K1 = 1.2
+_B = 0.75
+
+
+def _term_bucket_py(term: str, buckets: int) -> int:
+    """Driver-side twin of ``portable_hash(term) % buckets`` — same md5
+    prefix, so a probe can name its partitions without running a job."""
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % buckets
+
+
+def query_terms(query: str) -> list[str]:
+    """Distinct query tokens under THE shared corpus tokenizer
+    (functions/text.py::tokens) — query and corpus must agree on what a
+    token is or df lookups silently miss.  Sorted for deterministic
+    plan literals."""
+    return sorted({t for t in query.strip().lower().split() if t})
+
+
+def doc_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, term, tf, dl) — the posting rows BM25 scores from.  dl is
+    denormalized onto every posting (8 bytes) so scoring never joins
+    back to the corpus; tf comes from one hash aggregate with map-side
+    partials over the exploded tokens."""
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        id_col,
+        F.size("__t").alias("dl"),
+        F.explode("__t").alias("term"),
+    )
+    return toks.groupBy(id_col, "term", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def _corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """One row: (n_docs, total_tokens) over the WHOLE corpus (BM25's
+    avgdl averages every document, matched or not)."""
+    return df.select(F.size(tokens(F.col(text_col))).alias("__dl")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__dl").cast("long").alias("total_tokens"),
+    )
+
+
+def _score_topk(
+    pf: DataFrame,
+    id_col: str,
+    n_docs_col,
+    total_tokens_col,
+    k: int,
+    k1: float,
+    b: float,
+) -> DataFrame:
+    """Shared scoring tail: ``pf`` = posting rows already filtered to
+    the query terms, carrying (id, term, tf, dl) plus the one-row
+    stats columns.  df per term is a COUNT WINDOW over term on those
+    same rows (unique per (doc, term), so row count = doc count): a
+    separate ``groupBy("term")`` aggregate would recompute the whole
+    posting subtree — a second corpus scan at 100 TB — while the
+    window re-shuffles only the hit rows, partitioned by term (never
+    global)."""
+    from pyspark.sql import Window
+
+    j = pf.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    # operation ORDER is the oracle contract — see module docstring
+    avgdl = (total_tokens_col * F.lit(1.0)) / n_docs_col
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs_col - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / avgdl
+    )
+    addend = F.round(
+        idf * ((F.col("tf") * F.lit(k1 + 1)) / denom), 6
+    )
+    scored = j.select(F.col(id_col), addend.alias("__a")).groupBy(
+        id_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.round(F.sum("__a"), 4).alias("score"),
+    )
+    return scored.orderBy(
+        F.col("score").desc(), F.col(id_col)
+    ).limit(k)
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = _K1,
+    b: float = _B,
+) -> DataFrame:
+    """In-memory BM25 top-k: (id, n_terms_hit, score), score-desc with
+    id tiebreak.  The query-term ``isin`` filter sits directly on the
+    exploded tokens, so only hit rows reach the tf aggregate."""
+    qts = query_terms(query)
+    if not qts:
+        # empty query matches nothing — keep the schema
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+            F.lit(0.0).alias("score"),
+        ).where(F.lit(False))
+    stats = _corpus_stats(df, text_col)
+    pf = doc_postings(
+        df.select(id_col, text_col), id_col, text_col
+    ).where(F.col("term").isin(qts))
+    withstats = pf.crossJoin(broadcast(stats))
+    return _score_topk(
+        withstats, id_col,
+        F.col("n_docs"), F.col("total_tokens"), k, k1, b,
+    )
+
+
+# ---------------------------------------------------------------- store
+
+
+def _write_stats(root: str, n_docs: int, total_tokens: int) -> None:
+    with open(os.path.join(root, STATS_FILE), "w") as f:
+        json.dump({"n_docs": n_docs, "total_tokens": total_tokens}, f)
+
+
+def read_term_stats(path: str) -> dict:
+    """{n_docs, total_tokens} of the LIVE store version; raises when
+    the sidecar is missing — scoring with guessed corpus stats skews
+    every idf/avgdl silently (the bloom params-sidecar rule)."""
+    p = os.path.join(resolve_root(path), STATS_FILE)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"term index at {path} has no {STATS_FILE} sidecar — not a "
+            "term-index store (or a partial write); rebuild with "
+            "write_term_index"
+        ) from None
+
+
+def _bucketed_postings(
+    df: DataFrame, id_col: str, text_col: str, buckets: int
+) -> DataFrame:
+    return doc_postings(df, id_col, text_col).withColumn(
+        "tb", portable_hash(F.col("term")) % buckets
+    )
+
+
+def write_term_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    *,
+    buckets: int = 32,
+) -> None:
+    """Materialize the inverted index: posting rows partitioned by the
+    term's portable hash bucket (``tb``), plus the stats sidecar.
+    ``repartition("tb")`` before ``partitionBy`` keeps each bucket in
+    O(1) files (the write_minhash_index rationale).  Versioned-manifest
+    lifecycle throughout (operators/versioned.py)."""
+    cur, new_v, root = begin_rewrite(path)
+    (
+        _bucketed_postings(df, id_col, text_col, buckets)
+        .repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(root)
+    )
+    st = (
+        _corpus_stats(df, text_col)
+        .collect()[0]  # one row: two bigints
+    )
+    _write_stats(root, st["n_docs"], st["total_tokens"])
+    commit_rewrite(path, cur, new_v)
+
+
+def _store_buckets(root: str) -> int:
+    """Bucket count recovered from the partition directory names — the
+    layout IS the metadata (no second sidecar to drift)."""
+    bs = [
+        int(name.split("=", 1)[1])
+        for name in os.listdir(root)
+        if name.startswith("tb=")
+    ]
+    if not bs:
+        raise ValueError(f"term index at {root} has no tb= partitions")
+    return max(bs) + 1
+
+
+def append_term_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+) -> None:
+    """Fold a new document batch into the live index: append its
+    posting files into the bucket partitions and merge the stats
+    sidecar EXACTLY (counts add; avgdl is derived, never stored).  Ids
+    must be unique across appends (lakehouse contract, as in
+    append_minhash_batch); removals go through compaction.  df needs no
+    maintenance at all — probes count it from the postings."""
+    root = resolve_root(path)
+    old = read_term_stats(path)
+    buckets = _store_buckets(root)
+    (
+        _bucketed_postings(batch, id_col, text_col, buckets)
+        .repartition("tb")
+        .write.mode("append")
+        .partitionBy("tb")
+        .parquet(root)
+    )
+    st = _corpus_stats(batch, text_col).collect()[0]
+    _write_stats(
+        root,
+        old["n_docs"] + st["n_docs"],
+        old["total_tokens"] + st["total_tokens"],
+    )
+
+
+def probe_term_index(
+    spark: SparkSession,
+    path: str,
+    query: str,
+    *,
+    k: int = 10,
+    k1: float = _K1,
+    b: float = _B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k against the persisted index WITHOUT touching corpus
+    text: the query terms' buckets are computed driver-side with the
+    same md5 the write used, so the scan carries a static partition
+    filter (PartitionFilters, plan-asserted in tests) and reads only
+    |query-term buckets| / buckets of the index; the term ``isin``
+    predicate pushes into the parquet scan of those partitions."""
+    qts = query_terms(query)
+    stats = read_term_stats(path)
+    root = resolve_root(path)
+    idx = spark.read.parquet(root)
+    if not qts:
+        return idx.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+            F.lit(0.0).alias("score"),
+        ).where(F.lit(False))
+    buckets = _store_buckets(root)
+    bs = sorted({_term_bucket_py(t, buckets) for t in qts})
+    pf = idx.where(
+        F.col("tb").isin(bs) & F.col("term").isin(qts)
+    )
+    return _score_topk(
+        pf, id_col,
+        F.lit(stats["n_docs"]),
+        F.lit(stats["total_tokens"]),
+        k, k1, b,
+    )
+
+
+def compact_term_index(
+    spark: SparkSession,
+    path: str,
+    drop_ids: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    broadcast_drops: bool = True,
+) -> None:
+    """Retire documents: anti-join their postings out into a fresh
+    version dir (bucket layout preserved) and RECOMPUTE the stats
+    sidecar from the survivors — dl is on every posting, so one
+    distinct-(id, dl) aggregate over the kept rows restores exact
+    (n_docs, total_tokens) without the corpus.  ``broadcast_drops=
+    False`` plans a shuffled anti-join for corpus-fraction drop sets
+    (the two-posture compaction rule, versioned.py)."""
+    old_root = resolve_root(path)
+    drops = drop_ids.select(
+        F.col(drop_ids.columns[0]).alias(id_col)
+    )
+    maybe_bc = broadcast if broadcast_drops else (lambda d: d)
+    kept = spark.read.parquet(old_root).join(
+        maybe_bc(drops), id_col, "left_anti"
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    (
+        kept.repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(new_root)
+    )
+    st = (
+        spark.read.parquet(new_root)
+        .select(id_col, "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+        )
+        .collect()[0]  # one row: two bigints
+    )
+    _write_stats(new_root, st["n"], st["t"])
+    commit_rewrite(path, cur, new_v)
