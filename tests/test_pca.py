@@ -1,0 +1,111 @@
+"""PCA: sql-vs-numpy covariance parity, eigendecomposition pinned
+against a full-data numpy reference, and the map-only projection."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.pca import (
+    covariance_matrix,
+    pca_fit,
+    pca_project,
+)
+
+D = 8
+N = 200
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(42)
+    # anisotropic: a few dominant directions so top-r is well-separated
+    scales = np.array([5.0, 3.0, 2.0, 1.0, 0.5, 0.3, 0.2, 0.1])
+    x = rng.normal(size=(N, D)) * scales + rng.normal(size=D)
+    rows = [(i, [float(v) for v in x[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # float32 round-trip so the reference sees EXACTLY what Spark sees
+    return df, np.asarray(x, dtype="float32").astype("float64")
+
+
+def ref_cov(x):
+    n = len(x)
+    return (x.T @ x) / n - np.outer(x.sum(0) / n, x.sum(0) / n)
+
+
+@pytest.mark.parametrize("method", ["sql", "numpy"])
+def test_covariance_matches_numpy(spark, emb_df, method):
+    df, x = emb_df
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(df, "embedding", method=method).collect()
+    }
+    want = ref_cov(x)
+    assert len(got) == D * (D + 1) // 2
+    for (i, j), c in got.items():
+        assert c == pytest.approx(round(want[i, j], 6), abs=2e-6)
+
+
+def test_sql_and_numpy_paths_agree(spark, emb_df):
+    df, _ = emb_df
+    a = sorted(
+        tuple(r) for r in
+        covariance_matrix(df.repartition(5), "embedding", method="numpy")
+        .collect()
+    )
+    b = sorted(
+        tuple(r) for r in
+        covariance_matrix(df, "embedding", method="sql").collect()
+    )
+    # same 6dp rounding on both paths; partition count must not matter
+    assert [(i, j) for i, j, _ in a] == [(i, j) for i, j, _ in b]
+    for (_, _, ca), (_, _, cb) in zip(a, b):
+        assert ca == pytest.approx(cb, abs=2e-6)
+
+
+def test_fit_matches_full_data_eigh(spark, emb_df):
+    df, x = emb_df
+    model = pca_fit(spark, df, "embedding", r=3)
+    w, v = np.linalg.eigh(ref_cov(x))
+    order = np.argsort(w)[::-1][:3]
+    want_vals = w[order]
+    assert np.allclose(model["eigvals"], want_vals, rtol=1e-3, atol=1e-4)
+    # eigenvectors match up to sign; canonicalize the reference the
+    # same way (largest-|component| positive) and compare directly
+    for k, comp in enumerate(np.array(model["components"])):
+        refv = v[:, order[k]]
+        refv = refv * np.sign(refv[np.abs(refv).argmax()])
+        assert np.allclose(comp, refv, atol=1e-3)
+    assert np.allclose(model["mean"], x.mean(0), atol=1e-5)
+
+
+def test_projection_matches_numpy_and_is_map_only(spark, emb_df):
+    df, x = emb_df
+    model = pca_fit(spark, df, "embedding", r=3)
+    out = pca_project(df, "embedding", model)
+    got = {
+        r["vec_id"]: np.array(r["pc"])
+        for r in out.collect()
+    }
+    wmat = np.array(model["components"])
+    want = (x - np.array(model["mean"])) @ wmat.T
+    for i in range(N):
+        assert np.allclose(got[i], want[i], atol=1e-4)
+    # map-only: no Exchange anywhere in the projection plan
+    from ubw_spark.plans import shuffle_count
+
+    assert shuffle_count(out) == 0
+
+
+def test_projected_variance_equals_eigvals(spark, emb_df):
+    df, x = emb_df
+    model = pca_fit(spark, df, "embedding", r=2)
+    out = pca_project(df, "embedding", model)
+    pcs = np.array(
+        [r["pc"] for r in out.select("pc").collect()]
+    )
+    # the fitted eigenvalues ARE the variances along the components
+    assert np.allclose(
+        pcs.var(axis=0), model["eigvals"], rtol=5e-3, atol=1e-3
+    )
+    # top-1 dominates: the planted scale hierarchy survives the fit
+    assert model["eigvals"][0] > model["eigvals"][1] > 0
