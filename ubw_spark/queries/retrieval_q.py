@@ -21,7 +21,13 @@ from ubw_spark.queries.registry import register, table
 QUERY = "hash join slow stream"
 TOP_K = 10
 
-_BM25_ORACLE = r"""
+def _bm25_sql(k: int) -> str:
+    """The BM25 oracle with a parametric LIMIT so the hybrid-fusion
+    query can reuse the exact same lexical list at a different k."""
+    return _BM25_ORACLE_BODY + f"\n    ORDER BY score DESC, doc_id LIMIT {k}"
+
+
+_BM25_ORACLE_BODY = r"""
     WITH dl AS (
       SELECT doc_id,
              length(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
@@ -52,9 +58,9 @@ _BM25_ORACLE = r"""
     SELECT doc_id,
            count(*)::BIGINT AS n_terms_hit,
            round(sum(addend), 4) AS score
-    FROM scored GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 10
-    """
+    FROM scored GROUP BY doc_id"""
+
+_BM25_ORACLE = _bm25_sql(TOP_K)
 
 
 @register(
@@ -94,3 +100,104 @@ def search_bm25_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).hexdigest()[:10]
     write_term_index(d, "doc_id", "text", path)
     return probe_term_index(spark, path, QUERY, k=TOP_K)
+
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_LIST_K = 20
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=rf"""
+    WITH lex0 AS ({_bm25_sql(_LIST_K)}),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id)::INTEGER
+               AS lex_rank
+      FROM lex0),
+    dense0 AS (
+      SELECT vec_id,
+             round(list_cosine_similarity(qe::DOUBLE[],
+                                          embedding::DOUBLE[]), 4) AS cs
+      FROM embeddings
+      CROSS JOIN (SELECT embedding AS qe FROM embeddings
+                  WHERE vec_id = 0)
+      WHERE vec_id <> 0),
+    dense AS (
+      SELECT vec_id,
+             row_number() OVER (ORDER BY cs DESC, vec_id)::INTEGER
+               AS dense_rank
+      FROM (SELECT * FROM dense0 ORDER BY cs DESC, vec_id
+            LIMIT {_LIST_K})),
+    fused AS (
+      SELECT coalesce(l.doc_id, d.vec_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             round(coalesce(1e0 / (60 + l.lex_rank), 0e0)
+                   + coalesce(1e0 / (60 + d.dense_rank), 0e0), 6) AS rrf
+      FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.vec_id)
+    SELECT doc_id, lex_rank, dense_rank, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    tags=("search", "retrieval", "hybrid"),
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the BM25 lexical
+    top-20 and the dense cosine top-20 (query = embedding 0) each
+    contribute 1/(60 + rank); docs surfacing in both lists rise.  This
+    is THE production RAG ranker shape — scores from different systems
+    never share a scale, ranks always do.  Both rank windows sit on
+    already-LIMITed 20-row inputs (grounded per the global-window
+    lint); the fusion join is 20×20 rows; the whole query costs its two
+    input lists."""
+    from pyspark.sql import Window
+
+    from ubw_spark.queries.similarity import cosine
+
+    d = table(spark, sf_dir, "documents")
+    e = table(spark, sf_dir, "embeddings")
+
+    lex = bm25_topk(d, "doc_id", "text", QUERY, k=_LIST_K).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    q = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__qe")
+    )
+    dense = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("__qe"), F.col("embedding")), 4)
+            .alias("__cs"),
+        )
+        .orderBy(F.desc("__cs"), "vec_id")
+        .limit(_LIST_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("__cs"), "vec_id"))
+            .alias("dense_rank"),
+        )
+    )
+    fused = lex.join(
+        dense, lex["doc_id"] == dense["vec_id"], "full_outer"
+    ).select(
+        F.coalesce(lex["doc_id"], dense["vec_id"]).alias("doc_id"),
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
