@@ -109,3 +109,30 @@ def test_projected_variance_equals_eigvals(spark, emb_df):
     )
     # top-1 dominates: the planted scale hierarchy survives the fit
     assert model["eigvals"][0] > model["eigvals"][1] > 0
+
+
+def test_pca_reduction_preserves_neighbors(spark, emb_df):
+    """Composition with the ANN family: brute-force top-k in the
+    PCA-reduced space (r=4 of 8 dims on data whose energy is planted
+    in the top directions) must recover most full-space neighbors —
+    the dim-reduction-before-ANN pipeline (FAISS PCAR) end to end."""
+    from ubw_spark.operators.similarity import brute_force_topk
+
+    df, _ = emb_df
+    model = pca_fit(spark, df, "embedding", r=4)
+    reduced = pca_project(df, "embedding", model).select(
+        "vec_id", F.col("pc").cast("array<float>").alias("embedding")
+    )
+    queries = df.where(F.col("vec_id") < 5)
+    red_queries = reduced.where(F.col("vec_id") < 5)
+    full = brute_force_topk(df, queries, k=10)
+    red = brute_force_topk(reduced, red_queries, k=10)
+    fullnb = {}
+    for r in full.collect():
+        fullnb.setdefault(r[0], set()).add(r[1])
+    hits = total = 0
+    for r in red.collect():
+        total += 1
+        hits += r[1] in fullnb[r[0]]
+    assert total == 50
+    assert hits / total >= 0.6, hits / total

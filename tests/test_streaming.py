@@ -728,3 +728,76 @@ def test_stream_incremental_bloom_decontamination(spark, tmp_path):
         assert hits[21] == 0
     finally:
         q.stop()
+
+
+def test_stream_incremental_term_index_search(spark, tmp_path):
+    """foreachBatch loop over the TERM (BM25) index: each micro-batch
+    of documents is appended to the persisted inverted index, and a
+    standing query re-asked after each batch sees the new docs ranked
+    — the live-search ingest loop.  Scores after streaming appends
+    must equal a from-scratch index over the same corpus (df/N/avgdl
+    all exact-merged via the stats sidecar)."""
+    from ubw_spark.operators.retrieval import (
+        append_term_batch,
+        bm25_topk,
+        probe_term_index,
+        write_term_index,
+    )
+
+    path = str(tmp_path / "term_store")
+    seed = [(1, "hash join on the build side"), (2, "sort merge join")]
+    write_term_index(
+        spark.createDataFrame(seed, "doc_id bigint, text string"),
+        "doc_id", "text", path,
+    )
+
+    inc = str(tmp_path / "tinc")
+    os.makedirs(inc)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        staging = str(tmp_path / f"tstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    def handle(bdf, _bid):
+        append_term_batch(
+            bdf.sparkSession, bdf, "doc_id", "text", path
+        )
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .start()
+    )
+    b1 = [(10, "hash join hash join hash join"), (11, "scan and filter")]
+    b2 = [(20, "a slow hash aggregate"), (21, "broadcast hash join wins")]
+    try:
+        arrive(b1, "b1")
+        q.processAllAvailable()
+        top = probe_term_index(spark, path, "hash join", k=5).collect()
+        # the tf-stuffed batch-1 doc must now lead the ranking
+        assert top[0]["doc_id"] == 10
+
+        arrive(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    all_docs = spark.createDataFrame(
+        seed + b1 + b2, "doc_id bigint, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in probe_term_index(spark, path, "hash join", k=10).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_topk(all_docs, "doc_id", "text", "hash join", k=10)
+        .collect()
+    )
+    assert got == want
