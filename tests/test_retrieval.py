@@ -153,3 +153,28 @@ def test_probe_missing_sidecar_raises(spark, docs_df, tmp_path):
     docs_df.write.parquet(path)
     with pytest.raises(ValueError, match="sidecar"):
         probe_term_index(spark, path, "hash")
+
+
+def test_batch_probe_matches_per_query_topk(spark, docs_df, tmp_path):
+    from ubw_spark.operators.retrieval import probe_term_index_batch
+
+    path = str(tmp_path / "ti_batch")
+    write_term_index(docs_df, "doc_id", "text", path)
+    queries = [(1, "hash join"), (2, "slow stream"), (3, "gardening")]
+    qdf = spark.createDataFrame(queries, "qid int, query string")
+    got = {
+        (r["qid"], r["doc_id"]): (r["n_terms_hit"], r["score"], r["rank"])
+        for r in probe_term_index_batch(spark, path, qdf, k=3).collect()
+    }
+    for qid, text in queries:
+        rows = bm25_topk(docs_df, "doc_id", "text", text, k=3).collect()
+        for rank, r in enumerate(rows, start=1):
+            assert got[(qid, r["doc_id"])] == (
+                r["n_terms_hit"], r["score"], rank
+            )
+    # no stray rows beyond the per-query top-3s
+    assert len(got) == sum(
+        len(bm25_topk(spark.createDataFrame(DOCS, "doc_id bigint, text string"),
+                      "doc_id", "text", t, k=3).collect())
+        for _, t in queries
+    )

@@ -66,6 +66,7 @@ __all__ = [
     "write_term_index",
     "append_term_batch",
     "probe_term_index",
+    "probe_term_index_batch",
     "compact_term_index",
 ]
 
@@ -340,6 +341,87 @@ def probe_term_index(
         F.lit(stats["total_tokens"]),
         k, k1, b,
     )
+
+
+def probe_term_index_batch(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k1: float = _K1,
+    b: float = _B,
+    id_col: str = "doc_id",
+    qid_col: str = "qid",
+    query_col: str = "query",
+) -> DataFrame:
+    """BM25 top-k for a BATCH of queries (a query log, not one
+    string): (qid, doc_id, n_terms_hit, score, rank) with rank ≤ k per
+    qid.
+
+    The batch's (qid, term) rows join the postings on term with the
+    term side BROADCAST (a query log is tiny next to an index), and
+    the scan still carries a static ``tb`` partition filter: the
+    batch's distinct buckets are collected first — bounded by the
+    BUCKET COUNT (≤32 ints) no matter how many queries the log holds,
+    so the collect is one micro-job, never a scale risk.  (Dynamic
+    partition pruning would express the same thing without the
+    micro-job, but Spark's DPP heuristics decline this join shape —
+    deterministic beats occasionally-optimal for an index contract.)
+
+    df per (qid, term) is a count window over the matched postings:
+    the join replicates each term's postings once per query asking for
+    it, so the per-(qid, term) row count IS that term's df."""
+    from pyspark.sql import Window
+
+    stats = read_term_stats(path)
+    root = resolve_root(path)
+    buckets = _store_buckets(root)
+    qt = (
+        queries.select(
+            F.col(qid_col).alias("qid"),
+            F.explode(
+                F.array_distinct(tokens(F.col(query_col)))
+            ).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .withColumn("tb", (portable_hash(F.col("term")) % buckets))
+    )
+    # bounded: ≤ `buckets` distinct values regardless of batch size
+    bs = sorted(r["tb"] for r in qt.select("tb").distinct().collect())
+    idx = spark.read.parquet(root)
+    pf = idx.where(F.col("tb").isin(bs)).join(
+        broadcast(qt), ["tb", "term"]
+    )
+    j = pf.withColumn(
+        "__df",
+        F.count(F.lit(1)).over(Window.partitionBy("qid", "term")),
+    )
+    n_docs_col = F.lit(stats["n_docs"])
+    avgdl = (F.lit(stats["total_tokens"]) * F.lit(1.0)) / n_docs_col
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs_col - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / avgdl
+    )
+    addend = F.round(idf * ((F.col("tf") * F.lit(k1 + 1)) / denom), 6)
+    scored = (
+        j.select("qid", F.col(id_col), addend.alias("__a"))
+        .groupBy("qid", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.round(F.sum("__a"), 4).alias("score"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col(id_col)
+        )
+    )
+    return scored.withColumn("rank", rn).where(F.col("rank") <= k)
 
 
 def compact_term_index(

@@ -201,3 +201,81 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@register(
+    "search_bm25_batch",
+    oracle=r"""
+    WITH q(qid, query) AS (VALUES
+      (1, 'hash join'), (2, 'slow scan'), (3, 'stream merge window')),
+    qt AS (
+      SELECT DISTINCT qid, u.t AS term
+      FROM q, unnest(regexp_split_to_array(trim(lower(query)), '\s+')) u(t)
+      WHERE u.t <> ''),
+    dl AS (
+      SELECT doc_id,
+             length(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+      FROM documents),
+    stats AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total FROM dl),
+    tf AS (
+      SELECT doc_id, w AS term, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+            FROM documents)
+      WHERE w IN (SELECT term FROM qt)
+      GROUP BY doc_id, w),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT qt.qid, tf.doc_id,
+             round(
+               ln(1e0 + (s.n_docs - dfs.df + 0.5e0) / (dfs.df + 0.5e0))
+               * ((tf.tf * (1.2e0 + 1e0)) /
+                  (tf.tf + 1.2e0 *
+                   ((1e0 - 0.75e0) + 0.75e0 * d.dl
+                    / ((s.total * 1.0e0) / s.n_docs)))),
+               6) AS addend
+      FROM qt
+      JOIN tf USING (term)
+      JOIN dfs USING (term)
+      JOIN dl d ON tf.doc_id = d.doc_id
+      CROSS JOIN stats s),
+    agg AS (
+      SELECT qid, doc_id,
+             count(*)::BIGINT AS n_terms_hit,
+             round(sum(addend), 4) AS score
+      FROM scored GROUP BY qid, doc_id),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id)::INTEGER
+               AS rank
+      FROM agg)
+    SELECT qid, doc_id, n_terms_hit, score, rank FROM r WHERE rank <= 5
+    """,
+    tags=("search", "retrieval", "index"),
+)
+def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A QUERY LOG against the persisted index: three queries scored in
+    one pass, top-5 each.  The batch's (qid, term) rows broadcast into
+    the postings join; the scan keeps a static tb partition filter
+    whose value list is bounded by the bucket count (≤32 ints
+    collected) no matter how large the log grows; per-query ranking is
+    a window partitioned by qid."""
+    import hashlib
+
+    from ubw_spark.operators.retrieval import (
+        probe_term_index_batch,
+        write_term_index,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    path = "/tmp/ubw_spark_term_store_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    write_term_index(d, "doc_id", "text", path)
+    queries = spark.createDataFrame(
+        [(1, "hash join"), (2, "slow scan"), (3, "stream merge window")],
+        "qid int, query string",
+    )
+    return probe_term_index_batch(spark, path, queries, k=5)
