@@ -12,9 +12,15 @@ ingestion job would run:
                plumbing — Arrow batches, unit-norm float vectors — is
                identical)
   03 index     k-means coarse quantizer + partitionBy(ivf_cell) layout
-               (operators/ivf.py::write_ivf_index)
+               (operators/ivf.py::write_ivf_index) AND the lexical
+               twin: a BM25 inverted index over the same chunks
+               (operators/retrieval.py::write_term_index)
   04 probe     partition-pruned top-k search for query texts embedded
                through the SAME pipeline (probe_ivf_index)
+  05 hybrid    reciprocal-rank fusion of the dense and BM25 lists —
+               both indexes are maintained through update()/sync()
+               (appends + compaction), so hybrid results track the
+               live corpus
 
 Run:  python examples/rag_ingest.py \
         [--sf-dir /root/testdata/sf0.001] [--out /tmp/rag_index] \
@@ -94,6 +100,13 @@ def ingest(
     )
     centroids = train_ivf_centroids(emb, "embedding", k=cells)
     write_ivf_index(emb, centroids, os.path.join(out, "ivf"))
+    # the lexical twin: a BM25 inverted index over the SAME chunks, so
+    # hybrid_search can fuse keyword and dense hits by chunk id
+    from ubw_spark.operators.retrieval import write_term_index
+
+    write_term_index(
+        chunks, "chunk_id", "chunk_text", os.path.join(out, "terms")
+    )
     return {
         "n_docs": docs.count(),
         "n_chunks": chunks.count(),
@@ -137,6 +150,10 @@ def update(
     chunk store's row count."""
     from ubw_spark.operators.chunking import chunk_documents
     from ubw_spark.operators.ivf import append_ivf_batch, compact_ivf_index
+    from ubw_spark.operators.retrieval import (
+        append_term_batch,
+        compact_term_index,
+    )
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
@@ -156,6 +173,10 @@ def update(
         n_dropped = drop.join(live_ids, "vec_id").count()
         if n_dropped:
             compact_ivf_index(spark, ivf_path, drop)
+            compact_term_index(
+                spark, os.path.join(out, "terms"), drop,
+                id_col="chunk_id",
+            )
             kept = live_chunks.join(deleted_doc_ids, "doc_id", "left_anti")
             cur, new_v, new_root = begin_rewrite(chunks_path)
             kept.write.mode("overwrite").parquet(new_root)
@@ -179,6 +200,10 @@ def update(
             F.col("chunk_id").alias("vec_id"), "embedding"
         )
         append_ivf_batch(emb, centroids, ivf_path)
+        append_term_batch(
+            spark, chunks, "chunk_id", "chunk_text",
+            os.path.join(out, "terms"),
+        )
     chunks.unpersist()
     return {"n_new_chunks": n_new, "n_dropped_chunks": n_dropped}
 
@@ -264,6 +289,78 @@ def search(
     ).select("qid", "vec_id", "doc_id", "cos_sim", "chunk_text")
 
 
+def hybrid_search(
+    spark,
+    out: str,
+    centroids: list,
+    query_text: str,
+    *,
+    dim: int = 32,
+    k: int = 5,
+    nprobe: int = 4,
+    list_k: int = 20,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of the dense IVF probe and the BM25 term
+    index over the SAME chunk corpus: each list contributes
+    1/(rrf_k + rank) per chunk — keyword-exact chunks the embedder
+    misses and semantically-near chunks that share no term both
+    surface.  Returns (chunk_id, doc_id, lex_rank, dense_rank, rrf,
+    chunk_text) top-k by fused score."""
+    from pyspark.sql import Window
+
+    from ubw_spark.operators.retrieval import probe_term_index
+    from ubw_spark.operators.versioned import resolve_root
+
+    dense = search(
+        spark, out, centroids, [(0, query_text)],
+        dim=dim, k=list_k, nprobe=nprobe,
+    ).select(
+        F.col("vec_id").alias("chunk_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "vec_id"))
+        .alias("dense_rank"),
+    )
+    lex = probe_term_index(
+        spark, os.path.join(out, "terms"), query_text,
+        k=list_k, id_col="chunk_id",
+    ).select(
+        "chunk_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "chunk_id"))
+        .alias("lex_rank"),
+    )
+    fused = (
+        lex.join(dense, "chunk_id", "full_outer")
+        .select(
+            "chunk_id",
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "chunk_id")
+        .limit(k)
+    )
+    chunks = spark.read.parquet(
+        resolve_root(os.path.join(out, "chunks"))
+    )
+    return fused.join(
+        chunks.select("chunk_id", "doc_id", "chunk_text"), "chunk_id"
+    ).select(
+        "chunk_id", "doc_id", "lex_rank", "dense_rank", "rrf", "chunk_text"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -282,6 +379,14 @@ def main() -> None:
     )
     for r in hits.orderBy(F.desc("cos_sim")).collect():
         print(f"  {r.cos_sim:6.4f}  doc {r.doc_id}  {r.chunk_text[:60]!r}")
+    print("hybrid (BM25 ⊕ dense RRF):")
+    for r in hybrid_search(
+        spark, args.out, stats["centroids"], args.query, k=args.k
+    ).orderBy(F.desc("rrf"), "chunk_id").collect():
+        print(
+            f"  {r.rrf:8.6f}  lex={r.lex_rank} dense={r.dense_rank}  "
+            f"doc {r.doc_id}  {r.chunk_text[:50]!r}"
+        )
     spark.stop()
 
 

@@ -160,3 +160,46 @@ def test_rag_snapshot_sync(spark, sf_dir, tmp_path):
     assert all(
         r.doc_id != removed_id for rs in by_q.values() for r in rs
     )
+
+
+def test_rag_hybrid_search_fuses_and_tracks_updates(spark, sf_dir, tmp_path):
+    """Hybrid RRF over the example's two indexes: a query that IS a
+    chunk's text must surface that chunk through BOTH lists (top fused
+    hit), and after retiring its document the chunk disappears from
+    hybrid results — the term index is maintained in the same
+    update() call as the IVF index."""
+    from rag_ingest import hybrid_search, ingest, update
+
+    out = str(tmp_path / "rag")
+    stats = ingest(spark, sf_dir, out, chunk_chars=256, overlap=32, dim=32)
+
+    from ubw_spark.operators.versioned import resolve_root
+
+    src = (
+        spark.read.parquet(resolve_root(os.path.join(out, "chunks")))
+        .orderBy("chunk_id")
+        .limit(1)
+        .collect()[0]
+    )
+    hits = hybrid_search(
+        spark, out, stats["centroids"], src.chunk_text, k=5
+    ).collect()
+    assert hits, "hybrid search returned nothing"
+    top = max(hits, key=lambda r: (r.rrf, -r.chunk_id))
+    assert top.chunk_id == src.chunk_id, "self-chunk must win the fusion"
+    # present in BOTH lists: identical text is a lexical and dense match
+    assert top.lex_rank is not None and top.dense_rank is not None
+
+    # retire the chunk's document; the hybrid result must forget it
+    gone = spark.createDataFrame([(src.doc_id,)], "doc_id bigint")
+    st = update(
+        spark, out, stats["centroids"],
+        new_docs=spark.createDataFrame([], "doc_id bigint, text string"),
+        deleted_doc_ids=gone,
+        chunk_chars=256, overlap=32, dim=32,
+    )
+    assert st["n_dropped_chunks"] >= 1
+    after = hybrid_search(
+        spark, out, stats["centroids"], src.chunk_text, k=5
+    ).collect()
+    assert all(r.doc_id != src.doc_id for r in after)
