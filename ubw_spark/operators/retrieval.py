@@ -132,17 +132,18 @@ def _score_topk(
 ) -> DataFrame:
     """Shared scoring tail: ``pf`` = posting rows already filtered to
     the query terms, carrying (id, term, tf, dl) plus the one-row
-    stats columns.  df per term is a COUNT WINDOW over term on those
-    same rows (unique per (doc, term), so row count = doc count): a
-    separate ``groupBy("term")`` aggregate would recompute the whole
-    posting subtree — a second corpus scan at 100 TB — while the
-    window re-shuffles only the hit rows, partitioned by term (never
-    global)."""
-    from pyspark.sql import Window
-
-    j = pf.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("term"))
-    )
+    stats columns.  df per term is a ``groupBy(term)`` AGGREGATE
+    (unique rows per (doc, term), so row count = doc count) broadcast
+    back — deliberately NOT a count window partitioned by term: the
+    aggregate combines map-side, so a hot term (a stopword in the
+    query) costs one partial per partition, while the window would
+    sort that term's ENTIRE posting list in a single task — the exact
+    skew shape the repo's window lint exists to keep out of plans.
+    The price is recomputing the pf subtree for the aggregate; in the
+    persisted-index paths (the 100 TB paths) that recompute is a
+    bucket-pruned, predicate-pushed index scan, not a corpus pass."""
+    dfs = pf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    j = pf.join(broadcast(dfs), "term")
     # operation ORDER is the oracle contract — see module docstring
     avgdl = (total_tokens_col * F.lit(1.0)) / n_docs_col
     idf = F.log(
@@ -369,9 +370,11 @@ def probe_term_index_batch(
     micro-job, but Spark's DPP heuristics decline this join shape —
     deterministic beats occasionally-optimal for an index contract.)
 
-    df per (qid, term) is a count window over the matched postings:
-    the join replicates each term's postings once per query asking for
-    it, so the per-(qid, term) row count IS that term's df."""
+    df per term comes from a ``groupBy(term)`` aggregate over the
+    pruned postings BEFORE the per-qid replication join (computing it
+    after would multiply df by the number of queries sharing the term;
+    a (qid, term) count window would concentrate a hot term's postings
+    in one task — the _score_topk skew rationale)."""
     from pyspark.sql import Window
 
     stats = read_term_stats(path)
@@ -390,12 +393,12 @@ def probe_term_index_batch(
     # bounded: ≤ `buckets` distinct values regardless of batch size
     bs = sorted(r["tb"] for r in qt.select("tb").distinct().collect())
     idx = spark.read.parquet(root)
-    pf = idx.where(F.col("tb").isin(bs)).join(
-        broadcast(qt), ["tb", "term"]
+    hit = idx.where(F.col("tb").isin(bs)).join(
+        broadcast(qt.select("term").distinct()), "term", "left_semi"
     )
-    j = pf.withColumn(
-        "__df",
-        F.count(F.lit(1)).over(Window.partitionBy("qid", "term")),
+    dfs = hit.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    j = hit.join(broadcast(qt.select("qid", "term")), "term").join(
+        broadcast(dfs), "term"
     )
     n_docs_col = F.lit(stats["n_docs"])
     avgdl = (F.lit(stats["total_tokens"]) * F.lit(1.0)) / n_docs_col
