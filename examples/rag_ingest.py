@@ -201,8 +201,7 @@ def update(
         )
         append_ivf_batch(emb, centroids, ivf_path)
         append_term_batch(
-            spark, chunks, "chunk_id", "chunk_text",
-            os.path.join(out, "terms"),
+            chunks, "chunk_id", "chunk_text", os.path.join(out, "terms")
         )
     chunks.unpersist()
     return {"n_new_chunks": n_new, "n_dropped_chunks": n_dropped}
@@ -309,7 +308,7 @@ def hybrid_search(
     chunk_text) top-k by fused score."""
     from pyspark.sql import Window
 
-    from ubw_spark.operators.retrieval import probe_term_index
+    from ubw_spark.operators.retrieval import probe_term_index, rrf_fuse
     from ubw_spark.operators.versioned import resolve_root
 
     dense = search(
@@ -330,27 +329,7 @@ def hybrid_search(
         .over(Window.orderBy(F.desc("score"), "chunk_id"))
         .alias("lex_rank"),
     )
-    fused = (
-        lex.join(dense, "chunk_id", "full_outer")
-        .select(
-            "chunk_id",
-            "lex_rank",
-            "dense_rank",
-            F.round(
-                F.coalesce(
-                    F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
-                    F.lit(0.0),
-                )
-                + F.coalesce(
-                    F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
-                    F.lit(0.0),
-                ),
-                6,
-            ).alias("rrf"),
-        )
-        .orderBy(F.desc("rrf"), "chunk_id")
-        .limit(k)
-    )
+    fused = rrf_fuse(lex, dense, id_col="chunk_id", k=k, rrf_k=rrf_k)
     chunks = spark.read.parquet(
         resolve_root(os.path.join(out, "chunks"))
     )

@@ -64,7 +64,7 @@ def test_sql_and_numpy_paths_agree(spark, emb_df):
 
 def test_fit_matches_full_data_eigh(spark, emb_df):
     df, x = emb_df
-    model = pca_fit(spark, df, "embedding", r=3)
+    model = pca_fit(df, "embedding", r=3)
     w, v = np.linalg.eigh(ref_cov(x))
     order = np.argsort(w)[::-1][:3]
     want_vals = w[order]
@@ -80,7 +80,7 @@ def test_fit_matches_full_data_eigh(spark, emb_df):
 
 def test_projection_matches_numpy_and_is_map_only(spark, emb_df):
     df, x = emb_df
-    model = pca_fit(spark, df, "embedding", r=3)
+    model = pca_fit(df, "embedding", r=3)
     out = pca_project(df, "embedding", model)
     got = {
         r["vec_id"]: np.array(r["pc"])
@@ -98,7 +98,7 @@ def test_projection_matches_numpy_and_is_map_only(spark, emb_df):
 
 def test_projected_variance_equals_eigvals(spark, emb_df):
     df, x = emb_df
-    model = pca_fit(spark, df, "embedding", r=2)
+    model = pca_fit(df, "embedding", r=2)
     out = pca_project(df, "embedding", model)
     pcs = np.array(
         [r["pc"] for r in out.select("pc").collect()]
@@ -119,7 +119,7 @@ def test_pca_reduction_preserves_neighbors(spark, emb_df):
     from ubw_spark.operators.similarity import brute_force_topk
 
     df, _ = emb_df
-    model = pca_fit(spark, df, "embedding", r=4)
+    model = pca_fit(df, "embedding", r=4)
     reduced = pca_project(df, "embedding", model).select(
         "vec_id", F.col("pc").cast("array<float>").alias("embedding")
     )

@@ -108,7 +108,7 @@ def test_append_then_probe_sees_whole_corpus(spark, docs_df, tmp_path):
     first = docs_df.where(F.col("doc_id") < 3)
     rest = docs_df.where(F.col("doc_id") >= 3)
     write_term_index(first, "doc_id", "text", path)
-    append_term_batch(spark, rest, "doc_id", "text", path)
+    append_term_batch(rest, "doc_id", "text", path)
     st = read_term_stats(path)
     assert st["n_docs"] == len(DOCS)
     assert st["total_tokens"] == sum(len(t.split()) for _, t in DOCS)
@@ -178,3 +178,27 @@ def test_batch_probe_matches_per_query_topk(spark, docs_df, tmp_path):
                       "doc_id", "text", t, k=3).collect())
         for _, t in queries
     )
+
+
+def test_probe_correct_with_sparse_buckets(spark, docs_df, tmp_path):
+    """Regression: with buckets=64 over a tiny vocabulary most buckets
+    (almost surely including the top one) hold no terms.  The modulus
+    must come from the sidecar — inferring max(tb)+1 from the partition
+    dirs would re-hash every query term under a smaller modulus and
+    probe the wrong partitions (silent zero hits)."""
+    from ubw_spark.operators.retrieval import read_term_stats
+
+    path = str(tmp_path / "ti64")
+    write_term_index(docs_df, "doc_id", "text", path, buckets=64)
+    assert read_term_stats(path)["buckets"] == 64
+    q = "hash join slow stream"
+    got = sorted(probe_term_index(spark, path, q, k=10).collect())
+    want = sorted(bm25_topk(docs_df, "doc_id", "text", q, k=10).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # appends must keep honoring the pinned modulus too
+    more = spark.createDataFrame(
+        [(99, "hash hash hash")], "doc_id bigint, text string"
+    )
+    append_term_batch(more, "doc_id", "text", path)
+    after = probe_term_index(spark, path, "hash", k=3).collect()
+    assert after[0]["doc_id"] == 99

@@ -764,9 +764,7 @@ def test_stream_incremental_term_index_search(spark, tmp_path):
         shutil.rmtree(staging)
 
     def handle(bdf, _bid):
-        append_term_batch(
-            bdf.sparkSession, bdf, "doc_id", "text", path
-        )
+        append_term_batch(bdf, "doc_id", "text", path)
 
     stream = spark.readStream.schema("doc_id bigint, text string").parquet(inc)
     q = (

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ubw_spark.functions.hof import let
@@ -142,7 +142,6 @@ def _numpy_moments(emb: DataFrame, vec_col: str) -> DataFrame:
 
 
 def pca_fit(
-    spark: SparkSession,
     emb: DataFrame,
     vec_col: str,
     r: int,

@@ -1,6 +1,6 @@
 """BM25 lexical retrieval over the document corpus — the keyword half
 of the RAG/search stack (the ANN operators in similarity.py/ivf.py/pq.py
-are the dense half; production retrieval runs both and fuses).
+are the dense half; :func:`rrf_fuse` is the standard way to combine).
 
 Scoring is Robertson/Spärck Jones BM25 (Okapi, "+1" idf variant so
 every addend is positive):
@@ -14,10 +14,11 @@ Scale posture — why this is not "grep on a cluster":
   only rows that ever shuffle are (doc, query-term) hits — at 100 TB
   and a 5-term query that's ~|matching docs|×5 rows, not the token
   stream;
-- document frequencies are a per-term count over those same hits (≤
-  |query terms| rows), broadcast back; corpus stats (N, total tokens)
-  are a one-row aggregate broadcast the same way every curation
-  operator here broadcasts its reduced aggregate;
+- document frequency is a ``groupBy(term)`` aggregate over those hits
+  (map-side combine — a hot stopword costs one partial per partition)
+  broadcast back; corpus stats (N, total tokens) are a one-row
+  aggregate broadcast the same way every curation operator here
+  broadcasts its reduced aggregate;
 - top-k is ``ORDER BY score LIMIT k`` → TakeOrderedAndProject, never a
   global sort;
 - the PERSISTED form (:func:`write_term_index`) is a classic inverted
@@ -28,6 +29,11 @@ Scale posture — why this is not "grep on a cluster":
   vocabulary instead of signatures.  Posting rows carry the doc length
   (Lucene stores norms in the postings for the same reason): scoring
   never rejoins the corpus.
+
+NULL-text documents are excluded from postings AND corpus stats by
+contract (a null row tokenizes to nothing, so it could never be
+retrieved; counting it only in N would make compaction's
+restat-from-postings drift from the write-time stats).
 
 Cross-engine float contract (the repo rule memoryized from
 dsir_select): every per-(doc, term) addend is rounded to 6 dp before
@@ -46,7 +52,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import posixpath
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +69,7 @@ from ubw_spark.operators.versioned import (
 __all__ = [
     "doc_postings",
     "bm25_topk",
+    "rrf_fuse",
     "write_term_index",
     "append_term_batch",
     "probe_term_index",
@@ -70,13 +77,25 @@ __all__ = [
     "compact_term_index",
 ]
 
-#: Sidecar naming the exact-mergeable corpus stats (doc count, total
-#: token count).  avgdl is DERIVED at read time — storing the division
-#: result would make append merges inexact.
+#: Sidecar pinning the exact-mergeable corpus stats (doc count, total
+#: token count) AND the bucket modulus.  avgdl is DERIVED at read time
+#: — storing the division result would make append merges inexact.
+#: Buckets must be pinned, not inferred from the ``tb=`` directory
+#: names: a corpus whose terms happen to leave the top bucket empty
+#: would make a max(tb)+1 guess undercount, and every subsequent probe
+#: would hash query terms under the wrong modulus — the silent-zero
+#: failure class the bloom params sidecar exists for.
 STATS_FILE = "_TERM_STATS"
 
 _K1 = 1.2
 _B = 0.75
+
+#: Java's ``\s`` (as used by the shared corpus tokenizer's
+#: ``split(..., '\\s+')``) is ASCII-only; Python's ``str.split()`` and
+#: ``re`` ``\s`` are Unicode-aware.  The query must tokenize EXACTLY
+#: like the corpus or df lookups silently miss (e.g. a non-breaking
+#: space would split a term Python-side that the index stored whole).
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def _term_bucket_py(term: str, buckets: int) -> int:
@@ -86,11 +105,13 @@ def _term_bucket_py(term: str, buckets: int) -> int:
 
 
 def query_terms(query: str) -> list[str]:
-    """Distinct query tokens under THE shared corpus tokenizer
-    (functions/text.py::tokens) — query and corpus must agree on what a
-    token is or df lookups silently miss.  Sorted for deterministic
-    plan literals."""
-    return sorted({t for t in query.strip().lower().split() if t})
+    """Distinct query tokens under the corpus tokenizer's semantics
+    (functions/text.py::tokens — lower, trim, split on ASCII
+    whitespace; see ``_ASCII_WS``).  Sorted for deterministic plan
+    literals."""
+    return sorted(
+        {t for t in _ASCII_WS.split(query.strip().lower()) if t}
+    )
 
 
 def doc_postings(
@@ -99,8 +120,9 @@ def doc_postings(
     """(id, term, tf, dl) — the posting rows BM25 scores from.  dl is
     denormalized onto every posting (8 bytes) so scoring never joins
     back to the corpus; tf comes from one hash aggregate with map-side
-    partials over the exploded tokens."""
-    toks = df.select(
+    partials over the exploded tokens.  NULL-text rows are excluded
+    (module contract)."""
+    toks = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
     ).select(
         id_col,
@@ -113,12 +135,34 @@ def doc_postings(
 
 
 def _corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
-    """One row: (n_docs, total_tokens) over the WHOLE corpus (BM25's
-    avgdl averages every document, matched or not)."""
-    return df.select(F.size(tokens(F.col(text_col))).alias("__dl")).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("__dl").cast("long").alias("total_tokens"),
+    """One row: (n_docs, total_tokens) over every non-NULL-text doc
+    (BM25's avgdl averages every retrievable document, matched or
+    not)."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.size(tokens(F.col(text_col))).alias("__dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__dl").cast("long").alias("total_tokens"),
+        )
     )
+
+
+def _bm25_addend(n_docs_col, total_tokens_col, k1: float, b: float):
+    """The per-(doc, term) contribution, 6 dp-rounded — ONE definition
+    of the cross-engine float contract (operation order mirrored token
+    for token by every SQL oracle), shared by the single-query and
+    batch scorers.  Expects ``tf``/``dl``/``__df`` columns in scope."""
+    avgdl = (total_tokens_col * F.lit(1.0)) / n_docs_col
+    idf = F.log(
+        F.lit(1.0)
+        + (n_docs_col - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / avgdl
+    )
+    return F.round(idf * ((F.col("tf") * F.lit(k1 + 1)) / denom), 6)
 
 
 def _score_topk(
@@ -144,19 +188,7 @@ def _score_topk(
     bucket-pruned, predicate-pushed index scan, not a corpus pass."""
     dfs = pf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     j = pf.join(broadcast(dfs), "term")
-    # operation ORDER is the oracle contract — see module docstring
-    avgdl = (total_tokens_col * F.lit(1.0)) / n_docs_col
-    idf = F.log(
-        F.lit(1.0)
-        + (n_docs_col - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        (F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / avgdl
-    )
-    addend = F.round(
-        idf * ((F.col("tf") * F.lit(k1 + 1)) / denom), 6
-    )
+    addend = _bm25_addend(n_docs_col, total_tokens_col, k1, b)
     scored = j.select(F.col(id_col), addend.alias("__a")).groupBy(
         id_col
     ).agg(
@@ -180,7 +212,10 @@ def bm25_topk(
 ) -> DataFrame:
     """In-memory BM25 top-k: (id, n_terms_hit, score), score-desc with
     id tiebreak.  The query-term ``isin`` filter sits directly on the
-    exploded tokens, so only hit rows reach the tf aggregate."""
+    exploded tokens, so only hit rows reach the tf aggregate.  This is
+    the ad-hoc / oracle-twin form — it scans the corpus for postings,
+    df, and stats; the persisted index (:func:`probe_term_index`) is
+    the repeated-query path."""
     qts = query_terms(query)
     if not qts:
         # empty query matches nothing — keep the schema
@@ -200,21 +235,69 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    lex: DataFrame,
+    dense: DataFrame,
+    *,
+    id_col: str,
+    k: int,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009): each list
+    contributes ``1/(rrf_k + rank)``; ranks from different systems fuse
+    where raw scores never could (they share no scale).  Inputs are
+    ``(id_col, lex_rank)`` and ``(id_col, dense_rank)`` — both already
+    top-N lists, so the full-outer join is N×N rows and the 6 dp
+    round + (rrf desc, id) ordering is engine-stable.  ONE definition
+    shared by the registered query and the RAG example — the fusion
+    arithmetic must match the oracle everywhere."""
+    return (
+        lex.join(dense, id_col, "full_outer")
+        .select(
+            id_col,
+            "lex_rank",
+            "dense_rank",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("lex_rank")),
+                    F.lit(0.0),
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(rrf_k) + F.col("dense_rank")),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), id_col)
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------- store
 
 
-def _write_stats(root: str, n_docs: int, total_tokens: int) -> None:
+def _write_stats(
+    root: str, n_docs: int, total_tokens: int, buckets: int
+) -> None:
     with open(os.path.join(root, STATS_FILE), "w") as f:
-        json.dump({"n_docs": n_docs, "total_tokens": total_tokens}, f)
+        json.dump(
+            {
+                "n_docs": n_docs,
+                "total_tokens": total_tokens,
+                "buckets": buckets,
+            },
+            f,
+        )
 
 
-def read_term_stats(path: str) -> dict:
-    """{n_docs, total_tokens} of the LIVE store version; raises when
-    the sidecar is missing — scoring with guessed corpus stats skews
-    every idf/avgdl silently (the bloom params-sidecar rule)."""
-    p = os.path.join(resolve_root(path), STATS_FILE)
+def _read_stats_at(root: str, path: str) -> dict:
+    """Sidecar of an ALREADY-RESOLVED version root — callers that also
+    scan postings must resolve once and read both from the same root
+    (versioned.py's readers-resolve-once rule: resolving twice lets a
+    concurrent compaction split stats and postings across versions)."""
     try:
-        with open(p) as f:
+        with open(os.path.join(root, STATS_FILE)) as f:
             return json.load(f)
     except FileNotFoundError:
         raise ValueError(
@@ -222,6 +305,14 @@ def read_term_stats(path: str) -> dict:
             "term-index store (or a partial write); rebuild with "
             "write_term_index"
         ) from None
+
+
+def read_term_stats(path: str) -> dict:
+    """{n_docs, total_tokens, buckets} of the LIVE store version;
+    raises when the sidecar is missing — scoring with guessed corpus
+    stats skews every idf/avgdl silently (the bloom params-sidecar
+    rule)."""
+    return _read_stats_at(resolve_root(path), path)
 
 
 def _bucketed_postings(
@@ -241,10 +332,12 @@ def write_term_index(
     buckets: int = 32,
 ) -> None:
     """Materialize the inverted index: posting rows partitioned by the
-    term's portable hash bucket (``tb``), plus the stats sidecar.
-    ``repartition("tb")`` before ``partitionBy`` keeps each bucket in
-    O(1) files (the write_minhash_index rationale).  Versioned-manifest
-    lifecycle throughout (operators/versioned.py)."""
+    term's portable hash bucket (``tb``), plus the stats sidecar (which
+    pins ``buckets`` — every later probe/append hashes under the
+    pinned modulus).  ``repartition("tb")`` before ``partitionBy``
+    keeps each bucket in O(1) files (the write_minhash_index
+    rationale).  Versioned-manifest lifecycle throughout
+    (operators/versioned.py)."""
     cur, new_v, root = begin_rewrite(path)
     (
         _bucketed_postings(df, id_col, text_col, buckets)
@@ -257,41 +350,27 @@ def write_term_index(
         _corpus_stats(df, text_col)
         .collect()[0]  # one row: two bigints
     )
-    _write_stats(root, st["n_docs"], st["total_tokens"])
+    _write_stats(root, st["n_docs"], st["total_tokens"], buckets)
     commit_rewrite(path, cur, new_v)
 
 
-def _store_buckets(root: str) -> int:
-    """Bucket count recovered from the partition directory names — the
-    layout IS the metadata (no second sidecar to drift)."""
-    bs = [
-        int(name.split("=", 1)[1])
-        for name in os.listdir(root)
-        if name.startswith("tb=")
-    ]
-    if not bs:
-        raise ValueError(f"term index at {root} has no tb= partitions")
-    return max(bs) + 1
-
-
 def append_term_batch(
-    spark: SparkSession,
     batch: DataFrame,
     id_col: str,
     text_col: str,
     path: str,
 ) -> None:
     """Fold a new document batch into the live index: append its
-    posting files into the bucket partitions and merge the stats
-    sidecar EXACTLY (counts add; avgdl is derived, never stored).  Ids
-    must be unique across appends (lakehouse contract, as in
-    append_minhash_batch); removals go through compaction.  df needs no
-    maintenance at all — probes count it from the postings."""
+    posting files into the bucket partitions (under the sidecar's
+    pinned modulus) and merge the stats sidecar EXACTLY (counts add;
+    avgdl is derived, never stored).  Ids must be unique across
+    appends (lakehouse contract, as in append_minhash_batch); removals
+    go through compaction.  df needs no maintenance at all — probes
+    count it from the postings."""
     root = resolve_root(path)
-    old = read_term_stats(path)
-    buckets = _store_buckets(root)
+    old = _read_stats_at(root, path)
     (
-        _bucketed_postings(batch, id_col, text_col, buckets)
+        _bucketed_postings(batch, id_col, text_col, old["buckets"])
         .repartition("tb")
         .write.mode("append")
         .partitionBy("tb")
@@ -302,6 +381,7 @@ def append_term_batch(
         root,
         old["n_docs"] + st["n_docs"],
         old["total_tokens"] + st["total_tokens"],
+        old["buckets"],
     )
 
 
@@ -317,13 +397,15 @@ def probe_term_index(
 ) -> DataFrame:
     """BM25 top-k against the persisted index WITHOUT touching corpus
     text: the query terms' buckets are computed driver-side with the
-    same md5 the write used, so the scan carries a static partition
-    filter (PartitionFilters, plan-asserted in tests) and reads only
-    |query-term buckets| / buckets of the index; the term ``isin``
-    predicate pushes into the parquet scan of those partitions."""
+    same md5 (and the sidecar's pinned modulus) the write used, so the
+    scan carries a static partition filter (PartitionFilters,
+    plan-asserted in tests) and reads only |query-term buckets| /
+    buckets of the index; the term ``isin`` predicate pushes into the
+    parquet scan of those partitions.  The version root is resolved
+    ONCE — stats and postings always come from the same version."""
     qts = query_terms(query)
-    stats = read_term_stats(path)
     root = resolve_root(path)
+    stats = _read_stats_at(root, path)
     idx = spark.read.parquet(root)
     if not qts:
         return idx.select(
@@ -331,8 +413,7 @@ def probe_term_index(
             F.lit(0).cast("long").alias("n_terms_hit"),
             F.lit(0.0).alias("score"),
         ).where(F.lit(False))
-    buckets = _store_buckets(root)
-    bs = sorted({_term_bucket_py(t, buckets) for t in qts})
+    bs = sorted({_term_bucket_py(t, stats["buckets"]) for t in qts})
     pf = idx.where(
         F.col("tb").isin(bs) & F.col("term").isin(qts)
     )
@@ -377,9 +458,8 @@ def probe_term_index_batch(
     in one task — the _score_topk skew rationale)."""
     from pyspark.sql import Window
 
-    stats = read_term_stats(path)
     root = resolve_root(path)
-    buckets = _store_buckets(root)
+    stats = _read_stats_at(root, path)
     qt = (
         queries.select(
             F.col(qid_col).alias("qid"),
@@ -388,7 +468,9 @@ def probe_term_index_batch(
             ).alias("term"),
         )
         .where(F.col("term") != "")
-        .withColumn("tb", (portable_hash(F.col("term")) % buckets))
+        .withColumn(
+            "tb", portable_hash(F.col("term")) % stats["buckets"]
+        )
     )
     # bounded: ≤ `buckets` distinct values regardless of batch size
     bs = sorted(r["tb"] for r in qt.select("tb").distinct().collect())
@@ -400,17 +482,9 @@ def probe_term_index_batch(
     j = hit.join(broadcast(qt.select("qid", "term")), "term").join(
         broadcast(dfs), "term"
     )
-    n_docs_col = F.lit(stats["n_docs"])
-    avgdl = (F.lit(stats["total_tokens"]) * F.lit(1.0)) / n_docs_col
-    idf = F.log(
-        F.lit(1.0)
-        + (n_docs_col - F.col("__df") + F.lit(0.5))
-        / (F.col("__df") + F.lit(0.5))
+    addend = _bm25_addend(
+        F.lit(stats["n_docs"]), F.lit(stats["total_tokens"]), k1, b
     )
-    denom = F.col("tf") + F.lit(k1) * (
-        (F.lit(1.0) - F.lit(b)) + F.lit(b) * F.col("dl") / avgdl
-    )
-    addend = F.round(idf * ((F.col("tf") * F.lit(k1 + 1)) / denom), 6)
     scored = (
         j.select("qid", F.col(id_col), addend.alias("__a"))
         .groupBy("qid", id_col)
@@ -436,13 +510,16 @@ def compact_term_index(
     broadcast_drops: bool = True,
 ) -> None:
     """Retire documents: anti-join their postings out into a fresh
-    version dir (bucket layout preserved) and RECOMPUTE the stats
-    sidecar from the survivors — dl is on every posting, so one
-    distinct-(id, dl) aggregate over the kept rows restores exact
-    (n_docs, total_tokens) without the corpus.  ``broadcast_drops=
-    False`` plans a shuffled anti-join for corpus-fraction drop sets
-    (the two-posture compaction rule, versioned.py)."""
+    version dir (bucket layout + pinned modulus preserved) and
+    RECOMPUTE the stats sidecar from the survivors — dl is on every
+    posting, so one distinct-(id, dl) aggregate over the kept rows
+    restores exact (n_docs, total_tokens) without the corpus (sound
+    because NULL-text docs are excluded from stats everywhere — module
+    contract).  ``broadcast_drops=False`` plans a shuffled anti-join
+    for corpus-fraction drop sets (the two-posture compaction rule,
+    versioned.py)."""
     old_root = resolve_root(path)
+    old = _read_stats_at(old_root, path)
     drops = drop_ids.select(
         F.col(drop_ids.columns[0]).alias(id_col)
     )
@@ -467,5 +544,5 @@ def compact_term_index(
         )
         .collect()[0]  # one row: two bigints
     )
-    _write_stats(new_root, st["n"], st["t"])
+    _write_stats(new_root, st["n"], st["t"], old["buckets"])
     commit_rewrite(path, cur, new_v)

@@ -31,14 +31,14 @@ _BM25_ORACLE_BODY = r"""
     WITH dl AS (
       SELECT doc_id,
              length(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     stats AS (
       SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total FROM dl),
     tf AS (
       SELECT doc_id, w AS term, count(*)::BIGINT AS tf
       FROM (SELECT doc_id,
                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
       WHERE w IN ('hash', 'join', 'slow', 'stream')
       GROUP BY doc_id, w),
     dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
@@ -182,25 +182,15 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dense_rank"),
         )
     )
-    fused = lex.join(
-        dense, lex["doc_id"] == dense["vec_id"], "full_outer"
-    ).select(
-        F.coalesce(lex["doc_id"], dense["vec_id"]).alias("doc_id"),
-        "lex_rank",
-        "dense_rank",
-        F.round(
-            F.coalesce(
-                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(_RRF_K) + F.col("dense_rank")),
-                F.lit(0.0),
-            ),
-            6,
-        ).alias("rrf"),
+    from ubw_spark.operators.retrieval import rrf_fuse
+
+    return rrf_fuse(
+        lex,
+        dense.withColumnRenamed("vec_id", "doc_id"),
+        id_col="doc_id",
+        k=10,
+        rrf_k=_RRF_K,
     )
-    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
 
 
 @register(
@@ -215,14 +205,14 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl AS (
       SELECT doc_id,
              length(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     stats AS (
       SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total FROM dl),
     tf AS (
       SELECT doc_id, w AS term, count(*)::BIGINT AS tf
       FROM (SELECT doc_id,
                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-            FROM documents)
+            FROM documents WHERE text IS NOT NULL)
       WHERE w IN (SELECT term FROM qt)
       GROUP BY doc_id, w),
     dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
