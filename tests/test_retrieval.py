@@ -202,3 +202,26 @@ def test_probe_correct_with_sparse_buckets(spark, docs_df, tmp_path):
     append_term_batch(more, "doc_id", "text", path)
     after = probe_term_index(spark, path, "hash", k=3).collect()
     assert after[0]["doc_id"] == 99
+
+
+def test_phrase_match_positions_and_map_only(spark):
+    from ubw_spark.operators.retrieval import phrase_match
+    from ubw_spark.plans import shuffle_count
+
+    rows = [
+        (0, "a b a b a b"),      # overlapping repeats: "a b" at 1,3,5
+        (1, "b a"),              # reversed — no match
+        (2, "a"),                # shorter than the phrase
+        (3, "x a b"),            # single match at 2
+        (4, None),               # null text excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = phrase_match(df, "doc_id", "text", "a b")
+    got = {r["doc_id"]: (r["n_occurrences"], r["first_pos"])
+           for r in out.collect()}
+    assert got == {0: (3, 1), 3: (1, 2)}
+    assert shuffle_count(out) == 0
+    # one-token phrase degenerates to term occurrence counting
+    one = {r["doc_id"]: r["n_occurrences"]
+           for r in phrase_match(df, "doc_id", "text", "a").collect()}
+    assert one == {0: 3, 1: 1, 2: 1, 3: 1}

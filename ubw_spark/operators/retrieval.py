@@ -70,6 +70,7 @@ __all__ = [
     "doc_postings",
     "bm25_topk",
     "rrf_fuse",
+    "phrase_match",
     "write_term_index",
     "append_term_batch",
     "probe_term_index",
@@ -272,6 +273,50 @@ def rrf_fuse(
         .orderBy(F.desc("rrf"), id_col)
         .limit(k)
     )
+
+
+def phrase_match(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    phrase: str,
+) -> DataFrame:
+    """Exact phrase search — the capability BM25's bag-of-terms scoring
+    gives up: (id, n_occurrences, first_pos) for every document
+    containing the n-token phrase as CONSECUTIVE tokens (1-based token
+    position).  Map-only: the token array is let-bound (split once —
+    the no-CSE rule), candidate start positions are filtered with a
+    JVM higher-order function, and docs shorter than the phrase never
+    build a window.  No shuffle, no explode — at 100 TB this is a
+    single streaming pass with the filter as the only cost."""
+    from ubw_spark.functions.hof import let
+
+    # NOT query_terms(): a phrase is an ordered sequence — sorting or
+    # deduping its tokens would change what is matched
+    pts = [t for t in _ASCII_WS.split(phrase.strip().lower()) if t]
+    if not pts:
+        raise ValueError("empty phrase")
+    n = len(pts)
+    target = " ".join(pts)
+
+    def positions(t):
+        # sequence(1, 0) counts DOWN in Spark — guard docs shorter
+        # than the phrase (the quality.py bigram rule)
+        return F.when(
+            F.size(t) >= n,
+            F.filter(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.array_join(F.slice(t, i, n), " ") == target,
+            ),
+        ).otherwise(F.array().cast("array<int>"))
+
+    pos = let(tokens(F.col(text_col)), positions)
+    out = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.size(pos).alias("n_occurrences"),
+        F.element_at(pos, 1).alias("first_pos"),
+    )
+    return out.where(F.col("n_occurrences") > 0)
 
 
 # ---------------------------------------------------------------- store

@@ -269,3 +269,33 @@ def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid int, query string",
     )
     return probe_term_index_batch(spark, path, queries, k=5)
+
+
+@register(
+    "search_phrase_match",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      FROM documents WHERE text IS NOT NULL),
+    p AS (
+      SELECT doc_id,
+             list_filter(generate_series(1, len(tk) - 1),
+                         i -> array_to_string(tk[i:i+1], ' ')
+                              = 'hash join') AS pos
+      FROM t)
+    SELECT doc_id,
+           len(pos)::INTEGER AS n_occurrences,
+           pos[1]::INTEGER AS first_pos
+    FROM p WHERE len(pos) > 0
+    """,
+    tags=("search", "text", "retrieval"),
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact consecutive-token phrase search ("hash join") — the
+    ordered-sequence capability BM25's bag-of-terms gives up.  Map-only
+    per-row higher-order filter over the let-bound token array: no
+    shuffle, no explode; the plan is one streaming pass."""
+    from ubw_spark.operators.retrieval import phrase_match
+
+    d = table(spark, sf_dir, "documents")
+    return phrase_match(d, "doc_id", "text", "hash join")
