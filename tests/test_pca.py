@@ -136,3 +136,31 @@ def test_pca_reduction_preserves_neighbors(spark, emb_df):
         hits += r[1] in fullnb[r[0]]
     assert total == 50
     assert hits / total >= 0.6, hits / total
+
+
+def test_moments_store_incremental_fit(spark, emb_df, tmp_path):
+    """The moments store: raw moments are sums, so append-then-fit must
+    equal fit-from-scratch (the exact-merge property no covariance or
+    eigenvector store could offer).  Fit happens from the store alone —
+    no corpus access."""
+    from ubw_spark.operators.pca import (
+        append_moments_batch,
+        pca_fit_from_store,
+        write_moments_store,
+    )
+    from ubw_spark.operators.versioned import current_version
+
+    df, _ = emb_df
+    path = str(tmp_path / "moments")
+    first = df.where(F.col("vec_id") < 100)
+    rest = df.where(F.col("vec_id") >= 100)
+    write_moments_store(first, "embedding", path)
+    assert current_version(path) == 0
+    append_moments_batch(rest, "embedding", path)
+    got = pca_fit_from_store(spark, path, r=3)
+    want = pca_fit(df, "embedding", r=3)
+    assert np.allclose(got["eigvals"], want["eigvals"], rtol=1e-9)
+    assert np.allclose(got["mean"], want["mean"], atol=1e-10)
+    assert np.allclose(
+        got["components"], want["components"], atol=1e-7
+    )

@@ -47,6 +47,9 @@ __all__ = [
     "covariance_matrix",
     "pca_fit",
     "pca_project",
+    "write_moments_store",
+    "append_moments_batch",
+    "pca_fit_from_store",
 ]
 
 
@@ -154,8 +157,6 @@ def pca_fit(
     eigh's sign is arbitrary and this pins determinism).  The only
     eager step collects d(d+1)/2 covariance entries + the d-vector
     mean — bounded by DIMENSION, never by corpus size."""
-    import numpy as np
-
     # ONE corpus scan: the moments aggregate already carries si/n, so
     # cov AND mean both come from the same d(d+1)/2-row collect
     agg = (
@@ -163,7 +164,15 @@ def pca_fit(
         if method == "numpy"
         else _sql_moments(emb, vec_col)
     )
-    rows = agg.collect()
+    return _fit_from_moment_rows(agg.collect(), r)
+
+
+def _fit_from_moment_rows(rows, r: int) -> dict:
+    """Driver-side tail shared by :func:`pca_fit` and
+    :func:`pca_fit_from_store`: moments → covariance + mean → eigh →
+    sign-canonicalized top-r components."""
+    import numpy as np
+
     d = max(row["j"] for row in rows) + 1
     cov = np.zeros((d, d))
     mean = np.zeros(d)
@@ -214,3 +223,62 @@ def pca_project(
         F.col(vec_col), mean_arr, lambda x, m: x.cast("double") - m
     )
     return emb.withColumn(out_col, let(centered, dots))
+
+
+# ---------------------------------------------------------------- store
+
+
+def write_moments_store(
+    emb: DataFrame, vec_col: str, path: str, *, method: str = "numpy"
+) -> None:
+    """Persist the raw-moment rows (d(d+1)/2 per write) as a versioned
+    store — the incremental-PCA artifact: raw moments are plain SUMS,
+    so batches MERGE EXACTLY by (i, j) addition, which a covariance or
+    eigenvector store never could.  A nightly re-fit reads this store
+    instead of re-scanning the corpus."""
+    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+
+    agg = (
+        _numpy_moments(emb, vec_col)
+        if method == "numpy"
+        else _sql_moments(emb, vec_col)
+    )
+    cur, new_v, root = begin_rewrite(path)
+    agg.coalesce(1).write.mode("overwrite").parquet(root)
+    commit_rewrite(path, cur, new_v)
+
+
+def append_moments_batch(
+    batch: DataFrame, vec_col: str, path: str, *, method: str = "numpy"
+) -> None:
+    """Fold a new batch's moments into the live store version: APPEND
+    the partial rows — the fit re-aggregates by (i, j), and sums are
+    associative, so append-then-fit equals fit-from-scratch (pinned in
+    tests).  Cost ∝ the batch, never the corpus."""
+    from ubw_spark.operators.versioned import resolve_root
+
+    agg = (
+        _numpy_moments(batch, vec_col)
+        if method == "numpy"
+        else _sql_moments(batch, vec_col)
+    )
+    agg.coalesce(1).write.mode("append").parquet(resolve_root(path))
+
+
+def pca_fit_from_store(spark, path: str, r: int) -> dict:
+    """Fit from the persisted moments alone (no corpus access): one
+    (i, j) re-aggregation over ≤ |appends| × d(d+1)/2 rows, then the
+    shared driver-side eigh tail."""
+    from ubw_spark.operators.versioned import resolve_root
+
+    merged = (
+        spark.read.parquet(resolve_root(path))
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("n").alias("n"),
+        )
+    )
+    return _fit_from_moment_rows(merged.collect(), r)
