@@ -311,10 +311,20 @@ def phrase_match(
         ).otherwise(F.array().cast("array<int>"))
 
     pos = let(tokens(F.col(text_col)), positions)
+    # fence: the occurrence count is filtered below — without it the
+    # predicate gets pushdown-substituted into a Filter that re-runs
+    # the whole HOF pipeline per row (the functions/hof.py rule; the
+    # registry-wide lint test_plans.py::hof_filter_violations catches
+    # exactly this shape)
+    from ubw_spark.functions.hof import fence
+
     out = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.size(pos).alias("n_occurrences"),
-        F.element_at(pos, 1).alias("first_pos"),
+        fence(F.size(pos)).alias("n_occurrences"),
+        # try_: with the filter above the projection (fence), this IS
+        # evaluated on no-match rows — plain element_at would raise on
+        # the empty array under ANSI
+        F.try_element_at(pos, F.lit(1)).alias("first_pos"),
     )
     return out.where(F.col("n_occurrences") > 0)
 
