@@ -18,6 +18,8 @@ same funnel lazily as a single report plan):
                    no bigram features are excluded from the pool)
   07 pack + write  hash split train/valid/test, token counts + packing
                    offsets, written partitioned by split
+  08 shards        the train split written as seeded deterministic
+                   training shards, short->long curriculum order
 
 Run:  python examples/curate_corpus.py \
         [--sf-dir /root/testdata/sf0.001] [--out /tmp/curated] \
@@ -154,6 +156,22 @@ def curate(
     counts["07_final"] = back.count()
     for r in back.groupBy("split").count().collect():
         counts[f"07_final_{r['split']}"] = r["count"]
+
+    # Trainer feed: the train split as seeded deterministic shards,
+    # short->long curriculum within each shard.  A retry or a rerun
+    # rewrites identical shard files; a new epoch is a new seed.
+    from ubw_spark.operators.shards import write_training_shards
+
+    write_training_shards(
+        back.where(F.col("split") == "train"),
+        os.path.join(out, "08_shards"),
+        "doc_id",
+        n_shards=4,
+        seed=0,
+        curriculum=("n_tokens", [20, 40, 60]),
+    )
+    shards = spark.read.parquet(os.path.join(out, "08_shards"))
+    counts["08_shards"] = shards.count()
     return counts
 
 

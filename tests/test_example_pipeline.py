@@ -44,3 +44,10 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
         counts[f"07_final_{s.removeprefix('split=')}"] for s in splits
     )
     assert total == counts["07_final"]
+    # trainer feed: shard dirs cover the train split exactly
+    shard_dirs = [
+        d for d in os.listdir(os.path.join(out, "08_shards"))
+        if d.startswith("shard=")
+    ]
+    assert len(shard_dirs) == 4
+    assert counts["08_shards"] == counts["07_final_train"]
