@@ -1,0 +1,100 @@
+"""Count-min sketch (operators/sketches.py)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.functions.text import tokens
+from ubw_spark.operators.sketches import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+    cms_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def words(spark, sf_dir):
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return d.where(F.col("lang") == "en").select(
+        F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("word")
+    )
+
+
+def test_sketch_size_bounded(words):
+    sk = cms_build(words, "word", width=32, depth=3)
+    assert sk.count() <= 32 * 3
+    # every row of depth i exists for dense-enough streams
+    assert sk.select("i").distinct().count() == 3
+
+
+def test_never_undercounts_and_min_beats_single_row(words):
+    tru = words.groupBy("word").agg(F.count(F.lit(1)).alias("t"))
+    sk = cms_build(words, "word", width=64, depth=4)
+    est = cms_estimate(sk, tru, "word", width=64, depth=4)
+    j = est.join(tru, "word")
+    assert j.where(F.col("est") < F.col("t")).count() == 0
+    # depth=4 min must be no worse than any single row's estimate:
+    # compare against a depth-1 sketch sharing row 0's hash
+    sk1 = cms_build(words, "word", width=64, depth=1)
+    est1 = cms_estimate(sk1, tru, "word", width=64, depth=1).withColumnRenamed(
+        "est", "est1"
+    )
+    assert (
+        est.join(est1, "word").where(F.col("est") > F.col("est1")).count()
+        == 0
+    )
+
+
+def test_merge_equals_whole(words):
+    a = words.where(F.col("doc_id") % 2 == 0)
+    b = words.where(F.col("doc_id") % 2 == 1)
+    merged = cms_merge(
+        cms_build(a, "word", width=32, depth=3),
+        cms_build(b, "word", width=32, depth=3),
+    )
+    whole = cms_build(words, "word", width=32, depth=3)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_weight_col_matches_preaggregation(words):
+    """Sketching per-doc (word, n) rows with weight_col == sketching
+    the raw token stream."""
+    per_doc = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    weighted = cms_build(per_doc, "word", width=32, depth=2, weight_col="n")
+    raw = cms_build(words, "word", width=32, depth=2)
+    assert weighted.exceptAll(raw).count() == 0
+    assert raw.exceptAll(weighted).count() == 0
+
+
+def test_estimate_broadcasts_sketch(words):
+    sk = cms_build(words, "word", width=32, depth=2)
+    est = cms_estimate(sk, words, "word", width=32, depth=2)
+    plan = est._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="width"):
+        cms_pairs(F.lit("x"), 1, 4)
+    with pytest.raises(ValueError, match="width"):
+        cms_pairs(F.lit("x"), 32, 0)
+
+
+def test_sketch_queries_green(spark, sf_dir):
+    from ubw_spark.queries import REGISTRY
+
+    wf = REGISTRY["sketch_cms_wordfreq"].fn(spark, sf_dir)
+    rows = {r["word"]: r for r in wf.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["est"] >= r["true_cnt"]
+    assert rows["zz_absent_zz"]["true_cnt"] == 0
+    audit = REGISTRY["sketch_cms_error_audit"].fn(spark, sf_dir).first()
+    assert audit["n_words"] > 0
+    assert audit["max_overcount"] >= 0
+    assert audit["n_exact"] <= audit["n_words"]

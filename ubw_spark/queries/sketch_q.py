@@ -1,0 +1,122 @@
+"""Count-min sketch queries (operators/sketches.py).
+
+Every cell of the sketch is the same md5 arithmetic in Spark and
+DuckDB, so the sketch CONTENT — not just derived statistics — is
+oracle-checked: build, probe, and the one-sided-error audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.functions.text import tokens
+from ubw_spark.operators.sketches import cms_build, cms_estimate
+from ubw_spark.queries.registry import register, table
+
+_PROBES = ["key", "table", "spark", "row", "zz_absent_zz"]
+
+
+def _en_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    return d.select(F.explode(tokens(F.col("text"))).alias("word"))
+
+
+@register(
+    "sketch_cms_wordfreq",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE lang = 'en'),
+    sk AS (
+      SELECT i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':' || word),
+                 1, 8))::BIGINT % 1024 AS bucket, count(*)::BIGINT AS cnt
+      FROM tok, (SELECT unnest(generate_series(0, 3)) AS i)
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT word, i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':'
+                 || word), 1, 8))::BIGINT % 1024 AS bucket
+      FROM (SELECT unnest(['key','table','spark','row','zz_absent_zz'])
+              AS word),
+           (SELECT unnest(generate_series(0, 3)) AS i)),
+    est AS (
+      SELECT c.word, min(coalesce(sk.cnt, 0))::BIGINT AS est
+      FROM cells c LEFT JOIN sk USING (i, bucket) GROUP BY 1),
+    tru AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY 1)
+    SELECT e.word, e.est, coalesce(t.true_cnt, 0)::BIGINT AS true_cnt
+    FROM est e LEFT JOIN tru t USING (word)
+    """,
+    tags=("sketch", "llm"),
+)
+def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 4x1024 count-min sketch over the English token stream,
+    probe five words (one absent from the corpus), and report estimate
+    vs truth.  Scale: the sketch shuffle is bounded at 4096 cells no
+    matter the corpus; the truth side exists only for the audit and
+    filters to the probe set BEFORE aggregating."""
+    toks = _en_tokens(spark, sf_dir)
+    probes = spark.createDataFrame([(w,) for w in _PROBES], "word string")
+    sk = cms_build(toks, "word", width=1024, depth=4)
+    est = cms_estimate(sk, probes, "word", width=1024, depth=4)
+    tru = (
+        toks.join(F.broadcast(probes), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return est.join(tru, "word", "left").select(
+        "word",
+        "est",
+        F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias(
+            "true_cnt"
+        ),
+    )
+
+
+@register(
+    "sketch_cms_error_audit",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE lang = 'en'),
+    tru AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY 1),
+    sk AS (
+      SELECT i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':' || word),
+                 1, 8))::BIGINT % 64 AS bucket, count(*)::BIGINT AS cnt
+      FROM tok, (SELECT unnest(generate_series(0, 3)) AS i)
+      GROUP BY 1, 2),
+    cells AS (
+      SELECT word, i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':'
+                 || word), 1, 8))::BIGINT % 64 AS bucket
+      FROM tru, (SELECT unnest(generate_series(0, 3)) AS i)),
+    est AS (
+      SELECT c.word, min(coalesce(sk.cnt, 0))::BIGINT AS est
+      FROM cells c LEFT JOIN sk USING (i, bucket) GROUP BY 1)
+    SELECT count(*) AS n_words,
+           sum(CASE WHEN e.est = t.true_cnt THEN 1 ELSE 0 END)::BIGINT
+             AS n_exact,
+           sum(e.est - t.true_cnt)::BIGINT AS total_overcount,
+           max(e.est - t.true_cnt) AS max_overcount
+    FROM est e JOIN tru t USING (word)
+    """,
+    tags=("sketch", "llm"),
+)
+def sketch_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided-error audit on a deliberately tight 4x64 sketch: for
+    EVERY distinct token compare estimate to truth — never under, and
+    the audit quantifies the collision overcount (the bloom-FP-audit
+    pattern applied to frequencies).  At 100 TB the audit runs on a
+    sample; the sketch itself stays 256 cells."""
+    toks = _en_tokens(spark, sf_dir)
+    tru = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+    sk = cms_build(toks, "word", width=64, depth=4)
+    est = cms_estimate(sk, tru, "word", width=64, depth=4)
+    j = est.join(tru, "word")
+    over = F.col("est") - F.col("true_cnt")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum((F.col("est") == F.col("true_cnt")).cast("long")).alias(
+            "n_exact"
+        ),
+        F.sum(over).alias("total_overcount"),
+        F.max(over).alias("max_overcount"),
+    )
