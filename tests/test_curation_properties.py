@@ -105,3 +105,36 @@ def test_stratified_sample_stable_under_growth(spark, frac, salt):
         ).collect()
     }
     assert kept_small == {i for i in kept_big if i < 40}
+
+
+def test_temperature_weights_limits(spark, sf_dir):
+    """alpha=1 reproduces the natural mix, alpha=0 the uniform mix;
+    weights always sum to 1."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ubw_spark.functions.text import tokens
+    from ubw_spark.operators.curation import temperature_weights
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    tok = F.size(tokens(F.col("text")))
+    for alpha in (0.0, 0.5, 1.0):
+        w = temperature_weights(d, "source", tok, alpha)
+        rows = {r["source"]: r for r in w.collect()}
+        assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-9
+        if alpha == 0.0:
+            vals = [r["weight"] for r in rows.values()]
+            assert max(vals) - min(vals) < 1e-9
+        if alpha == 1.0:
+            total = sum(r["tokens"] for r in rows.values())
+            for r in rows.values():
+                assert abs(r["weight"] - r["tokens"] / total) < 1e-9
+        # 0 < alpha < 1 sits between: small sources get >= natural share
+        if alpha == 0.5:
+            total = sum(r["tokens"] for r in rows.values())
+            smallest = min(rows.values(), key=lambda r: r["tokens"])
+            assert smallest["weight"] >= smallest["tokens"] / total - 1e-9
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_weights(d, "source", tok, -0.1)

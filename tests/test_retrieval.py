@@ -225,3 +225,36 @@ def test_phrase_match_positions_and_map_only(spark):
     one = {r["doc_id"]: r["n_occurrences"]
            for r in phrase_match(df, "doc_id", "text", "a").collect()}
     assert one == {0: 3, 1: 1, 2: 1, 3: 1}
+
+
+def test_hard_negatives_exclude_phrase_matches(spark, sf_dir):
+    """Every mined negative scores on the bag of terms but does NOT
+    contain the exact phrase."""
+    from ubw_spark.operators.retrieval import phrase_match
+    from ubw_spark.queries import REGISTRY
+
+    negs = REGISTRY["search_hard_negatives"].fn(spark, sf_dir)
+    rows = negs.collect()
+    assert 0 < len(rows) <= 10
+    assert all(r["score"] > 0 for r in rows)
+    import os
+
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pos_ids = {
+        r["doc_id"]
+        for r in phrase_match(d, "doc_id", "text", "hash join")
+        .select("doc_id")
+        .collect()
+    }
+    assert pos_ids  # the corpus does contain the phrase
+    assert not ({r["doc_id"] for r in rows} & pos_ids)
+    # and the negatives really are lexically confusable: they contain
+    # at least one of the query terms
+    neg_ids = [r["doc_id"] for r in rows]
+    with_term = d.where(
+        F.col("doc_id").isin(neg_ids)
+        & (F.col("text").contains("hash") | F.col("text").contains("join"))
+    ).count()
+    assert with_term == len(neg_ids)

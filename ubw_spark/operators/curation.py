@@ -144,3 +144,38 @@ def token_budget_mix(
         .where(bucket < F.floor(F.col("__frac") * _BUCKETS))
         .drop("__frac")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    token_col: Column,
+    alpha: float,
+) -> DataFrame:
+    """Temperature-scaled mixture weights: weight_s ∝ tokens_s^alpha
+    (alpha=1 → proportional / natural mix, alpha=0 → uniform across
+    sources, 0<alpha<1 upweights small sources — the multilingual-
+    sampling rule of XLM-R/mT5).  Returns one row per source:
+    ``tokens`` and normalized ``weight``.
+
+    The output FEEDS ``token_budget_mix``: derive the recipe from the
+    corpus instead of hand-writing it.  Shape: one map-side-combining
+    aggregate to per-source totals, then the normalizer is a one-row
+    aggregate broadcast back — the reduced-aggregate-broadcast pattern;
+    nothing row-level happens after the first pass."""
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    totals = (
+        df.select(F.col(source_col), token_col.alias("__tok"))
+        .groupBy(source_col)
+        .agg(F.sum("__tok").cast("long").alias("tokens"))
+        .withColumn(
+            "__pw", F.pow(F.col("tokens").cast("double"), F.lit(alpha))
+        )
+    )
+    z = totals.agg(F.sum("__pw").alias("__z"))
+    return (
+        totals.crossJoin(F.broadcast(z))
+        .withColumn("weight", F.col("__pw") / F.col("__z"))
+        .drop("__pw", "__z")
+    )

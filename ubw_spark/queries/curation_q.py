@@ -324,3 +324,47 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, d.where(F.col("lang") == "en"), "doc_id", "text", 25,
         n=2, buckets=1024,
     )
+
+
+@register(
+    "curation_temperature_mix",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             sum(length(regexp_split_to_array(trim(lower(text)), '\s+')))
+               ::BIGINT AS tokens
+      FROM documents GROUP BY source),
+    z AS (SELECT sum(pow(tokens, 0.5e0)) AS z FROM t)
+    SELECT source, tokens,
+           round(pow(tokens, 0.5e0) / z, 6) AS weight,
+           round(100000e0 * (pow(tokens, 0.5e0) / z) / tokens, 4)
+             AS effective_epochs
+    FROM t CROSS JOIN z
+    """,
+    tags=("curation", "llm"),
+)
+def curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the data recipe FROM the corpus: alpha=0.5 temperature
+    weights per source (small sources upweighted, the XLM-R/mT5
+    sampling rule) plus the effective epochs each source would run
+    under a 100k-token budget — >1 means that source repeats.  Feeds
+    ``token_budget_mix`` as its ``weights=``.
+
+    Scale: one aggregate pass to |sources| rows; the normalizer is a
+    one-row broadcast.  The report is recipe-sized, never corpus-
+    sized."""
+    from ubw_spark.functions.text import tokens
+    from ubw_spark.operators.curation import temperature_weights
+
+    d = table(spark, sf_dir, "documents")
+    tw = temperature_weights(
+        d, "source", F.size(tokens(F.col("text"))), 0.5
+    )
+    return tw.select(
+        "source",
+        "tokens",
+        F.round("weight", 6).alias("weight"),
+        F.round(
+            F.lit(100000.0) * F.col("weight") / F.col("tokens"), 4
+        ).alias("effective_epochs"),
+    )

@@ -27,7 +27,14 @@ def _bm25_sql(k: int) -> str:
     return _BM25_ORACLE_BODY + f"\n    ORDER BY score DESC, doc_id LIMIT {k}"
 
 
-_BM25_ORACLE_BODY = r"""
+def _bm25_body(terms: tuple[str, ...]) -> str:
+    """The BM25 oracle body with a parametric term list — hard-negative
+    mining reuses the scoring CTEs under a different query."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return _BM25_BODY_TEMPLATE.replace("__TERMS__", inlist)
+
+
+_BM25_BODY_TEMPLATE = r"""
     WITH dl AS (
       SELECT doc_id,
              length(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
@@ -39,7 +46,7 @@ _BM25_ORACLE_BODY = r"""
       FROM (SELECT doc_id,
                    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
             FROM documents WHERE text IS NOT NULL)
-      WHERE w IN ('hash', 'join', 'slow', 'stream')
+      WHERE w IN (__TERMS__)
       GROUP BY doc_id, w),
     dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
     scored AS (
@@ -60,6 +67,7 @@ _BM25_ORACLE_BODY = r"""
            round(sum(addend), 4) AS score
     FROM scored GROUP BY doc_id"""
 
+_BM25_ORACLE_BODY = _bm25_body(("hash", "join", "slow", "stream"))
 _BM25_ORACLE = _bm25_sql(TOP_K)
 
 
@@ -299,3 +307,52 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return phrase_match(d, "doc_id", "text", "hash join")
+
+
+_HARD_NEG_ORACLE = (
+    "SELECT doc_id, n_terms_hit, score FROM (\n"
+    + _bm25_body(("hash", "join"))
+    + "\n    ORDER BY score DESC, doc_id LIMIT 20) cand\n"
+    + r"""
+    WHERE doc_id NOT IN (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               list_filter(generate_series(1, len(tk) - 1),
+                           i -> array_to_string(tk[i:i+1], ' ')
+                                = 'hash join') AS pos
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+              FROM documents WHERE text IS NOT NULL))
+      WHERE len(pos) > 0)
+    ORDER BY score DESC, doc_id LIMIT 10
+"""
+)
+
+
+@register(
+    "search_hard_negatives",
+    oracle=_HARD_NEG_ORACLE,
+    tags=("search", "retrieval", "training"),
+)
+def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever training: documents that
+    score high on the query's BAG of terms ('hash', 'join') yet do NOT
+    contain the exact phrase "hash join" — lexically confusable
+    non-answers, the negatives contrastive training wants most
+    (positives = phrase matches, candidates = BM25 top-20, negatives =
+    candidates minus positives, top-10).
+
+    Scale: candidate generation is the BM25 top-k plan (term-filtered
+    explode, TakeOrdered); the positive set is a map-only phrase
+    filter; the anti-join runs on a 20-row candidate list — the
+    expensive side is bounded BEFORE the exclusion, never after."""
+    from ubw_spark.operators.retrieval import phrase_match
+
+    d = table(spark, sf_dir, "documents")
+    cands = bm25_topk(d, "doc_id", "text", "hash join", k=20)
+    pos = phrase_match(d, "doc_id", "text", "hash join").select("doc_id")
+    return (
+        cands.join(pos, "doc_id", "left_anti")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
