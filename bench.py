@@ -93,6 +93,13 @@ HEADLINE = [
     # the operation); the probe itself reads only the query terms'
     # hash-bucket partitions.
     "search_bm25_store_probe",
+    # Round-8 late additions: the trainer-feed shard plan (map-only keys
+    # + one bounded groupBy), the count-min sketch error audit (sketch
+    # shuffle bounded at depth*width cells), and hard-negative mining
+    # (BM25 top-k candidates anti-joined against exact phrase matches).
+    "shard_plan_balance",
+    "sketch_cms_error_audit",
+    "search_hard_negatives",
 ]
 
 
