@@ -33,18 +33,30 @@ def test_never_undercounts_and_min_beats_single_row(words):
     tru = words.groupBy("word").agg(F.count(F.lit(1)).alias("t"))
     sk = cms_build(words, "word", width=64, depth=4)
     est = cms_estimate(sk, tru, "word", width=64, depth=4)
-    j = est.join(tru, "word")
-    assert j.where(F.col("est") < F.col("t")).count() == 0
+    assert est.where(F.col("est") < F.col("t")).count() == 0
     # depth=4 min must be no worse than any single row's estimate:
     # compare against a depth-1 sketch sharing row 0's hash
     sk1 = cms_build(words, "word", width=64, depth=1)
-    est1 = cms_estimate(sk1, tru, "word", width=64, depth=1).withColumnRenamed(
-        "est", "est1"
-    )
+    est1 = cms_estimate(
+        sk1, tru.select("word"), "word", width=64, depth=1
+    ).withColumnRenamed("est", "est1")
     assert (
         est.join(est1, "word").where(F.col("est") > F.col("est1")).count()
         == 0
     )
+
+
+def test_shape_mismatch_raises(words):
+    import re
+
+    a = cms_build(words, "word", width=32, depth=3)
+    b = cms_build(words, "word", width=64, depth=3)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        cms_merge(a, b)
+    with pytest.raises(ValueError, match=re.escape("32x3")):
+        cms_estimate(a, words, "word", width=64, depth=3)
+    with pytest.raises(ValueError, match="not a cms_build sketch"):
+        cms_merge(words.withColumnRenamed("word", "cnt"), a)
 
 
 def test_merge_equals_whole(words):
@@ -71,9 +83,19 @@ def test_weight_col_matches_preaggregation(words):
     assert raw.exceptAll(weighted).count() == 0
 
 
-def test_estimate_broadcasts_sketch(words):
-    sk = cms_build(words, "word", width=32, depth=2)
+def test_estimate_probe_side_is_map_only(words, tmp_path, spark):
+    """With the sketch materialized (the cross-dump shape), estimation
+    plans ZERO exchanges — broadcast lookups only — so it composes into
+    map-side pipelines.  Also pins that the (width, depth) metadata
+    survives the parquet round-trip."""
+    from ubw_spark.plans.inspect import shuffle_count
+
+    cms_build(words, "word", width=32, depth=2).write.parquet(
+        str(tmp_path / "sk")
+    )
+    sk = spark.read.parquet(str(tmp_path / "sk"))
     est = cms_estimate(sk, words, "word", width=32, depth=2)
+    assert shuffle_count(est) == 0
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
 

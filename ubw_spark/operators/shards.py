@@ -75,8 +75,12 @@ def curriculum_bin(score_col: Column, cutpoints: list[float]) -> Column:
     resulting constants here."""
     if not cutpoints:
         raise ValueError("cutpoints must be non-empty")
-    if sorted(cutpoints) != list(cutpoints):
-        raise ValueError(f"cutpoints must be ascending, got {cutpoints}")
+    if any(a >= b for a, b in zip(cutpoints, cutpoints[1:])):
+        # duplicates would silently skip a bin number AND double-count
+        # one threshold — reject, don't renumber
+        raise ValueError(
+            f"cutpoints must be strictly ascending, got {cutpoints}"
+        )
     out = F.lit(0)
     for c in cutpoints:
         out = out + (score_col >= F.lit(c)).cast("int")
@@ -95,6 +99,8 @@ def write_training_shards(
 ) -> None:
     """Write ``path/shard=K/`` parquet shards, each internally ordered
     by (curriculum bin,) shard_key — the deterministic trainer feed.
+    Output columns are the input's plus ``shard``; the bookkeeping
+    keys order the rows but are not written.
 
     ``curriculum=(score_col, cutpoints)`` schedules low bins first
     within every shard.  One explicit-count shuffle on shard, then a
@@ -112,6 +118,10 @@ def write_training_shards(
     (
         d.repartition(n_shards, "shard")
         .sortWithinPartitions(*order)
+        # drop the bookkeeping AFTER the sort (projection preserves
+        # order): the trainer never reads shard_key/curriculum_bin, and
+        # at 100 TB they'd be real storage + scan width in every shard
+        .drop("shard_key", "curriculum_bin")
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

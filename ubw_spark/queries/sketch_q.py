@@ -109,8 +109,8 @@ def sketch_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _en_tokens(spark, sf_dir)
     tru = toks.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
     sk = cms_build(toks, "word", width=64, depth=4)
-    est = cms_estimate(sk, tru, "word", width=64, depth=4)
-    j = est.join(tru, "word")
+    # est rides along tru's rows map-only — no rejoin needed
+    j = cms_estimate(sk, tru, "word", width=64, depth=4)
     over = F.col("est") - F.col("true_cnt")
     return j.agg(
         F.count(F.lit(1)).alias("n_words"),
