@@ -32,6 +32,7 @@ from ubw_spark.queries import winnow_q  # noqa: F401
 from ubw_spark.queries import splits_q  # noqa: F401
 from ubw_spark.queries import shards_q  # noqa: F401
 from ubw_spark.queries import sketch_q  # noqa: F401
+from ubw_spark.queries import bpe_q  # noqa: F401
 from ubw_spark.queries import tpch_more2  # noqa: F401
 from ubw_spark.queries import tpch_more3  # noqa: F401
 from ubw_spark.queries import tpch_more4  # noqa: F401
