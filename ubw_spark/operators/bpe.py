@@ -68,14 +68,23 @@ def pair_counts(
 
     ``pairs_col`` names an already-computed pair array (callers that
     let-bind the symbol split); otherwise pairs derive from
-    ``sym_col``."""
+    ``sym_col``.
+
+    The pair array is FENCED before the explode: Catalyst's
+    InferFiltersFromGenerate plants a ``size(e) > 0`` Filter below the
+    Generate, and without the fence it substitutes the whole HOF
+    pipeline into that predicate — re-evaluated per row, interpreted
+    (the hazard the registry-wide lint exists for)."""
+    from ubw_spark.functions.hof import fence
+
     p = (
         F.col(pairs_col)
         if pairs_col is not None
         else sym_pairs(F.col(sym_col))
     )
     return (
-        words.select(F.col("n"), F.explode(p).alias("p"))
+        words.select(F.col("n"), fence(p).alias("__pairs"))
+        .select(F.col("n"), F.explode("__pairs").alias("p"))
         .groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
         .agg(F.sum("n").alias("cnt"))
     )
