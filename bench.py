@@ -100,6 +100,9 @@ HEADLINE = [
     "shard_plan_balance",
     "sketch_cms_error_audit",
     "search_hard_negatives",
+    # The persisted CMS store lifecycle (write half + ADD-merge append
+    # half + probe — the 7th versioned store, timed like its siblings).
+    "sketch_cms_store_probe",
 ]
 
 

@@ -120,3 +120,52 @@ def test_sketch_queries_green(spark, sf_dir):
     assert audit["n_words"] > 0
     assert audit["max_overcount"] >= 0
     assert audit["n_exact"] <= audit["n_words"]
+
+
+def test_store_lifecycle_append_equals_whole(words, spark, tmp_path):
+    """write half → append half == build on everything, cell for cell;
+    probing the store matches in-memory estimation."""
+    from ubw_spark.operators.sketches import (
+        append_cms_batch,
+        load_cms,
+        probe_cms_store,
+        write_cms_store,
+    )
+
+    path = str(tmp_path / "cms_store")
+    a = words.where(F.col("doc_id") % 2 == 0)
+    b = words.where(F.col("doc_id") % 2 == 1)
+    write_cms_store(cms_build(a, "word", width=32, depth=3), path)
+    append_cms_batch(spark, b, "word", path)
+    stored, p = load_cms(spark, path)
+    assert (p["width"], p["depth"]) == (32, 3)
+    whole = cms_build(words, "word", width=32, depth=3)
+    assert stored.exceptAll(whole).count() == 0
+    assert whole.exceptAll(stored).count() == 0
+    probes = spark.createDataFrame([("table",), ("zzz",)], "word string")
+    got = {
+        r["word"]: r["est"]
+        for r in probe_cms_store(spark, probes, "word", path).collect()
+    }
+    want = {
+        r["word"]: r["est"]
+        for r in cms_estimate(
+            whole, probes, "word", width=32, depth=3
+        ).collect()
+    }
+    assert got == want
+    # two versions live under the manifest (write + append)
+    import os
+
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("v")
+    ) == ["v00000", "v00001"]
+
+
+def test_store_missing_sidecar_raises(words, spark, tmp_path):
+    from ubw_spark.operators.sketches import probe_cms_store
+
+    bare = str(tmp_path / "not_a_store")
+    cms_build(words, "word", width=32, depth=2).write.parquet(bare)
+    with pytest.raises(ValueError, match="sidecar"):
+        probe_cms_store(spark, words, "word", bare)

@@ -799,3 +799,78 @@ def test_stream_incremental_term_index_search(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_incremental_cms_frequency(spark, tmp_path):
+    """foreachBatch loop over the CMS store — streaming frequency
+    tracking with fixed state: each micro-batch of documents folds its
+    token sketch into the persisted store (ADD-merge, cost ∝ batch +
+    cells), and a standing heavy-hitter probe after each batch reflects
+    everything seen so far.  Final estimates must equal a one-shot
+    sketch over the concatenated batches (add-merge is exact)."""
+    from ubw_spark.functions.text import tokens as _tok
+    from ubw_spark.operators.sketches import (
+        append_cms_batch,
+        cms_build,
+        load_cms,
+        probe_cms_store,
+        write_cms_store,
+    )
+
+    path = str(tmp_path / "cms_store")
+    empty = spark.createDataFrame([], "word string")
+    write_cms_store(cms_build(empty, "word", width=32, depth=3), path)
+
+    inc = str(tmp_path / "cinc")
+    os.makedirs(inc)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        staging = str(tmp_path / f"cstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    seen: list[tuple[int, str]] = []
+    est_after: dict[int, int] = {}
+
+    def handle(bdf, bid):
+        words = bdf.select(F.explode(_tok(F.col("text"))).alias("word"))
+        append_cms_batch(bdf.sparkSession, words, "word", path)
+        probe = bdf.sparkSession.createDataFrame([("ping",)], "word string")
+        r = probe_cms_store(
+            bdf.sparkSession, probe, "word", path
+        ).first()
+        est_after[len(est_after)] = r["est"]
+
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .start()
+    )
+    b1 = [(1, "ping pong ping net"), (2, "serve ping return")]
+    b2 = [(3, "ping ping rally"), (4, "net serve fault")]
+    try:
+        arrive(b1, "b1")
+        q.processAllAvailable()
+        arrive(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    seen = b1 + b2
+    # monotone: later batches can only raise an estimate
+    assert est_after[0] >= 3  # 'ping' x3 in batch 1
+    assert est_after[1] >= est_after[0]
+    # exactness of the streamed accumulation: store == one-shot sketch
+    whole = cms_build(
+        spark.createDataFrame(seen, "doc_id bigint, text string").select(
+            F.explode(_tok(F.col("text"))).alias("word")
+        ),
+        "word", width=32, depth=3,
+    )
+    stored, _ = load_cms(spark, path)
+    assert stored.exceptAll(whole).count() == 0
+    assert whole.exceptAll(stored).count() == 0

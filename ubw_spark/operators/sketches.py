@@ -176,3 +176,113 @@ def cms_estimate(
         *[f"__b{i}" for i in range(depth)],
         *[f"__c{i}" for i in range(depth)],
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted sketch store: the versioned-manifest lifecycle (7th store).
+# The sketch is bounded at depth*width cells, so every lifecycle step —
+# write, add-merge append, probe load — moves sketch-sized data only;
+# the corpus is touched once per batch, to BUILD that batch's sketch.
+
+PARAMS_FILE = "_CMS_PARAMS"
+
+
+def _write_params(root: str, width: int, depth: int) -> None:
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, PARAMS_FILE), "w") as f:
+        json.dump({"width": width, "depth": depth}, f)
+
+
+def read_cms_params(path: str) -> dict:
+    """(width, depth) of the LIVE store version; raises if the sidecar
+    is missing — probing with guessed shape undercounts silently (the
+    bloom-store rule)."""
+    import json
+    import os
+
+    from ubw_spark.operators.versioned import resolve_root
+
+    p = os.path.join(resolve_root(path), PARAMS_FILE)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"cms store at {path} has no {PARAMS_FILE} sidecar — not a "
+            "cms store (or written by hand); refusing to guess the shape"
+        ) from None
+
+
+def write_cms_store(sketch: DataFrame, path: str) -> None:
+    """Persist a sketch as a versioned store: cells parquet + shape
+    sidecar into a fresh version dir, then flip ``_CURRENT`` (previous
+    version grace-kept — operators/versioned.py).  ≤ depth*width rows
+    of three numbers: one coalesced file, one footer to read back."""
+    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+
+    w, d = _check_shape(sketch, "write_cms_store")
+    cur, new_v, new_root = begin_rewrite(path)
+    sketch.coalesce(1).write.mode("overwrite").parquet(new_root)
+    _write_params(new_root, w, d)
+    commit_rewrite(path, cur, new_v)
+
+
+def load_cms(spark, path: str) -> tuple[DataFrame, dict]:
+    """(sketch, params) from the live store version.  The shape is
+    re-pinned from the sidecar (the authority) onto the ``cnt``
+    metadata, so a store whose files were produced elsewhere still
+    carries the guard."""
+    from ubw_spark.operators.versioned import resolve_root
+
+    p = read_cms_params(path)
+    df = spark.read.parquet(resolve_root(path))
+    sk = df.select(
+        "i",
+        "bucket",
+        F.col("cnt").alias(
+            "cnt",
+            metadata={"cms_width": p["width"], "cms_depth": p["depth"]},
+        ),
+    )
+    return sk, p
+
+
+def append_cms_batch(
+    spark,
+    batch: DataFrame,
+    item_col: str,
+    path: str,
+    *,
+    weight_col: str | None = None,
+) -> None:
+    """Fold a new batch into the persisted sketch WITHOUT rebuilding:
+    sketch(A ∪ B) == sketch(A) + sketch(B) cell-for-cell, so the append
+    is one batch-sized build plus a cell-wise add — cost ∝ batch +
+    depth*width, never ∝ the accumulated corpus.  Shape comes from the
+    store's sidecar; the batch CANNOT override it."""
+    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+
+    old, p = load_cms(spark, path)
+    new = cms_build(
+        batch, item_col,
+        width=p["width"], depth=p["depth"], weight_col=weight_col,
+    )
+    merged = cms_merge(old, new)
+    cur, new_v, new_root = begin_rewrite(path)
+    merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    _write_params(new_root, p["width"], p["depth"])
+    commit_rewrite(path, cur, new_v)
+
+
+def probe_cms_store(
+    spark, probes: DataFrame, item_col: str, path: str
+) -> DataFrame:
+    """cms_estimate against the persisted sketch, under the shape the
+    store was built with — the probe side stays map-only."""
+    sk, p = load_cms(spark, path)
+    return cms_estimate(
+        sk, probes, item_col, width=p["width"], depth=p["depth"]
+    )

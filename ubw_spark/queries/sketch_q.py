@@ -22,9 +22,21 @@ def _en_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(F.explode(tokens(F.col("text"))).alias("word"))
 
 
-@register(
-    "sketch_cms_wordfreq",
-    oracle=r"""
+def _truth_for_probes(
+    spark: SparkSession, sf_dir: str, probes: DataFrame
+) -> DataFrame:
+    toks = _en_tokens(spark, sf_dir)
+    return (
+        toks.join(F.broadcast(probes), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+
+
+#: Shared by the in-memory query and the persisted-store probe: the
+#: store lifecycle (write half, ADD-merge append the other half, load,
+#: probe) must not change a single estimate.
+_WORDFREQ_ORACLE = r"""
     WITH tok AS (
       SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
       FROM documents WHERE lang = 'en'),
@@ -45,7 +57,12 @@ def _en_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tru AS (SELECT word, count(*)::BIGINT AS true_cnt FROM tok GROUP BY 1)
     SELECT e.word, e.est, coalesce(t.true_cnt, 0)::BIGINT AS true_cnt
     FROM est e LEFT JOIN tru t USING (word)
-    """,
+    """
+
+
+@register(
+    "sketch_cms_wordfreq",
+    oracle=_WORDFREQ_ORACLE,
     tags=("sketch", "llm"),
 )
 def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,11 +75,7 @@ def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = spark.createDataFrame([(w,) for w in _PROBES], "word string")
     sk = cms_build(toks, "word", width=1024, depth=4)
     est = cms_estimate(sk, probes, "word", width=1024, depth=4)
-    tru = (
-        toks.join(F.broadcast(probes), "word")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-    )
+    tru = _truth_for_probes(spark, sf_dir, probes)
     return est.join(tru, "word", "left").select(
         "word",
         "est",
@@ -119,4 +132,49 @@ def sketch_cms_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(over).alias("total_overcount"),
         F.max(over).alias("max_overcount"),
+    )
+
+
+@register(
+    "sketch_cms_store_probe",
+    oracle=_WORDFREQ_ORACLE,
+    tags=("sketch", "llm", "index"),
+)
+def sketch_cms_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED lifecycle: sketch HALF the corpus (even doc ids),
+    write the versioned store, ADD-merge-append the other half's
+    sketch, probe from the store — and the oracle is the in-memory
+    query's, over the FULL corpus: write → append → load must not
+    change a single estimate (the bloom/term-store contract).
+
+    Scale: every store step moves ≤ depth×width cells; each half is
+    scanned once to build its own sketch, never re-read by the
+    append."""
+    import hashlib
+
+    from ubw_spark.operators.sketches import (
+        append_cms_batch,
+        probe_cms_store,
+        write_cms_store,
+    )
+
+    path = "/tmp/ubw_spark_cms_store_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
+    d = table(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    half = lambda parity: d.where(F.col("doc_id") % 2 == parity).select(  # noqa: E731
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
+    write_cms_store(cms_build(half(0), "word", width=1024, depth=4), path)
+    append_cms_batch(spark, half(1), "word", path)
+
+    probes = spark.createDataFrame([(w,) for w in _PROBES], "word string")
+    est = probe_cms_store(spark, probes, "word", path)
+    tru = _truth_for_probes(spark, sf_dir, probes)
+    return est.join(tru, "word", "left").select(
+        "word",
+        "est",
+        F.coalesce(F.col("true_cnt"), F.lit(0).cast("long")).alias(
+            "true_cnt"
+        ),
     )
