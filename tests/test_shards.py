@@ -106,3 +106,15 @@ def test_shard_queries_green(spark, sf_dir):
         ("shard_curriculum_head", 24),
     ]:
         assert REGISTRY[name].fn(spark, sf_dir).count() == rows
+
+
+def test_write_passes_through_callers_columns(docs, spark, tmp_path):
+    """curriculum=None must not eat a caller's own column that happens
+    to be named curriculum_bin; shard_key (ours) is always dropped."""
+    p = str(tmp_path / "pt")
+    d = docs.withColumn("curriculum_bin", F.lit(7))
+    write_training_shards(d, p, "doc_id", 2, seed=1)
+    back = spark.read.parquet(p)
+    assert "curriculum_bin" in back.columns
+    assert back.where(F.col("curriculum_bin") != 7).count() == 0
+    assert "shard_key" not in back.columns

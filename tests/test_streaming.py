@@ -838,7 +838,11 @@ def test_stream_incremental_cms_frequency(spark, tmp_path):
 
     def handle(bdf, bid):
         words = bdf.select(F.explode(_tok(F.col("text"))).alias("word"))
-        append_cms_batch(bdf.sparkSession, words, "word", path)
+        # batch_id makes the ADD-merge replay-safe: foreachBatch is
+        # at-least-once, and re-folding a delivered batch would
+        # double-count (OR-merge bloom is naturally idempotent; ADD
+        # needs the high-water mark)
+        append_cms_batch(bdf.sparkSession, words, "word", path, batch_id=bid)
         probe = bdf.sparkSession.createDataFrame([("ping",)], "word string")
         r = probe_cms_store(
             bdf.sparkSession, probe, "word", path
@@ -874,3 +878,12 @@ def test_stream_incremental_cms_frequency(spark, tmp_path):
     stored, _ = load_cms(spark, path)
     assert stored.exceptAll(whole).count() == 0
     assert whole.exceptAll(stored).count() == 0
+    # replaying an already-folded micro-batch is a no-op (at-least-once
+    # delivery must not double-count)
+    replay = spark.createDataFrame(b1, "doc_id bigint, text string").select(
+        F.explode(_tok(F.col("text"))).alias("word")
+    )
+    append_cms_batch(spark, replay, "word", path, batch_id=0)
+    after, _ = load_cms(spark, path)
+    assert after.exceptAll(whole).count() == 0
+    assert whole.exceptAll(after).count() == 0

@@ -107,6 +107,7 @@ def write_training_shards(
     sorted write; re-running with the same seed rewrites identical
     shard contents (tested)."""
     d = assign_shard(df, id_col, n_shards, seed)
+    bookkeeping = ["shard_key"]
     order = ["shard"]
     if curriculum is not None:
         score_col, cutpoints = curriculum
@@ -114,14 +115,17 @@ def write_training_shards(
             "curriculum_bin", curriculum_bin(F.col(score_col), cutpoints)
         )
         order.append("curriculum_bin")
+        bookkeeping.append("curriculum_bin")
     order += ["shard_key", id_col]
     (
         d.repartition(n_shards, "shard")
         .sortWithinPartitions(*order)
         # drop the bookkeeping AFTER the sort (projection preserves
-        # order): the trainer never reads shard_key/curriculum_bin, and
-        # at 100 TB they'd be real storage + scan width in every shard
-        .drop("shard_key", "curriculum_bin")
+        # order): the trainer never reads these, and at 100 TB they'd
+        # be real storage + scan width in every shard.  Only columns
+        # THIS function added are dropped — a caller's own column named
+        # curriculum_bin passes through when curriculum is None.
+        .drop(*bookkeeping)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

@@ -51,6 +51,8 @@ def _validate(width: int, depth: int) -> None:
 
 
 def _shape(sketch: DataFrame) -> tuple[int | None, int | None]:
+    if "cnt" not in sketch.columns:
+        return None, None
     m = sketch.schema["cnt"].metadata
     return m.get("cms_width"), m.get("cms_depth")
 
@@ -135,8 +137,8 @@ def cms_estimate(
     probes: DataFrame,
     item_col: str,
     *,
-    width: int = 1024,
-    depth: int = 4,
+    width: int | None = None,
+    depth: int | None = None,
 ) -> DataFrame:
     """Estimated count per probe ROW (``est`` appended to the probe's
     columns): min over the item's depth cells, missing cell = 0.
@@ -150,15 +152,19 @@ def cms_estimate(
     through without a single exchange, so estimation composes into
     map-side filter pipelines (heavy-hitter screening) at 100 TB.
 
-    Raises if (width, depth) don't match the sketch's pinned shape —
-    probing with the wrong shape would undercount silently."""
-    _validate(width, depth)
+    ``width``/``depth`` default to the sketch's pinned shape; passing
+    them explicitly asserts the caller's expectation and raises on a
+    mismatch — probing with the wrong shape would undercount
+    silently."""
     shape = _check_shape(sketch, "cms_estimate")
-    if shape != (width, depth):
+    if width is None and depth is None:
+        width, depth = shape
+    elif (width, depth) != shape:
         raise ValueError(
             f"cms_estimate: sketch is {shape[0]}x{shape[1]}, "
             f"probed as {width}x{depth}"
         )
+    _validate(width, depth)
     out = probes
     for i in range(depth):
         row_i = sketch.where(F.col("i") == i).select(
@@ -187,33 +193,14 @@ def cms_estimate(
 PARAMS_FILE = "_CMS_PARAMS"
 
 
-def _write_params(root: str, width: int, depth: int) -> None:
-    import json
-    import os
-
-    os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, PARAMS_FILE), "w") as f:
-        json.dump({"width": width, "depth": depth}, f)
-
-
 def read_cms_params(path: str) -> dict:
-    """(width, depth) of the LIVE store version; raises if the sidecar
-    is missing — probing with guessed shape undercounts silently (the
-    bloom-store rule)."""
-    import json
-    import os
+    """(width, depth[, last_batch_id]) of the LIVE store version;
+    raises if the sidecar is missing (the bloom-store rule).  For
+    sidecar + data reads use :func:`load_cms`, which resolves the
+    version root ONCE for both."""
+    from ubw_spark.operators.versioned import read_sidecar, resolve_root
 
-    from ubw_spark.operators.versioned import resolve_root
-
-    p = os.path.join(resolve_root(path), PARAMS_FILE)
-    try:
-        with open(p) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        raise ValueError(
-            f"cms store at {path} has no {PARAMS_FILE} sidecar — not a "
-            "cms store (or written by hand); refusing to guess the shape"
-        ) from None
+    return read_sidecar(resolve_root(path), PARAMS_FILE, "cms")
 
 
 def write_cms_store(sketch: DataFrame, path: str) -> None:
@@ -221,24 +208,33 @@ def write_cms_store(sketch: DataFrame, path: str) -> None:
     sidecar into a fresh version dir, then flip ``_CURRENT`` (previous
     version grace-kept — operators/versioned.py).  ≤ depth*width rows
     of three numbers: one coalesced file, one footer to read back."""
-    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
 
     w, d = _check_shape(sketch, "write_cms_store")
     cur, new_v, new_root = begin_rewrite(path)
     sketch.coalesce(1).write.mode("overwrite").parquet(new_root)
-    _write_params(new_root, w, d)
+    write_sidecar(new_root, PARAMS_FILE, {"width": w, "depth": d})
     commit_rewrite(path, cur, new_v)
 
 
 def load_cms(spark, path: str) -> tuple[DataFrame, dict]:
-    """(sketch, params) from the live store version.  The shape is
-    re-pinned from the sidecar (the authority) onto the ``cnt``
-    metadata, so a store whose files were produced elsewhere still
-    carries the guard."""
-    from ubw_spark.operators.versioned import resolve_root
+    """(sketch, params) from the live store version.  The root is
+    resolved ONCE and sidecar + cells read from that same root — two
+    independent resolves could straddle a concurrent rewrite and pin
+    one version's shape onto another's cells (a silent-undercount
+    combination the shape guard cannot catch).  The shape is re-pinned
+    from the sidecar (the authority) onto the ``cnt`` metadata, so a
+    store whose files were produced elsewhere still carries the
+    guard."""
+    from ubw_spark.operators.versioned import read_sidecar, resolve_root
 
-    p = read_cms_params(path)
-    df = spark.read.parquet(resolve_root(path))
+    root = resolve_root(path)
+    p = read_sidecar(root, PARAMS_FILE, "cms")
+    df = spark.read.parquet(root)
     sk = df.select(
         "i",
         "bucket",
@@ -257,15 +253,30 @@ def append_cms_batch(
     path: str,
     *,
     weight_col: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Fold a new batch into the persisted sketch WITHOUT rebuilding:
     sketch(A ∪ B) == sketch(A) + sketch(B) cell-for-cell, so the append
     is one batch-sized build plus a cell-wise add — cost ∝ batch +
     depth*width, never ∝ the accumulated corpus.  Shape comes from the
-    store's sidecar; the batch CANNOT override it."""
-    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+    store's sidecar; the batch CANNOT override it.
+
+    ADD-merge is NOT naturally idempotent (unlike the bloom store's
+    OR-merge): a redelivered batch would double-count.  Streaming
+    callers (foreachBatch is at-least-once) MUST pass the framework's
+    ``batch_id`` — the sidecar records the high-water mark and an
+    already-folded id becomes a no-op on replay."""
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
 
     old, p = load_cms(spark, path)
+    if batch_id is not None:
+        last = p.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded in
     new = cms_build(
         batch, item_col,
         width=p["width"], depth=p["depth"], weight_col=weight_col,
@@ -273,7 +284,12 @@ def append_cms_batch(
     merged = cms_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
-    _write_params(new_root, p["width"], p["depth"])
+    params = {"width": p["width"], "depth": p["depth"]}
+    if batch_id is not None:
+        params["last_batch_id"] = batch_id
+    elif p.get("last_batch_id") is not None:
+        params["last_batch_id"] = p["last_batch_id"]
+    write_sidecar(new_root, PARAMS_FILE, params)
     commit_rewrite(path, cur, new_v)
 
 
@@ -282,7 +298,5 @@ def probe_cms_store(
 ) -> DataFrame:
     """cms_estimate against the persisted sketch, under the shape the
     store was built with — the probe side stays map-only."""
-    sk, p = load_cms(spark, path)
-    return cms_estimate(
-        sk, probes, item_col, width=p["width"], depth=p["depth"]
-    )
+    sk, _ = load_cms(spark, path)
+    return cms_estimate(sk, probes, item_col)

@@ -189,3 +189,34 @@ def store_stats(path: str) -> dict:
         "versions": versions,
         "legacy_dirs": legacy,
     }
+
+
+def write_sidecar(root: str, filename: str, params: dict) -> None:
+    """JSON params sidecar inside an ALREADY-RESOLVED version root —
+    the shared writer every store's shape/stats pin goes through."""
+    import json
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    with open(posixpath.join(root, filename), "w") as f:
+        json.dump(params, f)
+
+
+def read_sidecar(root: str, filename: str, kind: str) -> dict:
+    """Sidecar from an ALREADY-RESOLVED version root.  Callers must
+    resolve the store root ONCE and read sidecar + data from that same
+    root — resolving separately per read races a concurrent rewrite
+    (the store could flip versions between the two resolves).  Raises
+    with the store ``kind`` in the message when missing: probing with
+    guessed params is the silent-zero/undercount failure."""
+    import json
+
+    p = posixpath.join(root, filename)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        raise ValueError(
+            f"{kind} store at {root} has no {filename} sidecar — not a "
+            f"{kind} store (or written by hand); refusing to guess params"
+        ) from None

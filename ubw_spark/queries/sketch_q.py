@@ -162,7 +162,11 @@ def sketch_cms_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir.encode()
     ).hexdigest()[:10]
     d = table(spark, sf_dir, "documents").where(F.col("lang") == "en")
-    half = lambda parity: d.where(F.col("doc_id") % 2 == parity).select(  # noqa: E731
+    # pmod + coalesce: plain % keeps the dividend's sign and NULL%2 is
+    # NULL — either would silently drop docs from BOTH halves while the
+    # oracle sketches the full corpus
+    parity_col = F.coalesce(F.pmod(F.col("doc_id"), F.lit(2)), F.lit(0))
+    half = lambda parity: d.where(parity_col == parity).select(  # noqa: E731
         F.explode(tokens(F.col("text"))).alias("word")
     )
     write_cms_store(cms_build(half(0), "word", width=1024, depth=4), path)
