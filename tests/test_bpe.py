@@ -77,3 +77,52 @@ def test_bpe_query_green(spark, sf_dir):
     assert len(rows) == 20
     cnts = [r["cnt"] for r in rows]
     assert cnts == sorted(cnts, reverse=True)
+
+
+def test_encode_matches_spark_folds(docs, spark):
+    """bpe_encode (Python mapInPandas) reproduces the training-side
+    Spark fold pipeline symbol-for-symbol: train k merges, apply them
+    as k apply_merge folds to every distinct word, compare against the
+    encoder's segmentation of the same words."""
+    from ubw_spark.operators.bpe import apply_merge, bpe_encode
+
+    merges = bpe_train_merges(docs, "text", 6)
+    wf = word_freqs(docs, "text").withColumn("sym", F.split("word", ""))
+    for a, b in merges:
+        wf = wf.withColumn("sym", apply_merge(F.col("sym"), a, b))
+    want = {r["word"]: r["sym"] for r in wf.collect()}
+
+    enc = bpe_encode(
+        docs.select("doc_id", F.col("text")), "text", merges
+    )
+    row = enc.where(F.col("doc_id") == docs.first()["doc_id"]).first()
+    # cross-check one full document: concatenating its subwords in
+    # order must equal the whitespace-normalized text, and each word's
+    # segmentation must match the fold pipeline's
+    text_words = row["text"].strip().lower().split()
+    toks = list(row["bpe_tokens"])
+    for w in text_words:
+        seg = want[w]
+        assert toks[: len(seg)] == seg, (w, seg, toks[:5])
+        assert "".join(seg) == w
+        toks = toks[len(seg) :]
+    assert toks == []
+
+
+def test_encode_null_and_unknown(spark):
+    from ubw_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "ab xyz"), (2, None)], "id bigint, text string"
+    )
+    out = {r["id"]: r["bpe_tokens"] for r in
+           bpe_encode(df, "text", [("a", "b")]).collect()}
+    assert out[1] == ["ab", "x", "y", "z"]  # merged + untouched unknown
+    assert out[2] is None
+
+
+def test_encode_is_map_only(docs):
+    from ubw_spark.operators.bpe import bpe_encode
+    from ubw_spark.plans.inspect import shuffle_count
+
+    assert shuffle_count(bpe_encode(docs, "text", [("a", "b")])) == 0

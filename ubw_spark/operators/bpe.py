@@ -25,6 +25,8 @@ implementation of the same convention.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -201,3 +203,87 @@ def bpe_train_merges_py(freqs: dict[str, int], k: int) -> list[tuple[str, str]]:
             new_words[key] = new_words.get(key, 0) + n
         words = new_words
     return merges
+
+
+_ASCII_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _encode_word(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """Encode ONE word by replaying the merges in TRAINING ORDER, each
+    greedy-leftmost — exactly the convention ``bpe_train_merges``
+    applied while learning, so encoding a training word reproduces its
+    final training segmentation by construction (pinned against the
+    ``apply_merge`` Spark fold in tests)."""
+    sym = list(word)
+    for a, b in merges:
+        if len(sym) < 2:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Subword-tokenize a text column under a trained merge list —
+    the inference half of BPE, feeding token counts / packing /
+    sharding with REAL subword lengths instead of whitespace counts.
+
+    Per-character merge loops don't decompose into Catalyst array
+    expressions (data-dependent iteration count), so this is the
+    repo's sanctioned Python path: Arrow-batched ``mapInPandas``, the
+    merge-rank dict built ONCE per partition, zero shuffles — the plan
+    is a single streaming pass, embarrassingly parallel at any scale.
+    Tokenization mirrors ``functions/text.py::tokens`` (trim, lower,
+    ASCII whitespace — Java's \\s, not Python's Unicode \\s)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    mlist = list(merges)
+    # NOT df.schema.add(...): StructType.add MUTATES, and df.schema is
+    # the DataFrame's cached instance — mutating it makes mapInPandas
+    # see a phantom input column
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def encode_batches(batches):
+        cache: dict[str, list[str]] = {}  # per-task: corpora repeat words
+
+        def enc(text):
+            if text is None:
+                return None
+            out: list[str] = []
+            for w in _ASCII_WS.split(text.strip().lower()):
+                if not w:
+                    continue
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, mlist)
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(enc)
+            yield pdf
+
+    return df.mapInPandas(encode_batches, schema=out_schema)
