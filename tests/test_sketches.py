@@ -169,3 +169,26 @@ def test_store_missing_sidecar_raises(words, spark, tmp_path):
     cms_build(words, "word", width=32, depth=2).write.parquet(bare)
     with pytest.raises(ValueError, match="sidecar"):
         probe_cms_store(spark, words, "word", bare)
+
+
+def test_heavy_hitters_exact_despite_screen(spark, sf_dir):
+    """The two-phase result equals the direct exact computation — the
+    screen admits false positives but the re-check removes them, and
+    one-sided error means no hot word is ever screened out."""
+    from ubw_spark.queries import REGISTRY
+
+    got = {
+        (r["word"], r["n"])
+        for r in REGISTRY["sketch_heavy_hitters"].fn(spark, sf_dir).collect()
+    }
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    direct = {
+        (r["word"], r["n"])
+        for r in d.where(F.col("lang") == "en")
+        .select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 60)
+        .collect()
+    }
+    assert got == direct and len(got) > 0

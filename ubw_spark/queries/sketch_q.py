@@ -182,3 +182,60 @@ def sketch_cms_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_cnt"
         ),
     )
+
+
+@register(
+    "sketch_heavy_hitters",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+      FROM documents WHERE lang = 'en'),
+    sk AS (
+      SELECT i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':' || word),
+                 1, 8))::BIGINT % 64 AS bucket, count(*)::BIGINT AS cnt
+      FROM tok, (SELECT unnest(generate_series(0, 3)) AS i)
+      GROUP BY 1, 2),
+    words AS (SELECT DISTINCT word FROM tok),
+    cells AS (
+      SELECT word, i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':'
+                 || word), 1, 8))::BIGINT % 64 AS bucket
+      FROM words, (SELECT unnest(generate_series(0, 3)) AS i)),
+    est AS (
+      SELECT c.word, min(coalesce(sk.cnt, 0))::BIGINT AS est
+      FROM cells c LEFT JOIN sk USING (i, bucket) GROUP BY 1),
+    cand AS (SELECT word FROM est WHERE est >= 60),
+    exact AS (
+      SELECT t.word, count(*)::BIGINT AS n
+      FROM tok t JOIN cand USING (word) GROUP BY 1)
+    SELECT word, n FROM exact WHERE n >= 60
+    ORDER BY n DESC, word
+    """,
+    tags=("sketch", "llm"),
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase heavy hitters — the production USE of the sketch: a
+    tight 4x64 sketch screens the stream (no false negatives: est >=
+    true, so every word with >= 60 occurrences survives), then the
+    EXACT count runs only over candidate rows.
+
+    Scale: phase 1 state is 256 cells; phase 2's groupBy aggregates
+    only the rows whose word passed the screen (a broadcast semi-join
+    of the candidate list — answer-sized, not vocab-sized) — the
+    exact-count shuffle shrinks from every distinct token to the few
+    that might be hot.  The final ``n >= 60`` re-check discards the
+    screen's false positives, so the output is EXACT."""
+    toks = _en_tokens(spark, sf_dir)
+    sk = cms_build(toks, "word", width=64, depth=4)
+    vocab = toks.distinct()
+    cand = (
+        cms_estimate(sk, vocab, "word")
+        .where(F.col("est") >= 60)
+        .select("word")
+    )
+    exact = (
+        toks.join(F.broadcast(cand), "word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 60)
+    )
+    return exact.orderBy(F.desc("n"), "word")
