@@ -46,5 +46,6 @@ from ubw_spark.queries import layout_q  # noqa: F401
 from ubw_spark.queries import bloom_q  # noqa: F401
 from ubw_spark.queries import retrieval_q  # noqa: F401
 from ubw_spark.queries import pca_q  # noqa: F401
+from ubw_spark.queries import hll_q  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "QueryDef"]
