@@ -1,0 +1,127 @@
+"""Entity-linkage queries (operators/linkage.py).
+
+The part table split by key parity plays two catalogs listing the same
+products; blocking + levenshtein + weighted field agreement link them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.linkage import (
+    blocked_candidates,
+    edit_similarity,
+    linkage_score,
+)
+from ubw_spark.queries.registry import register, table
+
+
+@register(
+    "linkage_blocked_pairs",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand,
+                      split_part(p_name, ' ', 1) AS tok0 FROM part),
+    a AS (SELECT * FROM p WHERE p_partkey % 2 = 0),
+    b AS (SELECT * FROM p WHERE p_partkey % 2 = 1)
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS name_dist
+    FROM a JOIN b ON a.tok0 = b.tok0 AND a.p_brand = b.p_brand
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    tags=("linkage", "join", "llm"),
+)
+def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate product links between the two catalogs: block on
+    (first name token, brand) — a plain equi-join, one keyed shuffle a
+    side — then keep pairs within edit distance 3.  Scale: candidates
+    are Σ_blocks |A_b|·|B_b|, bounded by the blocking key's selectivity
+    and, in production, by the ``max_block`` cap (exercised in the unit
+    tests; left off here so the oracle is the cap-free join)."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        F.split(F.col("p_name"), " ")[0].alias("tok0"),
+    )
+    a = p.where(F.col("p_partkey") % 2 == 0)
+    b = p.where(F.col("p_partkey") % 2 == 1)
+    cands = blocked_candidates(a, b, ["tok0", "p_brand"])
+    dist = F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
+    return (
+        cands.withColumn("name_dist", dist)
+        .where(F.col("name_dist") <= 3)
+        .select(
+            F.col("p_partkey_a").alias("key_a"),
+            F.col("p_partkey_b").alias("key_b"),
+            "name_dist",
+        )
+    )
+
+
+@register(
+    "linkage_match_topk",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
+                      split_part(p_name, ' ', 1) AS tok0 FROM part),
+    a AS (SELECT * FROM p WHERE p_partkey % 2 = 0),
+    b AS (SELECT * FROM p WHERE p_partkey % 2 = 1),
+    scored AS (
+      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+             round(
+               0.6e0 * (1.0e0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+                        / greatest(length(a.p_name),
+                                   length(b.p_name))::DOUBLE)
+               + 0.25e0 * (CASE WHEN a.p_brand = b.p_brand
+                                THEN 1 ELSE 0 END)::DOUBLE
+               + 0.15e0 * (CASE WHEN abs(a.p_size - b.p_size) <= 2
+                                THEN 1 ELSE 0 END)::DOUBLE,
+             6) AS score
+      FROM a JOIN b ON a.tok0 = b.tok0)
+    SELECT key_a, key_b, score FROM scored
+    ORDER BY score DESC, key_a, key_b LIMIT 100
+    """,
+    tags=("linkage", "join", "llm"),
+)
+def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter-style weighted agreement over a DELIBERATELY
+    coarse block (first name token only): name edit similarity 0.6,
+    brand exact 0.25, size within ±2 0.15; top-100 by score with a
+    total order.  Scale: the top-k plans as TakeOrderedAndProject
+    (per-partition heads, no global sort), and the coarse block is
+    where ``max_block`` + ``oversized_buckets`` earn their keep — the
+    unit tests plant the hot block."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.split(F.col("p_name"), " ")[0].alias("tok0"),
+    )
+    a = p.where(F.col("p_partkey") % 2 == 0)
+    b = p.where(F.col("p_partkey") % 2 == 1)
+    cands = blocked_candidates(a, b, ["tok0"])
+    score = linkage_score(
+        [
+            (0.6, edit_similarity(F.col("p_name_a"), F.col("p_name_b"))),
+            (
+                0.25,
+                (F.col("p_brand_a") == F.col("p_brand_b")).cast("int"),
+            ),
+            (
+                0.15,
+                (
+                    F.abs(F.col("p_size_a") - F.col("p_size_b")) <= 2
+                ).cast("int"),
+            ),
+        ]
+    )
+    return (
+        cands.select(
+            F.col("p_partkey_a").alias("key_a"),
+            F.col("p_partkey_b").alias("key_b"),
+            score.alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "key_a", "key_b")
+        .limit(100)
+    )
