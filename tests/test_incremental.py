@@ -1,0 +1,86 @@
+"""Incremental aggregate maintenance (operators/incremental.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.incremental import (
+    apply_delta_to_agg,
+    grouped_agg,
+    row_delta,
+)
+
+def MEASURES():
+    return {
+        "cnt": F.lit(1).cast("long"),
+        "total": F.coalesce(F.col("v"), F.lit(0)).cast("long"),
+    }
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id int, g string, v int")
+
+
+def _maintain(spark, old_rows, new_rows):
+    old, new = _df(spark, old_rows), _df(spark, new_rows)
+    state = grouped_agg(old, ["g"], MEASURES())
+    delta = row_delta(old, new, ["id"], ["g", "v"])
+    got = apply_delta_to_agg(state, delta, ["g"], MEASURES())
+    want = grouped_agg(new, ["g"], MEASURES())
+    return (
+        sorted(map(tuple, got.collect())),
+        sorted(map(tuple, want.collect())),
+        delta,
+    )
+
+
+def test_insert_delete_change_migration_extinction(spark):
+    old = [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)]
+    new = [
+        (2, "a", 25),   # changed in place
+        (3, "a", 30),   # migrated b -> a
+        (5, "d", 50),   # inserted (new group)
+        # 1 deleted (group a survives), 4 deleted (group c goes extinct)
+    ]
+    got, want, delta = _maintain(spark, old, new)
+    assert got == want
+    assert not any(r[0] == "c" for r in got)  # extinct group dropped
+    ops = {
+        (r["id"], r["g"], r["op"]) for r in delta.collect()
+    }
+    assert ops == {
+        (1, "a", -1), (4, "c", -1),
+        (2, "a", -1), (2, "a", 1),   # change = delete + insert
+        (3, "b", -1), (3, "a", 1),   # migration carries both groups
+        (5, "d", 1),
+    }
+
+
+def test_unchanged_rows_produce_no_delta(spark):
+    rows = [(1, "a", 10), (2, "b", None)]
+    got, want, delta = _maintain(spark, rows, rows)
+    assert delta.count() == 0
+    assert got == want
+
+
+def test_null_values_count_but_do_not_sum(spark):
+    old = [(1, "a", None)]
+    new = [(1, "a", None), (2, "a", 7)]
+    got, want, _ = _maintain(spark, old, new)
+    assert got == want == [("a", 2, 7)]
+
+
+def test_validation(spark):
+    df = _df(spark, [(1, "a", 1)])
+    with pytest.raises(ValueError, match="at least one value column"):
+        row_delta(df, df, ["id"], [])
+    with pytest.raises(ValueError, match="at least one measure"):
+        apply_delta_to_agg(df, df, ["g"], {})
+
+
+def test_empty_state_bootstraps_from_delta(spark):
+    old = _df(spark, [])
+    new = _df(spark, [(1, "a", 10), (2, "b", 20)])
+    state = grouped_agg(old, ["g"], MEASURES())
+    delta = row_delta(old, new, ["id"], ["g", "v"])
+    got = apply_delta_to_agg(state, delta, ["g"], MEASURES())
+    assert sorted(map(tuple, got.collect())) == [("a", 1, 10), ("b", 1, 20)]

@@ -1,0 +1,129 @@
+"""Incremental aggregate maintenance: fold a row delta into a
+materialized grouped aggregate without rescanning the base table.
+
+A 100 TB corpus's dashboards and data cards hang off grouped aggregates
+(counts, sums per source/lang/day).  Recomputing them per dump costs a
+full scan; the incremental-view-maintenance identity (Griffin & Libkin
+SIGMOD'95; the delta rule for SUM/COUNT) says a DECOMPOSABLE aggregate
+only needs the delta: agg(new) = agg(old) ⊕ agg(±delta rows).  Updates
+are modeled as delete-old-row + insert-new-row, which makes group
+migration (a row whose GROUP changed) and group extinction (count
+reaching zero) fall out of the same arithmetic.
+
+Spark shape: ``row_delta`` reduces both snapshots to (key, md5
+fingerprint, carried columns) and full-outer-joins on the KEY — the
+shuffle carries fingerprints plus only the columns the aggregate needs,
+never document bodies (the snapshot_diff discipline, operators/cdc.py).
+``apply_delta_to_agg`` is a delta-sized groupBy plus a state-sized
+full-outer join keyed on the group — cost ∝ delta + |groups|, with the
+base table untouched.  SUM inputs should be pre-discretized per row
+(e.g. long cents): integer sums are order-independent, so maintained
+and from-scratch aggregates are bit-identical, not just close.
+
+Reference parity: the reference's CRUD writes (SURVEY.md §2.2 S7)
+update base rows; this adds the derived-aggregate half of that story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def row_delta(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    val_cols: list[str],
+) -> DataFrame:
+    """Signed row delta between snapshots: op = +1 for rows only in
+    ``new``, -1 for rows only in ``old``, and BOTH rows for a changed
+    key (delete old values, insert new values) — so a changed group
+    column migrates the row between groups with no special casing.
+
+    Change detection fingerprints the concatenated ``val_cols`` with
+    md5 map-side; the full-outer join shuffles (key, fingerprint,
+    val_cols) only."""
+    if not val_cols:
+        raise ValueError("row_delta: need at least one value column")
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        fp = F.md5(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in val_cols])
+        )
+        return df.select(
+            *key_cols,
+            fp.alias(f"__fp_{tag}"),
+            *[F.col(c).alias(f"__{tag}_{c}") for c in val_cols],
+        )
+
+    j = prep(old, "old").join(prep(new, "new"), key_cols, "full_outer")
+    old_present = F.col("__fp_old").isNotNull()
+    new_present = F.col("__fp_new").isNotNull()
+    changed = old_present & new_present & (
+        F.col("__fp_old") != F.col("__fp_new")
+    )
+
+    def side(tag: str, op: int, keep) -> DataFrame:
+        return j.where(keep).select(
+            *key_cols,
+            *[F.col(f"__{tag}_{c}").alias(c) for c in val_cols],
+            F.lit(op).alias("op"),
+        )
+
+    dels = side("old", -1, (old_present & ~new_present) | changed)
+    ins = side("new", +1, (~old_present & new_present) | changed)
+    return dels.unionByName(ins)
+
+
+def apply_delta_to_agg(
+    state: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, Column],
+) -> DataFrame:
+    """agg(new) from agg(old) + a signed row delta, for COUNT/SUM
+    measures.  ``state`` has (group_cols, *measures) — typically a
+    previously materialized result of :func:`grouped_agg`; ``measures``
+    maps each measure name to its PER-ROW contribution expression
+    (``F.lit(1)`` for a count), evaluated against delta rows and summed
+    with the sign.  Groups whose count measure reaches zero everywhere
+    are dropped iff every measure is zero — extinction needs no
+    tombstone bookkeeping.
+
+    One delta-sized groupBy (map-side combine), one |groups|-sized
+    full-outer join.  The base table is never read."""
+    if not measures:
+        raise ValueError("apply_delta_to_agg: need at least one measure")
+    d = delta.groupBy(*group_cols).agg(
+        *[
+            F.sum(F.col("op") * expr).alias(f"__d_{name}")
+            for name, expr in measures.items()
+        ]
+    )
+    j = state.join(d, group_cols, "full_outer")
+    zero = F.lit(0).cast("long")
+    out_cols = [
+        (
+            F.coalesce(F.col(name), zero)
+            + F.coalesce(F.col(f"__d_{name}"), zero)
+        ).alias(name)
+        for name in measures
+    ]
+    merged = j.select(*group_cols, *out_cols)
+    alive = None
+    for name in measures:
+        nz = F.col(name) != 0
+        alive = nz if alive is None else (alive | nz)
+    return merged.where(alive)
+
+
+def grouped_agg(
+    df: DataFrame, group_cols: list[str], measures: dict[str, Column]
+) -> DataFrame:
+    """The from-scratch twin of :func:`apply_delta_to_agg`: sum each
+    per-row measure per group.  Used to seed the state and, in tests,
+    to prove maintained == recomputed bit-for-bit."""
+    return df.groupBy(*group_cols).agg(
+        *[F.sum(expr).alias(name) for name, expr in measures.items()]
+    )

@@ -238,3 +238,63 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, "doc_id", "text")
+
+
+@register(
+    "cdc_incremental_agg",
+    oracle="""
+    WITH new AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0e0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT o_orderpriority, count(*)::BIGINT AS cnt,
+           sum(CAST(round(price * 100) AS BIGINT))::BIGINT AS cents
+    FROM new GROUP BY 1
+    """,
+    tags=("cdc", "incremental"),
+)
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance (operators/incremental.py): a
+    materialized per-priority (count, cents) aggregate of the OLD order
+    snapshot is folded forward with the signed row delta to the NEW
+    snapshot — inserts (keys the old dump lacked), deletes (keys %11),
+    and in-place price changes (keys %13, a delete+insert pair).  The
+    oracle aggregates the new snapshot FROM SCRATCH, so the gate proves
+    agg(old) ⊕ delta == agg(new) bit-for-bit — cents are discretized
+    per row, making the sums order-independent integers.
+
+    Scale: the delta join shuffles (key, fingerprint, 2 columns); the
+    fold is delta-sized groupBy + |groups|-sized join.  The new
+    snapshot is read once to DERIVE the delta and never re-aggregated
+    — at 100 TB that is the difference between touching the dump and
+    touching the dashboard."""
+    from ubw_spark.operators.incremental import (
+        apply_delta_to_agg,
+        grouped_agg,
+        row_delta,
+    )
+
+    base = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    old = base.where(key % 7 != 0)
+    new = base.where(key % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            key % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    measures = {
+        "cnt": F.lit(1).cast("long"),
+        "cents": F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+    }
+    state = grouped_agg(old, ["o_orderpriority"], measures)
+    delta = row_delta(
+        old, new, ["o_orderkey"], ["o_orderpriority", "o_totalprice"]
+    )
+    maintained = apply_delta_to_agg(
+        state, delta, ["o_orderpriority"], measures
+    )
+    return maintained.select("o_orderpriority", "cnt", "cents")
