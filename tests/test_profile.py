@@ -1,0 +1,77 @@
+"""Column profiler (operators/stats.py::profile_table)."""
+
+import datetime as dt
+
+import pytest
+
+from ubw_spark.operators.stats import profile_table
+
+
+@pytest.fixture(scope="module")
+def mixed(spark):
+    rows = [
+        (1, "apple", 1.5, dt.datetime(2024, 1, 1)),
+        (2, None, None, dt.datetime(2024, 1, 2)),
+        (2, "pear", 4.0, None),
+    ]
+    return spark.createDataFrame(
+        rows, "id int, s string, x double, ts timestamp"
+    )
+
+
+def test_counts_nulls_distinct_minmax(mixed):
+    prof = {r["col_name"]: r for r in profile_table(mixed).collect()}
+    assert set(prof) == {"id", "s", "x", "ts"}
+    assert all(r["n"] == 3 for r in prof.values())
+    assert (prof["s"]["n_null"], prof["x"]["n_null"]) == (1, 1)
+    assert (prof["id"]["n_distinct"], prof["s"]["n_distinct"]) == (2, 2)
+    assert (prof["id"]["min_num"], prof["id"]["max_num"]) == (1.0, 2.0)
+    assert (prof["x"]["min_num"], prof["x"]["max_num"]) == (1.5, 4.0)
+    assert (prof["s"]["min_str"], prof["s"]["max_str"]) == ("apple", "pear")
+    # strings have no numeric range, numerics no string range,
+    # non-num/non-str types neither — but counts always
+    assert prof["s"]["min_num"] is None
+    assert prof["id"]["min_str"] is None
+    assert prof["ts"]["min_num"] is None and prof["ts"]["min_str"] is None
+    assert prof["ts"]["n_null"] == 1 and prof["ts"]["n_distinct"] == 2
+
+
+def test_column_subset_and_validation(mixed):
+    got = profile_table(mixed, ["id"]).collect()
+    assert [r["col_name"] for r in got] == ["id"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(mixed, ["nope"])
+
+
+def test_approx_distinct_tracks_exact(spark):
+    df = spark.range(5000).selectExpr("id", "cast(id % 700 as string) s")
+    exact = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(df).collect()
+    }
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_table(df, approx_distinct=True).collect()
+    }
+    assert exact == {"id": 5000, "s": 700}
+    for c in exact:
+        assert abs(approx[c] - exact[c]) / exact[c] < 0.1
+
+
+def test_empty_table_profiles_zero_rows(spark):
+    df = spark.createDataFrame([], "id int, s string")
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"id", "s"}
+    assert all(
+        (r["n"], r["n_null"], r["n_distinct"]) == (0, 0, 0)
+        for r in prof.values()
+    )
+
+
+def test_single_scan_no_join(mixed):
+    # the unpivot is a literal-array explode over the one agg row —
+    # profiling must not plan one scan per column or any join
+    plan = profile_table(mixed)._jdf.queryExecution().optimizedPlan()
+    s = str(plan)
+    assert s.count("LogicalRDD") == 1
+    assert "Join" not in s

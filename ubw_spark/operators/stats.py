@@ -55,3 +55,82 @@ def grouped_robust_stats(
         return pd.DataFrame([row], columns=keys + ["n", "med", "mad", "n_outliers"])
 
     return df.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    *,
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Schema-driven column profile — the ANALYZE-style summary a
+    catalog or data card starts from: one row per column with row
+    count, null count, distinct count, and min/max (numerics as
+    DOUBLE in ``min_num``/``max_num``; strings in ``min_str``/
+    ``max_str`` under binary collation — both engine-portable, unlike
+    engine-formatted numeric strings; other types profile counts
+    only).
+
+    ONE aggregate pass over the table, then a driver-free unpivot
+    (explode of a literal struct array over the single agg row).
+    ``approx_distinct=True`` swaps exact count_distinct for Spark's
+    HyperLogLog++ ``approx_count_distinct`` — at 100 TB the exact
+    multi-column distinct plans an Expand (one projection per
+    profiled column, k× the map-side rows), while the approx pass
+    keeps one combiner per column; same trade the hll operator module
+    makes, engine-side.  The oracle pins the exact path on the
+    moderate-width part table.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = columns if columns is not None else df.columns
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    distinct = (
+        F.approx_count_distinct if approx_distinct else F.count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt_{c}"),
+            distinct(F.col(c)).alias(f"__dst_{c}"),
+            F.min(F.col(c)).alias(f"__min_{c}"),
+            F.max(F.col(c)).alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    structs = []
+    for c in cols:
+        numeric = isinstance(schema[c], T.NumericType)
+        stringy = isinstance(schema[c], T.StringType)
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n"),
+                (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_null"),
+                F.col(f"__dst_{c}").alias("n_distinct"),
+                (
+                    F.col(f"__min_{c}").cast("double")
+                    if numeric
+                    else null_d
+                ).alias("min_num"),
+                (
+                    F.col(f"__max_{c}").cast("double")
+                    if numeric
+                    else null_d
+                ).alias("max_num"),
+                (F.col(f"__min_{c}") if stringy else null_s).alias(
+                    "min_str"
+                ),
+                (F.col(f"__max_{c}") if stringy else null_s).alias(
+                    "max_str"
+                ),
+            )
+        )
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
