@@ -84,3 +84,70 @@ def test_empty_state_bootstraps_from_delta(spark):
     delta = row_delta(old, new, ["id"], ["g", "v"])
     got = apply_delta_to_agg(state, delta, ["g"], MEASURES())
     assert sorted(map(tuple, got.collect())) == [("a", 1, 10), ("b", 1, 20)]
+
+
+def _join_maintained(spark, old_a, new_a, old_b, new_b):
+    from ubw_spark.operators.incremental import join_delta
+
+    oa = spark.createDataFrame(old_a, "ka int, fk int, v int")
+    na = spark.createDataFrame(new_a, "ka int, fk int, v int")
+    ob = spark.createDataFrame(old_b, "kb int, g string")
+    nb = spark.createDataFrame(new_b, "kb int, g string")
+    measures = {
+        "cnt": F.lit(1).cast("long"),
+        "total": F.col("v").cast("long"),
+    }
+    state = grouped_agg(
+        oa.join(ob, oa["fk"] == ob["kb"]), ["g"], measures
+    )
+    da = row_delta(oa, na, ["ka"], ["fk", "v"])
+    db = row_delta(ob, nb, ["kb"], ["g"])
+    jd = join_delta(
+        oa.drop("ka"), da.drop("ka"), ob, db, on=[("fk", "kb")]
+    )
+    got = apply_delta_to_agg(state, jd, ["g"], measures)
+    want = grouped_agg(
+        na.join(nb, na["fk"] == nb["kb"]), ["g"], measures
+    )
+    return (
+        sorted(map(tuple, got.collect())),
+        sorted(map(tuple, want.collect())),
+    )
+
+
+def test_join_delta_bilinear_identity(spark):
+    old_a = [(1, 10, 5), (2, 10, 7), (3, 20, 9)]
+    old_b = [(10, "x"), (20, "y"), (30, "z")]
+    new_a = [
+        (1, 10, 5),    # unchanged
+        (2, 30, 7),    # fk migrated 10 -> 30 (cross term with changed b?)
+        (4, 30, 11),   # inserted, joins a row whose group CHANGED (dAxdB)
+        # 3 deleted
+    ]
+    new_b = [(10, "x"), (20, "y2"), (30, "z2")]  # 20, 30 re-grouped
+    got, want = _join_maintained(spark, old_a, new_a, old_b, new_b)
+    assert got == want
+
+
+def test_join_delta_no_churn_is_empty(spark):
+    from ubw_spark.operators.incremental import join_delta
+
+    a = spark.createDataFrame([(1, 10, 5)], "ka int, fk int, v int")
+    b = spark.createDataFrame([(10, "x")], "kb int, g string")
+    da = row_delta(a, a, ["ka"], ["fk", "v"])
+    db = row_delta(b, b, ["kb"], ["g"])
+    jd = join_delta(a.drop("ka"), da.drop("ka"), b, db, [("fk", "kb")])
+    assert jd.count() == 0
+
+
+def test_join_delta_guards(spark):
+    from ubw_spark.operators.incremental import join_delta
+
+    a = spark.createDataFrame([(1, 5)], "k int, v int")
+    b = spark.createDataFrame([(1, 5)], "k int, v int")
+    with pytest.raises(ValueError, match="must be disjoint"):
+        join_delta(a, a.withColumn("op", F.lit(1)), b,
+                   b.withColumn("op", F.lit(1)), [("k", "k")])
+    c = spark.createDataFrame([(1, "x")], "kb int, g string")
+    with pytest.raises(ValueError, match="delta_a has no `op`"):
+        join_delta(a, a, c, c.withColumn("op", F.lit(1)), [("k", "kb")])

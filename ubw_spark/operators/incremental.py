@@ -127,3 +127,64 @@ def grouped_agg(
     return df.groupBy(*group_cols).agg(
         *[F.sum(expr).alias(name) for name, expr in measures.items()]
     )
+
+
+def join_delta(
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: list[tuple[str, str]],
+) -> DataFrame:
+    """Signed row delta of the JOIN VIEW A ⋈ B from the base deltas —
+    the bag-algebra bilinearity (Griffin & Libkin):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  +  A_old ⋈ ΔB  +  ΔA ⋈ ΔB
+
+    with the third term's sign the PRODUCT of the row signs (a changed
+    order joined to a changed customer contributes delete×delete,
+    delete×insert, … exactly once each).  Feeding the result to
+    :func:`apply_delta_to_agg` maintains an aggregate OVER the join
+    without ever re-running the full join — the classic IVM pipeline.
+
+    ``on``: [(a_col, b_col), ...] equi-join pairs.  Non-join column
+    names must be disjoint across the sides (they all survive into the
+    delta rows).  Inputs: ``delta_a``/``delta_b`` as produced by
+    :func:`row_delta` (an ``op`` column of ±1); ``a_old``/``b_old`` are
+    the PRIOR snapshots — every term joins a delta-sized side against a
+    base keyed on the join column, so the work is ∝ delta × fan-out,
+    not |A|·|B|."""
+    dup = {c for c in a_old.columns if c != "op"} & {
+        c for c in b_old.columns if c != "op"
+    }
+    if dup:
+        raise ValueError(
+            f"join_delta: non-join columns must be disjoint; both sides "
+            f"have {sorted(dup)}"
+        )
+
+    def tag(df: DataFrame, side: str, signed: bool) -> DataFrame:
+        if signed:
+            if "op" not in df.columns:
+                raise ValueError(
+                    f"join_delta: delta_{side} has no `op` column — pass "
+                    "a row_delta output"
+                )
+            return df.withColumnRenamed("op", f"__op_{side}")
+        return df
+
+    def term(left: DataFrame, right: DataFrame, op: Column) -> DataFrame:
+        cond = [
+            left[ac] == right[bc] for ac, bc in on
+        ]
+        out_cols = [
+            left[c] for c in left.columns if not c.startswith("__op_")
+        ] + [right[c] for c in right.columns if not c.startswith("__op_")]
+        return left.join(right, cond).select(*out_cols, op.alias("op"))
+
+    da = tag(delta_a, "a", True)
+    db = tag(delta_b, "b", True)
+    t1 = term(da, b_old, F.col("__op_a"))
+    t2 = term(a_old, db, F.col("__op_b"))
+    t3 = term(da, db, F.col("__op_a") * F.col("__op_b"))
+    return t1.unionByName(t2).unionByName(t3)

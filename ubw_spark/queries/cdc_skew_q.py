@@ -298,3 +298,88 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, delta, ["o_orderpriority"], measures
     )
     return maintained.select("o_orderpriority", "cnt", "cents")
+
+
+@register(
+    "cdc_incremental_join_agg",
+    oracle="""
+    WITH new_o AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 10.0e0
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    new_c AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 17 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer)
+    SELECT c_mktsegment, count(*)::BIGINT AS cnt,
+           sum(CAST(round(price * 100) AS BIGINT))::BIGINT AS cents
+    FROM new_o JOIN new_c ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("cdc", "incremental", "join"),
+)
+def cdc_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate OVER A JOIN VIEW
+    (operators/incremental.py::join_delta): revenue cents per market
+    segment of orders ⋈ customer, maintained under simultaneous churn
+    on BOTH bases — orders inserted/deleted/re-priced AND customers
+    migrating segments — via the bilinear identity
+    Δ(A⋈B) = ΔA⋈B_old + A_old⋈ΔB + ΔA⋈ΔB (signs multiplied), then the
+    same apply_delta_to_agg fold as the single-table query.  The oracle
+    joins and aggregates the NEW snapshots from scratch: maintained ==
+    recomputed bit-for-bit.
+
+    Scale: each delta term joins a delta-sized side against a base
+    keyed on the join key — the full A⋈B join never re-runs, and the
+    fold stays delta + |groups| sized."""
+    from ubw_spark.operators.incremental import (
+        apply_delta_to_agg,
+        grouped_agg,
+        join_delta,
+        row_delta,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    okey = F.col("o_orderkey")
+    old_o = o.where(okey % 7 != 0)
+    new_o = o.where(okey % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            okey % 13 == 0, F.col("o_totalprice") + F.lit(10.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    old_c = c
+    new_c = c.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 17 == 0, F.lit("MACHINERY")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+
+    measures = {
+        "cnt": F.lit(1).cast("long"),
+        "cents": F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+    }
+    state = grouped_agg(
+        old_o.join(old_c, old_o["o_custkey"] == old_c["c_custkey"]),
+        ["c_mktsegment"],
+        measures,
+    )
+    d_o = row_delta(
+        old_o, new_o, ["o_orderkey"], ["o_custkey", "o_totalprice"]
+    )
+    d_c = row_delta(old_c, new_c, ["c_custkey"], ["c_mktsegment"])
+    jd = join_delta(
+        old_o.drop("o_orderkey"),
+        d_o.drop("o_orderkey"),
+        old_c,
+        d_c,
+        on=[("o_custkey", "c_custkey")],
+    )
+    maintained = apply_delta_to_agg(state, jd, ["c_mktsegment"], measures)
+    return maintained.select("c_mktsegment", "cnt", "cents")
