@@ -24,11 +24,13 @@ def _maintain(spark, old_rows, new_rows):
     old, new = _df(spark, old_rows), _df(spark, new_rows)
     state = grouped_agg(old, ["g"], MEASURES())
     delta = row_delta(old, new, ["id"], ["g", "v"])
-    got = apply_delta_to_agg(state, delta, ["g"], MEASURES())
+    got = apply_delta_to_agg(
+        state, delta, ["g"], MEASURES(), count_col="cnt"
+    )
     want = grouped_agg(new, ["g"], MEASURES())
     return (
-        sorted(map(tuple, got.collect())),
-        sorted(map(tuple, want.collect())),
+        sorted(map(tuple, got.collect()), key=repr),
+        sorted(map(tuple, want.collect()), key=repr),
         delta,
     )
 
@@ -82,7 +84,9 @@ def test_empty_state_bootstraps_from_delta(spark):
     new = _df(spark, [(1, "a", 10), (2, "b", 20)])
     state = grouped_agg(old, ["g"], MEASURES())
     delta = row_delta(old, new, ["id"], ["g", "v"])
-    got = apply_delta_to_agg(state, delta, ["g"], MEASURES())
+    got = apply_delta_to_agg(
+        state, delta, ["g"], MEASURES(), count_col="cnt"
+    )
     assert sorted(map(tuple, got.collect())) == [("a", 1, 10), ("b", 1, 20)]
 
 
@@ -105,7 +109,7 @@ def _join_maintained(spark, old_a, new_a, old_b, new_b):
     jd = join_delta(
         oa.drop("ka"), da.drop("ka"), ob, db, on=[("fk", "kb")]
     )
-    got = apply_delta_to_agg(state, jd, ["g"], measures)
+    got = apply_delta_to_agg(state, jd, ["g"], measures, count_col="cnt")
     want = grouped_agg(
         na.join(nb, na["fk"] == nb["kb"]), ["g"], measures
     )
@@ -151,3 +155,56 @@ def test_join_delta_guards(spark):
     c = spark.createDataFrame([(1, "x")], "kb int, g string")
     with pytest.raises(ValueError, match="delta_a has no `op`"):
         join_delta(a, a, c, c.withColumn("op", F.lit(1)), [("k", "kb")])
+
+
+def test_null_keys_and_null_groups_are_single_rows(spark):
+    # NULL row key: unchanged row must NOT appear in the delta; NULL
+    # group: state and delta merge into ONE row (null-safe group join)
+    old = [(None, None, 10), (1, None, 5), (2, "a", 1)]
+    new = [(None, None, 10), (1, None, 7), (2, "a", 1), (3, None, 2)]
+    got, want, delta = _maintain(spark, old, new)
+    assert got == want
+    assert len([g for g, *_ in got if g is None]) == 1
+    # the NULL-keyed unchanged row produced no delta rows
+    assert not [r for r in delta.collect() if r["id"] is None]
+
+
+def test_null_position_swap_is_detected(spark):
+    # concat_ws would fingerprint (NULL,'x') == ('x',NULL); the JSON
+    # fingerprint must not
+    old = spark.createDataFrame(
+        [(1, None, "x")], "id int, a string, b string"
+    )
+    new = spark.createDataFrame(
+        [(1, "x", None)], "id int, a string, b string"
+    )
+    delta = row_delta(old, new, ["id"], ["a", "b"])
+    assert {
+        (r["a"], r["b"], r["op"]) for r in delta.collect()
+    } == {(None, "x", -1), ("x", None, 1)}
+
+
+def test_zero_sum_group_survives_with_count_measure(spark):
+    # values netting to zero is NOT extinction when the count says the
+    # group still has rows
+    old = [(1, "a", 5)]
+    new = [(1, "a", 5), (2, "a", -5)]
+    got, want, _ = _maintain(spark, old, new)
+    assert got == want == [("a", 2, 0)]
+
+
+def test_no_count_col_keeps_zeroed_groups(spark):
+    old = _df(spark, [(1, "a", 5)])
+    new = _df(spark, [])
+    state = grouped_agg(old, ["g"], {"total": F.col("v").cast("long")})
+    delta = row_delta(old, new, ["id"], ["g", "v"])
+    got = apply_delta_to_agg(
+        state, delta, ["g"], {"total": F.col("v").cast("long")}
+    )
+    # without a declared count measure, extinction is not inferred
+    assert sorted(map(tuple, got.collect())) == [("a", 0)]
+    with pytest.raises(ValueError, match="not a measure"):
+        apply_delta_to_agg(
+            state, delta, ["g"],
+            {"total": F.col("v").cast("long")}, count_col="cnt",
+        )

@@ -121,6 +121,11 @@ def hll_build(
     _validate(p)
     group_cols = list(group_cols or [])
     item = F.col(item_col)
+    # NULL items don't count toward cardinality (count_distinct
+    # semantics) — unfiltered they'd hash to a bogus (NULL bucket,
+    # rho=1) register, since the comparison-sum falls through to 1 on
+    # NULL instead of propagating it
+    df = df.where(item.isNotNull())
     return (
         df.select(
             *group_cols,
@@ -141,7 +146,11 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     if pa != pb:
         raise ValueError(f"hll_merge: precision mismatch p={pa} vs p={pb}")
     group_cols = [c for c in a.columns if c not in ("bucket", "r")]
-    if group_cols != [c for c in b.columns if c not in ("bucket", "r")]:
+    # SET comparison: column order is presentation, not semantics —
+    # unionByName + groupBy align by name regardless
+    if set(group_cols) != {
+        c for c in b.columns if c not in ("bucket", "r")
+    }:
         raise ValueError(
             f"hll_merge: group columns differ: {a.columns} vs {b.columns}"
         )

@@ -41,23 +41,34 @@ def row_delta(
     key (delete old values, insert new values) — so a changed group
     column migrates the row between groups with no special casing.
 
-    Change detection fingerprints the concatenated ``val_cols`` with
-    md5 map-side; the full-outer join shuffles (key, fingerprint,
-    val_cols) only."""
+    Change detection fingerprints ``val_cols`` as JSON (nulls kept:
+    ``concat_ws`` SKIPS nulls, so (NULL,'x') and ('x',NULL) would
+    collide and a value move would vanish from the delta) with md5
+    map-side; the full-outer join shuffles (key, fingerprint,
+    val_cols) only, and matches NULL keys to themselves (eqNullSafe —
+    plain equality would re-emit every unchanged NULL-keyed row as a
+    spurious delete+insert pair)."""
     if not val_cols:
         raise ValueError("row_delta: need at least one value column")
 
     def prep(df: DataFrame, tag: str) -> DataFrame:
         fp = F.md5(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in val_cols])
+            F.to_json(
+                F.struct(*[F.col(c) for c in val_cols]),
+                {"ignoreNullFields": "false"},
+            )
         )
         return df.select(
-            *key_cols,
+            *[F.col(k).alias(f"__{tag}_{k}") for k in key_cols],
             fp.alias(f"__fp_{tag}"),
             *[F.col(c).alias(f"__{tag}_{c}") for c in val_cols],
         )
 
-    j = prep(old, "old").join(prep(new, "new"), key_cols, "full_outer")
+    po, pn = prep(old, "old"), prep(new, "new")
+    cond = [
+        po[f"__old_{k}"].eqNullSafe(pn[f"__new_{k}"]) for k in key_cols
+    ]
+    j = po.join(pn, cond, "full_outer")
     old_present = F.col("__fp_old").isNotNull()
     new_present = F.col("__fp_new").isNotNull()
     changed = old_present & new_present & (
@@ -66,7 +77,7 @@ def row_delta(
 
     def side(tag: str, op: int, keep) -> DataFrame:
         return j.where(keep).select(
-            *key_cols,
+            *[F.col(f"__{tag}_{k}").alias(k) for k in key_cols],
             *[F.col(f"__{tag}_{c}").alias(c) for c in val_cols],
             F.lit(op).alias("op"),
         )
@@ -81,28 +92,59 @@ def apply_delta_to_agg(
     delta: DataFrame,
     group_cols: list[str],
     measures: dict[str, Column],
+    *,
+    count_col: str | None = None,
 ) -> DataFrame:
     """agg(new) from agg(old) + a signed row delta, for COUNT/SUM
     measures.  ``state`` has (group_cols, *measures) — typically a
     previously materialized result of :func:`grouped_agg`; ``measures``
     maps each measure name to its PER-ROW contribution expression
     (``F.lit(1)`` for a count), evaluated against delta rows and summed
-    with the sign.  Groups whose count measure reaches zero everywhere
-    are dropped iff every measure is zero — extinction needs no
-    tombstone bookkeeping.
+    with the sign.
+
+    ``count_col`` names the measure that counts rows: groups where it
+    nets to zero are extinct and dropped, matching a from-scratch
+    aggregate exactly.  It must be a row COUNT — inferring extinction
+    from "all measures zero" would delete a live group whose VALUES
+    happen to sum to zero, so without a ``count_col`` no group is
+    dropped (zero-measure groups stay, and the caller owns tombstone
+    semantics).
 
     One delta-sized groupBy (map-side combine), one |groups|-sized
-    full-outer join.  The base table is never read."""
+    full-outer join — null-safe on the group key, since NULL is a
+    legitimate group ("ungrouped" rows) and an equality join would
+    split it into two output rows.  The base table is never read."""
     if not measures:
         raise ValueError("apply_delta_to_agg: need at least one measure")
+    if count_col is not None and count_col not in measures:
+        raise ValueError(
+            f"apply_delta_to_agg: count_col {count_col!r} is not a measure"
+        )
     d = delta.groupBy(*group_cols).agg(
         *[
             F.sum(F.col("op") * expr).alias(f"__d_{name}")
             for name, expr in measures.items()
         ]
     )
-    j = state.join(d, group_cols, "full_outer")
+    d = d.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        F.lit(True).alias("__in_delta"),
+        *[F.col(f"__d_{name}") for name in measures],
+    )
+    cond = [
+        state[g].eqNullSafe(d[f"__g_{g}"]) for g in group_cols
+    ]
+    j = state.join(d, cond, "full_outer")
     zero = F.lit(0).cast("long")
+    # the group value comes from whichever side is present — a NULL in
+    # state's column is ambiguous (absent row vs NULL group), the
+    # presence flag is not
+    group_out = [
+        F.when(F.col("__in_delta").isNotNull(), F.col(f"__g_{g}"))
+        .otherwise(state[g])
+        .alias(g)
+        for g in group_cols
+    ]
     out_cols = [
         (
             F.coalesce(F.col(name), zero)
@@ -110,12 +152,10 @@ def apply_delta_to_agg(
         ).alias(name)
         for name in measures
     ]
-    merged = j.select(*group_cols, *out_cols)
-    alive = None
-    for name in measures:
-        nz = F.col(name) != 0
-        alive = nz if alive is None else (alive | nz)
-    return merged.where(alive)
+    merged = j.select(*group_out, *out_cols)
+    if count_col is None:
+        return merged
+    return merged.where(F.col(count_col) != 0)
 
 
 def grouped_agg(

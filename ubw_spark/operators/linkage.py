@@ -70,10 +70,15 @@ def blocked_candidates(
 
 def edit_similarity(x: Column, y: Column) -> Column:
     """Normalized edit similarity in [0, 1]: 1 - lev/max(len) — the
-    double division is associated identically in the SQL oracles."""
-    return F.lit(1.0) - F.levenshtein(x, y).cast("double") / F.greatest(
-        F.length(x), F.length(y)
-    ).cast("double")
+    double division is associated identically in the SQL oracles.
+    Two empty strings are identical (1.0), not 0/0 = NULL, which would
+    NULL-poison a weighted linkage_score; NULL inputs still propagate
+    NULL (unknown, not similar)."""
+    longest = F.greatest(F.length(x), F.length(y))
+    return F.when(longest == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0)
+        - F.levenshtein(x, y).cast("double") / longest.cast("double")
+    )
 
 
 def linkage_score(rules: list[tuple[float, Column]]) -> Column:

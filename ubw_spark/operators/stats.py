@@ -68,8 +68,9 @@ def profile_table(
     count, null count, distinct count, and min/max (numerics as
     DOUBLE in ``min_num``/``max_num``; strings in ``min_str``/
     ``max_str`` under binary collation — both engine-portable, unlike
-    engine-formatted numeric strings; other types profile counts
-    only).
+    engine-formatted numeric strings; other orderable types profile
+    counts + distinct; maps, which Spark can neither order nor
+    distinct, profile counts only).
 
     ONE aggregate pass over the table, then a driver-free unpivot
     (explode of a literal struct array over the single agg row).
@@ -93,14 +94,22 @@ def profile_table(
     distinct = (
         F.approx_count_distinct if approx_distinct else F.count_distinct
     )
+    # maps are unorderable (min/max) and un-distinct-able in Spark —
+    # profile counts only, instead of letting one map column fail the
+    # whole single-pass aggregate
+    orderable = {
+        c: not isinstance(schema[c], T.MapType) for c in cols
+    }
+    null_long = F.lit(None).cast("long")
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs += [
-            F.count(F.col(c)).alias(f"__cnt_{c}"),
-            distinct(F.col(c)).alias(f"__dst_{c}"),
-            F.min(F.col(c)).alias(f"__min_{c}"),
-            F.max(F.col(c)).alias(f"__max_{c}"),
-        ]
+        aggs.append(F.count(F.col(c)).alias(f"__cnt_{c}"))
+        if orderable[c]:
+            aggs += [
+                distinct(F.col(c)).alias(f"__dst_{c}"),
+                F.min(F.col(c)).alias(f"__min_{c}"),
+                F.max(F.col(c)).alias(f"__max_{c}"),
+            ]
     row = df.agg(*aggs)
 
     null_d = F.lit(None).cast("double")
@@ -114,7 +123,9 @@ def profile_table(
                 F.lit(c).alias("col_name"),
                 F.col("__n").alias("n"),
                 (F.col("__n") - F.col(f"__cnt_{c}")).alias("n_null"),
-                F.col(f"__dst_{c}").alias("n_distinct"),
+                (
+                    F.col(f"__dst_{c}") if orderable[c] else null_long
+                ).alias("n_distinct"),
                 (
                     F.col(f"__min_{c}").cast("double")
                     if numeric
@@ -125,12 +136,16 @@ def profile_table(
                     if numeric
                     else null_d
                 ).alias("max_num"),
-                (F.col(f"__min_{c}") if stringy else null_s).alias(
-                    "min_str"
-                ),
-                (F.col(f"__max_{c}") if stringy else null_s).alias(
-                    "max_str"
-                ),
+                (
+                    F.col(f"__min_{c}")
+                    if stringy and orderable[c]
+                    else null_s
+                ).alias("min_str"),
+                (
+                    F.col(f"__max_{c}")
+                    if stringy and orderable[c]
+                    else null_s
+                ).alias("max_str"),
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

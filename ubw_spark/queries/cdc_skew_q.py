@@ -295,7 +295,7 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         old, new, ["o_orderkey"], ["o_orderpriority", "o_totalprice"]
     )
     maintained = apply_delta_to_agg(
-        state, delta, ["o_orderpriority"], measures
+        state, delta, ["o_orderpriority"], measures, count_col="cnt"
     )
     return maintained.select("o_orderpriority", "cnt", "cents")
 
@@ -381,5 +381,7 @@ def cdc_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         d_c,
         on=[("o_custkey", "c_custkey")],
     )
-    maintained = apply_delta_to_agg(state, jd, ["c_mktsegment"], measures)
+    maintained = apply_delta_to_agg(
+        state, jd, ["c_mktsegment"], measures, count_col="cnt"
+    )
     return maintained.select("c_mktsegment", "cnt", "cents")
