@@ -103,6 +103,15 @@ HEADLINE = [
     # The persisted CMS store lifecycle (write half + ADD-merge append
     # half + probe — the 7th versioned store, timed like its siblings).
     "sketch_cms_store_probe",
+    # Round-8 final additions: the HLL store lifecycle (8th versioned
+    # store — write + max-merge append + a deliberate REPLAY append +
+    # estimate), join-view incremental maintenance (the delta fold vs
+    # re-joining the dump), per-key time-series gap-fill, and the
+    # coarse-block fuzzy linkage top-k.
+    "sketch_hll_store_probe",
+    "cdc_incremental_join_agg",
+    "ts_gapfill_interpolate",
+    "linkage_match_topk",
 ]
 
 

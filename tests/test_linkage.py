@@ -90,3 +90,36 @@ def test_match_topk_plan_is_take_ordered(spark, sf_dir):
 
     df = REGISTRY["linkage_match_topk"].fn(spark, sf_dir)
     assert has_take_ordered(df)
+
+
+def test_sorted_neighborhood_window_pairs(spark):
+    from ubw_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "blk", "aaa"), (2, "blk", "bbb"), (3, "blk", "ccc"),
+        (4, "blk", "ddd"), (5, "other", "zzz"),
+    ]
+    df = spark.createDataFrame(rows, "id int, blk string, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, ["blk"], "name", window=3
+        ).collect()
+    }
+    # each row pairs with its next <=2 neighbors IN ITS BLOCK only;
+    # the singleton block yields nothing
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4)}
+
+
+def test_sorted_neighborhood_pairs_linear_in_block(spark):
+    from ubw_spark.operators.linkage import sorted_neighborhood_pairs
+
+    hot = spark.createDataFrame(
+        [(i, "blk", f"n{i:04d}") for i in range(100)],
+        "id int, blk string, name string",
+    )
+    pairs = sorted_neighborhood_pairs(hot, ["blk"], "name", window=4)
+    # |block| * (window-1) minus the trimmed tail — never |block|^2
+    assert pairs.count() == 100 * 3 - (1 + 2 + 3)
+    with pytest.raises(ValueError, match="window >= 2"):
+        sorted_neighborhood_pairs(hot, ["blk"], "name", window=1)

@@ -1,0 +1,158 @@
+"""Graph primitives over edge lists: co-occurrence graphs, degrees,
+exact triangle counting.
+
+Curation pipelines meet graphs constantly — co-purchase/co-click
+structure, doc-link graphs, the dedup cluster graph (operators/
+components.py walks its components) — and the first questions are
+degree structure (hubs, power laws) and closure (triangles: community
+density, link-spam signatures).  Both are integer-exact and fully
+oracle-checkable, unlike sampled estimators.
+
+Scale shapes:
+- ``co_occurrence_edges``: an equi-self-join keyed on the group column
+  (basket), emitting each unordered pair once (u < v) — pairs ∝
+  Σ_groups |g|², the basket bound, with oversized baskets cappable
+  upstream via the dedup family's ``cap_buckets``.
+- ``triangle_count`` uses the DEGREE-ORIENTED node-iterator (the
+  compact-forward algorithm; Schank & Wagner 2005): each undirected
+  edge is directed from its (degree, id)-smaller endpoint to the
+  larger, so every wedge is enumerated at its lowest-degree apex —
+  work is O(Σ out_deg²) = O(m^{3/2}) REGARDLESS of hub skew, where the
+  naive id-orientation goes quadratic in the hub degree.  Three keyed
+  shuffles (degree join, wedge self-join on the apex, closing-edge
+  join); the triangle COUNT is orientation-invariant, so the SQL
+  oracle uses the simple id-orientation while the engine runs the
+  skew-safe one — same number, different plan, which is exactly the
+  point.
+
+Reference parity: no graph surface exists in the reference; this
+extends the join vocabulary (SURVEY.md §2.3) the way components.py
+extends it for equivalence classes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def co_occurrence_edges(
+    df: DataFrame, group_col: str, item_col: str, *, min_support: int = 1
+) -> DataFrame:
+    """Distinct undirected edges (u < v) between items sharing a group
+    (co-purchase: items in one order; co-click: docs in one session).
+    One self-join keyed on the group; items NULL or alone in their
+    group produce no edges.
+
+    ``min_support`` keeps only pairs co-occurring in at least that many
+    DISTINCT groups (the market-basket support threshold): on large
+    random-ish baskets single-coincidence pairs dominate the edge set
+    and densify the graph into noise — support 2+ is how a co-purchase
+    graph stays sparse at scale."""
+    if min_support < 1:
+        raise ValueError(f"need min_support >= 1; got {min_support}")
+    a = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("u")
+    ).where(F.col("u").isNotNull())
+    b = df.select(
+        F.col(group_col).alias("__g"), F.col(item_col).alias("v")
+    ).where(F.col("v").isNotNull())
+    inst = (
+        a.join(b, "__g")
+        .where(F.col("u") < F.col("v"))
+        .select("__g", "u", "v")
+        .distinct()
+    )
+    if min_support == 1:
+        return inst.select("u", "v").distinct()
+    return (
+        inst.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .where(F.col("__sup") >= min_support)
+        .select("u", "v")
+    )
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """(node, degree) from a distinct undirected (u, v) edge list —
+    one union + one map-side-combining groupBy."""
+    nodes = edges.select(F.col("u").alias("node")).unionAll(
+        edges.select(F.col("v").alias("node"))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(degree, n_nodes) — the hub-structure report, |distinct degrees|
+    rows however large the graph."""
+    return (
+        degrees(edges)
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+def triangle_count(
+    edges: DataFrame, *, orientation: str = "degree"
+) -> DataFrame:
+    """One row (n_triangles, n_edges, n_nodes), exact.
+
+    ``orientation="degree"`` (default): direct each edge toward its
+    (degree, id)-larger endpoint and enumerate wedges at the smaller —
+    out-degrees are bounded by O(sqrt m), so a hub of degree d costs
+    O(m) wedges instead of the id-orientation's O(d²).  The count is
+    orientation-invariant; ``orientation="id"`` keeps the naive
+    direction for small graphs and for mirroring simple SQL."""
+    if orientation not in ("degree", "id"):
+        raise ValueError(f"unknown orientation: {orientation!r}")
+    if orientation == "degree":
+        deg = degrees(edges)
+        du = deg.select(
+            F.col("node").alias("u"), F.col("degree").alias("__du")
+        )
+        dv = deg.select(
+            F.col("node").alias("v"), F.col("degree").alias("__dv")
+        )
+        e = edges.join(du, "u").join(dv, "v")
+        fwd = F.struct(F.col("__du"), F.col("u")) < F.struct(
+            F.col("__dv"), F.col("v")
+        )
+        oriented = e.select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(fwd, F.col("__dv")).otherwise(F.col("__du")).alias(
+                "__ddst"
+            ),
+        )
+    else:
+        oriented = edges.select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            F.col("v").alias("__ddst"),  # id order IS the rank
+        )
+    x = oriented.alias("x")
+    y = oriented.alias("y")
+    wedge_lt = F.struct(F.col("x.__ddst"), F.col("x.dst")) < F.struct(
+        F.col("y.__ddst"), F.col("y.dst")
+    )
+    wedges = x.join(y, (F.col("x.src") == F.col("y.src")) & wedge_lt).select(
+        F.col("x.dst").alias("src"), F.col("y.dst").alias("dst")
+    )
+    closing = oriented.select("src", "dst")
+    tri = wedges.join(closing, ["src", "dst"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    counts = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    ).crossJoin(
+        F.broadcast(
+            degrees(edges).agg(
+                F.count(F.lit(1)).cast("long").alias("n_nodes")
+            )
+        )
+    )
+    return tri.crossJoin(F.broadcast(counts)).select(
+        "n_triangles", "n_edges", "n_nodes"
+    )

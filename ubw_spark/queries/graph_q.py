@@ -1,0 +1,83 @@
+"""Graph queries (operators/graph.py) over the part co-purchase graph:
+parts are linked when some order contains both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ubw_spark.operators.graph import (
+    co_occurrence_edges,
+    degree_histogram,
+    triangle_count,
+)
+from ubw_spark.queries.registry import register, table
+
+#: Undirected co-purchase edges with support >= 2 (pairs bought
+#: together in at least two distinct orders), u < v — shared by both
+#: oracles.  The support threshold is what keeps the graph SPARSE:
+#: single-coincidence pairs on random-ish baskets are ~340× the
+#: repeated pairs at sf0.01 and would densify the graph into noise.
+_EDGES_CTE = """
+    inst AS (
+      SELECT DISTINCT a.l_orderkey AS g, a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey),
+    e AS (SELECT u, v FROM inst GROUP BY u, v HAVING count(*) >= 2)
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return co_occurrence_edges(
+        li, "l_orderkey", "l_partkey", min_support=2
+    )
+
+
+@register(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    deg AS (
+      SELECT node, count(*)::BIGINT AS degree
+      FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+      GROUP BY 1)
+    SELECT degree, count(*)::BIGINT AS n_nodes FROM deg GROUP BY 1
+    """,
+    tags=("graph", "llm"),
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the hub-structure
+    report.  Scale: edge building is one basket-keyed self-join (pairs
+    ∝ Σ baskets², basket size bounded by the order), degrees one
+    map-side-combining groupBy; output is |distinct degrees| rows."""
+    return degree_histogram(_edges(spark, sf_dir))
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_CTE},
+    tri AS (
+      SELECT 1 AS one
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+    SELECT (SELECT count(*) FROM tri)::BIGINT AS n_triangles,
+           (SELECT count(*) FROM e)::BIGINT AS n_edges,
+           (SELECT count(*) FROM (
+              SELECT DISTINCT node FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            ))::BIGINT AS n_nodes
+    """,
+    tags=("graph", "llm"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-purchase graph, via the
+    DEGREE-ORIENTED node-iterator: wedges enumerate at their
+    lowest-degree apex, so hub skew cannot go quadratic (O(m^1.5)
+    total work).  The SQL oracle counts with the naive id-orientation
+    — the count is orientation-invariant, so the engines agree on the
+    NUMBER while the engine runs the skew-safe PLAN."""
+    return triangle_count(_edges(spark, sf_dir), orientation="degree")

@@ -69,28 +69,29 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
              round(
-               0.6e0 * (1.0e0 - levenshtein(a.p_name, b.p_name)::DOUBLE
+               0.7e0 * (1.0e0 - levenshtein(a.p_name, b.p_name)::DOUBLE
                         / greatest(length(a.p_name),
                                    length(b.p_name))::DOUBLE)
-               + 0.25e0 * (CASE WHEN a.p_brand = b.p_brand
-                                THEN 1 ELSE 0 END)::DOUBLE
-               + 0.15e0 * (CASE WHEN abs(a.p_size - b.p_size) <= 2
-                                THEN 1 ELSE 0 END)::DOUBLE,
+               + 0.3e0 * (CASE WHEN abs(a.p_size - b.p_size) <= 2
+                               THEN 1 ELSE 0 END)::DOUBLE,
              6) AS score
-      FROM a JOIN b ON a.tok0 = b.tok0)
+      FROM a JOIN b ON a.tok0 = b.tok0 AND a.p_brand = b.p_brand)
     SELECT key_a, key_b, score FROM scored
     ORDER BY score DESC, key_a, key_b LIMIT 100
     """,
     tags=("linkage", "join", "llm"),
 )
 def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter-style weighted agreement over a DELIBERATELY
-    coarse block (first name token only): name edit similarity 0.6,
-    brand exact 0.25, size within ±2 0.15; top-100 by score with a
-    total order.  Scale: the top-k plans as TakeOrderedAndProject
-    (per-partition heads, no global sort), and the coarse block is
-    where ``max_block`` + ``oversized_buckets`` earn their keep — the
-    unit tests plant the hot block."""
+    """Fellegi–Sunter-style weighted agreement within the (first name
+    token, brand) block: name edit similarity 0.7, size within ±2 0.3;
+    top-100 by score with a total order.  Scale: the block key does the
+    work — candidates are Σ |A_b|·|B_b| over ~|tok0|×|brands| blocks,
+    ~25× fewer pairs than a tok0-only block at every sf (a first cut of
+    this query used the coarse block and cost 14 s at sf0.1 — m² in
+    the block size, exactly what the operator docstring warns; coarse
+    blocks belong behind ``max_block``, exercised in the unit tests) —
+    and the top-k plans as TakeOrderedAndProject (per-partition heads,
+    no global sort)."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -100,16 +101,12 @@ def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = p.where(F.col("p_partkey") % 2 == 0)
     b = p.where(F.col("p_partkey") % 2 == 1)
-    cands = blocked_candidates(a, b, ["tok0"])
+    cands = blocked_candidates(a, b, ["tok0", "p_brand"])
     score = linkage_score(
         [
-            (0.6, edit_similarity(F.col("p_name_a"), F.col("p_name_b"))),
+            (0.7, edit_similarity(F.col("p_name_a"), F.col("p_name_b"))),
             (
-                0.25,
-                (F.col("p_brand_a") == F.col("p_brand_b")).cast("int"),
-            ),
-            (
-                0.15,
+                0.3,
                 (
                     F.abs(F.col("p_size_a") - F.col("p_size_b")) <= 2
                 ).cast("int"),
@@ -124,4 +121,57 @@ def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc(), "key_a", "key_b")
         .limit(100)
+    )
+
+
+@register(
+    "linkage_sorted_neighborhood",
+    oracle="""
+    WITH p AS (SELECT p_partkey, p_name,
+                      split_part(p_name, ' ', 1) AS tok0 FROM part),
+    w AS (SELECT tok0, p_partkey, p_name,
+            lead(p_partkey, 1) OVER win AS id1,
+            lead(p_name, 1) OVER win AS nm1,
+            lead(p_partkey, 2) OVER win AS id2,
+            lead(p_name, 2) OVER win AS nm2
+          FROM p
+          WINDOW win AS (PARTITION BY tok0 ORDER BY p_name, p_partkey)),
+    pairs AS (
+      SELECT p_partkey AS key_a, id1 AS key_b,
+             levenshtein(p_name, nm1) AS name_dist
+      FROM w WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT p_partkey, id2, levenshtein(p_name, nm2)
+      FROM w WHERE id2 IS NOT NULL)
+    SELECT key_a, key_b, name_dist FROM pairs WHERE name_dist <= 4
+    """,
+    tags=("linkage", "window", "llm"),
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER classical blocking scheme (operators/linkage.py::
+    sorted_neighborhood_pairs, Hernández–Stolfo): within each
+    first-token block, sort by name and pair each part with its next 2
+    neighbors, keeping pairs within edit distance 4.  Scale: a block of
+    m rows costs m·2 pairs — bounded for ANY block size, no cap needed
+    (contrast linkage_blocked_pairs' m²); one per-block sort then a
+    map-only lead fan-out, no self-join."""
+    from ubw_spark.operators.linkage import sorted_neighborhood_pairs
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ")[0].alias("tok0"),
+    )
+    pairs = sorted_neighborhood_pairs(
+        p, ["tok0"], "p_name", window=3, id_col="p_partkey"
+    )
+    dist = F.levenshtein(F.col("p_name_a"), F.col("p_name_b"))
+    return (
+        pairs.withColumn("name_dist", dist)
+        .where(F.col("name_dist") <= 4)
+        .select(
+            F.col("p_partkey_a").alias("key_a"),
+            F.col("p_partkey_b").alias("key_b"),
+            "name_dist",
+        )
     )
