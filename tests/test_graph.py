@@ -68,3 +68,48 @@ def test_hub_graph_exact(spark):
     assert (row["n_triangles"], row["n_edges"], row["n_nodes"]) == (
         1, 30, 30,
     )
+
+
+def _py_pagerank(edge_list, iterations):
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for u, v in edge_list:
+        adj[u].append(v)
+        adj[v].append(u)
+    r = {n: 1_000_000 for n in adj}
+    for _ in range(iterations):
+        nxt = defaultdict(lambda: 150_000)
+        for u, nbrs in adj.items():
+            c = (r[u] * 85) // (100 * len(nbrs))
+            for v in nbrs:
+                nxt[v] += c
+        r = dict(nxt)
+    return r
+
+
+def test_pagerank_matches_python_reference(spark):
+    from ubw_spark.operators.graph import pagerank_fixed
+
+    e = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (1, 5), (6, 7)]
+    df = spark.createDataFrame(e, "u int, v int")
+    # 5 iterations with checkpoint_every=2 exercises the lineage
+    # truncation path; values must be bit-identical integers
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank_fixed(
+            df, iterations=5, checkpoint_every=2
+        ).collect()
+    }
+    assert got == _py_pagerank(e, 5)
+    # the hub out-ranks every other node; the isolated pair is symmetric
+    assert got[1] == max(got.values())
+    assert got[6] == got[7]
+
+
+def test_pagerank_validation(spark):
+    from ubw_spark.operators.graph import pagerank_fixed
+
+    df = spark.createDataFrame([(1, 2)], "u int, v int")
+    with pytest.raises(ValueError, match="iterations >= 1"):
+        pagerank_fixed(df, iterations=0)

@@ -156,3 +156,57 @@ def triangle_count(
     return tri.crossJoin(F.broadcast(counts)).select(
         "n_triangles", "n_edges", "n_nodes"
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    *,
+    iterations: int = 3,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-point PageRank over an undirected (u, v) edge list, exact
+    in integers: ranks live in BIGINT micro-units (node mass starts at
+    1_000_000), damping 0.85 is the integer rule
+
+        r' = 150_000 + Σ_in (r_u * 85) div (100 * deg_u)
+
+    with `div` the integral division BOTH engines define identically on
+    positives — so K iterations produce bit-identical BIGINTs in Spark
+    and a SQL oracle, where float PageRank accumulates engine-order
+    drift.  The flooring leaks ≤ 1 micro-unit per in-edge per round
+    (documented fixed-point approximation; ranking order is what
+    PageRank is for).
+
+    Scale: each iteration is one rank-keyed join onto the directed edge
+    list plus one map-side-combining groupBy on dst — the classic
+    message-passing round, shuffles ∝ edges.  Degrees join once up
+    front; undirected edges contribute in both directions, so every
+    node has in-edges and out-degree ≥ 1 (no dangling-mass terms).
+    ``checkpoint_every`` truncates lineage with localCheckpoint (the
+    connected-components pattern) so deep iteration counts don't grow
+    the plan unboundedly."""
+    if iterations < 1:
+        raise ValueError(f"need iterations >= 1; got {iterations}")
+    fwd = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    rev = edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    directed = fwd.unionAll(rev)
+    deg = degrees(edges).select(
+        F.col("node").alias("src"), F.col("degree").alias("__deg")
+    )
+    msgs = directed.join(deg, "src")
+    ranks = degrees(edges).select(
+        "node", F.lit(1_000_000).cast("long").alias("r")
+    )
+    for i in range(iterations):
+        contrib = msgs.join(
+            ranks.select(F.col("node").alias("src"), "r"), "src"
+        ).select(
+            F.col("dst").alias("node"),
+            F.expr("(r * 85) div (100 * __deg)").alias("__c"),
+        )
+        ranks = contrib.groupBy("node").agg(
+            (F.lit(150_000).cast("long") + F.sum("__c")).alias("r")
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

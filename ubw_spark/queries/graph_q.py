@@ -11,6 +11,8 @@ from ubw_spark.operators.graph import (
     degree_histogram,
     triangle_count,
 )
+from pyspark.sql import functions as F
+
 from ubw_spark.queries.registry import register, table
 
 #: Undirected co-purchase edges with support >= 2 (pairs bought
@@ -81,3 +83,55 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the count is orientation-invariant, so the engines agree on the
     NUMBER while the engine runs the skew-safe PLAN."""
     return triangle_count(_edges(spark, sf_dir), orientation="degree")
+
+
+def _pagerank_oracle(k: int) -> str:
+    """Unrolled k-iteration mirror of pagerank_fixed: one CTE per
+    round, integer micro-unit arithmetic (`//` == `div` on positives),
+    so every rank is a BIGINT both engines compute bit-identically."""
+    rounds = []
+    for i in range(1, k + 1):
+        rounds.append(f"""
+    r{i} AS (
+      SELECT d.dst AS node,
+             (150000 + sum((r.r * 85) // (100 * deg.degree)))::BIGINT AS r
+      FROM d
+      JOIN r{i - 1} r ON r.node = d.src
+      JOIN deg ON deg.node = d.src
+      GROUP BY d.dst)""")
+    return f"""
+    WITH {_EDGES_CTE},
+    d AS (SELECT u AS src, v AS dst FROM e
+          UNION ALL SELECT v AS src, u AS dst FROM e),
+    deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+            FROM d GROUP BY 1),
+    r0 AS (SELECT node, 1000000::BIGINT AS r FROM deg),
+    {",".join(rounds)}
+    SELECT node, r AS rank_micros FROM r{k}
+    ORDER BY r DESC, node LIMIT 20
+    """
+
+
+@register(
+    "graph_pagerank_top20",
+    oracle=_pagerank_oracle(3),
+    tags=("graph", "iterative", "llm"),
+)
+def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three fixed-point PageRank rounds over the support-2 co-purchase
+    graph, top-20 parts by rank (operators/graph.py::pagerank_fixed).
+    Ranks are BIGINT micro-units with integral-division damping, so the
+    ITERATIVE computation is bit-identical cross-engine — float
+    PageRank would accumulate engine-order drift no rounding recipe
+    fully removes.  Scale: each round is one rank-keyed join on the
+    directed edges + one map-side-combining groupBy (shuffles ∝ edges);
+    lineage truncates via localCheckpoint on deep runs; top-k is
+    TakeOrderedAndProject."""
+    from ubw_spark.operators.graph import pagerank_fixed
+
+    ranks = pagerank_fixed(_edges(spark, sf_dir), iterations=3)
+    return (
+        ranks.orderBy(F.col("r").desc(), "node")
+        .limit(20)
+        .select("node", F.col("r").alias("rank_micros"))
+    )
