@@ -190,3 +190,51 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort"),
         "day_offset",
     ).agg(F.count(F.lit(1)).alias("active_users"))
+
+
+@register(
+    "events_attribution_position",
+    oracle="""
+    WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+    j AS (SELECT *,
+            count(CASE WHEN event_type = 'purchase' THEN 1 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS jny
+          FROM e),
+    p AS (SELECT user_id, jny FROM j WHERE event_type = 'purchase'),
+    t AS (SELECT j.* FROM j JOIN p USING (user_id, jny)
+          WHERE j.event_type <> 'purchase'),
+    r AS (SELECT event_type,
+            row_number() OVER (PARTITION BY user_id, jny
+                               ORDER BY ts, event_id) AS rn,
+            count(*) OVER (PARTITION BY user_id, jny) AS n
+          FROM t)
+    SELECT event_type,
+           sum(CASE WHEN n = 1 THEN 1000
+                    WHEN n = 2 THEN 500
+                    WHEN rn = 1 THEN 400
+                    WHEN rn = n THEN 400
+                    ELSE 200 // (n - 2) END)::BIGINT AS credit_milli,
+           count(*)::BIGINT AS touches
+    FROM r GROUP BY 1
+    """,
+    tags=("events", "window", "attribution"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution
+    (operators/attribution.py): each purchase closes the journey of
+    views/clicks since the user's previous purchase; credit splits
+    40/20/40 first/middles/last in INTEGER milli-credits, so the
+    per-channel totals are exact BIGINTs both engines agree on —
+    float credit would drift by summation order.  Scale: one per-user
+    running-count window, one (user, journey)-keyed join, one
+    per-journey window; nothing corpus-global."""
+    from ubw_spark.operators.attribution import position_attribution
+
+    credits = position_attribution(table(spark, sf_dir, "events"))
+    return credits.groupBy("event_type").agg(
+        F.sum("credit_milli").alias("credit_milli"),
+        F.count(F.lit(1)).alias("touches"),
+    )
