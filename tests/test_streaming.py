@@ -887,3 +887,84 @@ def test_stream_incremental_cms_frequency(spark, tmp_path):
     after, _ = load_cms(spark, path)
     assert after.exceptAll(whole).count() == 0
     assert whole.exceptAll(after).count() == 0
+
+
+def test_stream_materialized_view_maintenance(spark, tmp_path):
+    """foreachBatch loop over the persisted aggregate store
+    (operators/incremental.py) — a STREAMING MATERIALIZED VIEW: each
+    micro-batch of events folds in as an all-insert delta (cost ∝
+    batch + |groups|, history never replayed), the batch_id high-water
+    mark makes redelivery a no-op (ADD-merge is not idempotent), and
+    the final state must equal a from-scratch aggregate of everything
+    that arrived — bit-for-bit, since the measures are integer cents."""
+    from ubw_spark.operators.incremental import (
+        fold_batch_into_agg_store,
+        grouped_agg,
+        load_agg_store,
+        write_agg_store,
+    )
+
+    def measures():
+        return {
+            "cnt": F.lit(1).cast("long"),
+            "cents": F.round(F.col("value") * 100, 0).cast("long"),
+        }
+
+    path = str(tmp_path / "agg_store")
+    empty = spark.createDataFrame([], "kind string, value double")
+    write_agg_store(grouped_agg(empty, ["kind"], measures()), path)
+
+    inc = str(tmp_path / "minc")
+    os.makedirs(inc)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, "kind string, value double")
+        staging = str(tmp_path / f"mstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    def handle(bdf, bid):
+        delta = bdf.withColumn("op", F.lit(1))
+        fold_batch_into_agg_store(
+            bdf.sparkSession, delta, ["kind"], measures(), path,
+            count_col="cnt", batch_id=bid,
+        )
+
+    stream = spark.readStream.schema("kind string, value double").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "mckpt"))
+        .start()
+    )
+    b1 = [("a", 1.25), ("a", 2.00), ("b", 0.50)]
+    b2 = [("a", 0.75), ("c", 3.00)]
+    try:
+        arrive(b1, "b1")
+        q.processAllAvailable()
+        arrive(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state, params = load_agg_store(spark, path)
+    got = {r["kind"]: (r["cnt"], r["cents"]) for r in state.collect()}
+    everything = spark.createDataFrame(b1 + b2, "kind string, value double")
+    want = {
+        r["kind"]: (r["cnt"], r["cents"])
+        for r in grouped_agg(everything, ["kind"], measures()).collect()
+    }
+    assert got == want == {"a": (3, 400), "b": (1, 50), "c": (1, 300)}
+
+    # redelivery of an already-folded batch id is a no-op
+    replay = spark.createDataFrame(b2, "kind string, value double")
+    fold_batch_into_agg_store(
+        spark, replay.withColumn("op", F.lit(1)), ["kind"], measures(),
+        path, count_col="cnt", batch_id=params["last_batch_id"],
+    )
+    state2, _ = load_agg_store(spark, path)
+    assert {
+        r["kind"]: (r["cnt"], r["cents"]) for r in state2.collect()
+    } == want

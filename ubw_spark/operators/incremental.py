@@ -228,3 +228,81 @@ def join_delta(
     t2 = term(a_old, db, F.col("__op_b"))
     t3 = term(da, db, F.col("__op_a") * F.col("__op_b"))
     return t1.unionByName(t2).unionByName(t3)
+
+
+# ---------------------------------------------------------------------------
+# Persisted aggregate store: the versioned-manifest lifecycle applied to
+# a materialized grouped aggregate — a STREAMING MATERIALIZED VIEW when
+# driven from foreachBatch.  Folding is ADD-merge (apply_delta_to_agg),
+# which is NOT replay-idempotent, so the sidecar keeps the CMS store's
+# batch_id high-water mark; state moved per fold is |groups| rows.
+
+AGG_PARAMS_FILE = "_AGG_PARAMS"
+
+
+def write_agg_store(state: DataFrame, path: str) -> None:
+    """Persist a grouped aggregate (e.g. a grouped_agg result) as a
+    versioned store — |groups| rows into a fresh version dir, flip
+    ``_CURRENT`` (operators/versioned.py)."""
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
+
+    cur, new_v, new_root = begin_rewrite(path)
+    state.coalesce(1).write.mode("overwrite").parquet(new_root)
+    write_sidecar(new_root, AGG_PARAMS_FILE, {})
+    commit_rewrite(path, cur, new_v)
+
+
+def load_agg_store(spark, path: str) -> tuple[DataFrame, dict]:
+    """(state, params) from the live version — root resolved ONCE for
+    sidecar + data (the double-resolve compaction race rule)."""
+    from ubw_spark.operators.versioned import read_sidecar, resolve_root
+
+    root = resolve_root(path)
+    params = read_sidecar(root, AGG_PARAMS_FILE, "agg")
+    return spark.read.parquet(root), params
+
+
+def fold_batch_into_agg_store(
+    spark,
+    delta: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, Column],
+    path: str,
+    *,
+    count_col: str | None = None,
+    batch_id: int | None = None,
+) -> None:
+    """Fold a signed row delta (append-only streams: all op = +1) into
+    the persisted aggregate — cost ∝ delta + |groups|, the base stream
+    history is never replayed.  ADD-merge double-counts on redelivery,
+    so streaming callers MUST pass foreachBatch's ``batch_id``: the
+    sidecar records the high-water mark and an already-folded id
+    becomes a no-op (the append_cms_batch contract; the HLL store's
+    max-merge needs none of this)."""
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
+
+    state, params = load_agg_store(spark, path)
+    if batch_id is not None:
+        last = params.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded in
+    merged = apply_delta_to_agg(
+        state, delta, group_cols, measures, count_col=count_col
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    out_params = {}
+    if batch_id is not None:
+        out_params["last_batch_id"] = batch_id
+    elif params.get("last_batch_id") is not None:
+        out_params["last_batch_id"] = params["last_batch_id"]
+    write_sidecar(new_root, AGG_PARAMS_FILE, out_params)
+    commit_rewrite(path, cur, new_v)
