@@ -1,0 +1,126 @@
+"""Closed-form statistics (operators/regression.py)."""
+
+import math
+
+import pytest
+
+from ubw_spark.operators.regression import (
+    correlation_matrix,
+    groupwise_ols,
+    two_proportion_z,
+)
+
+
+@pytest.fixture(scope="module")
+def xy(spark):
+    # group "lin": exactly y = 2x + 1 (perfect fit, r2 = 1)
+    # group "noisy": a known hand-checkable 3-point cloud
+    # group "flat": constant x (degenerate — slope undefined)
+    rows = [
+        ("lin", 1.0, 3.0),
+        ("lin", 2.0, 5.0),
+        ("lin", 3.0, 7.0),
+        ("noisy", 0.0, 0.0),
+        ("noisy", 1.0, 1.0),
+        ("noisy", 2.0, 4.0),
+        ("flat", 5.0, 1.0),
+        ("flat", 5.0, 2.0),
+    ]
+    return spark.createDataFrame(rows, "g string, x double, y double")
+
+
+def test_ols_perfect_line(spark, xy):
+    out = {r["g"]: r for r in groupwise_ols(xy, ["g"], "x", "y").collect()}
+    lin = out["lin"]
+    assert lin["n"] == 3
+    assert lin["slope"] == pytest.approx(2.0)
+    assert lin["intercept"] == pytest.approx(1.0)
+    assert lin["r2"] == pytest.approx(1.0)
+
+
+def test_ols_known_cloud(spark, xy):
+    # n=3, sx=3, sy=5, sxx=5, syy=17, sxy=9
+    # num = 3*9-3*5 = 12, den = 3*5-9 = 6, deny = 3*17-25 = 26
+    # slope = 2, intercept = (5-2*3)/3 = -1/3, r2 = 144/156
+    r = {x["g"]: x for x in groupwise_ols(xy, ["g"], "x", "y").collect()}
+    noisy = r["noisy"]
+    assert noisy["slope"] == pytest.approx(2.0)
+    assert noisy["intercept"] == pytest.approx(-1 / 3, abs=1e-6)
+    assert noisy["r2"] == pytest.approx(144 / 156, abs=1e-6)
+
+
+def test_ols_degenerate_group_is_null(spark, xy):
+    r = {x["g"]: x for x in groupwise_ols(xy, ["g"], "x", "y").collect()}
+    flat = r["flat"]
+    assert flat["slope"] is None
+    assert flat["intercept"] is None
+    assert flat["r2"] is None
+
+
+def test_ols_scaling_matches_unscaled(spark, xy):
+    """Scaling y to cents then fitting equals fitting the raw column
+    (slope/intercept are in scaled units: ×100)."""
+    raw = {
+        r["g"]: r
+        for r in groupwise_ols(xy, ["g"], "x", "y", y_scale=1).collect()
+    }
+    cents = {
+        r["g"]: r
+        for r in groupwise_ols(xy, ["g"], "x", "y", y_scale=100).collect()
+    }
+    assert cents["lin"]["slope"] == pytest.approx(raw["lin"]["slope"] * 100)
+    assert cents["lin"]["r2"] == pytest.approx(raw["lin"]["r2"])
+
+
+@pytest.fixture(scope="module")
+def feats(spark):
+    rows = [
+        (1.0, 2.0, 5.0),
+        (2.0, 4.0, 4.0),
+        (3.0, 6.0, 3.0),
+        (4.0, 8.0, 2.0),
+    ]
+    return spark.createDataFrame(rows, "a double, b double, c double")
+
+
+def test_corr_matrix_exact_and_antisymmetric(spark, feats):
+    out = {
+        (r["col_x"], r["col_y"]): r
+        for r in correlation_matrix(
+            feats, [("a", "a", 1), ("b", "b", 1), ("c", "c", 1)]
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    assert all(r["n"] == 4 for r in out.values())
+    assert out[("a", "b")]["corr"] == pytest.approx(1.0)  # b = 2a
+    assert out[("a", "c")]["corr"] == pytest.approx(-1.0)  # c = 6 - a
+    assert out[("b", "c")]["corr"] == pytest.approx(-1.0)
+
+
+def test_corr_constant_column_is_null(spark):
+    df = spark.createDataFrame(
+        [(1.0, 7.0), (2.0, 7.0), (3.0, 7.0)], "a double, k double"
+    )
+    rows = correlation_matrix(df, [("a", "a", 1), ("k", "k", 1)]).collect()
+    assert len(rows) == 1 and rows[0]["corr"] is None
+
+
+def test_two_proportion_z_hand_computed(spark):
+    # variant 0: 3/4 convert; variant 1: 1/4 convert
+    rows = [(0, 1), (0, 1), (0, 1), (0, 0), (1, 1), (1, 0), (1, 0), (1, 0)]
+    df = spark.createDataFrame(rows, "variant long, conv int")
+    r = two_proportion_z(df, "variant", "conv").collect()
+    assert len(r) == 1
+    r = r[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (4, 3, 4, 1)
+    p = 0.5
+    want = (0.75 - 0.25) / math.sqrt(p * (1 - p) * (1 / 4 + 1 / 4))
+    assert r["z"] == pytest.approx(want, abs=1e-6)
+
+
+def test_two_proportion_z_degenerate_pool_is_null(spark):
+    # everyone converts → pooled variance 0 → z NULL (not an ANSI error)
+    rows = [(0, 1), (0, 1), (1, 1), (1, 1)]
+    df = spark.createDataFrame(rows, "variant long, conv int")
+    r = two_proportion_z(df, "variant", "conv").collect()[0]
+    assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0 and r["z"] is None
