@@ -1,0 +1,74 @@
+"""Rolling z-score anomaly scoring (operators/anomaly.py)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.anomaly import rolling_zscore, seasonal_profile
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    # key "a": 10 flat-ish points (100 ± 1 alternating) then a spike
+    vals = [100, 101, 100, 101, 100, 101, 100, 101, 100, 101, 500]
+    rows = [("a", i, v) for i, v in enumerate(vals)]
+    # key "b": constant series then a jump — zero context variance
+    rows += [("b", i, 50) for i in range(9)] + [("b", 9, 99)]
+    return spark.createDataFrame(rows, "k string, seq int, v long")
+
+
+def _scored(series, **kw):
+    return {
+        (r["k"], r["seq"]): r
+        for r in rolling_zscore(
+            series, ["k"], ["seq"], "v", window=24, min_periods=8, **kw
+        ).collect()
+    }
+
+
+def test_warmup_rows_are_null(spark, series):
+    s = _scored(series)
+    for i in range(8):
+        assert s[("a", i)]["z"] is None and s[("a", i)]["is_anomaly"] is None
+    assert s[("a", 8)]["z"] is not None
+
+
+def test_spike_flagged_and_z_matches_hand_formula(spark, series):
+    s = _scored(series)
+    r = s[("a", 10)]
+    ctx = [100, 101, 100, 101, 100, 101, 100, 101, 100, 101]
+    n, mean = len(ctx), sum(ctx) / len(ctx)
+    sd = math.sqrt(sum((x - mean) ** 2 for x in ctx) / (n - 1))
+    assert r["z"] == pytest.approx((500 - mean) / sd, abs=1e-5)
+    assert r["is_anomaly"] == 1
+    assert s[("a", 9)]["is_anomaly"] == 0  # ordinary point
+
+
+def test_current_row_excluded_from_context(spark, series):
+    # context sums at seq 10 must not include the spike itself
+    s = _scored(series)
+    assert s[("a", 10)]["s1"] == 1005 and s[("a", 10)]["n_ctx"] == 10
+
+
+def test_zero_variance_context_is_null_not_inf(spark, series):
+    s = _scored(series)
+    assert s[("b", 9)]["z"] is None and s[("b", 9)]["is_anomaly"] is None
+
+
+def test_seasonal_profile_exact_milli_mean(spark):
+    rows = [
+        ("x", 0, 10), ("x", 0, 11), ("x", 1, 7),
+        ("y", 0, 5), ("y", 0, None),
+    ]
+    df = spark.createDataFrame(rows, "g string, hod int, v long")
+    out = {
+        (r["g"], r["season"]): r
+        for r in seasonal_profile(df, ["g"], F.col("hod"), "v").collect()
+    }
+    assert out[("x", 0)]["n"] == 2 and out[("x", 0)]["total"] == 21
+    assert out[("x", 0)]["mean_milli"] == 10500
+    assert out[("x", 1)]["mean_milli"] == 7000
+    # NULL values don't count toward n (count(col) semantics)
+    assert out[("y", 0)]["n"] == 1 and out[("y", 0)]["mean_milli"] == 5000

@@ -1,0 +1,104 @@
+"""Time-series anomaly scoring: rolling z-scores and seasonal
+profiles over per-key ordered streams.
+
+Float parity trap this module is built around: a windowed SUM of
+doubles is NOT deterministic across engines (segment-tree vs running
+accumulation visit addends in different orders), so rolling mean/std
+on raw doubles can never hash-match an oracle.  The fix is the repo's
+standard recipe: pin values to integer grain (cents) FIRST, take
+rolling sums of exact integers (order-insensitive), and let floats in
+only for the final mirrored division/sqrt (IEEE sqrt is correctly
+rounded).
+
+Scale posture: every window is partitioned by the series key with a
+bounded ROWS frame — per-key state is O(window), no global sort, no
+unpartitioned window (registry lint).  The seasonal profile is a plain
+groupBy with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["rolling_zscore", "seasonal_profile"]
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    *,
+    window: int = 24,
+    min_periods: int = 8,
+    threshold: float = 3.0,
+    dp: int = 6,
+) -> DataFrame:
+    """Score each point against the trailing ``window`` observations of
+    ITS OWN series (current row excluded, so a spike can't mask
+    itself): appends exact context sums ``(n_ctx, s1, s2)``, the
+    z-score, and an ``is_anomaly`` flag (|z| ≥ threshold).
+
+    ``value_col`` must already be integer-grain (e.g. cents — see
+    module docstring).  z is computed entirely from exact integers:
+
+        z = (x·n − s1) / (n · sqrt((n·s2 − s1²) / (n·(n−1))))
+
+    NULL until ``min_periods`` context rows exist or when the context
+    variance is zero (a constant series makes every deviation
+    infinite — flagging those is a policy choice this operator
+    refuses to hardcode)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-window, -1)
+    )
+    x = F.col(value_col)
+    df = (
+        df.withColumn("n_ctx", F.count(x).over(w))
+        .withColumn("s1", F.sum(x).over(w))
+        .withColumn("s2", F.sum(x * x).over(w))
+    )
+    n = F.col("n_ctx").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    var_num = F.col("n_ctx") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.when(
+        (F.col("n_ctx") >= min_periods) & (var_num > 0),
+        F.round(
+            (x.cast("double") * n - s1)
+            / (n * F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))),
+            dp,
+        ),
+    )
+    return df.withColumn("z", z).withColumn(
+        "is_anomaly",
+        F.when(F.col("z").isNotNull(), (F.abs("z") >= threshold).cast("int")),
+    )
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    season_col,
+    value_col: str,
+    *,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per (key, season-bucket) profile of an integer-grain value:
+    ``(.., n, total, mean_milli)`` with the mean in exact integer
+    milli-units (``total·scale div n``) — the baseline table that
+    same-hour-of-day / same-day-of-week anomaly checks join against.
+
+    One groupBy with map-side combine; output is keys × season
+    buckets."""
+    season = season_col if not isinstance(season_col, str) else F.col(season_col)
+    return (
+        df.groupBy(*key_cols, season.alias("season"))
+        .agg(
+            F.count(F.col(value_col)).alias("n"),
+            F.sum(F.col(value_col)).alias("total"),
+        )
+        .withColumn("mean_milli", F.expr(f"(total * {scale}) div n"))
+    )
