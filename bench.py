@@ -112,6 +112,15 @@ HEADLINE = [
     "cdc_incremental_join_agg",
     "ts_gapfill_interpolate",
     "linkage_match_topk",
+    # Session-5 additions: sufficient-statistics OLS (exact decimal sums,
+    # broadcast dim join), the rolling-distinct engagement curve (map-only
+    # ×7 day-grain fan-out, no day-spine join), per-key rolling z-score
+    # anomaly scoring, and the 7-edge FK orphan sweep (one join + one
+    # aggregate per edge).
+    "stats_groupwise_ols",
+    "events_dau_wau_stickiness",
+    "ts_rolling_anomaly",
+    "quality_referential_integrity",
 ]
 
 

@@ -1,0 +1,127 @@
+"""Fixed-bin quantile histogram (operators/qsketch.py)."""
+
+import pytest
+
+from ubw_spark.operators.qsketch import (
+    append_hist_batch,
+    hist_build,
+    hist_merge,
+    hist_quantiles,
+    load_hist,
+    probe_hist_quantiles,
+    read_hist_params,
+    write_hist_store,
+)
+
+
+@pytest.fixture(scope="module")
+def vals(spark):
+    # 100 values 0..99 over range [0,100) x 10 bins → 10 per bin
+    return spark.createDataFrame([(i,) for i in range(100)], "v long")
+
+
+def _cells(df, **kw):
+    kw.setdefault("lo", 0)
+    kw.setdefault("hi", 100)
+    kw.setdefault("nbins", 10)
+    return hist_build(df, "v", **kw)
+
+
+def test_build_uniform_cells(spark, vals):
+    out = {r["bin"]: r["cnt"] for r in _cells(vals).collect()}
+    assert out == {b: 10 for b in range(10)}
+
+
+def test_out_of_range_clamps_into_edge_bins(spark):
+    df = spark.createDataFrame([(-5,), (0,), (99,), (100,), (1000,)], "v long")
+    out = {r["bin"]: r["cnt"] for r in _cells(df).collect()}
+    assert out == {0: 2, 9: 3}  # -5 clamps low; 100 and 1000 clamp high
+
+
+def test_nulls_filtered(spark):
+    df = spark.createDataFrame([(1,), (None,), (2,)], "v long")
+    assert sum(r["cnt"] for r in _cells(df).collect()) == 2
+
+
+def test_merge_equals_build_on_union(spark, vals):
+    a = vals.where("v % 2 = 0")
+    b = vals.where("v % 2 = 1")
+    merged = {
+        r["bin"]: r["cnt"]
+        for r in hist_merge(_cells(a), _cells(b)).collect()
+    }
+    full = {r["bin"]: r["cnt"] for r in _cells(vals).collect()}
+    assert merged == full
+
+
+def test_merge_shape_mismatch_raises(spark, vals):
+    with pytest.raises(ValueError, match="shape mismatch"):
+        hist_merge(_cells(vals), _cells(vals, nbins=20))
+
+
+def test_quantiles_exact_on_uniform(spark, vals):
+    # uniform 0..99: cum through bin b is 10(b+1); target q·100
+    # → p50: bin 4, frac (50-40)/10 = 1.0 → est = (4+1)*10 = 50
+    est = {
+        r["q_milli"]: r["est"]
+        for r in hist_quantiles(_cells(vals), [500, 900, 100]).collect()
+    }
+    assert est[500] == pytest.approx(50.0)
+    assert est[900] == pytest.approx(90.0)
+    assert est[100] == pytest.approx(10.0)
+
+
+def test_quantile_error_under_one_bin_width(spark):
+    import random
+
+    rnd = random.Random(7)
+    data = [rnd.randrange(0, 10_000) for _ in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in data], "v long")
+    cells = hist_build(df, "v", lo=0, hi=10_000, nbins=100)
+    est = {
+        r["q_milli"]: r["est"]
+        for r in hist_quantiles(cells, [500, 990]).collect()
+    }
+    width = 10_000 / 100
+    s = sorted(data)
+    for q_milli in (500, 990):
+        exact = s[int(q_milli / 1000 * len(s)) - 1]
+        assert abs(est[q_milli] - exact) < 2 * width
+
+
+def test_quantiles_rejects_bad_q(spark, vals):
+    with pytest.raises(ValueError):
+        hist_quantiles(_cells(vals), [0])
+    with pytest.raises(ValueError):
+        hist_quantiles(_cells(vals), [1001])
+
+
+def test_store_lifecycle_matches_in_memory(spark, tmp_path, vals):
+    path = str(tmp_path / "qh")
+    a = vals.where("v < 50")
+    b = vals.where("v >= 50")
+    write_hist_store(_cells(a), path)
+    append_hist_batch(spark, b, "v", path)
+    got = {
+        r["q_milli"]: r["est"]
+        for r in probe_hist_quantiles(spark, path, [500, 900]).collect()
+    }
+    want = {
+        r["q_milli"]: r["est"]
+        for r in hist_quantiles(_cells(vals), [500, 900]).collect()
+    }
+    assert got == want
+    cells, p = load_hist(spark, path)
+    assert (p["lo"], p["hi"], p["nbins"]) == (0, 100, 10)
+    assert sum(r["cnt"] for r in cells.collect()) == 100
+
+
+def test_store_replayed_batch_is_noop(spark, tmp_path, vals):
+    path = str(tmp_path / "qh")
+    write_hist_store(_cells(vals.where("v < 50")), path)
+    batch = vals.where("v >= 50")
+    append_hist_batch(spark, batch, "v", path, batch_id=1)
+    append_hist_batch(spark, batch, "v", path, batch_id=1)  # replay
+    cells, p = load_hist(spark, path)
+    assert sum(r["cnt"] for r in cells.collect()) == 100  # not 150
+    assert p["last_batch_id"] == 1
