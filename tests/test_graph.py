@@ -113,3 +113,58 @@ def test_pagerank_validation(spark):
     df = spark.createDataFrame([(1, 2)], "u int, v int")
     with pytest.raises(ValueError, match="iterations >= 1"):
         pagerank_fixed(df, iterations=0)
+
+
+class TestItemSimilarity:
+    @pytest.fixture(scope="class")
+    def baskets(self, spark):
+        # g1: {A,B,C}, g2: {A,B}, g3: {A, A duplicate, D}, g4: {B}
+        rows = [
+            (1, "A"), (1, "B"), (1, "C"),
+            (2, "A"), (2, "B"),
+            (3, "A"), (3, "A"), (3, "D"),
+            (4, "B"),
+        ]
+        return spark.createDataFrame(rows, "g long, item string")
+
+    def test_pairs_and_cosine(self, spark, baskets):
+        from ubw_spark.operators.graph import item_similarity
+
+        out = {
+            (r["u"], r["v"]): r
+            for r in item_similarity(
+                baskets, "g", "item", min_support=1
+            ).collect()
+        }
+        # A in 3 groups, B in 3, C in 1, D in 1; A∩B = {g1,g2}
+        ab = out[("A", "B")]
+        assert ab["sup"] == 2
+        assert ab["cos"] == pytest.approx(2 / 3, abs=1e-6)
+        # duplicate A in g3 must not inflate: A∩D support is 1
+        assert out[("A", "D")]["sup"] == 1
+        assert out[("A", "D")]["cos"] == pytest.approx(
+            1 / (3**0.5), abs=1e-6
+        )
+
+    def test_min_support_filters(self, spark, baskets):
+        from ubw_spark.operators.graph import item_similarity
+
+        out = item_similarity(baskets, "g", "item", min_support=2).collect()
+        assert {(r["u"], r["v"]) for r in out} == {("A", "B")}
+
+    def test_topk_symmetric_and_deterministic(self, spark, baskets):
+        from ubw_spark.operators.graph import (
+            item_similarity,
+            similar_items_topk,
+        )
+
+        sim = item_similarity(baskets, "g", "item", min_support=1)
+        top = {
+            (r["item"], r["rnk"]): r["other"]
+            for r in similar_items_topk(sim, k=2).collect()
+        }
+        # B's best neighbor is A (cos 2/3 beats C's 1/sqrt(3))
+        assert top[("B", 1)] == "A"
+        # C appears as an item too (symmetrized), best neighbor A or B
+        # with equal cos/sup → tiebreak other asc picks A
+        assert top[("C", 1)] == "A" and top[("C", 2)] == "B"

@@ -210,3 +210,90 @@ def pagerank_fixed(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def item_similarity(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    dp: int = 6,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence — the
+    collaborative-filtering primitive: ``(u, v, sup, cos)`` per
+    unordered pair (u < v) where ``sup`` counts distinct groups
+    containing both and ``cos = sup / sqrt(g_u · g_v)`` with g_i the
+    distinct groups containing item i.
+
+    Counts are exact integers (the co-occurrence join dedups on
+    (group, u, v) first, so a basket listing an item twice counts
+    once); the cosine is one mirrored double division over them
+    (sqrt is IEEE-correctly-rounded), rounded to ``dp``.
+
+    Scale: the pair join is the basket-bounded co-occurrence shape
+    (Σ|g|², cappable upstream); per-item group counts are a
+    dimension-sized aggregate that broadcasts onto the pairs."""
+    if min_support < 1:
+        raise ValueError(f"need min_support >= 1; got {min_support}")
+    inst = (
+        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("u"))
+        .where(F.col("u").isNotNull())
+        .join(
+            df.select(
+                F.col(group_col).alias("__g"), F.col(item_col).alias("v")
+            ).where(F.col("v").isNotNull()),
+            "__g",
+        )
+        .where(F.col("u") < F.col("v"))
+        .select("__g", "u", "v")
+        .distinct()
+    )
+    sup = (
+        inst.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .where(F.col("sup") >= min_support)
+    )
+    items = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("i"))
+        .agg(F.count_distinct(F.col(group_col)).alias("gi"))
+    )
+    gu = F.broadcast(items.select(F.col("i").alias("u"), F.col("gi").alias("gu")))
+    gv = F.broadcast(items.select(F.col("i").alias("v"), F.col("gi").alias("gv")))
+    cos = F.round(
+        F.col("sup").cast("double")
+        / F.sqrt(F.col("gu").cast("double") * F.col("gv").cast("double")),
+        dp,
+    )
+    return (
+        sup.join(gu, "u").join(gv, "v")
+        .select("u", "v", "sup", cos.alias("cos"))
+    )
+
+
+def similar_items_topk(sim: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k most similar items per item from an :func:`item_similarity`
+    pair list: symmetrize the undirected pairs, then rank per item with
+    a deterministic (cos desc, sup desc, other asc) tiebreak —
+    ``(item, rnk, other, sup, cos)``.
+
+    The ranking window is partitioned by item over the aggregated pair
+    list — bounded by that item's surviving pairs, never raw baskets."""
+    sym = sim.select(
+        F.col("u").alias("item"), F.col("v").alias("other"), "sup", "cos"
+    ).unionByName(
+        sim.select(
+            F.col("v").alias("item"), F.col("u").alias("other"), "sup", "cos"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.col("cos").desc(), F.col("sup").desc(), F.col("other").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("item", "rnk", "other", "sup", "cos")
+    )

@@ -9,6 +9,8 @@ from pyspark.sql import DataFrame, SparkSession
 from ubw_spark.operators.graph import (
     co_occurrence_edges,
     degree_histogram,
+    item_similarity,
+    similar_items_topk,
     triangle_count,
 )
 from pyspark.sql import functions as F
@@ -135,3 +137,65 @@ def graph_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("node", F.col("r").alias("rank_micros"))
     )
+
+
+_SIM_CTE = """
+inst AS (
+  SELECT DISTINCT a.l_orderkey AS g, a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a
+  JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey),
+sup AS (SELECT u, v, count(*)::BIGINT AS sup
+        FROM inst GROUP BY 1, 2 HAVING count(*) >= 2),
+item AS (SELECT l_partkey AS i, count(DISTINCT l_orderkey)::BIGINT AS gi
+         FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+s AS (SELECT sup.u, sup.v, sup.sup,
+             round(sup.sup::DOUBLE
+                   / sqrt(iu.gi::DOUBLE * iv.gi::DOUBLE), 6) AS cos
+      FROM sup JOIN item iu ON sup.u = iu.i
+               JOIN item iv ON sup.v = iv.i)
+"""
+
+
+@register(
+    "graph_item_similarity",
+    oracle=f"WITH {_SIM_CTE} SELECT u, v, sup, cos FROM s",
+    tags=("graph", "join", "llm"),
+)
+def graph_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity from co-purchase baskets (support ≥
+    2) — the collaborative-filtering pair table: exact distinct-group
+    counts, mirrored cosine division.
+
+    Scale: basket-bounded pair join (Σ|g|²) + a broadcast of the
+    dimension-sized per-item group counts."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return item_similarity(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+@register(
+    "graph_similar_items_topk",
+    oracle=f"""
+    WITH {_SIM_CTE},
+    sym AS (SELECT u AS item, v AS other, sup, cos FROM s
+            UNION ALL
+            SELECT v AS item, u AS other, sup, cos FROM s),
+    r AS (SELECT item, other, sup, cos,
+                 row_number() OVER (PARTITION BY item
+                                    ORDER BY cos DESC, sup DESC,
+                                             other ASC) AS rnk
+          FROM sym)
+    SELECT item, rnk, other, sup, cos FROM r WHERE rnk <= 3
+    """,
+    tags=("graph", "window", "llm"),
+)
+def graph_similar_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most similar items per item — the "customers also bought"
+    readout, ranked on the rounded cosine with a deterministic
+    tiebreak.
+
+    Scale: the ranking window is partitioned per item over the
+    aggregated pair list, never over raw baskets."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sim = item_similarity(li, "l_orderkey", "l_partkey", min_support=2)
+    return similar_items_topk(sim, k=3)
