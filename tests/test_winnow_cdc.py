@@ -112,3 +112,33 @@ def test_snapshot_diff_status_matrix(spark):
         4: "added",
         5: "added",
     }
+
+
+class TestKeySkewReport:
+    def test_shares_and_ranks(self, spark):
+        from ubw_spark.operators.skew import key_skew_report
+
+        rows = [("hot",)] * 60 + [("warm",)] * 30 + [("cold",)] * 10
+        df = spark.createDataFrame(rows, "k string")
+        out = key_skew_report(df, "k", k=2).collect()
+        assert [(r["rnk"], r["key"], r["cnt"]) for r in out] == [
+            (1, "hot", 60), (2, "warm", 30),
+        ]
+        r1 = out[0]
+        assert (r1["n_keys"], r1["total_rows"], r1["share_milli"]) == (
+            3, 100, 600
+        )
+
+    def test_tiebreak_on_key(self, spark):
+        from ubw_spark.operators.skew import key_skew_report
+
+        df = spark.createDataFrame([("b",), ("a",)], "k string")
+        out = key_skew_report(df, "k", k=2).collect()
+        assert [r["key"] for r in out] == ["a", "b"]
+
+    def test_rank_window_grounded_by_limit(self, spark):
+        from ubw_spark.operators.skew import key_skew_report
+        from ubw_spark.plans.inspect import global_window_violations
+
+        df = spark.createDataFrame([("a",), ("b",)], "k string")
+        assert global_window_violations(key_skew_report(df, "k")) == []

@@ -111,3 +111,43 @@ def salted_join(
         ),
     )
     return probe_salted.join(build_salted, [key, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, *, k: int = 10, scale: int = 1000
+) -> DataFrame:
+    """The decide-whether-to-salt diagnostic: the k heaviest values of
+    ``key_col`` with their exact row shares — ``(rnk, key, cnt, n_keys,
+    total_rows, share_milli)`` where ``share_milli = cnt·scale div
+    total_rows``.
+
+    A share_milli near 1000/executors means one task owns the key's
+    whole shuffle partition → reach for salted_groupby_agg /
+    salted_join; a flat top-k means the key is safe to shuffle on.
+
+    Scale: one map-side-combining groupBy (O(distinct keys) rows), a
+    top-k (TakeOrderedAndProject — the ranking window is grounded by
+    the literal limit, never over raw cardinality), and a broadcast of
+    the one-row totals aggregate."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    order = [F.col("cnt").desc(), F.col("key").asc()]
+    top = counts.orderBy(*order).limit(k)
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(*order))
+    )
+    return ranked.crossJoin(F.broadcast(totals)).select(
+        "rnk",
+        "key",
+        "cnt",
+        "n_keys",
+        "total_rows",
+        F.expr(f"(cnt * {scale}) div total_rows").alias("share_milli"),
+    )

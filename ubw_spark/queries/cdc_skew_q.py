@@ -385,3 +385,34 @@ def cdc_incremental_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         state, jd, ["c_mktsegment"], measures, count_col="cnt"
     )
     return maintained.select("c_mktsegment", "cnt", "cents")
+
+
+@register(
+    "profile_key_skew",
+    oracle="""
+    WITH c AS (SELECT l_suppkey AS key, count(*)::BIGINT AS cnt
+               FROM lineitem GROUP BY 1),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+                 count(*)::BIGINT AS n_keys FROM c),
+    top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 10),
+    r AS (SELECT key, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, key ASC) AS rnk
+          FROM top)
+    SELECT r.rnk, r.key, r.cnt, t.n_keys, t.total_rows,
+           CAST((r.cnt * 1000) // t.total_rows AS BIGINT) AS share_milli
+    FROM r, t
+    """,
+    tags=("skew", "agg"),
+)
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaviest-key report for a prospective join/agg key (supplier key
+    over lineitem): exact integer milli-shares of the top 10 — the
+    decide-whether-to-salt readout feeding salted_groupby_agg.
+
+    Scale: groupBy with map-side combine, TakeOrderedAndProject for
+    the top-k (the rank window is grounded by the literal limit), and
+    a one-row totals broadcast."""
+    from ubw_spark.operators.skew import key_skew_report
+
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return key_skew_report(li, "l_suppkey", k=10)
