@@ -192,3 +192,45 @@ def test_heavy_hitters_exact_despite_screen(spark, sf_dir):
         .collect()
     }
     assert got == direct and len(got) > 0
+
+
+class TestInnerProduct:
+    def test_never_undercounts_and_tight_when_wide(self, spark):
+        from ubw_spark.operators.sketches import cms_build, cms_inner_product
+
+        a_items = ["x"] * 3 + ["y"] * 2 + ["z"]
+        b_items = ["x"] * 5 + ["z"] * 4 + ["w"] * 7
+        a = cms_build(
+            spark.createDataFrame([(i,) for i in a_items], "item string"),
+            "item", width=1024, depth=4,
+        )
+        b = cms_build(
+            spark.createDataFrame([(i,) for i in b_items], "item string"),
+            "item", width=1024, depth=4,
+        )
+        # exact |A ⋈ B| = 3*5 (x) + 1*4 (z) = 19; 4 items in 1024
+        # buckets → no collisions, estimate is exact
+        est = cms_inner_product(a, b).collect()[0]["est"]
+        assert est == 19
+
+    def test_collisions_only_overcount(self, spark):
+        from ubw_spark.operators.sketches import cms_build, cms_inner_product
+
+        items = [(f"k{i}",) for i in range(200) for _ in (0, 1)]
+        df = spark.createDataFrame(items, "item string")
+        sk = cms_build(df, "item", width=8, depth=2)  # heavy collisions
+        est = cms_inner_product(sk, sk).collect()[0]["est"]
+        exact = 200 * 4  # each key appears twice → c² = 4
+        assert est >= exact
+
+    def test_shape_mismatch_raises(self, spark):
+        import pytest as _pytest
+
+        from ubw_spark.operators.sketches import cms_build, cms_inner_product
+
+        df = spark.createDataFrame([("a",)], "item string")
+        with _pytest.raises(ValueError, match="shape mismatch"):
+            cms_inner_product(
+                cms_build(df, "item", width=64, depth=2),
+                cms_build(df, "item", width=128, depth=2),
+            )

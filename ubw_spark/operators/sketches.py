@@ -300,3 +300,41 @@ def probe_cms_store(
     store was built with — the probe side stays map-only."""
     sk, _ = load_cms(spark, path)
     return cms_estimate(sk, probes, item_col)
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation from two sketches (Cormode & Muthukrishnan
+    2005, §4.2): ``est = min_i Σ_bucket a[i,b]·b[i,b]`` upper-bounds —
+    and with depth rows tightly estimates — ``|A ⋈ B|`` on the sketched
+    key, i.e. Σ_k cntA(k)·cntB(k).  ONE row ``(est)``; never
+    undercounts (every true pair lands in aligned cells; collisions
+    only add).
+
+    The planner use: size a prospective join (or a self-join — pass the
+    same sketch twice for Σ c(k)², the co-occurrence blow-up number)
+    from two sketch-sized summaries WITHOUT touching either table —
+    at 100 TB the estimate costs depth×width cells from each side.
+
+    Shape: a cell-aligned inner join of two ≤depth×width frames (both
+    broadcastable by construction), one aggregate per row i, min across
+    the depth partial sums.  Raises on shape mismatch (cells wouldn't
+    align — the cms_merge rule).  Missing cells are zero on either
+    side, so the inner join IS the product (0·x terms drop out)."""
+    sa, sb = _check_shape(a, "cms_inner_product"), _check_shape(
+        b, "cms_inner_product"
+    )
+    if sa != sb:
+        raise ValueError(
+            f"cms_inner_product: shape mismatch {sa[0]}x{sa[1]} vs "
+            f"{sb[0]}x{sb[1]}"
+        )
+    prod = (
+        a.select("i", "bucket", F.col("cnt").alias("__ca"))
+        .join(
+            b.select("i", "bucket", F.col("cnt").alias("__cb")),
+            ["i", "bucket"],
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
+    )
+    return prod.agg(F.min("__dot").alias("est"))

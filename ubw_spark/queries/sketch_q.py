@@ -239,3 +239,51 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") >= 60)
     )
     return exact.orderBy(F.desc("n"), "word")
+
+
+@register(
+    "sketch_join_size_estimate",
+    oracle="""
+    WITH k AS (SELECT l_partkey::VARCHAR AS item FROM lineitem
+               WHERE l_partkey IS NOT NULL),
+    sk AS (SELECT i, ('0x' || substr(md5('cms:' || i::VARCHAR || ':'
+                                     || item), 1, 8))::BIGINT
+                     % 16384 AS bucket,
+                  count(*)::BIGINT AS cnt
+           FROM k, (SELECT unnest(generate_series(0, 3)) AS i)
+           GROUP BY 1, 2),
+    dot AS (SELECT i, sum(cnt * cnt) AS dot FROM sk GROUP BY 1),
+    e AS (SELECT CAST(min(dot) AS BIGINT) AS est FROM dot),
+    x AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact
+          FROM (SELECT count(*)::BIGINT AS c FROM k GROUP BY item))
+    SELECT e.est, x.exact, e.est - x.exact AS overcount FROM e, x
+    """,
+    tags=("sketch", "agg", "llm"),
+)
+def sketch_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join-size estimation from a sketch: est ≥ exact Σ c(k)² for
+    lineitem's part key (the co-occurrence / pair-join blow-up number a
+    planner wants BEFORE running the join), via the CMS inner product
+    min_i Σ_b cell² — never undercounts, collisions only add.  The
+    exact truth rides along for the audit.
+
+    Scale: the estimate reads depth×width cells (64k here), not the
+    table; the truth aggregate exists only because the oracle audits
+    the overcount — a production planner runs the sketch side alone."""
+    from ubw_spark.operators.sketches import cms_inner_product
+
+    k = (
+        table(spark, sf_dir, "lineitem")
+        .where(F.col("l_partkey").isNotNull())
+        .select(F.col("l_partkey").cast("string").alias("item"))
+    )
+    sk = cms_build(k, "item", width=16384, depth=4)
+    est = cms_inner_product(sk, sk)
+    exact = (
+        k.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("exact"))
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "est", "exact", (F.col("est") - F.col("exact")).alias("overcount")
+    )
