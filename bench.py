@@ -121,6 +121,11 @@ HEADLINE = [
     "events_dau_wau_stickiness",
     "ts_rolling_anomaly",
     "quality_referential_integrity",
+    # The quantile-store lifecycle (10th versioned store, timed like its
+    # siblings: write + ADD-merge append + estimate) and the corpus
+    # term-share drift monitor (two vocab aggregates + full-outer join).
+    "sketch_quantile_store_probe",
+    "corpus_term_drift",
 ]
 
 

@@ -968,3 +968,87 @@ def test_stream_materialized_view_maintenance(spark, tmp_path):
     assert {
         r["kind"]: (r["cnt"], r["cents"]) for r in state2.collect()
     } == want
+
+
+def test_stream_quantile_hist_store_ingest(spark, tmp_path):
+    """foreachBatch loop over the QUANTILE-HISTOGRAM store — the
+    metric-monitoring shape: each micro-batch of order values folds
+    into the persisted cells via the replay-safe batch_id path, and
+    after every batch the store's quantile estimates equal the
+    in-memory estimates over everything ingested so far (ADD-merge ==
+    build-on-union, cell for cell)."""
+    from ubw_spark.operators.qsketch import (
+        append_hist_batch,
+        hist_build,
+        hist_quantiles,
+        load_hist,
+        probe_hist_quantiles,
+        write_hist_store,
+    )
+
+    path = str(tmp_path / "qh_store")
+    lo, hi, nb = 0, 1000, 20
+    # seed the store with an empty histogram (no rows yet)
+    empty = spark.createDataFrame([], "v long")
+    write_hist_store(hist_build(empty, "v", lo=lo, hi=hi, nbins=nb), path)
+
+    inc = str(tmp_path / "qinc")
+    os.makedirs(inc)
+
+    def arrive(vals, name):
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        staging = str(tmp_path / f"qstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    def handle(bdf, bid):
+        append_hist_batch(bdf.sparkSession, bdf, "v", path, batch_id=bid)
+
+    stream = spark.readStream.schema("v long").parquet(inc)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .start()
+    )
+    b1 = list(range(0, 500, 5))    # 100 values in [0, 500)
+    b2 = list(range(500, 1000, 5))  # 100 values in [500, 1000)
+    try:
+        arrive(b1, "b1")
+        q.processAllAvailable()
+        got1 = {
+            r["q_milli"]: r["est"]
+            for r in probe_hist_quantiles(spark, path, [500]).collect()
+        }
+        mem1 = hist_build(
+            spark.createDataFrame([(v,) for v in b1], "v long"),
+            "v", lo=lo, hi=hi, nbins=nb,
+        )
+        want1 = {
+            r["q_milli"]: r["est"]
+            for r in hist_quantiles(mem1, [500]).collect()
+        }
+        assert got1 == want1
+
+        arrive(b2, "b2")
+        q.processAllAvailable()
+        cells, p = load_hist(spark, path)
+        assert sum(r["cnt"] for r in cells.collect()) == 200
+        assert p["last_batch_id"] is not None
+        mem = hist_build(
+            spark.createDataFrame([(v,) for v in b1 + b2], "v long"),
+            "v", lo=lo, hi=hi, nbins=nb,
+        )
+        got = {
+            r["q_milli"]: r["est"]
+            for r in probe_hist_quantiles(spark, path, [500, 900]).collect()
+        }
+        want = {
+            r["q_milli"]: r["est"]
+            for r in hist_quantiles(mem, [500, 900]).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
