@@ -72,3 +72,13 @@ def test_seasonal_profile_exact_milli_mean(spark):
     assert out[("x", 1)]["mean_milli"] == 7000
     # NULL values don't count toward n (count(col) semantics)
     assert out[("y", 0)]["n"] == 1 and out[("y", 0)]["mean_milli"] == 5000
+
+
+def test_large_cent_values_do_not_overflow(spark):
+    # $7M in cents squared over a 24-frame would overflow LONG sums;
+    # the decimal(38,0) statistics must survive under ANSI mode
+    big = 700_000_000
+    rows = [("k", i, big + (i % 3)) for i in range(30)] + [("k", 30, big * 2)]
+    df = spark.createDataFrame(rows, "k string, seq int, v long")
+    out = {r["seq"]: r for r in rolling_zscore(df, ["k"], ["seq"], "v").collect()}
+    assert out[30]["z"] is not None and out[30]["is_anomaly"] == 1

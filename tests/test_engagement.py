@@ -65,3 +65,9 @@ def test_new_vs_returning(spark, ev):
         for r in new_vs_returning(ev, "user_id").collect()
     }
     assert out == {1: (2, 0), 2: (0, 1), 4: (1, 0)}
+
+
+def test_rolling_actives_rejects_nonpositive_window(spark, ev):
+    du = active_units(ev, "user_id")
+    with pytest.raises(ValueError, match="window_days"):
+        rolling_actives(du, 0)

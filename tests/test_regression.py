@@ -124,3 +124,14 @@ def test_two_proportion_z_degenerate_pool_is_null(spark):
     df = spark.createDataFrame(rows, "variant long, conv int")
     r = two_proportion_z(df, "variant", "conv").collect()[0]
     assert r["rate_a"] == 1.0 and r["rate_b"] == 1.0 and r["z"] is None
+
+
+def test_two_proportion_z_rejects_wrong_variant_ids(spark):
+    df = spark.createDataFrame([(1, 1), (2, 0)], "variant long, conv int")
+    with pytest.raises(ValueError, match="exactly variants"):
+        two_proportion_z(df, "variant", "conv")
+    df3 = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 1)], "variant long, conv int"
+    )
+    with pytest.raises(ValueError, match="exactly variants"):
+        two_proportion_z(df3, "variant", "conv")

@@ -234,3 +234,17 @@ class TestInnerProduct:
                 cms_build(df, "item", width=64, depth=2),
                 cms_build(df, "item", width=128, depth=2),
             )
+
+    def test_disjoint_key_sets_give_zero_not_null(self, spark):
+        from ubw_spark.operators.sketches import cms_build, cms_inner_product
+
+        a = cms_build(
+            spark.createDataFrame([("x",)], "item string"),
+            "item", width=1024, depth=4,
+        )
+        b = cms_build(
+            spark.createDataFrame([("y",)], "item string"),
+            "item", width=1024, depth=4,
+        )
+        rows = cms_inner_product(a, b).collect()
+        assert len(rows) == 1 and rows[0]["est"] == 0

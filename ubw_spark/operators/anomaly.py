@@ -55,20 +55,30 @@ def rolling_zscore(
         .rowsBetween(-window, -1)
     )
     x = F.col(value_col)
+    # Sufficient statistics in DECIMAL(38,0), not LONG: s2 sums squares
+    # of the integer-grain values, and a $7M-cents value squared already
+    # exceeds Long.MAX across a 24-row frame — ANSI mode would throw,
+    # non-ANSI would silently wrap (same rationale as regression._DEC).
+    xd = x.cast("decimal(38,0)")
     df = (
         df.withColumn("n_ctx", F.count(x).over(w))
-        .withColumn("s1", F.sum(x).over(w))
-        .withColumn("s2", F.sum(x * x).over(w))
+        .withColumn("s1", F.sum(xd).over(w))
+        .withColumn("s2", F.sum(xd * xd).over(w))
     )
     n = F.col("n_ctx").cast("double")
-    s1 = F.col("s1").cast("double")
-    s2 = F.col("s2").cast("double")
-    var_num = F.col("n_ctx") * F.col("s2") - F.col("s1") * F.col("s1")
+    n_dec = F.col("n_ctx").cast("decimal(38,0)")
+    # Both subtractions happen in EXACT decimal and convert to double
+    # only afterwards: n·s2 and s1² agree to ~15 significant digits for
+    # large-magnitude low-variance series, so the double-first form
+    # catastrophically cancels to 0 (then divides by zero) even though
+    # the true variance is positive.
+    var_num = n_dec * F.col("s2") - F.col("s1") * F.col("s1")
+    dev_num = xd * n_dec - F.col("s1")
     z = F.when(
         (F.col("n_ctx") >= min_periods) & (var_num > 0),
         F.round(
-            (x.cast("double") * n - s1)
-            / (n * F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))),
+            dev_num.cast("double")
+            / (n * F.sqrt(var_num.cast("double") / (n * (n - 1)))),
             dp,
         ),
     )

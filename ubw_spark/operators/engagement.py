@@ -47,6 +47,10 @@ def rolling_actives(
     to (map-only), clipped back to days that actually occur (semi-join
     against the broadcastable distinct-day set — so trailing ghost days
     past the data's end don't appear), then distinct-counted per day."""
+    if window_days < 1:
+        # sequence(d, d-1) would DESCEND (Spark defaults step to -1),
+        # silently counting each day's activity toward the previous day
+        raise ValueError(f"need window_days >= 1; got {window_days}")
     fan = du.select(
         F.explode(
             F.sequence(

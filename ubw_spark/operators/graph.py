@@ -49,6 +49,19 @@ def co_occurrence_edges(
     random-ish baskets single-coincidence pairs dominate the edge set
     and densify the graph into noise — support 2+ is how a co-purchase
     graph stays sparse at scale."""
+    return co_occurrence_support(
+        df, group_col, item_col, min_support=min_support
+    ).select("u", "v")
+
+
+def co_occurrence_support(
+    df: DataFrame, group_col: str, item_col: str, *, min_support: int = 1
+) -> DataFrame:
+    """``(u, v, sup)``: the :func:`co_occurrence_edges` pair list WITH
+    its distinct-group support count — the single home of the pair
+    enumeration invariant (null filtering, u < v orientation,
+    per-group dedup BEFORE counting), shared by the edge builder and
+    :func:`item_similarity` so the two can't drift."""
     if min_support < 1:
         raise ValueError(f"need min_support >= 1; got {min_support}")
     a = df.select(
@@ -63,14 +76,10 @@ def co_occurrence_edges(
         .select("__g", "u", "v")
         .distinct()
     )
+    sup = inst.groupBy("u", "v").agg(F.count(F.lit(1)).alias("sup"))
     if min_support == 1:
-        return inst.select("u", "v").distinct()
-    return (
-        inst.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("__sup"))
-        .where(F.col("__sup") >= min_support)
-        .select("u", "v")
-    )
+        return sup
+    return sup.where(F.col("sup") >= min_support)
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -234,25 +243,8 @@ def item_similarity(
     Scale: the pair join is the basket-bounded co-occurrence shape
     (Σ|g|², cappable upstream); per-item group counts are a
     dimension-sized aggregate that broadcasts onto the pairs."""
-    if min_support < 1:
-        raise ValueError(f"need min_support >= 1; got {min_support}")
-    inst = (
-        df.select(F.col(group_col).alias("__g"), F.col(item_col).alias("u"))
-        .where(F.col("u").isNotNull())
-        .join(
-            df.select(
-                F.col(group_col).alias("__g"), F.col(item_col).alias("v")
-            ).where(F.col("v").isNotNull()),
-            "__g",
-        )
-        .where(F.col("u") < F.col("v"))
-        .select("__g", "u", "v")
-        .distinct()
-    )
-    sup = (
-        inst.groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .where(F.col("sup") >= min_support)
+    sup = co_occurrence_support(
+        df, group_col, item_col, min_support=min_support
     )
     items = (
         df.where(F.col(item_col).isNotNull())

@@ -85,10 +85,16 @@ def groupwise_ols(
     deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
     num_d, den_d, deny_d = (e.cast("double") for e in (num, den, deny))
     slope = F.when(den != 0, F.round(num_d / den_d, dp))
+    # The intercept uses the UNROUNDED slope ratio: rounding first would
+    # multiply the ≤5e-7 rounding error by mean(x) — material once x is
+    # scaled to cents — and only the OUTPUT is display-rounded.
     intercept = F.when(
         den != 0,
         F.round(
-            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            (
+                F.col("sy").cast("double")
+                - (num_d / den_d) * F.col("sx").cast("double")
+            )
             / F.col("n").cast("double"),
             dp,
         ),
@@ -192,6 +198,19 @@ def two_proportion_z(
             F.sum(F.col(success_col).cast("long")).alias("x"),
         )
     )
+    # Fail loudly on anything but exactly variants {0, 1}: a third
+    # bucket silently ignored (or an empty side silently producing zero
+    # rows) is a wrong-experiment readout, not a judgement call.
+    # Bounded collect: limit(3) caps it at three rows even if the
+    # variant column is corrupt-high-cardinality.
+    ids = sorted(
+        r["variant"] for r in v.select("variant").limit(3).collect()
+    )
+    if ids != [0, 1]:
+        raise ValueError(
+            f"two_proportion_z: expected exactly variants [0, 1], "
+            f"got {ids}"
+        )
     a = v.where(F.col("variant") == 0).select(
         F.col("n").alias("n_a"), F.col("x").alias("x_a")
     )

@@ -319,7 +319,12 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     broadcastable by construction), one aggregate per row i, min across
     the depth partial sums.  Raises on shape mismatch (cells wouldn't
     align — the cms_merge rule).  Missing cells are zero on either
-    side, so the inner join IS the product (0·x terms drop out)."""
+    side, so the inner join IS the product (0·x terms drop out) — but a
+    row i with NO aligned cells contributes dot = 0, not "absent": the
+    depth spine below coalesces empty rows back in, otherwise disjoint
+    key sets would return NULL and a partially-disjoint pair would skip
+    its zero rows and over-estimate (min over a SUBSET of the rows the
+    formula demands)."""
     sa, sb = _check_shape(a, "cms_inner_product"), _check_shape(
         b, "cms_inner_product"
     )
@@ -328,6 +333,7 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
             f"cms_inner_product: shape mismatch {sa[0]}x{sa[1]} vs "
             f"{sb[0]}x{sb[1]}"
         )
+    depth = sa[1]
     prod = (
         a.select("i", "bucket", F.col("cnt").alias("__ca"))
         .join(
@@ -337,4 +343,10 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"))
     )
-    return prod.agg(F.min("__dot").alias("est"))
+    spine = a.sparkSession.range(depth).select(
+        F.col("id").cast("int").alias("i")
+    )
+    grounded = spine.join(prod, "i", "left").select(
+        F.coalesce(F.col("__dot"), F.lit(0).cast("long")).alias("__dot")
+    )
+    return grounded.agg(F.min("__dot").alias("est"))

@@ -25,10 +25,9 @@ from ubw_spark.queries.registry import register, table
                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
     z AS (SELECT user_id, h, cents, n_ctx,
             CASE WHEN n_ctx >= 8 AND (n_ctx * s2 - s1 * s1) > 0 THEN
-              round((cents::DOUBLE * n_ctx::DOUBLE - s1::DOUBLE)
+              round((cents::HUGEINT * n_ctx - s1)::DOUBLE
                     / (n_ctx::DOUBLE
-                       * sqrt((n_ctx::DOUBLE * s2::DOUBLE
-                               - s1::DOUBLE * s1::DOUBLE)
+                       * sqrt((n_ctx * s2 - s1 * s1)::DOUBLE
                               / (n_ctx::DOUBLE * (n_ctx::DOUBLE - 1)))), 6)
             END AS z
           FROM w)

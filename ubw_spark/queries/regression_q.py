@@ -36,7 +36,7 @@ SELECT brand, n::BIGINT AS n,
   CASE WHEN den <> 0
        THEN round(num::DOUBLE / den::DOUBLE, 6) END AS slope,
   CASE WHEN den <> 0
-       THEN round((sy::DOUBLE - round(num::DOUBLE / den::DOUBLE, 6)
+       THEN round((sy::DOUBLE - (num::DOUBLE / den::DOUBLE)
                    * sx::DOUBLE) / n::DOUBLE, 6) END AS intercept,
   CASE WHEN den <> 0 AND deny <> 0
        THEN round((num::DOUBLE * num::DOUBLE)
