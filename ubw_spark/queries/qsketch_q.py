@@ -29,11 +29,16 @@ cells AS (SELECT CAST(least(greatest(((c - {_LO}) * {_NBINS})
           FROM v GROUP BY 1)
 """
 
-_EST_SQL = f"""
-WITH {_CELLS_SQL},
+def _est_sql(cells_cte: str, lo: int, hi: int, nbins: int, qs: list[int]) -> str:
+    """The DuckDB twin of qsketch.hist_quantiles over a ``cells`` CTE
+    (must expose (bin, cnt)) — the interpolation arithmetic is mirrored
+    literally, so any query that builds cells this way oracles exactly."""
+    values = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH {cells_cte},
 c AS (SELECT bin, cnt, sum(cnt) OVER (ORDER BY bin) AS cum FROM cells),
 n AS (SELECT sum(cnt) AS n FROM cells),
-q AS (SELECT * FROM (VALUES (500), (900), (990)) t(q_milli)),
+q AS (SELECT * FROM (VALUES {values}) t(q_milli)),
 pick AS (SELECT q.q_milli, n.n, min(c.bin) AS bin
          FROM q, c, n
          WHERE c.cum::DOUBLE >= (q.q_milli::DOUBLE * n.n::DOUBLE) / 1000
@@ -41,12 +46,15 @@ pick AS (SELECT q.q_milli, n.n, min(c.bin) AS bin
 x AS (SELECT pick.q_milli, pick.n, pick.bin, c.cnt, c.cum
       FROM pick JOIN c ON pick.bin = c.bin)
 SELECT q_milli, CAST(n AS BIGINT) AS n,
-       round({_LO} + (bin::DOUBLE
+       round({lo} + (bin::DOUBLE
                       + ((q_milli::DOUBLE * n::DOUBLE) / 1000
                          - (cum - cnt)::DOUBLE) / cnt::DOUBLE)
-                     * (({_HI} - {_LO}) / {_NBINS}), 6) AS est
+                     * (({hi} - {lo}) / {nbins}), 6) AS est
 FROM x
 """
+
+
+_EST_SQL = _est_sql(_CELLS_SQL, _LO, _HI, _NBINS, [500, 900, 990])
 
 
 def _cents_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -124,3 +132,64 @@ def sketch_quantile_store_probe(
     )
     append_hist_batch(spark, o.where(parity == 1), "cents", path)
     return probe_hist_quantiles(spark, path, [500, 900, 990])
+
+
+#: Conversion latency range: [0, 2 days) in MICROSECONDS, 15-minute bins.
+_LAT_LO, _LAT_HI, _LAT_NBINS = 0, 2 * 24 * 3600 * 1_000_000, 192
+
+_LAT_CELLS_SQL = f"""
+u AS (SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s
+      FROM events GROUP BY 1),
+p AS (SELECT e.user_id, min(e.ts) AS p
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'purchase' AND u.s IS NOT NULL
+        AND e.ts >= u.s
+      GROUP BY 1),
+lat AS (SELECT epoch_us(p.p) - epoch_us(u.s) AS c
+        FROM u JOIN p ON u.user_id = p.user_id),
+cells AS (SELECT CAST(least(greatest(((c - {_LAT_LO}) * {_LAT_NBINS})
+                                     // ({_LAT_HI} - {_LAT_LO}), 0),
+                            {_LAT_NBINS - 1}) AS INTEGER) AS bin,
+                 count(*)::BIGINT AS cnt
+          FROM lat GROUP BY 1)
+"""
+
+
+@register(
+    "events_conversion_latency_quantiles",
+    oracle=_est_sql(_LAT_CELLS_SQL, _LAT_LO, _LAT_HI, _LAT_NBINS, [500, 900]),
+    tags=("events", "sketch", "engagement"),
+)
+def events_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p50/p90 signup→first-purchase latency via the quantile sketch —
+    two operator families composed: the funnel pairing derives an
+    integer-grain latency (microseconds), the fixed-bin histogram turns
+    it into percentile estimates with deterministic <15-minute error
+    and nbins of state.
+
+    Scale: first-signup is one per-user aggregate; first-purchase-after
+    is one filtered join + aggregate keyed on user; the latency column
+    then collapses to 192 cells before any quantile math."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s")
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(u.where(F.col("s").isNotNull()), "user_id")
+        .where(F.col("ts") >= F.col("s"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    lat = u.join(p, "user_id").select(
+        (F.unix_micros("p") - F.unix_micros("s")).alias("lat_us")
+    )
+    cells = hist_build(
+        lat, "lat_us", lo=_LAT_LO, hi=_LAT_HI, nbins=_LAT_NBINS
+    )
+    return hist_quantiles(cells, [500, 900])
