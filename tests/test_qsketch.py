@@ -125,3 +125,39 @@ def test_store_replayed_batch_is_noop(spark, tmp_path, vals):
     cells, p = load_hist(spark, path)
     assert sum(r["cnt"] for r in cells.collect()) == 100  # not 150
     assert p["last_batch_id"] == 1
+
+
+def test_grouped_quantiles_match_per_group_global(spark):
+    """Each group's estimate from the grouped path equals running the
+    global path on that group's rows alone."""
+    from ubw_spark.operators.qsketch import (
+        grouped_hist_build,
+        grouped_hist_quantiles,
+    )
+
+    rows = [("a", v) for v in range(100)] + [("b", v) for v in range(0, 1000, 10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    cells = grouped_hist_build(df, ["g"], "v", lo=0, hi=1000, nbins=50)
+    grouped = {
+        (r["g"], r["q_milli"]): r["est"]
+        for r in grouped_hist_quantiles(cells, ["g"], [500, 900]).collect()
+    }
+    for g in ("a", "b"):
+        solo = hist_build(
+            df.where(f"g = '{g}'"), "v", lo=0, hi=1000, nbins=50
+        )
+        want = {
+            r["q_milli"]: r["est"]
+            for r in hist_quantiles(solo, [500, 900]).collect()
+        }
+        assert grouped[(g, 500)] == want[500]
+        assert grouped[(g, 900)] == want[900]
+
+
+def test_grouped_cells_bounded_per_group(spark):
+    from ubw_spark.operators.qsketch import grouped_hist_build
+
+    rows = [("a", v) for v in range(1000)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    cells = grouped_hist_build(df, ["g"], "v", lo=0, hi=1000, nbins=10)
+    assert cells.count() == 10

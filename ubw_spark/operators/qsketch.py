@@ -38,8 +38,10 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "hist_build",
+    "grouped_hist_build",
     "hist_merge",
     "hist_quantiles",
+    "grouped_hist_quantiles",
     "write_hist_store",
     "load_hist",
     "append_hist_batch",
@@ -88,15 +90,31 @@ def hist_build(
     (they stay counted — a sketch that silently drops outliers would
     corrupt every later quantile).  NULLs are filtered (count(col)
     semantics, the HLL rule)."""
+    return grouped_hist_build(df, [], value_col, lo=lo, hi=hi, nbins=nbins)
+
+
+def grouped_hist_build(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    lo: int,
+    hi: int,
+    nbins: int = 256,
+) -> DataFrame:
+    """:func:`hist_build` per group: ``(group_cols…, bin, cnt)`` — at
+    most groups×nbins rows, the per-segment monitoring shape (one
+    histogram per priority/tenant/language under a SHARED pinned
+    range, so segments stay comparable and mergeable)."""
     _validate(lo, hi, nbins)
     v = F.col(value_col).cast("long")
     raw = F.expr(f"((__v - {lo}) * {nbins}) div ({hi} - {lo})")
     bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(nbins - 1))
     return (
         df.where(v.isNotNull())
-        .select(v.alias("__v"))
-        .select(bucket.cast("int").alias("bin"))
-        .groupBy("bin")
+        .select(*group_cols, v.alias("__v"))
+        .select(*group_cols, bucket.cast("int").alias("bin"))
+        .groupBy(*group_cols, "bin")
         .agg(
             F.count(F.lit(1)).alias(
                 "cnt", metadata={"qh_lo": lo, "qh_hi": hi, "qh_bins": nbins}
@@ -138,29 +156,50 @@ def hist_quantiles(
     The cells re-aggregate first (≤nbins groups), which both dedups
     multi-source unions and grounds the unpartitioned cumulative window
     at a statically bounded cardinality."""
-    lo, hi, nb = _check_shape(cells, "hist_quantiles")
+    return grouped_hist_quantiles(cells, [], q_millis, dp=dp)
+
+
+def grouped_hist_quantiles(
+    cells: DataFrame,
+    group_cols: list[str],
+    q_millis: list[int],
+    *,
+    dp: int = 6,
+) -> DataFrame:
+    """:func:`hist_quantiles` per group over :func:`grouped_hist_build`
+    cells: ``(group_cols…, q_milli, n, est)`` — every segment's
+    percentile curve from one bounded cell table.
+
+    The cumulative window partitions by the group (≤nbins rows per
+    partition); per-group totals join back on the group key (a
+    broadcastable aggregate when groups are few, a plain keyed join
+    otherwise)."""
+    lo, hi, nb = _check_shape(cells, "grouped_hist_quantiles")
     if not q_millis or any(q < 1 or q > 1000 for q in q_millis):
         raise ValueError(f"q_millis must be within [1, 1000]: {q_millis}")
-    agg = cells.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    agg = cells.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
     cum = agg.withColumn(
         "cum",
         F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(
-                Window.unboundedPreceding, Window.currentRow
-            )
+            Window.partitionBy(*group_cols)
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    nq = cells.agg(F.sum("cnt").alias("n")).select(
+    nq = cells.groupBy(*group_cols).agg(F.sum("cnt").alias("n")).select(
+        *group_cols,
         "n",
         F.explode(
             F.array(*[F.lit(int(q)) for q in q_millis])
         ).alias("q_milli"),
     )
     target = F.col("q_milli").cast("double") * F.col("n").cast("double") / 1000
-    cand = cum.crossJoin(F.broadcast(nq)).where(
-        F.col("cum").cast("double") >= target
-    )
-    picked = cand.groupBy("q_milli", "n").agg(
+    if group_cols:
+        cand = cum.join(nq, group_cols)
+    else:
+        cand = cum.crossJoin(F.broadcast(nq))
+    cand = cand.where(F.col("cum").cast("double") >= target)
+    picked = cand.groupBy(*group_cols, "q_milli", "n").agg(
         F.min_by(F.struct("bin", "cnt", "cum"), F.col("bin")).alias("s")
     )
     bin_d = F.col("s.bin").cast("double")
@@ -169,7 +208,7 @@ def hist_quantiles(
     width = (F.lit(hi) - F.lit(lo)) / F.lit(nb)
     est = F.lit(lo) + (bin_d + (target - cum_prev_d) / cnt_d) * width
     return picked.select(
-        "q_milli", "n", F.round(est, dp).alias("est")
+        *group_cols, "q_milli", "n", F.round(est, dp).alias("est")
     )
 
 

@@ -193,3 +193,62 @@ def events_conversion_latency_quantiles(
         lat, "lat_us", lo=_LAT_LO, hi=_LAT_HI, nbins=_LAT_NBINS
     )
     return hist_quantiles(cells, [500, 900])
+
+
+@register(
+    "sketch_grouped_quantiles",
+    oracle=f"""
+    WITH v AS (SELECT o_orderpriority AS priority,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders WHERE o_totalprice IS NOT NULL),
+    cells AS (SELECT priority,
+                     CAST(least(greatest(((c - {_LO}) * {_NBINS})
+                                         // ({_HI} - {_LO}), 0),
+                                {_NBINS - 1}) AS INTEGER) AS bin,
+                     count(*)::BIGINT AS cnt
+              FROM v GROUP BY 1, 2),
+    c AS (SELECT priority, bin, cnt,
+                 sum(cnt) OVER (PARTITION BY priority ORDER BY bin) AS cum
+          FROM cells),
+    n AS (SELECT priority, sum(cnt) AS n FROM cells GROUP BY 1),
+    q AS (SELECT * FROM (VALUES (500), (900)) t(q_milli)),
+    pick AS (SELECT n.priority, q.q_milli, n.n, min(c.bin) AS bin
+             FROM q, n
+             JOIN c ON c.priority = n.priority
+             WHERE c.cum::DOUBLE
+                   >= (q.q_milli::DOUBLE * n.n::DOUBLE) / 1000
+             GROUP BY 1, 2, 3),
+    x AS (SELECT pick.priority, pick.q_milli, pick.n, pick.bin,
+                 c.cnt, c.cum
+          FROM pick JOIN c ON pick.priority = c.priority
+                          AND pick.bin = c.bin)
+    SELECT priority, q_milli, CAST(n AS BIGINT) AS n,
+           round({_LO} + (bin::DOUBLE
+                          + ((q_milli::DOUBLE * n::DOUBLE) / 1000
+                             - (cum - cnt)::DOUBLE) / cnt::DOUBLE)
+                         * (({_HI} - {_LO}) / {_NBINS}), 6) AS est
+    FROM x
+    """,
+    tags=("sketch", "agg", "window"),
+)
+def sketch_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority p50/p90 of order totals from ONE grouped cell
+    table — the per-segment SLO-monitoring shape: segments share the
+    pinned range so their curves are comparable and their cells
+    mergeable.
+
+    Scale: groups×nbins cells, a per-group cumulative window (≤nbins
+    rows per partition), totals joined back on the group key."""
+    from ubw_spark.operators.qsketch import (
+        grouped_hist_build,
+        grouped_hist_quantiles,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    cells = grouped_hist_build(
+        o, ["priority"], "cents", lo=_LO, hi=_HI, nbins=_NBINS
+    )
+    return grouped_hist_quantiles(cells, ["priority"], [500, 900])
