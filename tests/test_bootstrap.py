@@ -1,0 +1,73 @@
+"""Poisson bootstrap (operators/bootstrap.py)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.bootstrap import (
+    POISSON1_CDF,
+    bootstrap_means,
+    poisson_weight,
+)
+
+
+@pytest.fixture(scope="module")
+def pop(spark):
+    # 500 ids with values 0..499 → true mean 249.5
+    return spark.createDataFrame(
+        [(i, i) for i in range(500)], "id long, v long"
+    )
+
+
+def test_weights_are_deterministic_and_poisson_like(spark, pop):
+    w = pop.select(poisson_weight(F.col("id"), 3).alias("w"))
+    a = [r["w"] for r in w.collect()]
+    b = [r["w"] for r in w.collect()]
+    assert a == b  # pure function of (id, b)
+    mean_w = sum(a) / len(a)
+    assert 0.85 < mean_w < 1.15  # E[w] = 1
+    assert max(a) <= 7 and min(a) >= 0
+    # different resample index → different draw for at least some rows
+    w5 = [
+        r["w"]
+        for r in pop.select(poisson_weight(F.col("id"), 5).alias("w")).collect()
+    ]
+    assert w5 != a
+
+
+def test_cdf_table_is_cumulative_poisson1(spark):
+    import math
+
+    cum = 0.0
+    for k, t in enumerate(POISSON1_CDF):
+        cum += math.exp(-1) / math.factorial(k)
+        assert t == pytest.approx(cum, abs=1e-15)
+
+
+def test_bootstrap_means_cluster_around_truth(spark, pop):
+    rows = bootstrap_means(pop, "id", "v", b_resamples=16).collect()
+    assert len(rows) == 16
+    means = [r["mean"] for r in rows]
+    assert all(m is not None for m in means)
+    # distinct resamples → distinct means (not a constant column)
+    assert len(set(means)) > 1
+    # sampling distribution centered near 249.5 (sd ≈ sd_pop/√n ≈ 6.5)
+    grand = sum(means) / len(means)
+    assert abs(grand - 249.5) < 10
+    # n_eff fluctuates around n = 500 (sd ≈ √500 ≈ 22)
+    for r in rows:
+        assert 380 <= r["n_eff"] <= 620
+
+
+def test_bootstrap_rejects_b_below_two(spark, pop):
+    with pytest.raises(ValueError):
+        bootstrap_means(pop, "id", "v", b_resamples=1)
+
+
+def test_null_values_excluded(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 20)], "id long, v long"
+    )
+    rows = bootstrap_means(df, "id", "v", b_resamples=4).collect()
+    # only ids 1 and 3 participate → n_eff bounded by 2 draws of ≤7
+    assert all(r["n_eff"] <= 14 for r in rows)

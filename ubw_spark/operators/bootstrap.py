@@ -1,0 +1,106 @@
+"""Poisson bootstrap: distributed confidence intervals without
+resampling passes.
+
+The classic n-out-of-n bootstrap needs B full resamples — unusable at
+100 TB.  The Poisson bootstrap (each row enters resample b with weight
+~ Poisson(1), independently per row) is the standard massive-data
+substitute: one streaming pass computes ALL B resample statistics,
+because each row's B weights are a pure function of (row id, b).
+
+Determinism contract: the weight is drawn by inverting the Poisson(1)
+CDF at u = portable_hash(b:id) / 2³², with the CDF thresholds written
+as exact double literals — so the same row gets the same weight in any
+engine, and every resample mean is oracle-checkable bit-for-bit (no
+RNG state, no Date.now, nothing driver-side).
+
+Scale: the ×B explode is map-only and immediately combines: the
+shuffle carries B partial-sum rows per map task, and the result is B
+rows total.  B=32-64 gives stable p5/p95 bands for means; widen B, not
+the data passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.dedup import portable_hash
+
+__all__ = ["poisson_weight", "bootstrap_means", "POISSON1_CDF"]
+
+#: Cumulative Poisson(1) probabilities for k = 0..6 (k=7 is the tail),
+#: as exact double literals mirrored by the SQL oracles: Σ e⁻¹/k!.
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+
+
+def poisson_weight(id_col: Column, b: Column | int) -> Column:
+    """The deterministic Poisson(1) weight of a row in resample ``b``:
+    u = md5-hash(boot:b:id)/2³² inverted through the CDF table.  Pure
+    function of (id, b) — identical in any engine with md5; ``b`` may
+    be a literal or the exploded resample-index column."""
+    b_col = F.lit(b) if isinstance(b, int) else b
+    u = portable_hash(
+        F.concat(
+            F.lit("boot:"),
+            b_col.cast("string"),
+            F.lit(":"),
+            id_col.cast("string"),
+        )
+    ).cast("double") / F.lit(4294967296.0)
+    w: Column = F.lit(7)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w
+
+
+def bootstrap_means(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    *,
+    b_resamples: int = 32,
+    dp: int = 6,
+) -> DataFrame:
+    """B Poisson-bootstrap resample means of an integer-grain value:
+    ``(b, n_eff, mean)`` per resample, where n_eff = Σ weights and
+    mean = Σ w·x / Σ w (exact integer sums, one mirrored division,
+    rounded ``dp``).  The spread of the B means IS the sampling
+    distribution of the mean — read p5/p95 off it for a CI.
+
+    One pass: explode b = 0..B−1 per row (map-only), weight, and
+    aggregate — the shuffle carries B rows of partial sums."""
+    if b_resamples < 2:
+        raise ValueError(f"need b_resamples >= 2; got {b_resamples}")
+    x = F.col(value_col).cast("long")
+    rows = df.where(x.isNotNull()).select(
+        F.col(id_col).alias("__id"), x.alias("__x")
+    )
+    fan = rows.select(
+        "__id",
+        "__x",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(b_resamples)])
+        ).alias("b"),
+    )
+    weighted = fan.select(
+        "b", poisson_weight(F.col("__id"), F.col("b")).alias("__w"), "__x"
+    )
+    agg = weighted.groupBy("b").agg(
+        F.sum("__w").cast("long").alias("n_eff"),
+        F.sum(F.col("__w").cast("long") * F.col("__x")).alias("__wx"),
+    )
+    mean = F.when(
+        F.col("n_eff") > 0,
+        F.round(
+            F.col("__wx").cast("double") / F.col("n_eff").cast("double"), dp
+        ),
+    )
+    return agg.select("b", "n_eff", mean.alias("mean"))

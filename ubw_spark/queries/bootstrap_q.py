@@ -1,0 +1,65 @@
+"""Poisson-bootstrap queries (operators/bootstrap.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ubw_spark.operators.bootstrap import POISSON1_CDF, bootstrap_means
+from ubw_spark.queries.registry import register, table
+
+_B = 32
+
+#: The CDF cascade as SQL, generated from the same constant table the
+#: Spark side inverts — one source of truth for the thresholds.
+#: ``e0`` suffix: a bare decimal literal is DECIMAL in DuckDB — the
+#: exponent forces DOUBLE, whose parse of the repr round-trips to the
+#: exact bits Spark's lit() carries.
+_CDF_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN u < {t!r}e0 THEN {k}" for k, t in enumerate(POISSON1_CDF)
+    )
+    + " ELSE 7 END"
+)
+
+_BOOT_SQL = f"""
+WITH r AS (SELECT o_orderkey AS id,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders WHERE o_totalprice IS NOT NULL),
+f AS (SELECT id, x, unnest(generate_series(0, {_B - 1})) AS b FROM r),
+u AS (SELECT b, x,
+             ('0x' || substr(md5('boot:' || b::VARCHAR || ':'
+                                 || id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+             / 4294967296.0 AS u
+      FROM f),
+w AS (SELECT b, x, {_CDF_CASE} AS w FROM u),
+a AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+             CAST(sum(w * x) AS BIGINT) AS wx
+      FROM w GROUP BY 1)
+SELECT b::INTEGER AS b, n_eff,
+       CASE WHEN n_eff > 0
+            THEN round(wx::DOUBLE / n_eff::DOUBLE, 6) END AS mean
+FROM a
+"""
+
+
+@register(
+    "stats_bootstrap_means",
+    oracle=_BOOT_SQL,
+    tags=("stats", "agg", "llm"),
+)
+def stats_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32 Poisson-bootstrap resample means of the order total (cents) —
+    the sampling distribution of the mean from ONE pass, no resampling
+    passes, no RNG state: every weight is a pure md5 function of
+    (resample index, order key), so all 32 means oracle bit-for-bit.
+
+    Scale: the ×32 explode is map-only and combines immediately — the
+    shuffle carries 32 partial-sum rows per task and the result is 32
+    rows; read p5/p95 off them for the CI."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    return bootstrap_means(o, "o_orderkey", "cents", b_resamples=_B)
