@@ -71,3 +71,35 @@ def test_rolling_actives_rejects_nonpositive_window(spark, ev):
     du = active_units(ev, "user_id")
     with pytest.raises(ValueError, match="window_days"):
         rolling_actives(du, 0)
+
+
+def test_cohort_ltv_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from ubw_spark.operators.engagement import cohort_ltv
+
+    # cohort week of 2024-03-04 (Mon): users 1, 2 first seen that week
+    # user 3 first seen the following week (2024-03-11 cohort)
+    rows = [
+        (1, dt.datetime(2024, 3, 4), 100),   # w0 revenue
+        (1, dt.datetime(2024, 3, 12), 50),   # age 1 week
+        (2, dt.datetime(2024, 3, 5), None),  # activity, no revenue
+        (2, dt.datetime(2024, 3, 20), 30),   # age 2 weeks
+        (3, dt.datetime(2024, 3, 13), 40),   # second cohort, age 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, cents long")
+    out = {
+        (r["cohort_week"], r["age_week"]): r
+        for r in cohort_ltv(df, "user_id", "ts", F.col("cents")).collect()
+    }
+    a0 = out[("2024-03-04", 0)]
+    assert (a0["rev_cents"], a0["cum_rev_cents"], a0["cohort_users"]) == (
+        100, 100, 2
+    )
+    assert a0["ltv_cents_per_user"] == 50
+    a1 = out[("2024-03-04", 1)]
+    assert (a1["rev_cents"], a1["cum_rev_cents"]) == (50, 150)
+    a2 = out[("2024-03-04", 2)]
+    assert (a2["cum_rev_cents"], a2["ltv_cents_per_user"]) == (180, 90)
+    b0 = out[("2024-03-11", 0)]
+    assert (b0["rev_cents"], b0["cohort_users"]) == (40, 1)

@@ -23,7 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["active_units", "rolling_actives", "stickiness", "new_vs_returning"]
+__all__ = [
+    "active_units",
+    "rolling_actives",
+    "stickiness",
+    "new_vs_returning",
+    "cohort_ltv",
+]
 
 
 def active_units(
@@ -108,4 +114,67 @@ def new_vs_returning(
     return flagged.groupBy("d").agg(
         F.sum("is_new").alias("new_units"),
         F.sum(1 - F.col("is_new")).alias("returning_units"),
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    unit_col: str,
+    ts_col: str,
+    value_col,
+) -> DataFrame:
+    """Cohort lifetime-value curves: units cohort by their FIRST-seen
+    week, revenue accumulates along age-in-weeks — ``(cohort_week,
+    age_week, rev_cents, cum_rev_cents, cohort_users,
+    ltv_cents_per_user)``.
+
+    ``value_col`` is the integer-grain revenue of each row (rows with
+    NULL contribute nothing).  The cumulative window is partitioned by
+    cohort over the (cohort × age) AGGREGATE — bounded by the calendar,
+    not the stream; the per-unit first-seen reduction and the revenue
+    aggregate both map-side combine.  Ages with zero revenue emit no
+    row (the curve keeps its last value across them)."""
+    first = df.groupBy(F.col(unit_col).alias("u")).agg(
+        F.min(F.col(ts_col)).alias("f")
+    )
+    cohort = first.select(
+        "u", F.to_date(F.date_trunc("week", F.col("f"))).alias("cw")
+    )
+    size = cohort.groupBy("cw").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    val = value_col if not isinstance(value_col, str) else F.col(value_col)
+    rev = (
+        df.select(
+            F.col(unit_col).alias("u"),
+            F.to_date(F.date_trunc("week", F.col(ts_col))).alias("ew"),
+            val.alias("cents"),
+        )
+        .where(F.col("cents").isNotNull())
+        .join(cohort, "u")
+        .select(
+            "cw",
+            F.expr("datediff(ew, cw) div 7").cast("long").alias("age_week"),
+            "cents",
+        )
+        .groupBy("cw", "age_week")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    cum = rev.withColumn(
+        "cum_rev_cents",
+        F.sum("rev_cents").over(
+            Window.partitionBy("cw")
+            .orderBy("age_week")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return cum.join(size, "cw").select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "age_week",
+        "rev_cents",
+        "cum_rev_cents",
+        "cohort_users",
+        F.expr("cum_rev_cents div cohort_users").alias(
+            "ltv_cents_per_user"
+        ),
     )

@@ -79,3 +79,51 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_units",
         "returning_units",
     )
+
+
+@register(
+    "events_cohort_ltv",
+    oracle="""
+    WITH u AS (SELECT user_id, min(ts) AS f FROM events GROUP BY 1),
+    c AS (SELECT user_id, CAST(date_trunc('week', f) AS DATE) AS cw
+          FROM u),
+    sz AS (SELECT cw, count(*)::BIGINT AS cohort_users FROM c GROUP BY 1),
+    p AS (SELECT c.cw,
+                 CAST(datediff('day', c.cw,
+                               CAST(date_trunc('week', e.ts) AS DATE))
+                      // 7 AS BIGINT) AS age_week,
+                 CAST(round(e.value * 100) AS BIGINT) AS cents
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.value IS NOT NULL),
+    a AS (SELECT cw, age_week, CAST(sum(cents) AS BIGINT) AS rev_cents
+          FROM p GROUP BY 1, 2),
+    w AS (SELECT cw, age_week, rev_cents,
+                 CAST(sum(rev_cents)
+                      OVER (PARTITION BY cw ORDER BY age_week)
+                      AS BIGINT) AS cum_rev_cents
+          FROM a)
+    SELECT strftime(w.cw, '%Y-%m-%d') AS cohort_week, w.age_week,
+           w.rev_cents, w.cum_rev_cents, sz.cohort_users,
+           CAST(w.cum_rev_cents // sz.cohort_users AS BIGINT)
+             AS ltv_cents_per_user
+    FROM w JOIN sz ON w.cw = sz.cw
+    """,
+    tags=("events", "engagement", "window"),
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-cohort LTV curves: purchase revenue (exact cents)
+    accumulating along age-in-weeks, with the per-user LTV in integer
+    division — the retention-economics readout next to
+    events_retention_cohorts.
+
+    Scale: first-seen and revenue both reduce with map-side combine;
+    the cumulative window runs per cohort over the calendar-bounded
+    (cohort × age) aggregate."""
+    from ubw_spark.operators.engagement import cohort_ltv
+
+    e = table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    return cohort_ltv(e, "user_id", "ts", cents)
