@@ -94,3 +94,53 @@ def test_kgrams_k2_equals_transition_counts(spark, stream):
 def test_kgrams_rejects_k1(spark, stream):
     with pytest.raises(ValueError):
         event_kgrams(stream, ["u"], ["seq"], "s", k=1)
+
+
+def test_skipgrams_counts_and_shares(spark, stream):
+    from ubw_spark.operators.seqmine import event_skipgrams
+
+    # user 1: A B A B A with window=2:
+    #   gap1: AB, BA, AB, BA; gap2: AA, BB, AA
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in event_skipgrams(
+            stream.where("u = 1"), ["u"], ["seq"], "s", window=2
+        ).collect()
+    }
+    assert out[("A", "B")]["pairs"] == 2
+    assert out[("A", "B")]["adjacent"] == 2
+    assert out[("A", "B")]["skip_share_milli"] == 0
+    assert out[("A", "A")]["pairs"] == 2
+    assert out[("A", "A")]["adjacent"] == 0
+    assert out[("A", "A")]["skip_share_milli"] == 1000
+    assert out[("B", "B")]["pairs"] == 1
+
+
+def test_skipgrams_never_cross_keys(spark, stream):
+    from ubw_spark.operators.seqmine import event_skipgrams
+
+    out = {
+        (r["from_state"], r["to_state"]): r["pairs"]
+        for r in event_skipgrams(
+            stream, ["u"], ["seq"], "s", window=3
+        ).collect()
+    }
+    # user 2 ends A C; user 3 is C C.  A cross-key leak would add A→C
+    # pairs beyond user 2's own (gap1 only: A C)
+    assert out[("A", "C")] == 1
+
+
+def test_skipgrams_window1_equals_transitions(spark, stream):
+    from ubw_spark.operators.seqmine import event_skipgrams, transitions
+
+    skip = {
+        (r["from_state"], r["to_state"]): r["pairs"]
+        for r in event_skipgrams(
+            stream, ["u"], ["seq"], "s", window=1
+        ).collect()
+    }
+    trans = {
+        (r["from_state"], r["to_state"]): r["cnt"]
+        for r in transitions(stream, ["u"], ["seq"], "s").collect()
+    }
+    assert skip == trans

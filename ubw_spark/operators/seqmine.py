@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["transitions", "next_state_topk", "event_kgrams"]
+__all__ = [
+    "transitions",
+    "next_state_topk",
+    "event_kgrams",
+    "event_skipgrams",
+]
 
 
 def _seq_window(key_cols: list[str], order_cols: list[str]):
@@ -132,4 +137,66 @@ def event_kgrams(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= min_support)
+    )
+
+
+def event_skipgrams(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    state_col: str,
+    *,
+    window: int = 4,
+) -> DataFrame:
+    """Eventually-follows pairs: for every event, the states at gaps
+    1..window after it in the same key's stream — ``(from_state,
+    to_state, pairs, adjacent, skip_share_milli)`` where ``adjacent``
+    counts gap-1 occurrences and ``skip_share_milli`` is the exact
+    integer share of non-adjacent pairs (how much of the association
+    the plain transition matrix misses).
+
+    The window lookaheads are materialized as COLUMNS first and only
+    then stacked through an explode (window expressions are illegal
+    inside generators); the stack is map-only ×window on rows that
+    already carry their leads — one per-key sort total."""
+    if window < 1:
+        raise ValueError(f"need window >= 1; got {window}")
+    w = _seq_window(key_cols, order_cols)
+    staged = df.select(
+        F.col(state_col).alias("__s"),
+        *[
+            F.lead(state_col, g).over(w).alias(f"__l{g}")
+            for g in range(1, window + 1)
+        ],
+    )
+    stacked = staged.select(
+        "__s",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).alias("gap"),
+                        F.col(f"__l{g}").alias("t"),
+                    )
+                    for g in range(1, window + 1)
+                ]
+            )
+        ).alias("p"),
+    ).where(F.col("p.t").isNotNull())
+    c = stacked.groupBy(
+        F.col("__s").alias("from_state"), F.col("p.t").alias("to_state")
+    ).agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum(F.when(F.col("p.gap") == 1, 1).otherwise(0)).alias(
+            "adjacent"
+        ),
+    )
+    return c.select(
+        "from_state",
+        "to_state",
+        "pairs",
+        "adjacent",
+        F.expr("((pairs - adjacent) * 1000) div pairs").alias(
+            "skip_share_milli"
+        ),
     )

@@ -102,3 +102,43 @@ def seq_event_3grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_kgrams(
         e, ["user_id"], _ORDER, "event_type", k=3, min_support=50
     )
+
+
+@register(
+    "seq_event_skipgrams",
+    oracle="""
+    WITH o AS (SELECT event_type AS s,
+                      lead(event_type, 1) OVER w AS l1,
+                      lead(event_type, 2) OVER w AS l2,
+                      lead(event_type, 3) OVER w AS l3,
+                      lead(event_type, 4) OVER w AS l4
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT s, 1 AS gap, l1 AS t FROM o
+          UNION ALL SELECT s, 2, l2 FROM o
+          UNION ALL SELECT s, 3, l3 FROM o
+          UNION ALL SELECT s, 4, l4 FROM o),
+    c AS (SELECT s AS from_state, t AS to_state,
+                 count(*)::BIGINT AS pairs,
+                 sum(CASE WHEN gap = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS adjacent
+          FROM g WHERE t IS NOT NULL GROUP BY 1, 2)
+    SELECT from_state, to_state, pairs, adjacent,
+           CAST(((pairs - adjacent) * 1000) // pairs AS BIGINT)
+             AS skip_share_milli
+    FROM c
+    """,
+    tags=("events", "seqmine", "window"),
+)
+def seq_event_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eventually-follows association within 4 steps — what share of
+    each action pair the adjacent-only transition matrix misses
+    (exact integer milli-shares).
+
+    Scale: one per-user window sort produces all four lookaheads as
+    columns; the stack is a map-only ×4 explode and the aggregate is
+    |states|² rows."""
+    from ubw_spark.operators.seqmine import event_skipgrams
+
+    e = table(spark, sf_dir, "events")
+    return event_skipgrams(e, ["user_id"], _ORDER, "event_type", window=4)
