@@ -126,6 +126,9 @@ HEADLINE = [
     # term-share drift monitor (two vocab aggregates + full-outer join).
     "sketch_quantile_store_probe",
     "corpus_term_drift",
+    # Poisson bootstrap: all 32 resample means from one map-only
+    # explode+combine pass — the B-rows-of-shuffle shape, timed.
+    "stats_bootstrap_means",
 ]
 
 

@@ -8,6 +8,7 @@ from ubw_spark.operators.bootstrap import (
     POISSON1_CDF,
     bootstrap_means,
     poisson_weight,
+    row_seed,
 )
 
 
@@ -20,7 +21,7 @@ def pop(spark):
 
 
 def test_weights_are_deterministic_and_poisson_like(spark, pop):
-    w = pop.select(poisson_weight(F.col("id"), 3).alias("w"))
+    w = pop.select(poisson_weight(row_seed(F.col("id")), 3).alias("w"))
     a = [r["w"] for r in w.collect()]
     b = [r["w"] for r in w.collect()]
     assert a == b  # pure function of (id, b)
@@ -30,7 +31,7 @@ def test_weights_are_deterministic_and_poisson_like(spark, pop):
     # different resample index → different draw for at least some rows
     w5 = [
         r["w"]
-        for r in pop.select(poisson_weight(F.col("id"), 5).alias("w")).collect()
+        for r in pop.select(poisson_weight(row_seed(F.col("id")), 5).alias("w")).collect()
     ]
     assert w5 != a
 

@@ -7,11 +7,12 @@ The classic n-out-of-n bootstrap needs B full resamples — unusable at
 substitute: one streaming pass computes ALL B resample statistics,
 because each row's B weights are a pure function of (row id, b).
 
-Determinism contract: the weight is drawn by inverting the Poisson(1)
-CDF at u = portable_hash(b:id) / 2³², with the CDF thresholds written
-as exact double literals — so the same row gets the same weight in any
-engine, and every resample mean is oracle-checkable bit-for-bit (no
-RNG state, no Date.now, nothing driver-side).
+Determinism contract: each row gets ONE md5 seed, each resample b an
+affine universal-hash mix of it, and the weight inverts the Poisson(1)
+CDF at the mixed u — with the CDF thresholds written as exact double
+literals, the same row gets the same weight in any engine, and every
+resample mean is oracle-checkable bit-for-bit (no RNG state, no
+Date.now, nothing driver-side).
 
 Scale: the ×B explode is map-only and immediately combines: the
 shuffle carries B partial-sum rows per map task, and the result is B
@@ -26,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ubw_spark.operators.dedup import portable_hash
 
-__all__ = ["poisson_weight", "bootstrap_means", "POISSON1_CDF"]
+__all__ = ["row_seed", "poisson_weight", "bootstrap_means", "POISSON1_CDF"]
 
 #: Cumulative Poisson(1) probabilities for k = 0..6 (k=7 is the tail),
 #: as exact double literals mirrored by the SQL oracles: Σ e⁻¹/k!.
@@ -41,20 +42,31 @@ POISSON1_CDF = [
 ]
 
 
-def poisson_weight(id_col: Column, b: Column | int) -> Column:
+def row_seed(id_col: Column) -> Column:
+    """One md5 per ROW (not per resample): the 32-bit seed every
+    resample's draw derives from.  Hashing once and mixing per-b is the
+    same one-hash-k-transforms trick minhash_signature uses
+    (operators/dedup.py::_hash_params) — at B=32 it cuts the md5 count
+    ×32, which IS the bootstrap's hot loop."""
+    return portable_hash(
+        F.concat(F.lit("boot:"), id_col.cast("string"))
+    )
+
+
+def poisson_weight(seed_col: Column, b: Column | int) -> Column:
     """The deterministic Poisson(1) weight of a row in resample ``b``:
-    u = md5-hash(boot:b:id)/2³² inverted through the CDF table.  Pure
-    function of (id, b) — identical in any engine with md5; ``b`` may
-    be a literal or the exploded resample-index column."""
+    u = ((seed·(2b+1) + 104729·b + 17) mod 2³²) / 2³² inverted through
+    the CDF table — the closed-form universal-hash family (a = 2b+1
+    odd, b-dependent offset; dedup._hash_params) over the row's md5
+    seed, so the draw stays a pure integer function of (id, b) that
+    any engine reproduces.  ``b`` may be a literal or the exploded
+    resample-index column."""
     b_col = F.lit(b) if isinstance(b, int) else b
-    u = portable_hash(
-        F.concat(
-            F.lit("boot:"),
-            b_col.cast("string"),
-            F.lit(":"),
-            id_col.cast("string"),
-        )
-    ).cast("double") / F.lit(4294967296.0)
+    mixed = F.pmod(
+        seed_col * (b_col * 2 + 1) + (b_col * 104_729 + 17),
+        F.lit(4294967296),
+    )
+    u = mixed.cast("double") / F.lit(4294967296.0)
     w: Column = F.lit(7)
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
@@ -81,17 +93,17 @@ def bootstrap_means(
         raise ValueError(f"need b_resamples >= 2; got {b_resamples}")
     x = F.col(value_col).cast("long")
     rows = df.where(x.isNotNull()).select(
-        F.col(id_col).alias("__id"), x.alias("__x")
+        row_seed(F.col(id_col)).alias("__h"), x.alias("__x")
     )
     fan = rows.select(
-        "__id",
+        "__h",
         "__x",
         F.explode(
             F.array(*[F.lit(b) for b in range(b_resamples)])
         ).alias("b"),
     )
     weighted = fan.select(
-        "b", poisson_weight(F.col("__id"), F.col("b")).alias("__w"), "__x"
+        "b", poisson_weight(F.col("__h"), F.col("b")).alias("__w"), "__x"
     )
     agg = weighted.groupBy("b").agg(
         F.sum("__w").cast("long").alias("n_eff"),

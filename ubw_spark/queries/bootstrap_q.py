@@ -27,11 +27,13 @@ _BOOT_SQL = f"""
 WITH r AS (SELECT o_orderkey AS id,
                   CAST(round(o_totalprice * 100) AS BIGINT) AS x
            FROM orders WHERE o_totalprice IS NOT NULL),
-f AS (SELECT id, x, unnest(generate_series(0, {_B - 1})) AS b FROM r),
+h AS (SELECT x, ('0x' || substr(md5('boot:' || id::VARCHAR),
+                                1, 8))::BIGINT AS h
+      FROM r),
+f AS (SELECT h, x, unnest(generate_series(0, {_B - 1})) AS b FROM h),
 u AS (SELECT b, x,
-             ('0x' || substr(md5('boot:' || b::VARCHAR || ':'
-                                 || id::VARCHAR), 1, 8))::BIGINT::DOUBLE
-             / 4294967296.0 AS u
+             ((h * (b * 2 + 1) + (b * 104729 + 17))
+              % 4294967296)::DOUBLE / 4294967296.0 AS u
       FROM f),
 w AS (SELECT b, x, {_CDF_CASE} AS w FROM u),
 a AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
