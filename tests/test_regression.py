@@ -135,3 +135,34 @@ def test_two_proportion_z_rejects_wrong_variant_ids(spark):
     )
     with pytest.raises(ValueError, match="exactly variants"):
         two_proportion_z(df3, "variant", "conv")
+
+
+def test_cuped_reduces_to_plain_means_when_theta_zero_and_adjusts(spark):
+    from ubw_spark.operators.regression import cuped_adjust
+
+    # x perfectly predicts y (y = 2x): adjusted means collapse toward
+    # the grand mean of y because all variant difference is explained
+    rows = [
+        (0, 10, 20), (0, 20, 40), (0, 30, 60),
+        (1, 40, 80), (1, 50, 100), (1, 60, 120),
+    ]
+    df = spark.createDataFrame(rows, "variant long, x long, y long")
+    out = {r["variant"]: r for r in cuped_adjust(df, "variant", "x", "y").collect()}
+    assert out[0]["theta"] == pytest.approx(2.0)
+    assert out[0]["rho2"] == pytest.approx(1.0)
+    # grand mean of y = 70; adjustment removes ALL the x-driven gap
+    assert out[0]["mean_y_adj"] == pytest.approx(70.0)
+    assert out[1]["mean_y_adj"] == pytest.approx(70.0)
+    assert out[0]["mean_y"] == pytest.approx(40.0)
+    assert out[1]["mean_y"] == pytest.approx(100.0)
+
+
+def test_cuped_constant_pre_period_is_null(spark):
+    from ubw_spark.operators.regression import cuped_adjust
+
+    rows = [(0, 5, 10), (0, 5, 30), (1, 5, 20), (1, 5, 40)]
+    df = spark.createDataFrame(rows, "variant long, x long, y long")
+    out = {r["variant"]: r for r in cuped_adjust(df, "variant", "x", "y").collect()}
+    for v in (0, 1):
+        assert out[v]["theta"] is None and out[v]["mean_y_adj"] is None
+        assert out[v]["mean_y"] is not None

@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["groupwise_ols", "correlation_matrix", "two_proportion_z"]
+__all__ = [
+    "groupwise_ols",
+    "correlation_matrix",
+    "two_proportion_z",
+    "cuped_adjust",
+]
 
 #: Exact-sum carrier: wide enough that n·Σxy stays exact at any
 #: plausible group size (1e38 headroom; a 1e12-row group of 1e7-scaled
@@ -234,4 +239,70 @@ def two_proportion_z(
         F.round(p_a, dp).alias("rate_a"),
         F.round(p_b, dp).alias("rate_b"),
         F.round(z, dp).alias("z"),
+    )
+
+
+def cuped_adjust(
+    units: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    *,
+    dp: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    variant's post-period mean by the pre-period covariate,
+
+        θ = cov(x, y) / var(x)   (pooled, from raw sums)
+        adj_mean_v = mean_y_v − θ · (mean_x_v − mean_x_pooled)
+
+    Inputs are one row per unit with integer-grain pre (x) and post
+    (y) metrics; output is one row per variant: ``(variant, n, mean_y,
+    mean_y_adj, theta, rho2)`` where rho2 = corr(x,y)² is the variance
+    reduction fraction the adjustment buys.
+
+    Everything reduces to sufficient statistics — a 1-row pooled
+    aggregate broadcast onto the per-variant aggregate — so no
+    per-unit adjusted values are ever materialized, and every output
+    is a mirrored double over exact decimal sums (rounded ``dp``,
+    NULL θ when the pre-period is constant)."""
+    x = F.col(pre_col).cast("long").cast(_DEC)
+    y = F.col(post_col).cast("long").cast(_DEC)
+    pooled = units.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    per_v = units.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("vx"),
+        F.sum(y).alias("vy"),
+    )
+    j = per_v.crossJoin(F.broadcast(pooled))
+    nd = F.col("n_all").cast(_DEC)
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    theta = F.when(den != 0, num.cast("double") / den.cast("double"))
+    mean_x_all = F.col("sx").cast("double") / F.col("n_all").cast("double")
+    mean_x_v = F.col("vx").cast("double") / F.col("n").cast("double")
+    mean_y_v = F.col("vy").cast("double") / F.col("n").cast("double")
+    adj = F.when(
+        den != 0, mean_y_v - theta * (mean_x_v - mean_x_all)
+    )
+    rho2 = F.when(
+        (den != 0) & (deny != 0),
+        (num.cast("double") * num.cast("double"))
+        / (den.cast("double") * deny.cast("double")),
+    )
+    return j.select(
+        "variant",
+        "n",
+        F.round(mean_y_v, dp).alias("mean_y"),
+        F.round(adj, dp).alias("mean_y_adj"),
+        F.round(theta, dp).alias("theta"),
+        F.round(rho2, dp).alias("rho2"),
     )

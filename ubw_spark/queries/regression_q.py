@@ -197,3 +197,76 @@ def stats_ab_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return two_proportion_z(units, "variant", "conv")
+
+
+_CUPED_SQL = """
+WITH u AS (SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-15'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                 ELSE 0 END) AS HUGEINT) AS x,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '2024-01-15'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                 ELSE 0 END) AS HUGEINT) AS y
+      FROM events GROUP BY 1),
+c AS (SELECT CAST(user_id % 2 AS BIGINT) AS variant, x, y FROM u),
+pool AS (SELECT count(*)::HUGEINT AS n_all, sum(x) AS sx, sum(y) AS sy,
+                sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+         FROM c),
+v AS (SELECT variant, count(*)::BIGINT AS n, sum(x) AS vx, sum(y) AS vy
+      FROM c GROUP BY 1),
+d AS (SELECT v.variant, v.n, v.vx, v.vy,
+             pool.n_all, pool.sx,
+             pool.n_all*pool.sxy - pool.sx*pool.sy AS num,
+             pool.n_all*pool.sxx - pool.sx*pool.sx AS den,
+             pool.n_all*pool.syy - pool.sy*pool.sy AS deny
+      FROM v, pool)
+SELECT variant, n,
+  round(vy::DOUBLE / n::DOUBLE, 6) AS mean_y,
+  CASE WHEN den <> 0 THEN
+    round(vy::DOUBLE / n::DOUBLE
+          - (num::DOUBLE / den::DOUBLE)
+            * (vx::DOUBLE / n::DOUBLE - sx::DOUBLE / n_all::DOUBLE), 6)
+  END AS mean_y_adj,
+  CASE WHEN den <> 0
+       THEN round(num::DOUBLE / den::DOUBLE, 6) END AS theta,
+  CASE WHEN den <> 0 AND deny <> 0
+       THEN round((num::DOUBLE * num::DOUBLE)
+                  / (den::DOUBLE * deny::DOUBLE), 6) END AS rho2
+FROM d
+"""
+
+
+@register(
+    "stats_cuped_adjusted",
+    oracle=_CUPED_SQL,
+    tags=("stats", "events"),
+)
+def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013): per-variant
+    post-period purchase means adjusted by the pre-period covariate —
+    the variance-reduction standard of every large experimentation
+    platform, here entirely from sufficient statistics (θ and ρ² from
+    one pooled aggregate, adjusted means without materializing a single
+    per-unit adjusted value).
+
+    Scale: one per-user aggregate (map-side combine), one 1-row pooled
+    aggregate broadcast onto the 2-row variant aggregate."""
+    from ubw_spark.operators.regression import cuped_adjust
+
+    e = table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-15"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    units = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_p & (F.col("ts") < cut), cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(is_p & (F.col("ts") >= cut), cents).otherwise(0)
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "x", "y"
+    )
+    return cuped_adjust(units, "variant", "x", "y")
