@@ -59,5 +59,6 @@ from ubw_spark.queries import integrity_q  # noqa: F401
 from ubw_spark.queries import qsketch_q  # noqa: F401
 from ubw_spark.queries import drift_q  # noqa: F401
 from ubw_spark.queries import bootstrap_q  # noqa: F401
+from ubw_spark.queries import survival_q  # noqa: F401
 
 __all__ = ["REGISTRY", "register", "QueryDef"]
