@@ -172,6 +172,41 @@ def curate(
     )
     shards = spark.read.parquet(os.path.join(out, "08_shards"))
     counts["08_shards"] = shards.count()
+
+    # Post-curation health monitors.  (a) Term-share drift RAW → FINAL:
+    # which terms curation up/down-weighted most — a template flood the
+    # dedup stages removed shows up at the top, so the report doubles
+    # as a curation audit.  (b) A persisted quantile-histogram store of
+    # per-doc token counts (versioned, ADD-merge on reruns with the
+    # run-scoped batch id): the length-distribution dashboard reads
+    # p50/p90 off 64 cells, never off documents.
+    from ubw_spark.functions.text import tokens as _tokens
+    from ubw_spark.operators.drift import term_drift_topk
+    from ubw_spark.operators.qsketch import (
+        hist_build,
+        probe_hist_quantiles,
+        write_hist_store,
+    )
+
+    def _terms(df):
+        return df.select(F.explode(_tokens(F.col("text"))).alias("term"))
+
+    drift = term_drift_topk(_terms(docs), _terms(back), k=25)
+    write_table(drift, os.path.join(out, "09_drift_report"), mode="overwrite")
+    counts["09_drift_report"] = spark.read.parquet(
+        os.path.join(out, "09_drift_report")
+    ).count()
+
+    qh_path = os.path.join(out, "09_token_quantiles")
+    write_hist_store(
+        hist_build(back, "n_tokens", lo=0, hi=512, nbins=64), qh_path
+    )
+    q = {
+        r["q_milli"]: r["est"]
+        for r in probe_hist_quantiles(spark, qh_path, [500, 900]).collect()
+    }
+    counts["09_token_p50_est"] = int(q[500])
+    counts["09_token_p90_est"] = int(q[900])
     return counts
 
 

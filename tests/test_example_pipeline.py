@@ -51,3 +51,17 @@ def test_curate_corpus_end_to_end(spark, sf_dir, tmp_path):
     ]
     assert len(shard_dirs) == 4
     assert counts["08_shards"] == counts["07_final_train"]
+
+
+def test_curate_health_monitors(spark, sf_dir, tmp_path):
+    """Stage 09: the drift report has rows and the token-length
+    percentile estimates from the persisted store are ordered and
+    inside the pinned range."""
+    from examples.curate_corpus import curate
+
+    counts = curate(
+        spark, sf_dir, str(tmp_path / "out"), eval_ids_from=-1
+    )
+    assert counts["09_drift_report"] == 25
+    p50, p90 = counts["09_token_p50_est"], counts["09_token_p90_est"]
+    assert 0 < p50 <= p90 < 512
