@@ -177,9 +177,12 @@ def curate(
     # which terms curation up/down-weighted most — a template flood the
     # dedup stages removed shows up at the top, so the report doubles
     # as a curation audit.  (b) A persisted quantile-histogram store of
-    # per-doc token counts (versioned, ADD-merge on reruns with the
-    # run-scoped batch id): the length-distribution dashboard reads
-    # p50/p90 off 64 cells, never off documents.
+    # per-doc token counts, rebuilt from the final corpus and swapped
+    # in as a fresh version each run (a rerun overwrites, it does not
+    # double-count; the ADD-merge + batch-id path is for INCREMENTAL
+    # feeds — see operators/qsketch.append_hist_batch): the
+    # length-distribution dashboard reads p50/p90 off 64 cells, never
+    # off documents.
     from ubw_spark.functions.text import tokens as _tokens
     from ubw_spark.operators.drift import term_drift_topk
     from ubw_spark.operators.qsketch import (

@@ -72,3 +72,32 @@ def test_null_values_excluded(spark):
     rows = bootstrap_means(df, "id", "v", b_resamples=4).collect()
     # only ids 1 and 3 participate → n_eff bounded by 2 draws of ≤7
     assert all(r["n_eff"] <= 14 for r in rows)
+
+
+def test_null_ids_excluded_not_weight7(spark):
+    df = spark.createDataFrame(
+        [(None, 100), (1, 10)], "id long, v long"
+    )
+    rows = bootstrap_means(df, "id", "v", b_resamples=4).collect()
+    # only id=1 participates: every resample mean is exactly 10 (or
+    # NULL when its weight drew 0) — a 7x-weighted NULL-id row would
+    # drag means toward 100
+    for r in rows:
+        assert r["n_eff"] <= 7
+        assert r["mean"] is None or r["mean"] == 10.0
+
+
+def test_large_b_index_no_int_wrap(spark):
+    from ubw_spark.operators.bootstrap import poisson_weight, row_seed
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    w = [
+        r["w"]
+        for r in df.select(
+            poisson_weight(row_seed(F.col("id")), 25_000).alias("w")
+        ).collect()
+    ]
+    # int32 wrap would corrupt the offset and skew the law hard;
+    # with long arithmetic the draws stay Poisson(1)-ish
+    assert 0.7 < sum(w) / len(w) < 1.3
+    assert min(w) >= 0

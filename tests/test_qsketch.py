@@ -161,3 +161,40 @@ def test_grouped_cells_bounded_per_group(spark):
     df = spark.createDataFrame(rows, "g string, v long")
     cells = grouped_hist_build(df, ["g"], "v", lo=0, hi=1000, nbins=10)
     assert cells.count() == 10
+
+
+def test_grouped_quantiles_keep_null_group_segment(spark):
+    from ubw_spark.operators.qsketch import (
+        grouped_hist_build,
+        grouped_hist_quantiles,
+    )
+
+    rows = [("a", v) for v in range(20)] + [(None, v) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    cells = grouped_hist_build(df, ["g"], "v", lo=0, hi=20, nbins=10)
+    out = {
+        (r["g"], r["q_milli"]): r
+        for r in grouped_hist_quantiles(cells, ["g"], [500]).collect()
+    }
+    assert ("a", 500) in out and (None, 500) in out
+    assert out[(None, 500)]["n"] == 10
+
+
+def test_store_rejects_grouped_cells(spark, tmp_path):
+    from ubw_spark.operators.qsketch import (
+        grouped_hist_build,
+        write_hist_store,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "g string, v long")
+    cells = grouped_hist_build(df, ["g"], "v", lo=0, hi=10, nbins=5)
+    with pytest.raises(ValueError, match="grouped"):
+        write_hist_store(cells, str(tmp_path / "qh"))
+
+
+def test_ungrouped_error_names_public_api(spark):
+    from ubw_spark.operators.qsketch import hist_quantiles
+
+    df = spark.createDataFrame([(1, 2)], "bin int, cnt long")  # no metadata
+    with pytest.raises(ValueError, match="hist_quantiles:"):
+        hist_quantiles(df, [500])

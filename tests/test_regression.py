@@ -166,3 +166,26 @@ def test_cuped_constant_pre_period_is_null(spark):
     for v in (0, 1):
         assert out[v]["theta"] is None and out[v]["mean_y_adj"] is None
         assert out[v]["mean_y"] is not None
+
+
+def test_cuped_excludes_null_metric_units(spark):
+    from ubw_spark.operators.regression import cuped_adjust
+
+    base = [(0, 10, 20), (0, 20, 40), (1, 30, 60), (1, 40, 80)]
+    clean = spark.createDataFrame(base, "variant long, x long, y long")
+    dirty = spark.createDataFrame(
+        base + [(0, None, 999), (1, 5, None)],
+        "variant long, x long, y long",
+    )
+    want = {
+        r["variant"]: r
+        for r in cuped_adjust(clean, "variant", "x", "y").collect()
+    }
+    got = {
+        r["variant"]: r
+        for r in cuped_adjust(dirty, "variant", "x", "y").collect()
+    }
+    for v in (0, 1):
+        assert got[v]["n"] == want[v]["n"]
+        assert got[v]["theta"] == want[v]["theta"]
+        assert got[v]["mean_y_adj"] == want[v]["mean_y_adj"]

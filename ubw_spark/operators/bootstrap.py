@@ -61,7 +61,10 @@ def poisson_weight(seed_col: Column, b: Column | int) -> Column:
     seed, so the draw stays a pure integer function of (id, b) that
     any engine reproduces.  ``b`` may be a literal or the exploded
     resample-index column."""
-    b_col = F.lit(b) if isinstance(b, int) else b
+    # b in LONG: the 32-bit default would wrap b*104729 negative past
+    # b ≈ 20.5k while the BIGINT oracle doesn't — silent cross-engine
+    # divergence exactly where "widen B" is the documented advice.
+    b_col = (F.lit(b) if isinstance(b, int) else b).cast("long")
     mixed = F.pmod(
         seed_col * (b_col * 2 + 1) + (b_col * 104_729 + 17),
         F.lit(4294967296),
@@ -91,8 +94,12 @@ def bootstrap_means(
     aggregate — the shuffle carries B rows of partial sums."""
     if b_resamples < 2:
         raise ValueError(f"need b_resamples >= 2; got {b_resamples}")
+    # NULL ids are excluded, not just NULL values: a NULL id hashes to
+    # a NULL seed, every CDF comparison is NULL, and the cascade's
+    # otherwise-branch would hand the row the MAXIMUM weight 7 in every
+    # resample — a silent upward bias instead of a missing row.
     x = F.col(value_col).cast("long")
-    rows = df.where(x.isNotNull()).select(
+    rows = df.where(x.isNotNull() & F.col(id_col).isNotNull()).select(
         row_seed(F.col(id_col)).alias("__h"), x.alias("__x")
     )
     fan = rows.select(

@@ -156,7 +156,9 @@ def hist_quantiles(
     The cells re-aggregate first (≤nbins groups), which both dedups
     multi-source unions and grounds the unpartitioned cumulative window
     at a statically bounded cardinality."""
-    return grouped_hist_quantiles(cells, [], q_millis, dp=dp)
+    return grouped_hist_quantiles(
+        cells, [], q_millis, dp=dp, _where="hist_quantiles"
+    )
 
 
 def grouped_hist_quantiles(
@@ -165,16 +167,18 @@ def grouped_hist_quantiles(
     q_millis: list[int],
     *,
     dp: int = 6,
+    _where: str = "grouped_hist_quantiles",
 ) -> DataFrame:
     """:func:`hist_quantiles` per group over :func:`grouped_hist_build`
     cells: ``(group_cols…, q_milli, n, est)`` — every segment's
     percentile curve from one bounded cell table.
 
     The cumulative window partitions by the group (≤nbins rows per
-    partition); per-group totals join back on the group key (a
-    broadcastable aggregate when groups are few, a plain keyed join
-    otherwise)."""
-    lo, hi, nb = _check_shape(cells, "grouped_hist_quantiles")
+    partition); per-group totals join back NULL-SAFELY on the group key
+    (a NULL group is a real segment — groupBy keeps it, so a
+    null-unsafe join would silently drop its curve) — a broadcastable
+    aggregate when groups are few, a plain keyed join otherwise."""
+    lo, hi, nb = _check_shape(cells, _where)
     if not q_millis or any(q < 1 or q > 1000 for q in q_millis):
         raise ValueError(f"q_millis must be within [1, 1000]: {q_millis}")
     agg = cells.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
@@ -195,7 +199,21 @@ def grouped_hist_quantiles(
     )
     target = F.col("q_milli").cast("double") * F.col("n").cast("double") / 1000
     if group_cols:
-        cand = cum.join(nq, group_cols)
+        # nq's group columns are renamed before the join: cum and nq
+        # share lineage (both derive from `cells`), and same-name
+        # references would resolve ambiguously.
+        nqr = nq.select(
+            *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+            "n",
+            "q_milli",
+        )
+        cond = None
+        for c in group_cols:
+            eq = F.col(c).eqNullSafe(F.col(f"__g_{c}"))
+            cond = eq if cond is None else (cond & eq)
+        cand = cum.join(nqr, cond).drop(
+            *[f"__g_{c}" for c in group_cols]
+        )
     else:
         cand = cum.crossJoin(F.broadcast(nq))
     cand = cand.where(F.col("cum").cast("double") >= target)
@@ -228,13 +246,23 @@ def read_hist_params(path: str) -> dict:
 def write_hist_store(cells: DataFrame, path: str) -> None:
     """Persist histogram cells as a versioned store: ≤nbins rows of two
     numbers into a fresh version dir + range sidecar, then flip
-    ``_CURRENT`` (operators/versioned.py)."""
+    ``_CURRENT`` (operators/versioned.py).
+
+    GLOBAL histograms only: grouped cells are rejected — load_hist
+    reads back (bin, cnt) and would silently collapse every segment
+    into one curve."""
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
         write_sidecar,
     )
 
+    if set(cells.columns) != {"bin", "cnt"}:
+        raise ValueError(
+            "write_hist_store: expected exactly (bin, cnt) cells; got "
+            f"{cells.columns} — grouped histograms have no store "
+            "lifecycle (reading one back would merge the segments)"
+        )
     lo, hi, nb = _check_shape(cells, "write_hist_store")
     cur, new_v, new_root = begin_rewrite(path)
     cells.coalesce(1).write.mode("overwrite").parquet(new_root)

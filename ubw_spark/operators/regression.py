@@ -265,7 +265,16 @@ def cuped_adjust(
     aggregate broadcast onto the per-variant aggregate — so no
     per-unit adjusted values are ever materialized, and every output
     is a mirrored double over exact decimal sums (rounded ``dp``,
-    NULL θ when the pre-period is constant)."""
+    NULL θ when the pre-period is constant).
+
+    Units with a NULL pre OR post metric are EXCLUDED up front:
+    count() counts rows while sum() skips NULLs, so keeping them would
+    mix an n-row count with (n−k)-row sums and silently corrupt θ.
+    Encode "no activity" as 0 upstream if that is the intended
+    semantics (the registered query does)."""
+    units = units.where(
+        F.col(pre_col).isNotNull() & F.col(post_col).isNotNull()
+    )
     x = F.col(pre_col).cast("long").cast(_DEC)
     y = F.col(post_col).cast("long").cast(_DEC)
     pooled = units.agg(
