@@ -75,3 +75,27 @@ def test_single_scan_no_join(mixed):
     s = str(plan)
     assert s.count("LogicalRDD") == 1
     assert "Join" not in s
+
+
+class TestBenford:
+    def test_digit_shares_and_expectation(self, spark):
+        from ubw_spark.operators.stats import benford_digits
+
+        # 6 values starting with 1, 3 with 2, 1 with 9
+        vals = [1, 10, 19, 150, 1999, 123, 2, 25, 299, 9]
+        df = spark.createDataFrame([(v,) for v in vals], "v long")
+        out = {r["digit"]: r for r in benford_digits(df, "v").collect()}
+        assert out[1]["cnt"] == 6 and out[1]["share_micro"] == 600_000
+        assert out[2]["cnt"] == 3 and out[9]["cnt"] == 1
+        # Benford expectation for digit 1 is log10(2) ≈ 0.30103
+        assert out[1]["expected_micro"] == 301030
+        assert out[1]["dev_micro"] == 600_000 - 301030
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from ubw_spark.operators.stats import benford_digits
+
+        df = spark.createDataFrame(
+            [(0,), (-5,), (None,), (7,)], "v long"
+        )
+        out = benford_digits(df, "v").collect()
+        assert len(out) == 1 and out[0]["digit"] == 7 and out[0]["cnt"] == 1

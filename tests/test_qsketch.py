@@ -198,3 +198,18 @@ def test_ungrouped_error_names_public_api(spark):
     df = spark.createDataFrame([(1, 2)], "bin int, cnt long")  # no metadata
     with pytest.raises(ValueError, match="hist_quantiles:"):
         hist_quantiles(df, [500])
+
+
+def test_winsorized_mean_clamps_tail(spark):
+    from ubw_spark.operators.qsketch import hist_build, winsorized_mean
+
+    # 99 values of 10 and one huge outlier
+    vals = [10] * 99 + [10_000]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    cells = hist_build(df, "v", lo=0, hi=100, nbins=10)
+    r = winsorized_mean(df, "v", cells, q_milli=990).collect()[0]
+    assert r["n"] == 100 and r["clipped"] == 1
+    # outlier clamps to the p99 cut (inside [0,100)); the winsorized
+    # mean collapses toward 10 while the raw mean is ~109.9
+    assert r["mean_raw"] == pytest.approx(109.9)
+    assert r["mean_winsorized"] < 12

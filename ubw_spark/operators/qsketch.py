@@ -46,6 +46,7 @@ __all__ = [
     "load_hist",
     "append_hist_batch",
     "probe_hist_quantiles",
+    "winsorized_mean",
 ]
 
 PARAMS_FILE = "_QH_PARAMS"
@@ -339,3 +340,50 @@ def probe_hist_quantiles(
     store was built with."""
     cells, _ = load_hist(spark, path)
     return hist_quantiles(cells, q_millis)
+
+
+def winsorized_mean(
+    values: DataFrame,
+    value_col: str,
+    cells: DataFrame,
+    *,
+    q_milli: int = 990,
+    dp: int = 6,
+) -> DataFrame:
+    """Robust mean via sketch-derived winsorization: clamp the
+    integer-grain column at the histogram's q-th percentile estimate,
+    then take the exact mean — ONE row ``(n, cut, clipped, mean_raw,
+    mean_winsorized)``.
+
+    The cut comes from :func:`hist_quantiles` (deterministic sub-bin
+    error), so the expensive part of a trimmed statistic — finding the
+    cut point — costs nbins cells instead of a sort; the clamp and both
+    means are a second map-only pass with exact integer sums.  The raw
+    mean rides along so the output quantifies what the tail clipping
+    changed."""
+    est = grouped_hist_quantiles(
+        cells, [], [q_milli], dp=dp, _where="winsorized_mean"
+    )
+    cut = est.select(F.round("est", 0).cast("long").alias("cut"))
+    x = F.col(value_col).cast("long")
+    w = values.where(x.isNotNull()).select(x.alias("__c")).crossJoin(
+        F.broadcast(cut)
+    )
+    clamped = F.least(F.col("__c"), F.col("cut"))
+    return w.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("cut").alias("cut"),
+        F.sum(F.when(F.col("__c") > F.col("cut"), 1).otherwise(0)).alias(
+            "clipped"
+        ),
+        F.round(
+            F.sum(F.col("__c")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            dp,
+        ).alias("mean_raw"),
+        F.round(
+            F.sum(clamped).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            dp,
+        ).alias("mean_winsorized"),
+    )

@@ -149,3 +149,42 @@ def profile_table(
             )
         )
     return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def benford_digits(
+    df, value_col: str, *, scale: int = 1_000_000, dp: int = 6
+):
+    """First-significant-digit distribution vs Benford's law — the
+    fabricated-data / unit-mixup audit: ``(digit, cnt, share_micro,
+    expected_micro, dev_micro)`` for digits 1-9.
+
+    The first digit comes from the STRING head of the positive
+    integer-grain value (no log10 on data, so the bucketing is exact
+    and engine-independent); only the CONSTANT Benford expectation
+    log10(1 + 1/d) is a libm call, on the nine small integers both
+    engines evaluate identically.  One map-only projection + one
+    9-group aggregate with map-side combine."""
+    from pyspark.sql import functions as F
+
+    v = F.col(value_col).cast("long")
+    d = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(
+            F.substring(v.cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = d.agg(F.sum("cnt").alias("__n"))
+    expected = F.round(
+        F.log10(1 + 1 / F.col("digit").cast("double")) * scale, 0
+    ).cast("long")
+    return d.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "cnt",
+        F.expr(f"(cnt * {scale}) div __n").alias("share_micro"),
+        expected.alias("expected_micro"),
+        (
+            F.expr(f"(cnt * {scale}) div __n") - expected
+        ).alias("dev_micro"),
+    )

@@ -252,3 +252,40 @@ def sketch_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, ["priority"], "cents", lo=_LO, hi=_HI, nbins=_NBINS
     )
     return grouped_hist_quantiles(cells, ["priority"], [500, 900])
+
+
+@register(
+    "stats_winsorized_mean",
+    oracle=f"""
+    WITH e AS ({_est_sql(_CELLS_SQL, _LO, _HI, _NBINS, [990])}),
+    cut AS (SELECT CAST(round(est) AS BIGINT) AS cut FROM e
+            WHERE q_milli = 990),
+    v2 AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders WHERE o_totalprice IS NOT NULL),
+    w AS (SELECT v2.c, cut.cut, least(v2.c, cut.cut) AS wc
+          FROM v2, cut)
+    SELECT count(*)::BIGINT AS n,
+           CAST(max(cut) AS BIGINT) AS cut,
+           CAST(sum(CASE WHEN c > cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS clipped,
+           round(CAST(sum(c) AS BIGINT)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS mean_raw,
+           round(CAST(sum(wc) AS BIGINT)::DOUBLE
+                 / count(*)::DOUBLE, 6) AS mean_winsorized
+    FROM w
+    """,
+    tags=("stats", "sketch", "agg"),
+)
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-robust mean of order totals: clamp at the sketch's p99
+    estimate, then one exact-integer mean pass — the trimmed statistic
+    without a sort, with the raw mean alongside to quantify what the
+    clipping changed.
+
+    Scale: the cut costs nbins cells; the clamp+means are one map-only
+    pass; the one-row cut broadcasts."""
+    from ubw_spark.operators.qsketch import winsorized_mean
+
+    o = _cents_orders(spark, sf_dir)
+    cells = hist_build(o, "cents", lo=_LO, hi=_HI, nbins=_NBINS)
+    return winsorized_mean(o, "cents", cells, q_milli=990)

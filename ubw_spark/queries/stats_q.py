@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ubw_spark.operators.stats import profile_table
 from ubw_spark.queries.registry import register, table
@@ -53,3 +54,42 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_table(
         table(spark, sf_dir, "part"), [c for c, _ in _PART_COLS]
     )
+
+
+@register(
+    "quality_benford_audit",
+    oracle="""
+    WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+               FROM orders
+               WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+    d AS (SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER)
+                   AS digit
+          FROM v WHERE c > 0),
+    g AS (SELECT digit, count(*)::BIGINT AS cnt FROM d GROUP BY 1),
+    n AS (SELECT sum(cnt) AS n FROM g)
+    SELECT g.digit, g.cnt,
+           CAST((g.cnt * 1000000) // n.n AS BIGINT) AS share_micro,
+           CAST(round(log10(1 + 1 / g.digit::DOUBLE) * 1000000)
+                AS BIGINT) AS expected_micro,
+           CAST((g.cnt * 1000000) // n.n AS BIGINT)
+             - CAST(round(log10(1 + 1 / g.digit::DOUBLE) * 1000000)
+                    AS BIGINT) AS dev_micro
+    FROM g, n
+    """,
+    tags=("quality", "stats", "agg"),
+)
+def quality_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) audit of order totals in cents — the
+    classic fabricated-data / unit-mixup detector: exact integer digit
+    shares per leading digit next to the Benford expectation.
+
+    Scale: one map-only string-head projection (no log on data) + a
+    9-group aggregate; the total broadcasts as one row.  TPC-H's
+    uniform-ish totals deliberately DON'T follow Benford — the
+    deviations are the signal this report exists to surface."""
+    from ubw_spark.operators.stats import benford_digits
+
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents")
+    ).where(F.col("cents") > 0)
+    return benford_digits(o, "cents")
