@@ -82,3 +82,34 @@ def test_large_cent_values_do_not_overflow(spark):
     df = spark.createDataFrame(rows, "k string, seq int, v long")
     out = {r["seq"]: r for r in rolling_zscore(df, ["k"], ["seq"], "v").collect()}
     assert out[30]["z"] is not None and out[30]["is_anomaly"] == 1
+
+
+def test_rolling_trend_recovers_known_slope(spark):
+    from ubw_spark.operators.anomaly import rolling_trend
+
+    # y = 5x + noise-free: slope exactly 5 once warm
+    rows = [("k", i, i, 5 * i + 100) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, seq int, x long, v long")
+    out = {r["seq"]: r for r in rolling_trend(
+        df, ["k"], ["seq"], "v", "x", window=10, min_periods=5
+    ).collect()}
+    for i in range(4):
+        assert out[i]["slope"] is None  # warm-up
+    assert out[10]["slope"] == pytest.approx(5.0)
+    assert out[19]["slope"] == pytest.approx(5.0)
+
+
+def test_rolling_trend_null_values_mask_their_x(spark):
+    from ubw_spark.operators.anomaly import rolling_trend
+
+    # NULL y rows must not leak their x into the sums: with the leak,
+    # the x-variance would include the gap and bias the slope
+    rows = [("k", 0, 0, 0), ("k", 1, 1, 10), ("k", 2, 2, None),
+            ("k", 3, 3, 30), ("k", 4, 4, 40)]
+    df = spark.createDataFrame(rows, "k string, seq int, x long, v long")
+    out = {r["seq"]: r for r in rolling_trend(
+        df, ["k"], ["seq"], "v", "x", window=5, min_periods=2
+    ).collect()}
+    # points (0,0),(1,10),(3,30),(4,40) lie exactly on y = 10x
+    assert out[4]["n_ctx"] == 4
+    assert out[4]["slope"] == pytest.approx(10.0)

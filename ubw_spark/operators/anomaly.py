@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["rolling_zscore", "seasonal_profile"]
+__all__ = ["rolling_zscore", "seasonal_profile", "rolling_trend"]
 
 
 def rolling_zscore(
@@ -112,3 +112,52 @@ def seasonal_profile(
         )
         .withColumn("mean_milli", F.expr(f"(total * {scale}) div n"))
     )
+
+
+def rolling_trend(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    x_col: str,
+    *,
+    window: int = 24,
+    min_periods: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Rolling OLS slope of ``value_col`` on the integer time axis
+    ``x_col`` over the trailing ``window`` observations (current row
+    included): appends ``(n_ctx, slope)`` — the local trend detector
+    ("is this series drifting, and how fast") complementing
+    :func:`rolling_zscore`'s level detector.
+
+    Same exactness discipline: all five sufficient statistics are
+    DECIMAL sums over the bounded per-key ROWS frame, NULL values mask
+    their x contributions too (count/sum must agree on which rows they
+    saw — the cuped_adjust rule), and the slope is one mirrored double
+    division, NULL until ``min_periods`` points or when x is constant
+    in the frame."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-(window - 1), 0)
+    )
+    y = F.col(value_col)
+    ynn = y.isNotNull()
+    xd = F.when(ynn, F.col(x_col).cast("decimal(38,0)"))
+    yd = y.cast("long").cast("decimal(38,0)")
+    df = (
+        df.withColumn("n_ctx", F.count(y).over(w))
+        .withColumn("sx", F.sum(xd).over(w))
+        .withColumn("sxx", F.sum(xd * xd).over(w))
+        .withColumn("sy", F.sum(yd).over(w))
+        .withColumn("sxy", F.sum(xd * yd).over(w))
+    )
+    nd = F.col("n_ctx").cast("decimal(38,0)")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        (F.col("n_ctx") >= min_periods) & (den != 0),
+        F.round(num.cast("double") / den.cast("double"), dp),
+    )
+    return df.withColumn("slope", slope).drop("sx", "sxx", "sy", "sxy")

@@ -97,3 +97,62 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_profile(
         e, ["event_type"], F.hour("ts"), "cents", scale=1000
     )
+
+
+@register(
+    "ts_rolling_trend",
+    oracle="""
+    WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS h,
+                        CAST(round(sum(value) * 100) AS BIGINT) AS cents
+                 FROM events GROUP BY 1, 2),
+    o2 AS (SELECT user_id, h, cents,
+                  epoch_us(h) // 3600000000 AS x FROM obs),
+    w AS (SELECT user_id, h, cents,
+            count(cents) OVER fr AS n_ctx,
+            sum(CASE WHEN cents IS NOT NULL THEN x END) OVER fr AS sx,
+            sum(CASE WHEN cents IS NOT NULL THEN x * x END) OVER fr
+              AS sxx,
+            sum(cents) OVER fr AS sy,
+            sum(x * cents) OVER fr AS sxy
+          FROM o2
+          WINDOW fr AS (PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, cents,
+           n_ctx::BIGINT AS n_ctx,
+           CASE WHEN n_ctx >= 8 AND (n_ctx * sxx - sx * sx) <> 0 THEN
+             round((n_ctx * sxy - sx * sy)::DOUBLE
+                   / (n_ctx * sxx - sx * sx)::DOUBLE, 6)
+           END AS slope
+    FROM w
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def ts_rolling_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend trend: the rolling-24-observation OLS slope
+    (cents per hour) of the hourly series — drift detection to pair
+    with ts_rolling_anomaly's spike detection.
+
+    Scale: the same bounded per-key ROWS frame as the z-score, five
+    exact decimal sums instead of three; the slope is one mirrored
+    division."""
+    from ubw_spark.operators.anomaly import rolling_trend
+
+    e = table(spark, sf_dir, "events")
+    obs = resample(
+        e,
+        ["user_id"],
+        "ts",
+        step="hour",
+        aggs=[F.round(F.sum("value") * 100, 0).cast("long").alias("cents")],
+    ).withColumn("x", F.expr("unix_micros(ts) div 3600000000"))
+    scored = rolling_trend(
+        obs, ["user_id"], ["ts"], "cents", "x",
+        window=24, min_periods=8,
+    )
+    return scored.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "cents",
+        "n_ctx",
+        "slope",
+    )
