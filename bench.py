@@ -129,6 +129,10 @@ HEADLINE = [
     # Poisson bootstrap: all 32 resample means from one map-only
     # explode+combine pass — the B-rows-of-shuffle shape, timed.
     "stats_bootstrap_means",
+    # Kaplan-Meier churn curve (per-unit reduction + calendar-bounded
+    # aggregate) and the CUPED experiment readout (two aggregates).
+    "events_survival_curve",
+    "stats_cuped_adjusted",
 ]
 
 
