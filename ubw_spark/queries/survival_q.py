@@ -23,12 +23,13 @@ from ubw_spark.queries.registry import register, table
     g AS (SELECT t, count(*)::BIGINT AS leaves,
                  CAST(sum(1 - cens) AS BIGINT) AS deaths
           FROM ul GROUP BY 1),
-    n AS (SELECT count(*)::BIGINT AS total FROM ul),
     w AS (SELECT t, leaves, deaths,
-                 CAST(total - coalesce(sum(leaves)
+                 CAST(sum(leaves) OVER (ORDER BY t ROWS BETWEEN
+                        UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                      - coalesce(sum(leaves)
                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
                               AND 1 PRECEDING), 0) AS BIGINT) AS at_risk
-          FROM g, n),
+          FROM g),
     s AS (SELECT t, at_risk, deaths, leaves,
                  CASE WHEN deaths < at_risk
                       THEN round(ln(1 - deaths::DOUBLE
