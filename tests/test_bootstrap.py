@@ -101,3 +101,25 @@ def test_large_b_index_no_int_wrap(spark):
     # with long arithmetic the draws stay Poisson(1)-ish
     assert 0.7 < sum(w) / len(w) < 1.3
     assert min(w) >= 0
+
+
+def test_grouped_bootstrap_segments_are_independent(spark):
+    # each unit's draws depend only on (id, b): the group split must
+    # not change any unit's weight, so segment means derive from the
+    # same draws the ungrouped run used
+    rows = [(i, "a" if i < 250 else "z", i) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    grouped = bootstrap_means(
+        df, "id", "v", b_resamples=8, group_cols=["g"]
+    ).collect()
+    assert len(grouped) == 16
+    solo_a = {
+        r["b"]: r
+        for r in bootstrap_means(
+            df.where("g = 'a'"), "id", "v", b_resamples=8
+        ).collect()
+    }
+    got_a = {r["b"]: r for r in grouped if r["g"] == "a"}
+    for b in range(8):
+        assert got_a[b]["n_eff"] == solo_a[b]["n_eff"]
+        assert got_a[b]["mean"] == solo_a[b]["mean"]

@@ -82,27 +82,36 @@ def bootstrap_means(
     value_col: str,
     *,
     b_resamples: int = 32,
+    group_cols: list[str] | None = None,
     dp: int = 6,
 ) -> DataFrame:
     """B Poisson-bootstrap resample means of an integer-grain value:
-    ``(b, n_eff, mean)`` per resample, where n_eff = Σ weights and
-    mean = Σ w·x / Σ w (exact integer sums, one mirrored division,
-    rounded ``dp``).  The spread of the B means IS the sampling
-    distribution of the mean — read p5/p95 off it for a CI.
+    ``(group_cols…, b, n_eff, mean)`` per resample, where n_eff = Σ
+    weights and mean = Σ w·x / Σ w (exact integer sums, one mirrored
+    division, rounded ``dp``).  The spread of the B means IS the
+    sampling distribution of the mean — read p5/p95 off it for a CI.
+
+    ``group_cols`` stratifies: each segment (experiment arm, tenant)
+    gets its own B resample means from the SAME single pass — the
+    per-arm CI readout of an A/B test.  A unit's weight in resample b
+    depends only on (id, b), so a unit moving between segments keeps
+    its draws.
 
     One pass: explode b = 0..B−1 per row (map-only), weight, and
-    aggregate — the shuffle carries B rows of partial sums."""
+    aggregate — the shuffle carries groups×B rows of partial sums."""
     if b_resamples < 2:
         raise ValueError(f"need b_resamples >= 2; got {b_resamples}")
+    group_cols = list(group_cols or [])
     # NULL ids are excluded, not just NULL values: a NULL id hashes to
     # a NULL seed, every CDF comparison is NULL, and the cascade's
     # otherwise-branch would hand the row the MAXIMUM weight 7 in every
     # resample — a silent upward bias instead of a missing row.
     x = F.col(value_col).cast("long")
     rows = df.where(x.isNotNull() & F.col(id_col).isNotNull()).select(
-        row_seed(F.col(id_col)).alias("__h"), x.alias("__x")
+        *group_cols, row_seed(F.col(id_col)).alias("__h"), x.alias("__x")
     )
     fan = rows.select(
+        *group_cols,
         "__h",
         "__x",
         F.explode(
@@ -110,9 +119,12 @@ def bootstrap_means(
         ).alias("b"),
     )
     weighted = fan.select(
-        "b", poisson_weight(F.col("__h"), F.col("b")).alias("__w"), "__x"
+        *group_cols,
+        "b",
+        poisson_weight(F.col("__h"), F.col("b")).alias("__w"),
+        "__x",
     )
-    agg = weighted.groupBy("b").agg(
+    agg = weighted.groupBy(*group_cols, "b").agg(
         F.sum("__w").cast("long").alias("n_eff"),
         F.sum(F.col("__w").cast("long") * F.col("__x")).alias("__wx"),
     )
@@ -122,4 +134,4 @@ def bootstrap_means(
             F.col("__wx").cast("double") / F.col("n_eff").cast("double"), dp
         ),
     )
-    return agg.select("b", "n_eff", mean.alias("mean"))
+    return agg.select(*group_cols, "b", "n_eff", mean.alias("mean"))
