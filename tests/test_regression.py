@@ -189,3 +189,28 @@ def test_cuped_excludes_null_metric_units(spark):
         assert got[v]["n"] == want[v]["n"]
         assert got[v]["theta"] == want[v]["theta"]
         assert got[v]["mean_y_adj"] == want[v]["mean_y_adj"]
+
+
+def test_diff_in_diff_hand_computed(spark):
+    from ubw_spark.operators.regression import diff_in_diff
+
+    # ctl: pre means 10, post 12 (trend +2); trt: pre 20, post 27
+    # → did = (27-20) - (12-10) = 5
+    rows = [
+        (0, 8, 10), (0, 12, 14),
+        (1, 18, 25), (1, 22, 29),
+    ]
+    df = spark.createDataFrame(rows, "variant long, x long, y long")
+    r = diff_in_diff(df, "variant", "x", "y").collect()[0]
+    assert (r["n_ctl"], r["n_trt"]) == (2, 2)
+    assert r["pre_ctl"] == 10.0 and r["post_ctl"] == 12.0
+    assert r["pre_trt"] == 20.0 and r["post_trt"] == 27.0
+    assert r["did"] == pytest.approx(5.0)
+
+
+def test_diff_in_diff_rejects_wrong_variants(spark):
+    from ubw_spark.operators.regression import diff_in_diff
+
+    df = spark.createDataFrame([(2, 1, 1)], "variant long, x long, y long")
+    with pytest.raises(ValueError, match="exactly variants"):
+        diff_in_diff(df, "variant", "x", "y")

@@ -36,6 +36,7 @@ __all__ = [
     "correlation_matrix",
     "two_proportion_z",
     "cuped_adjust",
+    "diff_in_diff",
 ]
 
 #: Exact-sum carrier: wide enough that n·Σxy stays exact at any
@@ -314,4 +315,69 @@ def cuped_adjust(
         F.round(adj, dp).alias("mean_y_adj"),
         F.round(theta, dp).alias("theta"),
         F.round(rho2, dp).alias("rho2"),
+    )
+
+
+def diff_in_diff(
+    units: DataFrame,
+    variant_col: str,
+    pre_col: str,
+    post_col: str,
+    *,
+    dp: int = 6,
+) -> DataFrame:
+    """Difference-in-differences readout: ONE row ``(n_ctl, n_trt,
+    pre_ctl, post_ctl, pre_trt, post_trt, did)`` where
+
+        did = (post_trt − pre_trt) − (post_ctl − pre_ctl)
+
+    over per-unit integer-grain pre/post metrics, control = variant 0,
+    treated = variant 1 (validated exactly like two_proportion_z).
+    The trend-robust companion to :func:`cuped_adjust`: CUPED shrinks
+    variance via the covariate, DiD nets out the shared time trend.
+
+    Units with NULL metrics are excluded (the cuped_adjust rule); all
+    four means are mirrored doubles over exact decimal sums; the whole
+    statistic lives on a 2-row aggregate."""
+    units = units.where(
+        F.col(pre_col).isNotNull() & F.col(post_col).isNotNull()
+    )
+    x = F.col(pre_col).cast("long").cast(_DEC)
+    y = F.col(post_col).cast("long").cast(_DEC)
+    v = units.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+    )
+    ids = sorted(
+        r["variant"] for r in v.select("variant").limit(3).collect()
+    )
+    if ids != [0, 1]:
+        raise ValueError(
+            f"diff_in_diff: expected exactly variants [0, 1], got {ids}"
+        )
+    a = v.where(F.col("variant") == 0).select(
+        F.col("n").alias("n_ctl"),
+        F.col("sx").alias("sx_ctl"),
+        F.col("sy").alias("sy_ctl"),
+    )
+    b = v.where(F.col("variant") == 1).select(
+        F.col("n").alias("n_trt"),
+        F.col("sx").alias("sx_trt"),
+        F.col("sy").alias("sy_trt"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    pre_ctl = F.col("sx_ctl").cast("double") / F.col("n_ctl").cast("double")
+    post_ctl = F.col("sy_ctl").cast("double") / F.col("n_ctl").cast("double")
+    pre_trt = F.col("sx_trt").cast("double") / F.col("n_trt").cast("double")
+    post_trt = F.col("sy_trt").cast("double") / F.col("n_trt").cast("double")
+    did = (post_trt - pre_trt) - (post_ctl - pre_ctl)
+    return j.select(
+        "n_ctl",
+        "n_trt",
+        F.round(pre_ctl, dp).alias("pre_ctl"),
+        F.round(post_ctl, dp).alias("post_ctl"),
+        F.round(pre_trt, dp).alias("pre_trt"),
+        F.round(post_trt, dp).alias("post_trt"),
+        F.round(did, dp).alias("did"),
     )

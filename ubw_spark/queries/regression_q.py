@@ -270,3 +270,65 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 2).cast("long").alias("variant"), "x", "y"
     )
     return cuped_adjust(units, "variant", "x", "y")
+
+
+_DID_SQL = """
+WITH u AS (SELECT user_id,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts < TIMESTAMP '2024-01-15'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                 ELSE 0 END) AS HUGEINT) AS x,
+        CAST(sum(CASE WHEN event_type = 'purchase'
+                       AND ts >= TIMESTAMP '2024-01-15'
+                 THEN CAST(round(value * 100) AS BIGINT)
+                 ELSE 0 END) AS HUGEINT) AS y
+      FROM events GROUP BY 1),
+c AS (SELECT CAST(user_id % 2 AS BIGINT) AS variant, x, y FROM u),
+v AS (SELECT variant, count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy
+      FROM c GROUP BY 1),
+a AS (SELECT n AS n_ctl, sx AS sx_ctl, sy AS sy_ctl FROM v
+      WHERE variant = 0),
+b AS (SELECT n AS n_trt, sx AS sx_trt, sy AS sy_trt FROM v
+      WHERE variant = 1)
+SELECT n_ctl, n_trt,
+  round(sx_ctl::DOUBLE / n_ctl::DOUBLE, 6) AS pre_ctl,
+  round(sy_ctl::DOUBLE / n_ctl::DOUBLE, 6) AS post_ctl,
+  round(sx_trt::DOUBLE / n_trt::DOUBLE, 6) AS pre_trt,
+  round(sy_trt::DOUBLE / n_trt::DOUBLE, 6) AS post_trt,
+  round((sy_trt::DOUBLE / n_trt::DOUBLE - sx_trt::DOUBLE / n_trt::DOUBLE)
+        - (sy_ctl::DOUBLE / n_ctl::DOUBLE
+           - sx_ctl::DOUBLE / n_ctl::DOUBLE), 6) AS did
+FROM a, b
+"""
+
+
+@register(
+    "stats_diff_in_diff",
+    oracle=_DID_SQL,
+    tags=("stats", "events"),
+)
+def stats_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over the same pre/post purchase split
+    as the CUPED readout: the treated arm's post−pre change net of the
+    control arm's — the trend-robust effect estimate completing the
+    experimentation suite (z-test, CUPED, per-arm bootstrap CI, DiD).
+
+    Scale: one per-user aggregate, one 2-row variant aggregate, one
+    1×1 broadcast cross."""
+    from ubw_spark.operators.regression import diff_in_diff
+
+    e = table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-15"))
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    units = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(is_p & (F.col("ts") < cut), cents).otherwise(0)
+        ).alias("x"),
+        F.sum(
+            F.when(is_p & (F.col("ts") >= cut), cents).otherwise(0)
+        ).alias("y"),
+    ).select(
+        (F.col("user_id") % 2).cast("long").alias("variant"), "x", "y"
+    )
+    return diff_in_diff(units, "variant", "x", "y")
