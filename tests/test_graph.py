@@ -168,3 +168,41 @@ class TestItemSimilarity:
         # C appears as an item too (symmetrized), best neighbor A or B
         # with equal cos/sup → tiebreak other asc picks A
         assert top[("C", 1)] == "A" and top[("C", 2)] == "B"
+
+
+class TestAssociationRules:
+    def test_confidence_and_lift_hand_computed(self, spark):
+        from ubw_spark.operators.graph import association_rules
+
+        # 4 groups; A in {1,2,3}, B in {1,2,4}; A∩B in {1,2}
+        rows = [
+            (1, "A"), (1, "B"),
+            (2, "A"), (2, "B"),
+            (3, "A"),
+            (4, "B"),
+        ]
+        df = spark.createDataFrame(rows, "g long, item string")
+        out = {
+            (r["antecedent"], r["consequent"]): r
+            for r in association_rules(
+                df, "g", "item", min_support=1
+            ).collect()
+        }
+        ab = out[("A", "B")]
+        # conf(A→B) = 2/3 → 666 milli; lift = 4*2/(3*3) → 888 milli
+        assert ab["sup"] == 2
+        assert ab["confidence_milli"] == 666
+        assert ab["lift_milli"] == 888
+        ba = out[("B", "A")]
+        assert ba["confidence_milli"] == 666  # symmetric here (both 3)
+        assert ba["lift_milli"] == 888
+
+    def test_rules_are_directed_pairs_of_each_surviving_edge(self, spark):
+        from ubw_spark.operators.graph import association_rules
+
+        rows = [(1, "X"), (1, "Y"), (2, "X"), (2, "Y"), (3, "Z")]
+        df = spark.createDataFrame(rows, "g long, item string")
+        out = association_rules(df, "g", "item", min_support=2).collect()
+        assert {(r["antecedent"], r["consequent"]) for r in out} == {
+            ("X", "Y"), ("Y", "X"),
+        }

@@ -289,3 +289,72 @@ def similar_items_topk(sim: DataFrame, k: int = 3) -> DataFrame:
         .where(F.col("rnk") <= k)
         .select("item", "rnk", "other", "sup", "cos")
     )
+
+
+def association_rules(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """Market-basket association rules from co-occurrence: one DIRECTED
+    rule a→b per ordered pair of a surviving unordered pair —
+    ``(antecedent, consequent, sup, confidence_milli, lift_milli)``
+    where
+
+        confidence = sup(a,b) / groups(a)
+        lift       = N · sup(a,b) / (groups(a) · groups(b))
+
+    in exact integer milli-units (numerators multiplied by ``scale``
+    before the integer division, the pagerank_fixed discipline), with
+    N = distinct groups.  lift > 1000 milli means the pair co-occurs
+    more than independence predicts — the "frequently bought together"
+    cutoff.
+
+    Scale: the pair support is the basket-bounded co-occurrence join;
+    per-item group counts and the N singleton broadcast onto the
+    surviving pairs; symmetrization is a union of two projections."""
+    sup = co_occurrence_support(
+        df, group_col, item_col, min_support=min_support
+    )
+    items = (
+        df.where(F.col(item_col).isNotNull())
+        .groupBy(F.col(item_col).alias("i"))
+        .agg(F.count_distinct(F.col(group_col)).alias("gi"))
+    )
+    n = df.where(F.col(item_col).isNotNull()).agg(
+        F.count_distinct(F.col(group_col)).alias("n_groups")
+    )
+    directed = sup.select(
+        F.col("u").alias("antecedent"),
+        F.col("v").alias("consequent"),
+        "sup",
+    ).unionByName(
+        sup.select(
+            F.col("v").alias("antecedent"),
+            F.col("u").alias("consequent"),
+            "sup",
+        )
+    )
+    ga = F.broadcast(
+        items.select(F.col("i").alias("antecedent"), F.col("gi").alias("ga"))
+    )
+    gb = F.broadcast(
+        items.select(F.col("i").alias("consequent"), F.col("gi").alias("gb"))
+    )
+    return (
+        directed.join(ga, "antecedent")
+        .join(gb, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "sup",
+            F.expr(f"(sup * {scale}) div ga").alias("confidence_milli"),
+            F.expr(f"(sup * n_groups * {scale}) div (ga * gb)").alias(
+                "lift_milli"
+            ),
+        )
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ubw_spark.operators.graph import (
+    association_rules,
     co_occurrence_edges,
     degree_histogram,
     item_similarity,
@@ -199,3 +200,44 @@ def graph_similar_items_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     sim = item_similarity(li, "l_orderkey", "l_partkey", min_support=2)
     return similar_items_topk(sim, k=3)
+
+
+@register(
+    "graph_association_rules",
+    oracle="""
+    WITH inst AS (
+      SELECT DISTINCT a.l_orderkey AS g, a.l_partkey AS u,
+                      b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey),
+    sup AS (SELECT u, v, count(*)::BIGINT AS sup
+            FROM inst GROUP BY 1, 2 HAVING count(*) >= 3),
+    item AS (SELECT l_partkey AS i,
+                    count(DISTINCT l_orderkey)::BIGINT AS gi
+             FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+    n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_groups
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+    directed AS (SELECT u AS antecedent, v AS consequent, sup FROM sup
+                 UNION ALL
+                 SELECT v AS antecedent, u AS consequent, sup FROM sup)
+    SELECT d.antecedent, d.consequent, d.sup,
+           CAST((d.sup * 1000) // ia.gi AS BIGINT) AS confidence_milli,
+           CAST((d.sup * n.n_groups * 1000) // (ia.gi * ib.gi) AS BIGINT)
+             AS lift_milli
+    FROM directed d
+    JOIN item ia ON d.antecedent = ia.i
+    JOIN item ib ON d.consequent = ib.i, n
+    """,
+    tags=("graph", "join", "llm"),
+)
+def graph_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket rules over co-purchase baskets (support ≥ 3):
+    directed confidence and lift in exact integer milli-units — the
+    "customers who bought X also bought Y" table with its
+    independence-relative strength.
+
+    Scale: pair support is the basket-bounded join; item group counts
+    and the distinct-group total broadcast onto the surviving pairs."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return association_rules(li, "l_orderkey", "l_partkey", min_support=3)
