@@ -164,3 +164,37 @@ def test_moments_store_incremental_fit(spark, emb_df, tmp_path):
     assert np.allclose(
         got["components"], want["components"], atol=1e-7
     )
+
+
+def test_moments_append_replay_idempotent(spark, emb_df, tmp_path):
+    """ADVICE r8: append_moments_batch runs the rewrite cycle and a
+    replayed batch_id is a no-op — ADD-merged moments would otherwise
+    double-count under at-least-once delivery."""
+    from ubw_spark.operators.pca import (
+        append_moments_batch,
+        pca_fit_from_store,
+        write_moments_store,
+    )
+    from ubw_spark.operators.versioned import current_version
+
+    df, _ = emb_df
+    path = str(tmp_path / "moments_r")
+    first = df.where(F.col("vec_id") < 100)
+    rest = df.where(F.col("vec_id") >= 100)
+    write_moments_store(first, "embedding", path)
+    append_moments_batch(rest, "embedding", path, batch_id=1)
+    assert current_version(path) == 1
+    want = pca_fit_from_store(spark, path, r=3)
+    append_moments_batch(rest, "embedding", path, batch_id=1)  # replay
+    assert current_version(path) == 1  # no-op
+    got = pca_fit_from_store(spark, path, r=3)
+    assert np.allclose(got["eigvals"], want["eigvals"], rtol=0)
+    assert np.allclose(got["mean"], want["mean"], atol=0)
+
+
+def test_pca_fit_rejects_r_above_dimension(spark, emb_df):
+    """ADVICE r8: r > d must raise a clear ValueError, not an opaque
+    IndexError from the sign-canonicalization."""
+    df, _ = emb_df
+    with pytest.raises(ValueError, match="r must be <= d"):
+        pca_fit(df.limit(20), "embedding", r=D + 1)

@@ -213,3 +213,20 @@ def test_winsorized_mean_clamps_tail(spark):
     # mean collapses toward 10 while the raw mean is ~109.9
     assert r["mean_raw"] == pytest.approx(109.9)
     assert r["mean_winsorized"] < 12
+
+
+def test_hist_merge_rejects_grouped_cells(spark):
+    """ADVICE r8: hist_merge's groupBy('bin') would silently collapse a
+    grouped_hist_build result's segments into one histogram — inputs
+    that are not exactly (bin, cnt) must raise."""
+    from ubw_spark.operators.qsketch import grouped_hist_build
+
+    rows = [("a", 1), ("a", 5), ("b", 9)]
+    df = spark.createDataFrame(rows, "seg string, v int")
+    g = grouped_hist_build(df, ["seg"], "v", lo=0, hi=10, nbins=4)
+    flat = _cells(spark.createDataFrame(rows, "seg string, v int")
+                  .selectExpr("v as v"))
+    with pytest.raises(ValueError, match="exactly columns"):
+        hist_merge(g, g)
+    with pytest.raises(ValueError, match="exactly columns"):
+        hist_merge(flat, g)

@@ -214,3 +214,47 @@ def test_diff_in_diff_rejects_wrong_variants(spark):
     df = spark.createDataFrame([(2, 1, 1)], "variant long, x long, y long")
     with pytest.raises(ValueError, match="exactly variants"):
         diff_in_diff(df, "variant", "x", "y")
+
+
+def test_ols_and_corr_exclude_null_rows(spark):
+    """ADVICE r8: count() counts all rows while sum() skips NULLs — a
+    NULL x or y must not corrupt slope/r2/corr; complete-case filter
+    up front, the cuped_adjust rule applied uniformly."""
+    from ubw_spark.operators.regression import (
+        correlation_matrix,
+        groupwise_ols,
+    )
+
+    clean = [("g", float(i), float(2 * i + 1)) for i in range(10)]
+    dirty = clean + [("g", None, 99.0), ("g", 5.0, None), ("g", None, None)]
+    dc = spark.createDataFrame(clean, "g string, x double, y double")
+    dd = spark.createDataFrame(dirty, "g string, x double, y double")
+    want = groupwise_ols(dc, ["g"], "x", "y").collect()[0]
+    got = groupwise_ols(dd, ["g"], "x", "y").collect()[0]
+    assert tuple(got) == tuple(want)
+    assert got["n"] == 10 and got["slope"] == 2.0
+    wantc = correlation_matrix(dc, [("x", "x", 1), ("y", "y", 1)]).collect()
+    gotc = correlation_matrix(dd, [("x", "x", 1), ("y", "y", 1)]).collect()
+    assert [tuple(r) for r in gotc] == [tuple(r) for r in wantc]
+    assert gotc[0]["n"] == 10 and gotc[0]["corr"] == 1.0
+
+
+def test_variant_validators_survive_null_ids(spark):
+    """ADVICE r8: a NULL variant id must fire the intended ValueError
+    naming the bad variants, not a None-vs-int TypeError in sorted()."""
+    from ubw_spark.operators.regression import (
+        diff_in_diff,
+        two_proportion_z,
+    )
+
+    units = spark.createDataFrame(
+        [(0, 1), (1, 0), (None, 1)], "variant int, success int"
+    )
+    with pytest.raises(ValueError, match="two_proportion_z"):
+        two_proportion_z(units, "variant", "success")
+    pp = spark.createDataFrame(
+        [(0, 1, 2), (1, 3, 4), (None, 5, 6)],
+        "variant int, pre int, post int",
+    )
+    with pytest.raises(ValueError, match="diff_in_diff"):
+        diff_in_diff(pp, "variant", "pre", "post")

@@ -258,3 +258,41 @@ def test_hard_negatives_exclude_phrase_matches(spark, sf_dir):
         & (F.col("text").contains("hash") | F.col("text").contains("join"))
     ).count()
     assert with_term == len(neg_ids)
+
+
+def test_append_is_versioned_and_replay_idempotent(
+    spark, docs_df, tmp_path
+):
+    """ADVICE r8: append_term_batch must run the full rewrite cycle —
+    a new version dir per append (never an in-place mutation of the
+    live root) — and a replayed batch_id must be a no-op before any
+    write (the append_cms_batch contract)."""
+    from ubw_spark.operators.versioned import current_version
+
+    path = str(tmp_path / "ti_v")
+    first = docs_df.where(F.col("doc_id") < 3)
+    rest = docs_df.where(F.col("doc_id") >= 3)
+    write_term_index(first, "doc_id", "text", path)
+    assert current_version(path) == 0
+    append_term_batch(rest, "doc_id", "text", path, batch_id=7)
+    assert current_version(path) == 1  # append = rewrite cycle, flip
+    st = read_term_stats(path)
+    assert st["n_docs"] == len(DOCS)
+    assert st["last_batch_id"] == 7
+    # replay the same micro-batch: stats AND postings must not move
+    q = "hash join slow stream"
+    before = sorted(probe_term_index(spark, path, q, k=10).collect())
+    append_term_batch(rest, "doc_id", "text", path, batch_id=7)
+    assert current_version(path) == 1  # no-op: no new version
+    assert read_term_stats(path)["n_docs"] == len(DOCS)
+    after = sorted(probe_term_index(spark, path, q, k=10).collect())
+    assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    # a NEW batch id after the replay still folds in
+    more = spark.createDataFrame(
+        [(99, "hash hash hash")], "doc_id bigint, text string"
+    )
+    append_term_batch(more, "doc_id", "text", path, batch_id=8)
+    assert read_term_stats(path)["n_docs"] == len(DOCS) + 1
+    assert probe_term_index(spark, path, "hash", k=1).collect()[0][
+        "doc_id"
+    ] == 99

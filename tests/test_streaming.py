@@ -763,8 +763,10 @@ def test_stream_incremental_term_index_search(spark, tmp_path):
                 shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
         shutil.rmtree(staging)
 
-    def handle(bdf, _bid):
-        append_term_batch(bdf, "doc_id", "text", path)
+    def handle(bdf, bid):
+        # foreachBatch is at-least-once: the batch_id high-water mark
+        # in the stats sidecar makes a redelivered batch a no-op
+        append_term_batch(bdf, "doc_id", "text", path, batch_id=bid)
 
     stream = spark.readStream.schema("doc_id bigint, text string").parquet(inc)
     q = (

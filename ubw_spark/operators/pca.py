@@ -174,6 +174,11 @@ def _fit_from_moment_rows(rows, r: int) -> dict:
     import numpy as np
 
     d = max(row["j"] for row in rows) + 1
+    if r > d:
+        raise ValueError(
+            f"pca_fit: r={r} components requested but the vectors have "
+            f"only d={d} dimensions — r must be <= d"
+        )
     cov = np.zeros((d, d))
     mean = np.zeros(d)
     for row in rows:
@@ -227,6 +232,10 @@ def pca_project(
 
 # ---------------------------------------------------------------- store
 
+#: Sidecar pinning append bookkeeping (the replay high-water mark);
+#: absent on pre-sidecar stores, which stay readable.
+MOMENTS_PARAMS = "_PCA_PARAMS"
+
 
 def write_moments_store(
     emb: DataFrame, vec_col: str, path: str, *, method: str = "numpy"
@@ -236,7 +245,11 @@ def write_moments_store(
     so batches MERGE EXACTLY by (i, j) addition, which a covariance or
     eigenvector store never could.  A nightly re-fit reads this store
     instead of re-scanning the corpus."""
-    from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
 
     agg = (
         _numpy_moments(emb, vec_col)
@@ -245,24 +258,72 @@ def write_moments_store(
     )
     cur, new_v, root = begin_rewrite(path)
     agg.coalesce(1).write.mode("overwrite").parquet(root)
+    write_sidecar(root, MOMENTS_PARAMS, {})
     commit_rewrite(path, cur, new_v)
 
 
 def append_moments_batch(
-    batch: DataFrame, vec_col: str, path: str, *, method: str = "numpy"
+    batch: DataFrame,
+    vec_col: str,
+    path: str,
+    *,
+    method: str = "numpy",
+    batch_id: int | None = None,
 ) -> None:
-    """Fold a new batch's moments into the live store version: APPEND
-    the partial rows — the fit re-aggregates by (i, j), and sums are
+    """Fold a new batch's moments into the store: sums are
     associative, so append-then-fit equals fit-from-scratch (pinned in
-    tests).  Cost ∝ the batch, never the corpus."""
-    from ubw_spark.operators.versioned import resolve_root
+    tests).  Cost ∝ the batch plus the d(d+1)/2-row store itself,
+    never the corpus.
 
+    Runs the full versioned rewrite cycle (the append_term_batch /
+    append_cms_batch discipline): the new version holds the (i, j)
+    re-aggregated union of live + batch rows — the store stays at
+    exactly d(d+1)/2 rows however many appends land (compaction for
+    free; the moments frame is tiny, so a full rewrite is cheap) —
+    and the manifest flips once, so a crash mid-append leaves the live
+    version untouched.  ADD-merge is not replay-idempotent: streaming
+    callers MUST pass ``batch_id``; the sidecar's high-water mark
+    makes a redelivered micro-batch a no-op before any write."""
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        read_sidecar,
+        resolve_root,
+        write_sidecar,
+    )
+
+    old_root = resolve_root(path)
+    try:
+        params = read_sidecar(old_root, MOMENTS_PARAMS, "pca-moments")
+    except ValueError:
+        params = {}  # pre-sidecar store: still readable, no high-water
+    if batch_id is not None:
+        last = params.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded in
     agg = (
         _numpy_moments(batch, vec_col)
         if method == "numpy"
         else _sql_moments(batch, vec_col)
     )
-    agg.coalesce(1).write.mode("append").parquet(resolve_root(path))
+    spark = batch.sparkSession
+    merged = (
+        spark.read.parquet(old_root)
+        .unionByName(agg)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("si").alias("si"),
+            F.sum("sj").alias("sj"),
+            F.sum("n").alias("n"),
+        )
+    )
+    cur, new_v, new_root = begin_rewrite(path)
+    merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    if batch_id is not None:
+        params["last_batch_id"] = batch_id
+    write_sidecar(new_root, MOMENTS_PARAMS, params)
+    commit_rewrite(path, cur, new_v)
 
 
 def pca_fit_from_store(spark, path: str, r: int) -> dict:

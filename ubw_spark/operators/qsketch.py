@@ -126,7 +126,18 @@ def grouped_hist_build(
 
 def hist_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Cell-wise sum — hist(A ∪ B) exactly; raises on a range/bin
-    mismatch (cross-range cells would silently mis-bin)."""
+    mismatch (cross-range cells would silently mis-bin) and on any
+    input that is not exactly ``(bin, cnt)`` — the groupBy('bin')
+    below would otherwise silently collapse a grouped_hist_build
+    result's segments into one histogram (the same guard
+    write_hist_store applies)."""
+    for side, name in ((a, "a"), (b, "b")):
+        if set(side.columns) != {"bin", "cnt"}:
+            raise ValueError(
+                "hist_merge: input %s must have exactly columns "
+                "{bin, cnt}, got %s — merge grouped histograms "
+                "per-segment, not through hist_merge" % (name, side.columns)
+            )
     sa, sb = _check_shape(a, "hist_merge"), _check_shape(b, "hist_merge")
     if sa != sb:
         raise ValueError(f"hist_merge: shape mismatch {sa} vs {sb}")

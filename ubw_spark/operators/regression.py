@@ -74,7 +74,15 @@ def groupwise_ols(
     to ``dp``.  Degenerate groups (constant x → den=0, or constant y →
     r2 undefined) yield NULL rather than ±inf.
 
-    One shuffle, O(groups) rows after map-side combine."""
+    One shuffle, O(groups) rows after map-side combine.
+
+    Rows with a NULL x OR y are EXCLUDED up front (complete-case):
+    count() counts every row while sum() skips NULLs, so keeping them
+    would mix an n-row count with (n−k)-row sums and silently corrupt
+    slope/intercept/r2 — the cuped_adjust rule, applied uniformly."""
+    df = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
     x = _scaled(x_col, x_scale)
     y = _scaled(y_col, y_scale)
     agg = df.groupBy(*group_cols).agg(
@@ -135,7 +143,17 @@ def correlation_matrix(
 
     The aggregate reduces to a single row regardless of input size
     (map-side combine does the real work); the pair rows are exploded
-    from that one row, so no second pass over the data."""
+    from that one row, so no second pass over the data.
+
+    Complete-case: rows with a NULL in ANY spec column are excluded up
+    front, so n and every sum agree on the same row set (the same
+    count-vs-sum NULL rule as :func:`groupwise_ols`; listwise deletion
+    keeps the one-pass shape — per-pair deletion would need a separate
+    n per pair and forfeit the shared aggregate)."""
+    keep = F.lit(True)
+    for _, c, _ in specs:
+        keep = keep & F.col(c).isNotNull()
+    df = df.where(keep)
     cols = [(name, _scaled(c, s)) for name, c, s in specs]
     sums = [F.sum(x).alias(f"s_{name}") for name, x in cols]
     prods = [
@@ -209,8 +227,11 @@ def two_proportion_z(
     # rows) is a wrong-experiment readout, not a judgement call.
     # Bounded collect: limit(3) caps it at three rows even if the
     # variant column is corrupt-high-cardinality.
+    # key=repr: a NULL variant id must surface in the ValueError below,
+    # not crash sorted() with a None-vs-int TypeError.
     ids = sorted(
-        r["variant"] for r in v.select("variant").limit(3).collect()
+        (r["variant"] for r in v.select("variant").limit(3).collect()),
+        key=repr,
     )
     if ids != [0, 1]:
         raise ValueError(
@@ -349,8 +370,11 @@ def diff_in_diff(
         F.sum(x).alias("sx"),
         F.sum(y).alias("sy"),
     )
+    # key=repr: a NULL variant id must surface in the ValueError below,
+    # not crash sorted() with a None-vs-int TypeError.
     ids = sorted(
-        r["variant"] for r in v.select("variant").limit(3).collect()
+        (r["variant"] for r in v.select("variant").limit(3).collect()),
+        key=repr,
     )
     if ids != [0, 1]:
         raise ValueError(

@@ -414,30 +414,60 @@ def append_term_batch(
     id_col: str,
     text_col: str,
     path: str,
+    *,
+    batch_id: int | None = None,
 ) -> None:
-    """Fold a new document batch into the live index: append its
-    posting files into the bucket partitions (under the sidecar's
-    pinned modulus) and merge the stats sidecar EXACTLY (counts add;
-    avgdl is derived, never stored).  Ids must be unique across
-    appends (lakehouse contract, as in append_minhash_batch); removals
-    go through compaction.  df needs no maintenance at all — probes
-    count it from the postings."""
-    root = resolve_root(path)
-    old = _read_stats_at(root, path)
+    """Fold a new document batch into the index: the batch's posting
+    files land in the bucket partitions (under the sidecar's pinned
+    modulus) and the stats sidecar merges EXACTLY (counts add; avgdl
+    is derived, never stored).  Ids must be unique across appends
+    (lakehouse contract, as in append_minhash_batch); removals go
+    through compaction.
+
+    Crash-safe via the full versioned rewrite cycle: the new version
+    dir = hardlinks to every live posting file (link_carryover —
+    O(files) metadata, never O(corpus bytes)) + the batch's new files
+    + the merged sidecar, then ONE manifest flip.  The old in-place
+    append-then-overwrite left a torn store on a crash between the two
+    writes and let a concurrent probe read new postings under old
+    stats; here a reader resolves either the old version or the new
+    one, both complete.
+
+    ADD-merge stats are NOT replay-idempotent: streaming callers
+    (foreachBatch is at-least-once) MUST pass the framework's
+    ``batch_id`` — the sidecar keeps the high-water mark and an
+    already-folded id is a no-op BEFORE any write (the
+    append_cms_batch contract)."""
+    from ubw_spark.operators.versioned import link_carryover
+
+    old_root = resolve_root(path)
+    old = _read_stats_at(old_root, path)
+    if batch_id is not None:
+        last = old.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded in
+    cur, new_v, new_root = begin_rewrite(path)
+    link_carryover(old_root, new_root, skip_files=(STATS_FILE,))
     (
         _bucketed_postings(batch, id_col, text_col, old["buckets"])
         .repartition("tb")
         .write.mode("append")
         .partitionBy("tb")
-        .parquet(root)
+        .parquet(new_root)
     )
     st = _corpus_stats(batch, text_col).collect()[0]
-    _write_stats(
-        root,
-        old["n_docs"] + st["n_docs"],
-        old["total_tokens"] + st["total_tokens"],
-        old["buckets"],
-    )
+    merged = {
+        "n_docs": old["n_docs"] + st["n_docs"],
+        "total_tokens": old["total_tokens"] + st["total_tokens"],
+        "buckets": old["buckets"],
+    }
+    if batch_id is not None:
+        merged["last_batch_id"] = batch_id
+    elif old.get("last_batch_id") is not None:
+        merged["last_batch_id"] = old["last_batch_id"]
+    with open(os.path.join(new_root, STATS_FILE), "w") as f:
+        json.dump(merged, f)
+    commit_rewrite(path, cur, new_v)
 
 
 def probe_term_index(

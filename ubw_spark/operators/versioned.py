@@ -126,6 +126,45 @@ def commit_rewrite(
                 shutil.rmtree(p)
 
 
+def link_carryover(
+    src_root: str, dst_root: str, *, skip_files: tuple[str, ...] = ()
+) -> None:
+    """Hardlink every data file of the live version into a new version
+    dir — the carryover half of an APPEND-through-rewrite cycle: the
+    new version = links to all old files + the batch's new files +
+    a fresh sidecar, then one manifest flip.  A crash anywhere before
+    the flip leaves the live version byte-identical (no in-place
+    append ever touches a directory a reader may hold open), which is
+    the property plain ``mode("append")`` into the resolved root
+    cannot give when a sidecar must change in the same step.
+
+    Cost is O(files) metadata operations, never O(bytes): hardlinks
+    locally / HDFS; on S3 or GCS the equivalent is a server-side
+    CopyObject per file (no data through compute) or, better, a
+    file-list manifest — this module's pointer trick one level down.
+    Falls back to a real copy when the filesystem refuses links
+    (cross-device).
+
+    ``skip_files``: exact file names NOT carried over (sidecars the
+    caller rewrites).  Version dirs, ``_CURRENT`` and ``*.tmp`` under
+    ``src_root`` are always skipped — they only appear when the source
+    is a legacy flat root (src == store path)."""
+    for root, dirs, files in os.walk(src_root):
+        dirs[:] = [d for d in dirs if not _VDIR_RE.match(d)]
+        rel = os.path.relpath(root, src_root)
+        out = dst_root if rel == "." else posixpath.join(dst_root, rel)
+        os.makedirs(out, exist_ok=True)
+        for f in files:
+            if f == MANIFEST or f.endswith(".tmp") or f in skip_files:
+                continue
+            src = os.path.join(root, f)
+            dst = posixpath.join(out, f)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+
+
 def compact_partitioned_store(
     spark,
     path: str,
