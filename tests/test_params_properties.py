@@ -96,3 +96,78 @@ def test_unknown_keys_are_exact_noops(spark, friend_df):
         ),
     ).collect()
     assert clean == noisy
+
+
+# ---------------------------------------------------------------- keyset
+
+
+KEYSET_SPEC = QuerySpec(
+    [
+        ColumnSpec("age", orderable=True, default_desc=True),
+        ColumnSpec("id", orderable=True),
+        ColumnSpec("name"),
+    ]
+)
+_ORDERS = [("age", True), ("id", False)]
+
+
+def _page(df, after=None, take=2, **kw):
+    return apply_params(
+        df, KEYSET_SPEC,
+        QueryParams(orders=_ORDERS, after_key=after, take=take, **kw),
+    ).collect()
+
+
+def test_keyset_pages_equal_offset_pages(spark, friend_df):
+    """Walking the whole relation by keyset cursor reproduces the
+    offset paging row-for-row — including across the NULL-age row
+    (NULLS LAST): the boundary predicate must admit NULL keys after
+    any value and order ties by the unique id tiebreak."""
+    full = apply_params(
+        friend_df, KEYSET_SPEC, QueryParams(orders=_ORDERS)
+    ).collect()
+    walked, after = [], None
+    while True:
+        page = _page(friend_df, after)
+        if not page:
+            break
+        walked.extend(page)
+        after = {"age": page[-1]["age"], "id": page[-1]["id"]}
+    assert [tuple(r) for r in walked] == [tuple(r) for r in full]
+    # a NULL boundary age: only deeper-tie rows may follow
+    assert walked[-1]["age"] is None
+
+
+def test_keyset_is_take_ordered_no_offset(spark, friend_df):
+    """The page plan must be TakeOrderedAndProject with NO offset —
+    the whole point of keyset paging is that page depth never enters
+    the plan."""
+    out = apply_params(
+        friend_df, KEYSET_SPEC,
+        QueryParams(orders=_ORDERS, after_key={"age": 30, "id": 2}, take=2),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "offset=" not in plan.lower().replace("offset= ", "offset=")
+
+
+def test_keyset_rejects_partial_boundary_and_offset_mix(spark, friend_df):
+    with pytest.raises(ValueError, match="exactly the effective sort"):
+        _page(friend_df, {"age": 30})
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        _page(friend_df, {"age": 30, "id": 2}, drop=2)
+    with pytest.raises(ValueError, match="requires orders"):
+        apply_params(
+            friend_df, KEYSET_SPEC,
+            QueryParams(after_key={"age": 30, "id": 2}, take=2),
+        ).collect()
+
+
+def test_keyset_all_null_boundary_is_terminal(spark, friend_df):
+    """A boundary row whose keys are all NULL is the true end of a
+    NULLS-LAST order (when the tiebreak is also exhausted): the next
+    page must be empty, not an error."""
+    one_null = friend_df.where(F.col("id") == 4).withColumn(
+        "id", F.lit(None).cast("bigint")
+    )
+    assert _page(one_null, {"age": None, "id": None}) == []

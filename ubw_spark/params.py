@@ -30,9 +30,12 @@ filter → orderBy → offset/limit → project — so Catalyst gets full
 pushdown/pruning freedom.  A global orderBy is a range-partitioned
 shuffle; at 100 TB paging deep into a total order is inherently
 expensive, so ``limit`` without deep offset stays cheap
-(TakeOrderedAndProject) while deep offsets should be re-expressed as
-keyset pagination by the caller (predicate on the last-seen sort key —
-also expressible with these same params).
+(TakeOrderedAndProject) while deep offsets are re-expressed as KEYSET
+pagination: ``QueryParams(after_key={...})`` compiles the last-seen
+sort-key row into a lexicographic strictly-after predicate (NULLS-LAST
+exact), so every page costs one TakeOrderedAndProject regardless of
+depth — see :func:`_keyset_predicate` and the oracled
+``engine_keyset_paging`` query.
 """
 
 from __future__ import annotations
@@ -74,6 +77,7 @@ class QueryParams:
     page_index: int | None = None  # 1-based
     page_size: int | None = None
     select: tuple | None = None  # list-driven projection (P4); None = all
+    after_key: dict[str, Any] | None = None  # keyset paging boundary
 
     def __init__(
         self,
@@ -84,6 +88,7 @@ class QueryParams:
         page_index: int | None = None,
         page_size: int | None = None,
         select: list | tuple | None = None,
+        after_key: dict[str, Any] | None = None,
     ):
         object.__setattr__(self, "orders", tuple(orders))
         object.__setattr__(self, "filters", dict(filters or {}))
@@ -93,6 +98,9 @@ class QueryParams:
         object.__setattr__(self, "page_size", page_size)
         object.__setattr__(
             self, "select", tuple(select) if select is not None else None
+        )
+        object.__setattr__(
+            self, "after_key", dict(after_key) if after_key else None
         )
 
     def offset_limit(self) -> tuple[int | None, int | None]:
@@ -142,6 +150,65 @@ def _effective_order_keys(
     return [
         (s, requested[s.name]) for s in spec.columns if s.name in requested
     ]
+
+
+def _keyset_predicate(
+    keys: list[tuple[ColumnSpec, bool]], after_key: dict[str, Any]
+) -> Column:
+    """Compile the last-seen sort-key row into a lexicographic
+    strictly-after predicate — keyset pagination, the deep-offset
+    answer (docs/SCALE.md): OFFSET n must sort-and-discard n rows on
+    every page, while this predicate is sargable, pushes toward the
+    scan, and keeps every page at TakeOrderedAndProject cost.
+
+    For effective keys (k1, d1), (k2, d2), ... and boundary values
+    (v1, v2, ...):
+
+        after = (k1 STRICTLY-AFTER v1)
+             OR (k1 AT v1 AND k2 STRICTLY-AFTER v2) OR ...
+
+    honoring NULLS-LAST exactly: a non-null boundary is strictly
+    passed by ``k > v`` (``<`` for desc) OR ``k IS NULL`` (nulls sort
+    after every value in BOTH directions here); a NULL boundary admits
+    no strictly-after value at that level, only deeper-level ties
+    (``k IS NULL`` is the tie condition).  With the standard contract
+    — the key set ends in a unique tiebreak column — page N+1 under
+    this predicate is row-for-row the OFFSET equivalent (oracled by
+    ``engine_keyset_paging``).
+
+    Raises (never silently ignores) when ``after_key`` does not cover
+    exactly the effective sort columns: a partial boundary would
+    silently return rows from the wrong page — a correctness hazard,
+    not a capability negotiation like the orders/filters whitelists.
+    """
+    eff_names = [s.name for s, _ in keys]
+    if sorted(after_key) != sorted(eff_names):
+        raise ValueError(
+            f"after_key must name exactly the effective sort columns "
+            f"{eff_names}, got {sorted(after_key)} — keyset paging "
+            "needs the full boundary row (include a unique tiebreak "
+            "key in orders)"
+        )
+    disjuncts: list[Column] = []
+    for i, (s, is_desc) in enumerate(keys):
+        conj: list[Column] = []
+        for s_prev, _ in keys[:i]:
+            v_prev = after_key[s_prev.name]
+            conj.append(
+                F.col(s_prev.name).isNull()
+                if v_prev is None
+                else F.col(s_prev.name) == F.lit(v_prev)
+            )
+        v = after_key[s.name]
+        if v is None:
+            continue  # nothing sorts strictly after NULL (nulls last)
+        c = F.col(s.name)
+        strict = (c < F.lit(v)) if is_desc else (c > F.lit(v))
+        conj.append(strict | c.isNull())
+        disjuncts.append(reduce(lambda a, b: a & b, conj))
+    if not disjuncts:
+        return F.lit(False)  # boundary row is all-NULL: nothing after
+    return reduce(lambda a, b: a | b, disjuncts)
 
 
 def validate_params(spec: QuerySpec, params: QueryParams) -> list[str]:
@@ -206,6 +273,25 @@ def apply_params(
         out = out.where(pred)
 
     keys = _effective_order_keys(spec, params.orders)
+
+    offset, limit = params.offset_limit()
+    if params.after_key is not None:
+        # Keyset page: boundary predicate instead of a growing OFFSET —
+        # combining both would double-skip, so it is a hard error.
+        if offset:
+            raise ValueError(
+                "after_key (keyset paging) and drop/page_index (offset "
+                "paging) are mutually exclusive — the boundary row "
+                "already encodes the page position"
+            )
+        if not keys:
+            raise ValueError(
+                "after_key requires orders: keyset paging is only "
+                "defined over the effective sort columns"
+            )
+        out = out.where(_keyset_predicate(keys, params.after_key))
+        offset = None
+
     if keys:
         out = out.orderBy(
             *[
@@ -214,7 +300,6 @@ def apply_params(
             ]
         )
 
-    offset, limit = params.offset_limit()
     if offset:
         out = out.offset(offset)
     if limit is not None:

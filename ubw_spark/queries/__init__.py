@@ -29,6 +29,7 @@ from ubw_spark.queries import vocabulary  # noqa: F401
 from ubw_spark.queries import textnorm_q  # noqa: F401
 from ubw_spark.queries import tokens_funnel  # noqa: F401
 from ubw_spark.queries import winnow_q  # noqa: F401
+from ubw_spark.queries import sources_q  # noqa: F401
 from ubw_spark.queries import splits_q  # noqa: F401
 from ubw_spark.queries import shards_q  # noqa: F401
 from ubw_spark.queries import sketch_q  # noqa: F401

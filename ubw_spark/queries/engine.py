@@ -176,3 +176,50 @@ def engine_projection_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=[("hidden_key", False)], take=10, select=["hidden_key", "nation"]
     )
     return apply_params(table(spark, sf_dir, "nation"), spec, params)
+
+
+@register(
+    "engine_keyset_paging",
+    oracle="""
+    SELECT o_orderkey AS okey, o_totalprice AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 60
+    """,
+    tags=("engine", "paging"),
+)
+def engine_keyset_paging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 at scale: page 4 fetched by KEYSET (after_key = the boundary
+    row that ends page 3) must equal the OFFSET 60 page row-for-row —
+    the oracle IS the offset form.  OFFSET n sorts and discards n rows
+    on every page (cost grows with depth); the keyset predicate is a
+    sargable filter, so every page stays at TakeOrderedAndProject cost
+    (plan-asserted in tests/test_params.py).  The key set ends in the
+    unique o_orderkey tiebreak — the contract that makes the two
+    pagings row-identical."""
+    spec = QuerySpec(
+        [
+            ColumnSpec(
+                "price", expr="o_totalprice", orderable=True,
+                default_desc=True,
+            ),
+            ColumnSpec("okey", expr="o_orderkey", orderable=True),
+        ]
+    )
+    orders_df = table(spark, sf_dir, "orders")
+    # The previous page's last row — in a service this arrives FROM the
+    # client as the page cursor; here it is fetched once (1 bounded row)
+    boundary = apply_params(
+        orders_df,
+        spec,
+        QueryParams(
+            orders=[("price", True), ("okey", False)], drop=59, take=1
+        ),
+    ).collect()[0]
+    page4 = QueryParams(
+        orders=[("price", True), ("okey", False)],
+        after_key={"price": boundary["price"], "okey": boundary["okey"]},
+        take=20,
+    )
+    out = apply_params(orders_df, spec, page4)
+    return out.select("okey", "price")
