@@ -1515,3 +1515,52 @@ def test_fence_identity_and_pushdown_block(spark):
     fenced = b.where(F.col("n") > 0)
     assert hof_filter_violations(fenced) == []
     assert sorted(r["id"] for r in fenced.collect()) == [1]
+
+
+def test_reliable_checkpoint_mode(spark, tmp_path):
+    """VERDICT r8 #4: iterative operators accept checkpoint="reliable"
+    — durable per-round truncation via the context's checkpoint dir
+    (executor-loss-safe at cluster scale) — and refuse it loudly when
+    no checkpoint dir is configured."""
+    import pytest as _pytest
+
+    from ubw_spark.operators.bpe import bpe_train_merges
+    from ubw_spark.operators.components import connected_components
+    from ubw_spark.operators.graph import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    sc = spark.sparkContext
+    had = not sc._jsc.sc().getCheckpointDir().isEmpty()
+    if not had:
+        with _pytest.raises(ValueError, match="setCheckpointDir"):
+            connected_components(edges, checkpoint="reliable").collect()
+    with _pytest.raises(ValueError, match="unknown checkpoint mode"):
+        connected_components(edges, checkpoint="bogus").collect()
+
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    comp = {r["node"]: r["component"]
+            for r in connected_components(
+                edges, checkpoint="reliable").collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # the durable state actually landed in the configured dir
+    import os
+    assert any(os.scandir(str(tmp_path / "ckpt")))
+
+    pr_edges = edges.withColumnRenamed("id_a", "u").withColumnRenamed(
+        "id_b", "v"
+    )
+    local = {(r["node"], r["r"]) for r in pagerank_fixed(
+        pr_edges, iterations=4, checkpoint_every=2).collect()}
+    reliable = {(r["node"], r["r"]) for r in pagerank_fixed(
+        pr_edges, iterations=4, checkpoint_every=2,
+        checkpoint="reliable").collect()}
+    assert local == reliable  # policy changes durability, never values
+
+    docs = spark.createDataFrame(
+        [("low lower lowest",), ("low low newer",)], "text string"
+    )
+    assert bpe_train_merges(docs, "text", 3) == bpe_train_merges(
+        docs, "text", 3, checkpoint="reliable"
+    )

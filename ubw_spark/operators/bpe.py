@@ -30,6 +30,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ubw_spark.operators.iterate import truncate
+
 from ubw_spark.functions.text import tokens
 
 
@@ -135,22 +137,22 @@ def apply_merge(sym_col: Column, left: str, right: str) -> Column:
 
 
 def bpe_train_merges(
-    df: DataFrame, text_col: str, k: int
+    df: DataFrame, text_col: str, k: int, *, checkpoint: str = "local"
 ) -> list[tuple[str, str]]:
     """The first ``k`` BPE merges of the corpus, most-frequent first
     (ties: lexicographic (left, right) — deterministic across engines
     and partitionings).  Stops early when no pair remains.
 
     Driver loop cost per round: one vocab-sized aggregate + a ONE-ROW
-    collect + a map-only fold; ``localCheckpoint`` truncates lineage
-    so round k doesn't replan rounds 1..k-1 (the connected-components
-    pattern)."""
+    collect + a map-only fold; per-round truncation keeps round k from
+    replanning rounds 1..k-1 (the connected-components pattern), with
+    ``checkpoint="reliable"`` for durable executor-loss-safe rounds on
+    a cluster (operators/iterate.py)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    cur = (
-        word_freqs(df, text_col)
-        .withColumn("sym", F.split("word", ""))
-        .localCheckpoint()
+    cur = truncate(
+        word_freqs(df, text_col).withColumn("sym", F.split("word", "")),
+        checkpoint,
     )
     merges: list[tuple[str, str]] = []
     for _ in range(k):
@@ -164,9 +166,10 @@ def bpe_train_merges(
             break
         left, right = top[0]["left"], top[0]["right"]
         merges.append((left, right))
-        cur = cur.withColumn(
-            "sym", apply_merge(F.col("sym"), left, right)
-        ).localCheckpoint()
+        cur = truncate(
+            cur.withColumn("sym", apply_merge(F.col("sym"), left, right)),
+            checkpoint,
+        )
     return merges
 
 

@@ -5,10 +5,10 @@ Algorithm: iterative min-label propagation.  Every node starts labeled
 with itself; each round every node takes the min of its own label and
 its neighbors' labels; converges in O(graph diameter) rounds.  Each
 round is one join + one aggregation — all shuffles on node ids, nothing
-quadratic.  Lineage is truncated per round (localCheckpoint) so 20
-rounds don't build a 20-deep plan; on a cluster use
-``spark.sparkContext.setCheckpointDir`` + checkpoint for fault-tolerant
-truncation instead.
+quadratic.  Lineage is truncated per round so 20 rounds don't build a
+20-deep plan — ``checkpoint="local"`` (default) or
+``checkpoint="reliable"`` for executor-loss-safe durable rounds on a
+cluster with a configured checkpoint dir (operators/iterate.py).
 
 Near-dup graphs have tiny diameters (duplicate clusters are dense), so
 convergence is typically 2-4 rounds; ``max_iter`` is the runaway guard.
@@ -19,16 +19,25 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ubw_spark.operators.iterate import truncate
+
 
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    *,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Returns (node, component) where component = min node id reachable.
 
-    ``edges`` is undirected input (each pair once is fine)."""
+    ``edges`` is undirected input (each pair once is fine).
+
+    ``checkpoint``: ``"local"`` (default, single-box posture) or
+    ``"reliable"`` (durable per-round state via the context's
+    checkpoint dir — the executor-loss-safe cluster posture; see
+    operators/iterate.py)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -39,8 +48,8 @@ def connected_components(
         # the full MinHash/LSH pipeline — measured as the dominant cost
         # of this operator before this checkpoint).  The edge list
         # itself is tiny relative to the corpus (near-dup pairs only).
-        .localCheckpoint()
     )
+    sym = truncate(sym, checkpoint)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -75,8 +84,8 @@ def connected_components(
                 .alias("__changed"),
             )
             .withColumnRenamed("__new", "component")
-            .localCheckpoint()
         )
+        updated = truncate(updated, checkpoint)
         changed = updated.agg(F.sum("__changed")).first()[0]
         labels = updated.drop("__changed")
         if not changed:
@@ -90,11 +99,13 @@ def dedup_keep_list(
     id_col: str,
     src: str = "id_a",
     dst: str = "id_b",
+    *,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Resolve near-dup pairs to a keep-set: the min id of each
     component survives; rows not in any pair survive trivially.
     Returns the deduplicated df."""
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst, checkpoint=checkpoint)
     drop = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -108,6 +119,8 @@ def dedup_canonical_keep(
     priority: list,
     src: str = "id_a",
     dst: str = "id_b",
+    *,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Quality-aware keep-list: ONE row per near-dup cluster survives,
     chosen by ``priority`` order (e.g. quality score desc) with an id
@@ -124,7 +137,9 @@ def dedup_canonical_keep(
 
     # dunder-rename the graph columns so they can't collide with caller
     # columns named node/component (repo convention for internals)
-    comp = connected_components(pairs, src, dst).select(
+    comp = connected_components(
+        pairs, src, dst, checkpoint=checkpoint
+    ).select(
         F.col("node").alias("__node"), F.col("component").alias("__component")
     )
     labeled = df.join(

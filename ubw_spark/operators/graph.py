@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ubw_spark.operators.iterate import truncate
+
 
 def co_occurrence_edges(
     df: DataFrame, group_col: str, item_col: str, *, min_support: int = 1
@@ -172,6 +174,7 @@ def pagerank_fixed(
     *,
     iterations: int = 3,
     checkpoint_every: int = 4,
+    checkpoint: str = "local",
 ) -> DataFrame:
     """Fixed-point PageRank over an undirected (u, v) edge list, exact
     in integers: ranks live in BIGINT micro-units (node mass starts at
@@ -191,9 +194,11 @@ def pagerank_fixed(
     message-passing round, shuffles ∝ edges.  Degrees join once up
     front; undirected edges contribute in both directions, so every
     node has in-edges and out-degree ≥ 1 (no dangling-mass terms).
-    ``checkpoint_every`` truncates lineage with localCheckpoint (the
+    ``checkpoint_every`` truncates lineage every few rounds (the
     connected-components pattern) so deep iteration counts don't grow
-    the plan unboundedly."""
+    the plan unboundedly; ``checkpoint="reliable"`` makes each cut
+    durable via the context's checkpoint dir — the executor-loss-safe
+    cluster posture (operators/iterate.py)."""
     if iterations < 1:
         raise ValueError(f"need iterations >= 1; got {iterations}")
     fwd = edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
@@ -217,7 +222,7 @@ def pagerank_fixed(
             (F.lit(150_000).cast("long") + F.sum("__c")).alias("r")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = truncate(ranks, checkpoint)
     return ranks
 
 
