@@ -1054,3 +1054,96 @@ def test_stream_quantile_hist_store_ingest(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_stream_agg_store_kill_and_replay(spark, tmp_path):
+    """VERDICT r8 #7 — the failure path of the streaming materialized
+    view: the handler folds batch 0 into the store and then CRASHES
+    before foreachBatch returns, so the checkpoint never records the
+    commit.  On restart Structured Streaming redelivers batch 0 with
+    the SAME batch_id — exactly the at-least-once double-count window
+    — and the sidecar high-water mark must turn the redelivery into a
+    no-op.  maintained == recomputed proves the ADD-merge store is
+    exactly-once end-to-end, not just under manual replay."""
+    from ubw_spark.operators.incremental import (
+        fold_batch_into_agg_store,
+        grouped_agg,
+        load_agg_store,
+        write_agg_store,
+    )
+
+    def measures():
+        return {
+            "cnt": F.lit(1).cast("long"),
+            "cents": F.round(F.col("value") * 100, 0).cast("long"),
+        }
+
+    path = str(tmp_path / "agg_store_kr")
+    empty = spark.createDataFrame([], "kind string, value double")
+    write_agg_store(grouped_agg(empty, ["kind"], measures()), path)
+
+    inc = str(tmp_path / "krinc")
+    os.makedirs(inc)
+
+    def arrive(rows, name):
+        df = spark.createDataFrame(rows, "kind string, value double")
+        staging = str(tmp_path / f"krstage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        for f in os.listdir(staging):
+            if f.endswith(".parquet"):
+                shutil.move(f"{staging}/{f}", f"{inc}/{name}.parquet")
+        shutil.rmtree(staging)
+
+    crash_armed = {"on": True}
+
+    def handle(bdf, bid):
+        delta = bdf.withColumn("op", F.lit(1))
+        fold_batch_into_agg_store(
+            bdf.sparkSession, delta, ["kind"], measures(), path,
+            count_col="cnt", batch_id=bid,
+        )
+        if bid == 0 and crash_armed["on"]:
+            crash_armed["on"] = False
+            # the fold landed (manifest flipped) but foreachBatch dies
+            # before the streaming commit — the redelivery window
+            raise RuntimeError("injected crash between fold and commit")
+
+    ckpt = str(tmp_path / "krckpt")
+
+    def start():
+        return (
+            spark.readStream.schema("kind string, value double")
+            .parquet(inc)
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    b1 = [("a", 1.25), ("a", 2.00), ("b", 0.50)]
+    b2 = [("a", 0.75), ("c", 3.00)]
+    q = start()
+    arrive(b1, "b1")
+    with pytest.raises(Exception):  # the injected crash kills the query
+        q.processAllAvailable()
+    q.stop()
+    # batch 0 folded exactly once before the crash
+    _, params = load_agg_store(spark, path)
+    assert params["last_batch_id"] == 0
+
+    q = start()  # restart from the same checkpoint → batch 0 REDELIVERED
+    try:
+        q.processAllAvailable()  # replay of batch 0: high-water no-op
+        arrive(b2, "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state, params = load_agg_store(spark, path)
+    assert params["last_batch_id"] == 1
+    got = {r["kind"]: (r["cnt"], r["cents"]) for r in state.collect()}
+    everything = spark.createDataFrame(b1 + b2, "kind string, value double")
+    want = {
+        r["kind"]: (r["cnt"], r["cents"])
+        for r in grouped_agg(everything, ["kind"], measures()).collect()
+    }
+    assert got == want == {"a": (3, 400), "b": (1, 50), "c": (1, 300)}
