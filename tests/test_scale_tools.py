@@ -309,3 +309,91 @@ def test_pack_concat_chunks_matches_global_cumsum(spark):
     assert (
         joined.where(F.col("p.tok_start") != F.col("n.tok_start")).count() == 0
     )
+
+
+def test_excel_cellstyle_roundtrip_and_merge(spark, tmp_path):
+    """S5 CellStyle layer (VERDICT r8 #2): per-column number formats and
+    widths survive a write→read round-trip, and identical declarations
+    MERGE into one shared xf — the poi-collection trick that dodges
+    Excel 2003's 4000-style cap (backup/README.md:199-203)."""
+    import zipfile
+
+    from ubw_spark.sources.excel import (
+        CellStyle,
+        read_excel,
+        read_xlsx_column_styles,
+        write_excel,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 12.3456, 7.0, 0.25), (2, 0.5, 8.125, 0.75)],
+        "id bigint, price double, qty double, ratio double",
+    )
+    path = str(tmp_path / "styled.xlsx")
+    write_excel(
+        df, path,
+        styles={
+            "price": CellStyle(decimals=2, width=14.5),
+            "qty": CellStyle(decimals=2),          # same format as price
+            "ratio": CellStyle(num_fmt="0.00%"),   # explicit format code
+            "bogus": CellStyle(decimals=9),        # unknown col: ignored
+        },
+    )
+    got = read_xlsx_column_styles(path)
+    assert got["price"] == {"num_fmt": "0.00", "width": 14.5}
+    assert got["qty"] == {"num_fmt": "0.00", "width": None}
+    assert got["ratio"]["num_fmt"] == "0.00%"
+    assert got["id"] == {"num_fmt": None, "width": None}
+    # the merge: price+qty share ONE numFmt entry; ratio adds a second
+    with zipfile.ZipFile(path) as zf:
+        styles_xml = zf.read("xl/styles.xml").decode()
+    assert styles_xml.count("<numFmt ") == 2
+    # style layer is display-only: stored values are untouched
+    back = read_excel(
+        spark, path, schema="id bigint, price double, qty double, ratio double"
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_excel_view_runtime_decimals_param(spark, tmp_path):
+    """The reference's exact motivating case (doc-01.md problem #5): a
+    column's exported decimal places arrive as a REQUEST parameter at
+    render time — the spec declares a default style, the request
+    overrides just the decimals, hidden columns stay out of the
+    sheet."""
+    from ubw_spark import ColumnSpec, QuerySpec
+    from ubw_spark.sources.excel import (
+        CellStyle,
+        read_xlsx_column_styles,
+        read_xlsx_rows,
+        write_excel_view,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 12.3456, "x"), (2, 0.5, "y")],
+        "id bigint, amount double, secret string",
+    )
+    spec = QuerySpec(
+        [
+            ColumnSpec("key", expr="id"),
+            ColumnSpec(
+                "amount", cell_style=CellStyle(decimals=2, width=20.0)
+            ),
+            ColumnSpec("secret", visible=False),
+        ]
+    )
+    p1 = str(tmp_path / "v1.xlsx")
+    write_excel_view(df, spec, p1)
+    assert read_xlsx_column_styles(p1)["amount"]["num_fmt"] == "0.00"
+    cols, _rows = read_xlsx_rows(p1)
+    assert cols == ["key", "amount"]  # hidden column pruned from view
+
+    # request says: 4 decimals this time (width declaration preserved)
+    p2 = str(tmp_path / "v2.xlsx")
+    write_excel_view(
+        df, spec, p2, style_params={"amount": 4, "nope": 2}
+    )
+    got = read_xlsx_column_styles(p2)["amount"]
+    assert got == {"num_fmt": "0.0000", "width": 20.0}

@@ -54,6 +54,10 @@ class ColumnSpec:
     filterable: bool = False  # opt-in for the dynamic filter DSL (P7)
     likeable: bool = False  # opt-in for LIKE in the filter DSL (P7)
     default: Any = None  # DefaultValue atomic (P11)
+    # View-layer style declaration (reference S5: per-column CellStyle,
+    # backup/README.md:199-203) — consumed by sources/excel.py's export;
+    # kept opaque here so the spec layer stays view-agnostic.
+    cell_style: Any = None
 
     def column(self) -> Column:
         c = _to_col(self.expr if self.expr is not None else self.name)
@@ -79,6 +83,9 @@ class ColumnSpec:
 
     def with_default(self, value: Any) -> "ColumnSpec":
         return replace(self, default=value)
+
+    def with_cell_style(self, style: Any) -> "ColumnSpec":
+        return replace(self, cell_style=style)
 
 
 @dataclass(frozen=True)
