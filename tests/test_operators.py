@@ -1544,9 +1544,16 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
             for r in connected_components(
                 edges, checkpoint="reliable").collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
-    # the durable state actually landed in the configured dir
+    # the durable state actually landed in the configured dir, and the
+    # per-round slot GC bounded it: the edge list + the FINAL labels
+    # survive, intermediate rounds were reclaimed (no one-dir-per-round
+    # accumulation — the checkpoint-bucket-filling failure mode)
     import os
-    assert any(os.scandir(str(tmp_path / "ckpt")))
+    dirs = []
+    # setCheckpointDir nests a per-context uuid dir under the given path
+    for root, names, _files in os.walk(str(tmp_path / "ckpt")):
+        dirs.extend(n for n in names if n.startswith("ubw-truncate-"))
+    assert len(dirs) == 2, dirs
 
     pr_edges = edges.withColumnRenamed("id_a", "u").withColumnRenamed(
         "id_b", "v"

@@ -296,3 +296,32 @@ def test_append_is_versioned_and_replay_idempotent(
     assert probe_term_index(spark, path, "hash", k=1).collect()[0][
         "doc_id"
     ] == 99
+
+
+def test_append_recovers_from_torn_version_dir(spark, docs_df, tmp_path):
+    """A crash between link_carryover and the manifest flip leaves a
+    torn vNNNNN dir that begin_rewrite re-issues; the next append must
+    clear it and succeed (not SameFileError on its own leftover
+    hardlinks, not double-folded postings)."""
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        link_carryover,
+        resolve_root,
+    )
+
+    path = str(tmp_path / "ti_torn")
+    first = docs_df.where(F.col("doc_id") < 3)
+    rest = docs_df.where(F.col("doc_id") >= 3)
+    write_term_index(first, "doc_id", "text", path)
+    # simulate the crashed attempt: carryover done, no commit
+    old_root = resolve_root(path)
+    _cur, _new_v, torn_root = begin_rewrite(path)
+    link_carryover(old_root, torn_root, skip_files=("_TERM_STATS",))
+    # the retry (or any next batch) must fold exactly once
+    append_term_batch(rest, "doc_id", "text", path, batch_id=1)
+    st = read_term_stats(path)
+    assert st["n_docs"] == len(DOCS)
+    q = "hash join slow stream"
+    got = sorted(probe_term_index(spark, path, q, k=10).collect())
+    want = sorted(bm25_topk(docs_df, "doc_id", "text", q, k=10).collect())
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -42,58 +42,70 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-#: key strides at the base scale (sf0.1 row counts / key-space sizes)
-STRIDES = {
-    "customer": ("c_custkey", 15_000),
-    "supplier": ("s_suppkey", 1_000),
-    "part": ("p_partkey", 20_000),
-    "orders": ("o_orderkey", 150_000),
-    "lineitem": (None, None),  # keys are all FKs, handled below
-    "events": ("event_id", 100_000),
-}
-USER_STRIDE = 1_500  # events.user_id key space at sf0.1
-DOC_STRIDE = 5_000
-VEC_STRIDE = 2_000
+
+def key_strides(con, base: str) -> dict[str, int]:
+    """Key-space sizes MEASURED from the base directory (max key + 1),
+    so the tool works against any base scale without editing literals
+    — the shift for copy cp is ``cp × stride`` per key family."""
+    out = {}
+    for name, table, col in (
+        ("cust", "customer", "c_custkey"),
+        ("supp", "supplier", "s_suppkey"),
+        ("part", "part", "p_partkey"),
+        ("ord", "orders", "o_orderkey"),
+        ("ev", "events", "event_id"),
+        ("user", "events", "user_id"),
+        ("doc", "documents", "doc_id"),
+        ("vec", "embeddings", "vec_id"),
+    ):
+        out[name] = (
+            con.sql(
+                f"SELECT max({col}) + 1 FROM '{base}/{table}.parquet'"
+            ).fetchone()[0]
+        )
+    return out
 
 
-def _tile_sql(table: str, base: str, factor: int) -> str:
+def _tile_sql(table: str, base: str, factor: int, k: dict[str, int]) -> str:
     src = f"'{base}/{table}.parquet'"
     copies = f"(SELECT unnest(range({factor})) AS cp)"
     if table == "customer":
         return f"""
-        SELECT c_custkey + cp * 15000 AS c_custkey,
-               format('Customer#{{:09d}}', c_custkey + cp * 15000) AS c_name,
+        SELECT c_custkey + cp * {k['cust']} AS c_custkey,
+               format('Customer#{{:09d}}', c_custkey + cp * {k['cust']})
+                 AS c_name,
                c_nationkey, c_acctbal, c_mktsegment
         FROM {src} CROSS JOIN {copies}"""
     if table == "supplier":
         return f"""
-        SELECT s_suppkey + cp * 1000 AS s_suppkey,
-               format('Supplier#{{:09d}}', s_suppkey + cp * 1000) AS s_name,
+        SELECT s_suppkey + cp * {k['supp']} AS s_suppkey,
+               format('Supplier#{{:09d}}', s_suppkey + cp * {k['supp']})
+                 AS s_name,
                s_nationkey, s_acctbal
         FROM {src} CROSS JOIN {copies}"""
     if table == "part":
         return f"""
-        SELECT p_partkey + cp * 20000 AS p_partkey,
+        SELECT p_partkey + cp * {k['part']} AS p_partkey,
                p_name, p_brand, p_type, p_size, p_retailprice
         FROM {src} CROSS JOIN {copies}"""
     if table == "orders":
         return f"""
-        SELECT o_orderkey + cp * 150000 AS o_orderkey,
-               o_custkey + cp * 15000 AS o_custkey,
+        SELECT o_orderkey + cp * {k['ord']} AS o_orderkey,
+               o_custkey + cp * {k['cust']} AS o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM {src} CROSS JOIN {copies}"""
     if table == "lineitem":
         return f"""
-        SELECT l_orderkey + cp * 150000 AS l_orderkey,
-               l_partkey + cp * 20000 AS l_partkey,
-               l_suppkey + cp * 1000 AS l_suppkey,
+        SELECT l_orderkey + cp * {k['ord']} AS l_orderkey,
+               l_partkey + cp * {k['part']} AS l_partkey,
+               l_suppkey + cp * {k['supp']} AS l_suppkey,
                l_linenumber, l_quantity, l_extendedprice, l_discount,
                l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM {src} CROSS JOIN {copies}"""
     if table == "events":
         return f"""
-        SELECT event_id + cp * 100000 AS event_id, ts,
-               user_id + cp * {USER_STRIDE} AS user_id,
+        SELECT event_id + cp * {k['ev']} AS event_id, ts,
+               user_id + cp * {k['user']} AS user_id,
                event_type, value, props
         FROM {src} CROSS JOIN {copies}"""
     raise ValueError(table)
@@ -104,7 +116,7 @@ def _seed(copy: int, ident: int) -> int:
     return int.from_bytes(h[:8], "big")
 
 
-def gen_documents(base: str, out: str, factor: int) -> None:
+def gen_documents(base: str, out: str, factor: int, stride: int) -> None:
     t = pq.read_table(f"{base}/documents.parquet")
     ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
@@ -114,7 +126,7 @@ def gen_documents(base: str, out: str, factor: int) -> None:
                 "n_chars": []}
     for cp in range(factor):
         for i, did in enumerate(ids):
-            new_id = did + cp * DOC_STRIDE
+            new_id = did + cp * stride
             if cp == 0 or texts[i] is None:
                 text = texts[i]
             else:
@@ -141,7 +153,7 @@ def gen_documents(base: str, out: str, factor: int) -> None:
     )
 
 
-def gen_embeddings(base: str, out: str, factor: int) -> None:
+def gen_embeddings(base: str, out: str, factor: int, stride: int) -> None:
     t = pq.read_table(f"{base}/embeddings.parquet")
     ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float32)
@@ -149,7 +161,7 @@ def gen_embeddings(base: str, out: str, factor: int) -> None:
     sigma = 0.05 * float(emb.std())
     all_ids, all_emb, all_lab = [], [], []
     for cp in range(factor):
-        all_ids.append(ids + cp * VEC_STRIDE)
+        all_ids.append(ids + cp * stride)
         if cp == 0:
             all_emb.append(emb)
         else:
@@ -185,6 +197,7 @@ def main() -> None:
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    k = key_strides(con, args.base)
     for table in ("region", "nation"):
         con.sql(
             f"COPY (SELECT * FROM '{args.base}/{table}.parquet') TO "
@@ -194,15 +207,15 @@ def main() -> None:
     for table in ("customer", "supplier", "part", "orders", "lineitem",
                   "events"):
         con.sql(
-            f"COPY ({_tile_sql(table, args.base, args.factor)}) TO "
+            f"COPY ({_tile_sql(table, args.base, args.factor, k)}) TO "
             f"'{args.out}/{table}.parquet' (FORMAT PARQUET)"
         )
         n = con.sql(
             f"SELECT count(*) FROM '{args.out}/{table}.parquet'"
         ).fetchone()[0]
         print(f"{table}: {n} rows")
-    gen_documents(args.base, args.out, args.factor)
-    gen_embeddings(args.base, args.out, args.factor)
+    gen_documents(args.base, args.out, args.factor, k["doc"])
+    gen_embeddings(args.base, args.out, args.factor, k["vec"])
     print("documents + embeddings done ->", args.out)
 
 

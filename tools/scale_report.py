@@ -1,0 +1,97 @@
+"""Scale-headroom report: per-query sf-to-sf scaling factors.
+
+Input: a bench JSON with a primary block and an ``sf_extra`` block
+(bench.py emits both when SPARK_GRAFT_SF2_DIR is set).  Output: a
+markdown table of per-query times at both scales and the ratio
+big/small, sorted worst-first, with offenders above the threshold
+flagged.
+
+The threshold for a 10× data step defaults to 12× (10× data × a log
+factor for sort/shuffle stages); anything above that is super-linear
+and needs a diagnosis before it can be trusted at the next order of
+magnitude.  Sub-second small-scale queries get an absolute floor so
+fixed overhead (session, index-store write latency, planning) isn't
+read as super-linear scaling: a 0.3 s query that becomes 4 s is
+dominated by constant cost, not by a bad asymptotic.
+
+Usage: python tools/scale_report.py BENCH_sf1.json [--threshold 12]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def report(
+    doc: dict, threshold: float = 12.0, floor_small_sec: float = 0.5
+) -> tuple[list[dict], list[str]]:
+    big = doc.get("queries") or {}
+    extra = doc.get("sf_extra") or {}
+    small = extra.get("queries") or {}
+    rows, flags = [], []
+    for name in big:
+        if name not in small:
+            continue
+        b, s = big[name], small[name]
+        ratio = round(b / s, 2) if s > 0 else None
+        fixed_dominated = s < floor_small_sec
+        rows.append(
+            {
+                "query": name,
+                "small_sec": s,
+                "big_sec": b,
+                "ratio": ratio,
+                "fixed_dominated": fixed_dominated,
+            }
+        )
+        if ratio is not None and ratio > threshold and not fixed_dominated:
+            flags.append(name)
+    rows.sort(key=lambda r: -(r["ratio"] or 0))
+    return rows, flags
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path")
+    ap.add_argument("--threshold", type=float, default=12.0)
+    args = ap.parse_args()
+    with open(args.path) as f:
+        doc = json.load(f)
+    if "parsed" in doc:
+        doc = doc["parsed"] or {}
+    rows, flags = report(doc, args.threshold)
+    sf_big = doc.get("sf")
+    sf_small = (doc.get("sf_extra") or {}).get("sf")
+    if not rows or sf_big is None or sf_small is None:
+        raise SystemExit(
+            f"{args.path}: needs a primary block AND an sf_extra block "
+            "with overlapping queries (run bench.py with "
+            "SPARK_GRAFT_SF2_DIR set); nothing to compare"
+        )
+    print(f"| query | sf{sf_small} s | sf{sf_big} s | ratio | note |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        note = ""
+        if r["query"] in flags:
+            note = f"**SUPER-LINEAR (> {args.threshold}x)**"
+        elif r["fixed_dominated"]:
+            note = "fixed-cost dominated at small sf"
+        print(
+            f"| {r['query']} | {r['small_sec']} | {r['big_sec']} "
+            f"| {r['ratio']} | {note} |"
+        )
+    tot_b = sum(r["big_sec"] for r in rows)
+    tot_s = sum(r["small_sec"] for r in rows)
+    print(
+        f"\ntotal: {tot_s:.1f}s -> {tot_b:.1f}s "
+        f"({tot_b / tot_s:.2f}x for a {sf_big / sf_small:.0f}x data step)"
+    )
+    if flags:
+        print(f"flagged super-linear: {flags}")
+    else:
+        print(f"no query above the {args.threshold}x gate")
+
+
+if __name__ == "__main__":
+    main()

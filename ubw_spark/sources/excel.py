@@ -400,6 +400,10 @@ def read_xlsx_column_styles(
 
     widths: dict[int, float] = {}
     for col in root.iter(f"{{{_NS}}}col"):
+        # <col> without width is legal (hidden/bestFit/styled columns
+        # from Excel or openpyxl): no width to report, not a crash
+        if col.get("width") is None:
+            continue
         for i in range(int(col.get("min")), int(col.get("max")) + 1):
             widths[i - 1] = float(col.get("width"))
 
