@@ -462,6 +462,7 @@ def write_excel_view(
     spec,
     path: str,
     *,
+    params=None,
     sheet: str = "Sheet1",
     max_rows: int = 100_000,
     style_params: dict[str, "CellStyle | int"] | None = None,
@@ -478,11 +479,21 @@ def write_excel_view(
 
     Identical effective styles — declared or overridden — still merge
     into one shared xf, so a 200-column sheet with one money format
-    costs one style object (backup/README.md:199-203)."""
+    costs one style object (backup/README.md:199-203).
+
+    ``df`` is the BASE frame (source columns); pass ``params`` (a
+    QueryParams) to export a filtered/ordered/paged report — the same
+    request object that served the JSON view drives the Excel view,
+    which is the reference's whole multi-view pitch."""
     from dataclasses import replace as _replace
 
     visible = spec.visible_columns()
-    out = spec.frame(df)
+    if params is not None:
+        from ubw_spark.params import apply_params
+
+        out = apply_params(df, spec, params)
+    else:
+        out = spec.frame(df)
     styles: dict[str, CellStyle] = {}
     overrides = style_params or {}
     for s in visible:
