@@ -728,3 +728,36 @@ def test_json_insert_select_from_setop(spark, tables):
     )
     assert verb == "insert"
     assert sorted(r["k"] for r in rows.collect()) == [1, 2, 3]
+
+
+def test_json_keyset_paging(spark):
+    """The JSON layer's deep-page mode: "after_key" (the last row's
+    sort-key values, echoed back by the client) must return exactly
+    the rows after that boundary — and reject mixing with offset."""
+    reg = {
+        "t": spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], "v bigint, g bigint"
+        )
+    }
+    base = {
+        "from": "t",
+        "columns": [{"name": "v", "expr": "v"}, {"name": "g", "expr": "g"}],
+        "orders": [["g", False], ["v", False]],
+    }
+    q1 = dict(base, take=5)
+    page1 = [tuple(r) for r in compile_json_query(spark, q1, reg.get).collect()]
+    assert len(page1) == 5
+    last_g, last_v = page1[-1][1], page1[-1][0]
+    q2 = dict(base, take=5, after_key={"g": last_g, "v": last_v})
+    page2 = [tuple(r) for r in compile_json_query(spark, q2, reg.get).collect()]
+    all_rows = [
+        tuple(r)
+        for r in compile_json_query(spark, dict(base), reg.get).collect()
+    ]
+    assert page1 + page2 == all_rows[:10]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compile_json_query(
+            spark,
+            dict(base, take=5, drop=5, after_key={"g": 0, "v": 0}),
+            reg.get,
+        ).collect()

@@ -485,6 +485,10 @@ def _apply_post_blocks(
         take=spec.get("take"),
         page_index=spec.get("page_index"),
         page_size=spec.get("page_size"),
+        # keyset cursor (the deep-page mode): the client echoes the last
+        # row's sort-key values back as "after_key" — params._keyset_
+        # predicate validates coverage and raises on offset mixing
+        after_key=spec.get("after_key"),
     )
     return apply_params(projected, out_spec, params)
 
