@@ -356,3 +356,129 @@ def search_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(10)
     )
+
+
+# -- IR evaluation: MRR / NDCG@k / P@k / recall@k over real BM25 runs --
+
+#: Three benchmark queries with different hit profiles; relevance is
+#: CONJUNCTIVE term containment (a doc is relevant iff it contains
+#: every query term) — deterministic, SQL-expressible qrels.
+EVAL_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("hash", "join", "slow", "stream")),
+    (1, ("filter", "scan", "big")),
+    (2, ("window", "stream", "table")),
+]
+_EVAL_K = 10
+
+
+def _qrels_sql(qid: int, terms: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"SELECT {qid} AS qid, doc_id FROM documents WHERE text IS NOT NULL "
+        f"AND list_has_all(regexp_split_to_array(trim(lower(text)), "
+        f"'\\s+'), [{arr}])"
+    )
+
+
+_EVAL_ORACLE = (
+    "WITH "
+    + ", ".join(
+        f"run{qid} AS (SELECT doc_id, score FROM ({_bm25_body(terms)} "
+        f"ORDER BY score DESC, doc_id LIMIT {_EVAL_K}))"
+        for qid, terms in EVAL_QUERIES
+    )
+    + ", run AS (SELECT qid, doc_id, row_number() OVER "
+    "(PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk FROM ("
+    + " UNION ALL ".join(
+        f"SELECT {qid} AS qid, * FROM run{qid}" for qid, _ in EVAL_QUERIES
+    )
+    + ")), qrels AS ("
+    + " UNION ALL ".join(_qrels_sql(qid, t) for qid, t in EVAL_QUERIES)
+    + """),
+    nrel AS (SELECT qid, count(*)::BIGINT AS n_rel FROM qrels GROUP BY qid),
+    lab AS (
+      SELECT r.qid, r.rnk,
+             CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM run r LEFT JOIN qrels q
+        ON r.qid = q.qid AND r.doc_id = q.doc_id),
+    agg AS (
+      SELECT qid, sum(rel)::BIGINT AS hits,
+             min(CASE WHEN rel = 1 THEN rnk END)::BIGINT AS first_rel_rank,
+             sum(CASE WHEN rel = 1
+                      THEN CAST(round(1000e0 / log2(rnk + 1)) AS BIGINT)
+                      ELSE 0 END)::BIGINT AS dcg_milli
+      FROM lab GROUP BY qid),
+    base AS (SELECT a.*, coalesce(n.n_rel, 0)::BIGINT AS n_rel
+             FROM agg a LEFT JOIN nrel n USING (qid)),
+    idcg AS (
+      SELECT b.qid,
+             coalesce((SELECT sum(CAST(round(1000e0 / log2(i + 1)) AS BIGINT))
+                       FROM unnest(generate_series(1, least(b.n_rel, """
+    + str(_EVAL_K)
+    + """))) t(i)), 0)::BIGINT AS idcg_milli
+      FROM base b)
+    SELECT b.qid, b.n_rel, b.hits, b.first_rel_rank,
+           CASE WHEN b.first_rel_rank IS NOT NULL
+                THEN round(1e0 / b.first_rel_rank, 6) ELSE 0e0 END AS rr,
+           (b.hits * 1000) // """
+    + str(_EVAL_K)
+    + """ AS p_at_k_milli,
+           CASE WHEN b.n_rel > 0 THEN (b.hits * 1000) // b.n_rel END
+             AS recall_milli,
+           b.dcg_milli, i.idcg_milli,
+           CASE WHEN i.idcg_milli > 0
+                THEN round(b.dcg_milli::DOUBLE / i.idcg_milli::DOUBLE, 6)
+                ELSE 0e0 END AS ndcg
+    FROM base b JOIN idcg i USING (qid)
+    """
+)
+
+
+@register(
+    "search_eval_metrics",
+    oracle=_EVAL_ORACLE,
+    tags=("search", "retrieval", "eval"),
+)
+def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation of the BM25 retriever itself (operators/ireval.py):
+    three benchmark queries run top-10, judged against conjunctive
+    term-containment qrels — per query one row of (n_rel, hits,
+    first_rel_rank, rr, p@k, recall@k, DCG/IDCG in exact integer
+    milli-gains, NDCG).  The lexical sibling of ``sim_recall_report``:
+    retrieval quality as driver-visible, oracle-checked evidence.
+
+    Scale: runs are |queries|×k rows by construction; qrels reduce to
+    n_rel per query before the recall division; IDCG is a ≤k-term
+    JVM-side fold — the evaluation never rescans corpus text beyond
+    the relevance filter (map-only token containment)."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql import Window
+
+    from ubw_spark.functions.text import tokens
+    from ubw_spark.operators.ireval import ranking_metrics
+
+    d = table(spark, sf_dir, "documents")
+    runs, rels = [], []
+    for qid, terms in EVAL_QUERIES:
+        top = bm25_topk(d, "doc_id", "text", " ".join(terms), k=_EVAL_K)
+        runs.append(
+            top.select(F.lit(qid).alias("qid"), "doc_id", "score")
+        )
+        cond = _reduce(
+            lambda a, b: a & b,
+            [F.array_contains(tokens(F.col("text")), t) for t in terms],
+        )
+        rels.append(
+            d.where(F.col("text").isNotNull() & cond).select(
+                F.lit(qid).alias("qid"), "doc_id"
+            )
+        )
+    run = _reduce(lambda a, b: a.unionByName(b), runs).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("score"), "doc_id")
+        ),
+    )
+    qrels = _reduce(lambda a, b: a.unionByName(b), rels)
+    return ranking_metrics(run, qrels, k=_EVAL_K).orderBy("qid")
