@@ -482,3 +482,37 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qrels = _reduce(lambda a, b: a.unionByName(b), rels)
     return ranking_metrics(run, qrels, k=_EVAL_K).orderBy("qid")
+
+
+_EVAL_MACRO_ORACLE = (
+    "WITH perq AS (" + _EVAL_ORACLE + """)
+    SELECT count(*)::BIGINT AS n_queries,
+           round(sum(CAST(round(rr * 1e6, 0) AS BIGINT))::DOUBLE
+                 / (count(*) * 1e6), 6) AS mrr,
+           round(sum(CAST(round(ndcg * 1e6, 0) AS BIGINT))::DOUBLE
+                 / (count(*) * 1e6), 6) AS mean_ndcg,
+           round(sum(p_at_k_milli)::DOUBLE / (count(*) * 1e3), 6)
+             AS mean_p_at_k,
+           CASE WHEN count(recall_milli) > 0
+                THEN round(sum(recall_milli)::DOUBLE
+                           / (count(recall_milli) * 1e3), 6)
+           END AS mean_recall
+    FROM perq
+    """
+)
+
+
+@register(
+    "search_eval_macro",
+    oracle=_EVAL_MACRO_ORACLE,
+    tags=("search", "retrieval", "eval"),
+)
+def search_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fleet-level readout of ``search_eval_metrics``: macro MRR /
+    mean NDCG / mean P@k / mean recall over the benchmark queries, via
+    exact micro-int sums + one mirrored division each
+    (operators/ireval.py::macro_metrics) — the single row a retrieval
+    dashboard tracks run-over-run."""
+    from ubw_spark.operators.ireval import macro_metrics
+
+    return macro_metrics(search_eval_metrics(spark, sf_dir))
