@@ -10,11 +10,11 @@ sys.path.insert(
 )
 
 
-def test_report_service_flow(spark, tmp_path):
+def test_report_service_flow(spark, sf_dir, tmp_path):
     from report_service import serve
 
     out = str(tmp_path / "report")
-    got = serve(spark, "/root/testdata/sf0.001", out)
+    got = serve(spark, sf_dir, out)
 
     # JSON view: page 1 is full, properties carry the catalog fields
     assert len(got["view"]["data"]) == 15

@@ -79,3 +79,23 @@ def test_macro_metrics_exact_means(spark, tiny):
     assert m["mean_recall"] == round((666 / 1000 + 1.0) / 2, 6)
     # p@4: q0 = 2/4 → 500 milli, q1 = 1/4 → 250, q2 = 0
     assert m["mean_p_at_k"] == round((500 + 250 + 0) / 3000, 6)
+
+
+def test_judged_topic_with_empty_run_still_scores_zero(spark, tiny):
+    """trec_eval convention: a judged topic the retriever returned
+    nothing for must emit a zeroed row, not vanish from the macro
+    denominators (code-review r9 finding)."""
+    run, qrels = tiny
+    qrels5 = qrels.union(
+        spark.createDataFrame([(5, "p"), (5, "q")], "qid int, doc_id string")
+    )
+    got = {r["qid"]: r.asDict() for r in
+           ranking_metrics(run, qrels5, k=4).collect()}
+    q5 = got[5]
+    assert (q5["n_rel"], q5["hits"], q5["dcg_milli"]) == (2, 0, 0)
+    assert q5["rr"] == 0.0 and q5["ndcg"] == 0.0
+    assert q5["recall_milli"] == 0  # defined (n_rel > 0), and zero
+    assert q5["idcg_milli"] == g(1) + g(2)
+    m = macro_metrics(ranking_metrics(run, qrels5, k=4)).collect()[0]
+    assert m["n_queries"] == 4  # the unanswered topic counts
+    assert m["mrr"] == round((0.5 + 1.0 + 0.0 + 0.0) / 4, 6)

@@ -171,3 +171,16 @@ def test_keyset_all_null_boundary_is_terminal(spark, friend_df):
         "id", F.lit(None).cast("bigint")
     )
     assert _page(one_null, {"age": None, "id": None}) == []
+
+
+def test_keyset_rejects_page1_and_drop0_too(spark, friend_df):
+    """code-review r9: page_index=1 / drop=0 compute to a ZERO offset
+    but still declare offset paging — they must raise with after_key,
+    not silently serve page 1 and defer the error to page 2."""
+    for kw in ({"page_index": 1, "page_size": 2}, {"drop": 0}):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            apply_params(
+                friend_df, KEYSET_SPEC,
+                QueryParams(orders=_ORDERS,
+                            after_key={"age": 30, "id": 2}, take=2, **kw),
+            ).collect()

@@ -61,7 +61,12 @@ def ranking_metrics(
       relevant documents at all (undefined, not zero).
     - ndcg = dcg/idcg over exact integer milli-gains; 0.0 when no hit.
 
-    Queries present in the run but absent from qrels get n_rel = 0.
+    Queries present in the run but absent from qrels get n_rel = 0;
+    queries present in QRELS but absent from the run (the retriever
+    returned nothing for a judged topic) still emit a row with hits =
+    0, rr = 0.0, recall = 0 — the trec_eval convention: an unanswered
+    topic drags the macro averages down, it does not vanish from the
+    denominator.
     """
     topk = run.where(F.col(rank_col) <= k).select(
         F.col(q_col).alias("qid"),
@@ -92,8 +97,16 @@ def ranking_metrics(
             )
         ).alias("dcg_milli"),
     )
-    out = agg.join(n_rel, "qid", "left").withColumn(
-        "n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("long"))
+    # FULL join: run-only qids get n_rel 0, qrels-only qids (judged
+    # topic, empty run) get zeroed hits/dcg instead of disappearing
+    out = (
+        agg.join(n_rel, "qid", "full")
+        .withColumn("n_rel", F.coalesce(F.col("n_rel"), F.lit(0).cast("long")))
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0).cast("long")))
+        .withColumn(
+            "dcg_milli",
+            F.coalesce(F.col("dcg_milli"), F.lit(0).cast("long")),
+        )
     )
     ideal_n = F.least(F.col("n_rel"), F.lit(k))
     # F.sequence(1, n) DESCENDS for n < 1 (step defaults to -1): guard.
@@ -138,13 +151,15 @@ def macro_metrics(per_query: DataFrame, *, dp: int = 6) -> DataFrame:
     ``(n_queries, mrr, mean_ndcg, mean_p_at_k, mean_recall)``.
 
     Exactness: rr/ndcg are already dp-rounded doubles; they are lifted
-    to exact micro-ints (×1e6), summed as BIGINTs, and divided once —
-    so the mean is a single mirrored division, not an order-dependent
-    float sum.  Recall averages over the queries where it is DEFINED
-    (n_rel > 0)."""
+    to exact ints (×10^dp — ``dp`` must match the one passed to
+    :func:`ranking_metrics`, both default 6), summed as BIGINTs, and
+    divided once — so the mean is a single mirrored division, not an
+    order-dependent float sum.  Recall averages over the queries where
+    it is DEFINED (n_rel > 0)."""
+    lift = float(10**dp)
     mic = per_query.select(
-        F.round(F.col("rr") * 1e6, 0).cast("long").alias("rr_u"),
-        F.round(F.col("ndcg") * 1e6, 0).cast("long").alias("ndcg_u"),
+        F.round(F.col("rr") * lift, 0).cast("long").alias("rr_u"),
+        F.round(F.col("ndcg") * lift, 0).cast("long").alias("ndcg_u"),
         F.col("p_at_k_milli").alias("p_u"),
         F.col("recall_milli").alias("rec_u"),
     )
@@ -159,8 +174,8 @@ def macro_metrics(per_query: DataFrame, *, dp: int = 6) -> DataFrame:
     n = F.col("n_queries").cast("double")
     return agg.select(
         "n_queries",
-        F.round(F.col("srr").cast("double") / (n * 1e6), dp).alias("mrr"),
-        F.round(F.col("sndcg").cast("double") / (n * 1e6), dp).alias(
+        F.round(F.col("srr").cast("double") / (n * lift), dp).alias("mrr"),
+        F.round(F.col("sndcg").cast("double") / (n * lift), dp).alias(
             "mean_ndcg"
         ),
         F.round(F.col("sp").cast("double") / (n * 1e3), dp).alias(

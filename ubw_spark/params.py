@@ -280,12 +280,21 @@ def apply_params(
     offset, limit = params.offset_limit()
     if params.after_key is not None:
         # Keyset page: boundary predicate instead of a growing OFFSET —
-        # combining both would double-skip, so it is a hard error.
-        if offset:
+        # combining both would double-skip, so it is a hard error.  The
+        # check is on the REQUEST fields, not the computed offset:
+        # page_index=1 or drop=0 compute to a zero offset but still
+        # declare offset-mode paging, and letting page 1 through would
+        # defer the error to page 2 (the worst place to learn it).
+        if (
+            params.drop is not None
+            or params.page_index is not None
+            or params.page_size is not None
+        ):
             raise ValueError(
-                "after_key (keyset paging) and drop/page_index (offset "
-                "paging) are mutually exclusive — the boundary row "
-                "already encodes the page position"
+                "after_key (keyset paging) and drop/page_index/page_size "
+                "(offset paging) are mutually exclusive — the boundary "
+                "row already encodes the page position; use take for "
+                "the keyset page size"
             )
         if not keys:
             raise ValueError(

@@ -408,8 +408,12 @@ _EVAL_ORACLE = (
                       THEN CAST(round(1000e0 / log2(rnk + 1)) AS BIGINT)
                       ELSE 0 END)::BIGINT AS dcg_milli
       FROM lab GROUP BY qid),
-    base AS (SELECT a.*, coalesce(n.n_rel, 0)::BIGINT AS n_rel
-             FROM agg a LEFT JOIN nrel n USING (qid)),
+    base AS (SELECT coalesce(a.qid, n.qid) AS qid,
+                    coalesce(a.hits, 0)::BIGINT AS hits,
+                    a.first_rel_rank,
+                    coalesce(a.dcg_milli, 0)::BIGINT AS dcg_milli,
+                    coalesce(n.n_rel, 0)::BIGINT AS n_rel
+             FROM agg a FULL JOIN nrel n ON a.qid = n.qid),
     idcg AS (
       SELECT b.qid,
              coalesce((SELECT sum(CAST(round(1000e0 / log2(i + 1)) AS BIGINT))
