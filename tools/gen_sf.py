@@ -150,6 +150,10 @@ def gen_documents(base: str, out: str, factor: int, stride: int) -> None:
             ),
         ),
         f"{out}/documents.parquet",
+        # many row groups: Spark parallelizes a single parquet file by
+        # row group, and one 50k-row group would pin every documents
+        # scan to one task (pyarrow's default is one giant group)
+        row_group_size=4096,
     )
 
 
@@ -184,6 +188,7 @@ def gen_embeddings(base: str, out: str, factor: int, stride: int) -> None:
             }
         ),
         f"{out}/embeddings.parquet",
+        row_group_size=2048,
     )
 
 

@@ -454,7 +454,12 @@ def search_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: runs are |queries|×k rows by construction; qrels reduce to
     n_rel per query before the recall division; IDCG is a ≤k-term
     JVM-side fold — the evaluation never rescans corpus text beyond
-    the relevance filter (map-only token containment)."""
+    the relevance filter (map-only token containment).  This entry
+    scores its three runs in-memory (one term-filtered scan each); a
+    LARGE eval set runs the whole query log through
+    probe_term_index_batch instead — one partition-pruned index pass
+    for any number of queries (the search_bm25_batch plan) — and feeds
+    the same ranking_metrics."""
     from functools import reduce as _reduce
 
     from pyspark.sql import Window
