@@ -761,3 +761,31 @@ def test_json_keyset_paging(spark):
             dict(base, take=5, drop=5, after_key={"g": 0, "v": 0}),
             reg.get,
         ).collect()
+
+
+def test_json_agg_post_chain(spark):
+    """The per-agg "post" chain: unary scalar fns applied over the
+    aggregate output (the money convention from JSON), with unknown or
+    non-unary names accumulated as spec errors."""
+    reg = {
+        "t": spark.createDataFrame(
+            [("a", 1.234), ("a", 2.345), ("b", 9.999)], "g string, v double"
+        )
+    }
+    q = {
+        "from": "t",
+        "columns": [{"name": "g", "expr": "g"}, {"name": "v", "expr": "v"}],
+        "group_by": ["g"],
+        "aggs": [{"name": "s", "fn": "sum", "arg": "v",
+                  "post": ["round2", "cast_double"]}],
+        "orders": [["g", False]],
+    }
+    out = {r["g"]: r["s"] for r in compile_json_query(spark, q, reg.get).collect()}
+    assert out == {"a": 3.58, "b": 10.0}
+    bad = dict(q, aggs=[{"name": "s", "fn": "sum", "arg": "v",
+                         "post": ["nope", "add"]}])
+    from ubw_spark.core.errors import SpecValidationError
+    with pytest.raises(SpecValidationError) as e:
+        compile_json_query(spark, bad, reg.get)
+    assert "unknown fn 'nope'" in str(e.value)
+    assert "not unary" in str(e.value)

@@ -424,6 +424,21 @@ def compile_json_query(
                 continue
             arg = adef.get("arg")
             col = fn(arg) if arg is not None else fn()
+            # optional unary post-chain over the AGGREGATE output (names
+            # from the scalar vocabulary): the money convention —
+            # exact decimal sum, then ["round2", "cast_double"] — stays
+            # expressible from pure JSON at any data magnitude
+            for p_i, pname in enumerate(adef.get("post", [])):
+                pfn = _FNS.get(pname)
+                if pfn is None:
+                    acc.add(f"aggs[{a_i}].post[{p_i}]: unknown fn '{pname}'")
+                    continue
+                try:
+                    col = pfn(col)
+                except TypeError:
+                    acc.add(
+                        f"aggs[{a_i}].post[{p_i}]: '{pname}' is not unary"
+                    )
             agg_cols.append(col.alias(adef.get("name", f"agg{a_i}")))
         acc.raise_if_any()
         if group_by:

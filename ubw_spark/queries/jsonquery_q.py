@@ -38,7 +38,12 @@ QUERY_JSON = {
     ],
     "group_by": ["status", "yr"],
     "aggs": [
-        {"name": "total_rev", "fn": "sum", "arg": "rev"},
+        # exact decimal sum, display-rounded once and cast — the money
+        # convention that stays hash-identical cross-engine at ANY
+        # magnitude (a raw decimal out of the harness round-trips
+        # through float64 and loses the 3rd decimal at sf1 sums ~1.5e10)
+        {"name": "total_rev", "fn": "sum", "arg": "rev",
+         "post": ["round2", "cast_double"]},
         {"name": "n", "fn": "count"},
     ],
     "filters": {"yr": {"ge": 1996}},
@@ -52,8 +57,9 @@ QUERY_JSON = {
     oracle="""
     SELECT * FROM (
       SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
-             sum(CAST(l_extendedprice AS DECIMAL(12,4))
-                 * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS total_rev,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                 * (1 - CAST(l_discount AS DECIMAL(12,4)))), 2) AS DOUBLE)
+               AS total_rev,
              count(*) AS n
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1, 2) t

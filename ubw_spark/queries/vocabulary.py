@@ -137,28 +137,73 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group sort).
 
     Sketch *estimates* are engine-specific, so the value check is the
-    accuracy contract itself: compute exact and approximate forms in
-    the same pass, emit the exact values plus per-group booleans
+    accuracy contract itself: compute exact and approximate forms over
+    the same data, emit the exact values plus per-group booleans
     "approx within documented relative error of exact" (5% — generous
     vs rsd=0.01 for HLL++ and 1/1000 rank error for the percentile
     sketch).  The oracle recomputes the exact values in DuckDB and
-    expects every boolean TRUE — a drifting sketch hash-mismatches."""
+    expects every boolean TRUE — a drifting sketch hash-mismatches.
+
+    Two scale lessons are baked into the SHAPE of this query (both
+    measured at sf1 — 6M rows — where the naive single-agg form OOMed
+    an 8 GB heap in isolation and ground 15 minutes of GC in the
+    harness; this form runs in seconds):
+
+    - NEVER mix exact-distinct aggregates with sketch buffers in one
+      ``agg``: countDistinct plans an Expand whose partial-aggregate
+      grouping key includes the distinct VALUE, so every non-distinct
+      buffer (each HLL++ sketch at rsd=0.01 is ~16k registers) is
+      materialized once per distinct key — sketch_size × key
+      cardinality of heap.  The sketch aggregates and the exact
+      distinct counts run as SEPARATE 3-row aggregations joined at
+      the end.
+    - EXACT percentiles ride a (group, value, freq) pre-aggregation +
+      the frequency-weighted ``percentile(col, p, freq)`` form: raw
+      ``percentile(col, p)`` keeps a value map per partition per
+      group; the pre-aggregated form is one spillable Tungsten hash
+      agg + a distinct-values-sized percentile input."""
     li = table(spark, sf_dir, "lineitem")
     tol = 0.05
 
     def within(approx, exact, name):
         return (F.abs(approx - exact) <= tol * exact).alias(name)
 
-    agg = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+    pct = (
+        li.groupBy("l_returnflag", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5, freq)").alias(
+                "exact_median"
+            ),
+            F.expr("percentile(l_extendedprice, 0.99, freq)").alias(
+                "exact_p99"
+            ),
+        )
+    )
+    exact_cd = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx_median"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-        F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias("approx_p99"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("exact_p99"),
-        F.count(F.lit(1)).alias("n"),
+    )
+    agg = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.01).alias(
+                "approx_orders"
+            ),
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias(
+                "approx_parts"
+            ),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+                "approx_median"
+            ),
+            F.expr("approx_percentile(l_extendedprice, 0.99, 1000)").alias(
+                "approx_p99"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .join(exact_cd, "l_returnflag")
+        .join(pct, "l_returnflag")
     )
     return agg.select(
         "l_returnflag",
