@@ -298,6 +298,26 @@ def test_append_is_versioned_and_replay_idempotent(
     ] == 99
 
 
+def test_compact_preserves_batch_high_water(spark, docs_df, tmp_path):
+    """ADVICE r9: compaction rewrites the stats sidecar — it must carry
+    last_batch_id through, or a micro-batch redelivered AFTER a
+    compaction is re-folded (duplicate postings, double-counted stats),
+    defeating the exactly-once contract the kill-and-replay test pins."""
+    path = str(tmp_path / "ti_hw")
+    first = docs_df.where(F.col("doc_id") < 3)
+    rest = docs_df.where(F.col("doc_id") >= 3)
+    write_term_index(first, "doc_id", "text", path)
+    append_term_batch(rest, "doc_id", "text", path, batch_id=7)
+    drops = spark.createDataFrame([(0,)], "doc_id bigint")
+    compact_term_index(spark, path, drops)
+    st = read_term_stats(path)
+    assert st["last_batch_id"] == 7  # survived the sidecar rewrite
+    # the redelivered batch after compaction must be a no-op
+    n_before = st["n_docs"]
+    append_term_batch(rest, "doc_id", "text", path, batch_id=7)
+    assert read_term_stats(path)["n_docs"] == n_before
+
+
 def test_append_recovers_from_torn_version_dir(spark, docs_df, tmp_path):
     """A crash between link_carryover and the manifest flip leaves a
     torn vNNNNN dir that begin_rewrite re-issues; the next append must

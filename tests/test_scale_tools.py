@@ -357,6 +357,57 @@ def test_excel_cellstyle_roundtrip_and_merge(spark, tmp_path):
     )
 
 
+def test_excel_reads_foreign_producer_files(tmp_path):
+    """ADVICE r9: workbooks from Excel/openpyxl can have >9 sheets
+    (sheet10.xml sorts lexicographically BEFORE sheet2.xml — parts must
+    be ordered by their numeric suffix) and reference BUILT-IN number
+    formats (numFmtId < 164 carries no <numFmt> element; the ECMA-376
+    implied table must resolve it).  Both paths, one hand-built file."""
+    import zipfile
+
+    from ubw_spark.sources.excel import (
+        read_xlsx_column_styles,
+        read_xlsx_rows,
+    )
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    empty = (
+        f'<worksheet xmlns="{ns}"><sheetData/></worksheet>'
+    )
+    # data lives on the 10th sheet (part sheet10.xml, index 9); the
+    # price cell uses s=1 -> cellXfs xf numFmtId=2 (built-in "0.00",
+    # no <numFmt> element anywhere in styles.xml)
+    data = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>id</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>price</t></is></c>'
+        "</row>"
+        '<row r="2"><c r="A2"><v>7</v></c>'
+        '<c r="B2" s="1"><v>12.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    styles = (
+        f'<styleSheet xmlns="{ns}"><cellXfs count="2">'
+        '<xf numFmtId="0" fontId="0" fillId="0" borderId="0" xfId="0"/>'
+        '<xf numFmtId="2" fontId="0" fillId="0" borderId="0" xfId="0" '
+        'applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
+    )
+    path = str(tmp_path / "foreign.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        for i in list(range(1, 10)) + [11]:
+            zf.writestr(f"xl/worksheets/sheet{i}.xml", empty)
+        zf.writestr("xl/worksheets/sheet10.xml", data)
+        zf.writestr("xl/styles.xml", styles)
+    columns, rows = read_xlsx_rows(path, sheet=9)
+    assert columns == ["id", "price"]
+    assert rows == [(7, 12.5)]
+    got = read_xlsx_column_styles(path, sheet=9)
+    assert got["price"]["num_fmt"] == "0.00"  # built-in id resolved
+    assert got["id"]["num_fmt"] is None
+
+
 def test_excel_view_runtime_decimals_param(spark, tmp_path):
     """The reference's exact motivating case (doc-01.md problem #5): a
     column's exported decimal places arrive as a REQUEST parameter at

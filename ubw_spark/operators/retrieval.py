@@ -333,17 +333,25 @@ def phrase_match(
 
 
 def _write_stats(
-    root: str, n_docs: int, total_tokens: int, buckets: int
+    root: str,
+    n_docs: int,
+    total_tokens: int,
+    buckets: int,
+    last_batch_id: int | None = None,
 ) -> None:
+    # last_batch_id is the exactly-once high-water mark: rewrites that
+    # regenerate the sidecar (compaction, retirement) MUST carry it
+    # through, or a redelivered foreachBatch micro-batch after the
+    # rewrite is re-folded (duplicate postings, double-counted stats).
+    stats: dict = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "buckets": buckets,
+    }
+    if last_batch_id is not None:
+        stats["last_batch_id"] = last_batch_id
     with open(os.path.join(root, STATS_FILE), "w") as f:
-        json.dump(
-            {
-                "n_docs": n_docs,
-                "total_tokens": total_tokens,
-                "buckets": buckets,
-            },
-            f,
-        )
+        json.dump(stats, f)
 
 
 def _read_stats_at(root: str, path: str) -> dict:
@@ -637,5 +645,11 @@ def compact_term_index(
         )
         .collect()[0]  # one row: two bigints
     )
-    _write_stats(new_root, st["n"], st["t"], old["buckets"])
+    _write_stats(
+        new_root,
+        st["n"],
+        st["t"],
+        old["buckets"],
+        last_batch_id=old.get("last_batch_id"),
+    )
     commit_rewrite(path, cur, new_v)

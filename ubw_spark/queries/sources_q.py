@@ -31,9 +31,16 @@ from ubw_spark.sources.writers import write_jdbc
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
 
 
-def _tmp(kind: str, sf_dir: str) -> str:
+def _tmp(kind: str, sf_dir: str, spark: SparkSession | None = None) -> str:
+    # Salt with the Spark application id (ADVICE r9): a path derived
+    # from sf_dir alone races two concurrent sessions running the
+    # registry against the same sf_dir — one overwrites the CSV dir /
+    # Derby table while the other's lazy read-back is still pending.
+    salt = sf_dir
+    if spark is not None:
+        salt += ":" + spark.sparkContext.applicationId
     return f"/tmp/ubw_spark_{kind}_" + hashlib.md5(
-        sf_dir.encode()
+        salt.encode()
     ).hexdigest()[:10]
 
 
@@ -64,7 +71,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).cast("double").alias("acctbal"),
         "c_mktsegment",
     )
-    out = _tmp("csv_src", sf_dir)
+    out = _tmp("csv_src", sf_dir, spark)
     (
         c.coalesce(1)
         .write.mode("overwrite")
@@ -108,7 +115,7 @@ def source_jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one in-memory Derby database per sf_dir; overwrite keeps reruns
     # deterministic within a long-lived JVM
-    url = f"jdbc:derby:memory:{_tmp('jdbc', sf_dir).rsplit('/', 1)[-1]};create=true"
+    url = f"jdbc:derby:memory:{_tmp('jdbc', sf_dir, spark).rsplit('/', 1)[-1]};create=true"
     write_jdbc(
         s.coalesce(1), url, "supplier_q", mode="overwrite", driver=DERBY_DRIVER
     )

@@ -92,6 +92,52 @@ _NUMFMT_BASE = 164
 #: Excel 2003's hard cap the merge trick exists to avoid.
 _MAX_STYLES = 4000
 
+#: ECMA-376 §18.8.30 implied formats — ids below _NUMFMT_BASE carry no
+#: <numFmt> element, so reading foreign-producer files (Excel, openpyxl)
+#: needs this table or every built-in-styled column decodes to None.
+#: id 0 (General) is deliberately absent: General means "no format".
+_BUILTIN_NUMFMT: dict[int, str] = {
+    1: "0",
+    2: "0.00",
+    3: "#,##0",
+    4: "#,##0.00",
+    9: "0%",
+    10: "0.00%",
+    11: "0.00E+00",
+    12: "# ?/?",
+    13: "# ??/??",
+    14: "mm-dd-yy",
+    15: "d-mmm-yy",
+    16: "d-mmm",
+    17: "mmm-yy",
+    18: "h:mm AM/PM",
+    19: "h:mm:ss AM/PM",
+    20: "h:mm",
+    21: "h:mm:ss",
+    22: "m/d/yy h:mm",
+    37: "#,##0 ;(#,##0)",
+    38: "#,##0 ;[Red](#,##0)",
+    39: "#,##0.00;(#,##0.00)",
+    40: "#,##0.00;[Red](#,##0.00)",
+    45: "mm:ss",
+    46: "[h]:mm:ss",
+    47: "mmss.0",
+    48: "##0.0E+0",
+    49: "@",
+}
+
+
+def _sheet_parts(names: list[str]) -> list[str]:
+    """Worksheet part names in sheet order.  NUMERIC sort on the
+    suffix — lexicographic puts sheet10.xml before sheet2.xml, so
+    workbooks with >9 sheets would resolve the wrong sheet."""
+    parts = [
+        n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+    ]
+    return sorted(
+        parts, key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1))
+    )
+
 
 def _style_table(
     styles: list[CellStyle | None],
@@ -339,9 +385,7 @@ def read_xlsx_rows(path: str, *, sheet: str | int = 0):
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{{{_NS}}}si"):
                 shared.append("".join(el.text or "" for el in si.iter(f"{{{_NS}}}t")))
-        sheet_parts = sorted(
-            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
+        sheet_parts = _sheet_parts(names)
         if isinstance(sheet, int):
             part = sheet_parts[sheet]
         else:
@@ -393,10 +437,11 @@ def read_xlsx_column_styles(
                     fmt_id = int(xf.get("numFmtId", "0"))
                     if fmt_id in id_to_code:
                         xf_to_code[i] = id_to_code[fmt_id]
-        sheet_parts = sorted(
-            n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
-        )
-        root = ET.fromstring(zf.read(sheet_parts[sheet]))
+                    elif fmt_id in _BUILTIN_NUMFMT:
+                        # built-in id: no <numFmt> element exists in the
+                        # file — resolve through the ECMA-376 table
+                        xf_to_code[i] = _BUILTIN_NUMFMT[fmt_id]
+        root = ET.fromstring(zf.read(_sheet_parts(names)[sheet]))
 
     widths: dict[int, float] = {}
     for col in root.iter(f"{{{_NS}}}col"):
