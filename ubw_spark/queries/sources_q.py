@@ -86,6 +86,102 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_excel_roundtrip",
+    oracle="""
+    SELECT * FROM (
+        SELECT CAST(round(c_acctbal, 2) AS DOUBLE) AS balance,
+               c_custkey AS key, c_name AS name,
+               c_mktsegment AS segment
+        FROM customer
+        WHERE c_mktsegment LIKE '%BUILD%'
+        ORDER BY balance DESC, key ASC
+        LIMIT 100
+    )
+    CROSS JOIN (
+        SELECT '0.000' AS balance_fmt,
+               CAST(12.0 AS DOUBLE) AS balance_width
+    )
+    """,
+    tags=("sources", "excel"),
+)
+def source_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 under the driver gate (VERDICT r9 #1): the full Excel
+    lifecycle — declared QuerySpec with a per-column CellStyle →
+    filtered/ordered/top-100 styled report via ``write_excel_view``
+    with the RUNTIME decimals override (doc-01.md problem #5, the
+    reference's headline S5 feature) → read the sheet back with the
+    stdlib reader → DataFrame.  The decoded STYLE layer rides along as
+    literal columns (``balance_fmt``/``balance_width``), so the oracle
+    covers both halves: matching the parquet-truth rows proves the
+    data cells are lossless, and matching the literal format columns
+    proves the style round-trip decoded ``decimals=3 over a declared
+    2-dp/width-12 style`` to exactly ``"0.000"`` @ width 12.
+
+    Top-100 with a unique tiebreak keeps the driver-side collect
+    bounded at ANY sf (Excel is a report sink — write_excel's
+    max_rows guard is the same posture).  Reference: doc-01.md:113-115,
+    backup/README.md:147-149,199-203."""
+    from pyspark.sql import functions as F
+
+    from ubw_spark.core.spec import ColumnSpec, QuerySpec
+    from ubw_spark.params import QueryParams
+    from ubw_spark.sources.excel import (
+        CellStyle,
+        read_xlsx_column_styles,
+        read_xlsx_rows,
+        write_excel_view,
+    )
+
+    # Effective sort priority follows SPEC DECLARATION ORDER (the
+    # reference's generated-SQL semantics, doc-02.md:130) — balance is
+    # declared first so the report is "top 100 balances, key tiebreak".
+    spec = QuerySpec(
+        [
+            ColumnSpec(
+                "balance",
+                expr=F.round("c_acctbal", 2).cast("double"),
+                orderable=True,
+                cell_style=CellStyle(decimals=2, width=12.0),
+            ),
+            ColumnSpec("key", expr="c_custkey", orderable=True),
+            ColumnSpec("name", expr="c_name"),
+            ColumnSpec(
+                "segment",
+                expr="c_mktsegment",
+                filterable=True,
+                likeable=True,
+            ),
+        ]
+    )
+    params = QueryParams(
+        filters={"segment": {"like": "%BUILD%"}},
+        orders=[("balance", True), ("key", False)],
+        take=100,
+    )
+    path = _tmp("xlsx", sf_dir, spark) + ".xlsx"
+    write_excel_view(
+        table(spark, sf_dir, "customer"),
+        spec,
+        path,
+        params=params,
+        style_params={"balance": 3},  # this request wants 3 decimals
+    )
+    columns, rows = read_xlsx_rows(path)
+    styles = read_xlsx_column_styles(path)
+    back = spark.createDataFrame(
+        rows, "balance double, key bigint, name string, segment string"
+    )
+    assert columns == ["balance", "key", "name", "segment"]
+    return back.select(
+        "*",
+        F.lit(styles["balance"]["num_fmt"]).alias("balance_fmt"),
+        F.lit(styles["balance"]["width"]).cast("double").alias(
+            "balance_width"
+        ),
+    )
+
+
+@register(
     "source_jdbc_pushdown",
     oracle="""
     SELECT s_suppkey, s_name, s_nationkey,
