@@ -1,9 +1,13 @@
 """Benchmark runner — the driver executes this per round.
 
 Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the full
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...} followed by a COMPACT summary line
+(same schema, "queries" = worst-5 only) as the LAST stdout line — the
+driver records only a ~2kB stdout tail, and the compact line fits it
+whole.  The full recording is also written to BENCH_LOCAL.json
+($SPARK_GRAFT_BENCH_OUT overrides).
 
 Each query executes fully (noop sink — no driver-side collect cost, no
 files written) so the measured time is scan + compute + shuffle.
@@ -289,7 +293,37 @@ def main() -> None:
     }
     if sf_extra is not None:
         doc["sf_extra"] = sf_extra
+    # Full recording to a file (the driver keeps only a ~2kB stdout
+    # tail, which truncates the 50+-query line into "parsed": null);
+    # the LAST stdout line is a compact summary that fits the tail
+    # whole, so the driver's BENCH_rN.json carries a parseable block.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+    except OSError as e:
+        print(f"could not write {out_path}: {e}", file=sys.stderr)
     print(json.dumps(doc))
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    compact = {
+        "metric": doc["metric"],
+        "value": doc["value"],
+        "unit": "sec",
+        "sf": doc["sf"],
+        "n_queries": len(timings),
+        "queries": worst,  # worst-5; full per-query block in `full`
+        "full": os.path.basename(out_path),
+    }
+    if sf_extra is not None:
+        compact["sf_extra_total"] = sf_extra["value"]
+        compact["sf_extra_sf"] = sf_extra["sf"]
+    print(json.dumps(compact))
     spark.stop()
 
     baseline_args: list[str] = []

@@ -1214,6 +1214,38 @@ def test_semantic_dedup_planted_clusters(spark):
     assert all(r.keep == 1 for r in capped)
 
 
+def test_semdedup_assign_paths_agree(spark, sf_dir):
+    """assign_cells dispatches on k: literal-fold expression below
+    _JOIN_ASSIGN_MIN_K, vectorized Arrow argmin at paper-scale k.  The
+    two kernels must produce IDENTICAL assignments on real embeddings
+    (same sequential-vs-BLAS float64 distances up to ~1e-13 drift, same
+    lowest-cid tie-break) — the dispatch is a performance knob, never a
+    results knob."""
+    from ubw_spark.operators.semdedup import (
+        _assign_cells_vectorized,
+        _nearest_cells,
+    )
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = seed_ivf_centroids(emb, k=24)  # above the dispatch line
+    lit = {
+        r["vec_id"]: r["cell"]
+        for r in emb.select(
+            "vec_id",
+            _nearest_cells(F.col("embedding"), cents, 1)[0].alias("cell"),
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells_vectorized(
+            emb, "vec_id", "embedding", cents
+        ).collect()
+    }
+    assert lit == vec
+    assert len(set(vec.values())) > 1  # sanity: not all one cell
+
+
 def test_dsir_weights_favor_target_style(spark):
     """Planted distribution shift: the pool mixes two disjoint bigram
     styles; with style-A as target, every style-A doc outweighs every

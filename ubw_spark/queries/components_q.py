@@ -53,6 +53,56 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select("node", "component")
 
 
+# Same transitive-closure oracle as dedup_connected_components: the
+# checkpoint policy is a FAILURE-posture knob, never a results knob.
+_CC_ORACLE = """
+    WITH pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 150 AND b.vec_id < 150
+        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
+    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(a, b) AS (
+        SELECT a, b FROM sym
+        UNION
+        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
+      SELECT * FROM r)
+    SELECT node, least(node, min_reach) AS component FROM (
+      SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
+    """
+
+
+@register(
+    "dedup_cc_reliable_ckpt",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "graph", "checkpoint"),
+)
+def dedup_cc_reliable_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION failure posture of dedup_connected_components
+    under the driver gate (VERDICT r9 #5): every label-propagation
+    round truncates lineage through a DURABLE parquet checkpoint
+    (operators/iterate.py ``truncate(mode="reliable")`` + TruncateSlot
+    reclamation) instead of executor-memory localCheckpoint — on a
+    preemptible 1000-executor cluster an executor loss replays from the
+    last durable round, not from the raw pair join.  Shares the
+    recursive-CTE oracle with the local-mode twin: same answer,
+    different crash story."""
+    import tempfile
+
+    # a context checkpoint dir is the operator's documented precondition
+    # for reliable mode; production points this at HDFS/S3
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="ubw_ckpt_")
+        )
+    comp = connected_components(
+        _sim_edges(spark, sf_dir), checkpoint="reliable"
+    )
+    return comp.select("node", "component")
+
+
 @register(
     "dedup_canonical_selection",
     oracle="""
