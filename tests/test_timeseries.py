@@ -77,12 +77,23 @@ def test_leading_gap_has_no_ffill(spark):
 
 
 def test_anchor_windows_are_consolidated(spark, series):
-    # the four anchor lookups must plan as ONE Window node (frames are
-    # per-function, and both share partition+order, so CollapseWindow
-    # merges them) — not one node per reference: the no-CSE discipline
-    plan = _filled(spark, series)._jdf.queryExecution().optimizedPlan()
-    n_windows = str(plan).count("Window [")
-    assert n_windows == 1, f"expected 1 Window node, got {n_windows}"
+    # the four anchor lookups must plan as exactly TWO Window nodes —
+    # one per sort direction (CollapseWindow merges the two lookups
+    # that share partition+order), never one node per reference (the
+    # no-CSE discipline).  Two directions are deliberate: the forward
+    # anchor runs as a RUNNING frame over the DESC sort because a
+    # (current, UNBOUNDED FOLLOWING) frame executes O(n²) per key
+    # (UnboundedFollowingWindowFunctionFrame re-scans to the partition
+    # end for every row).
+    plan = str(
+        _filled(spark, series)._jdf.queryExecution().optimizedPlan()
+    )
+    n_windows = plan.count("Window [")
+    assert n_windows == 2, f"expected 2 Window nodes, got {n_windows}"
+    assert "unboundedfollowing" not in plan.lower(), (
+        "forward anchors must not plan an UNBOUNDED FOLLOWING frame "
+        "(quadratic per key)"
+    )
 
 
 def test_resample_steps(spark, series):
