@@ -1221,10 +1221,7 @@ def test_semdedup_assign_paths_agree(spark, sf_dir):
     (same sequential-vs-BLAS float64 distances up to ~1e-13 drift, same
     lowest-cid tie-break) — the dispatch is a performance knob, never a
     results knob."""
-    from ubw_spark.operators.semdedup import (
-        _assign_cells_vectorized,
-        _nearest_cells,
-    )
+    from ubw_spark.operators.ivf import _nearest_cells, assign_vectorized
     from ubw_spark.queries.scale_ops import seed_ivf_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1238,12 +1235,39 @@ def test_semdedup_assign_paths_agree(spark, sf_dir):
     }
     vec = {
         r["vec_id"]: r["cell"]
-        for r in _assign_cells_vectorized(
-            emb, "vec_id", "embedding", cents
+        for r in assign_vectorized(
+            emb.select("vec_id", "embedding"), cents, "embedding", "cell"
         ).collect()
     }
     assert lit == vec
     assert len(set(vec.values())) > 1  # sanity: not all one cell
+
+
+def test_ivf_trained_recall_operating_point(spark, sf_dir):
+    """Regression pin on the TRAINED-centroid operating point (VERDICT
+    r9 #6): KMeans k=24 / nprobe=4 / recall@10 — the configuration
+    class recorded at sf1 in COVERAGE.md (k=64, nprobe=4 → recall
+    0.952 reading 6.2% of the corpus; tools/ann_recall.py regenerates).
+    At this fixture's 500 vectors the same shape measures 0.665; the
+    0.6 floor catches kernel regressions (wrong distance, broken
+    tie-break, dropped cells) without flapping on KMeans seed noise.
+    k=24 also forces the VECTORIZED assignment path through the full
+    IVF probe flow."""
+    from ubw_spark.operators.ivf import ivf_ann_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, k=24, seed=42)
+    q = emb.where(F.col("vec_id") < 20)
+    e = {
+        (r["qid"], r["vec_id"])
+        for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    a = {
+        (r["qid"], r["vec_id"])
+        for r in ivf_ann_topk(emb, q, cents, k=10, nprobe=4).collect()
+    }
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"trained-centroid recall regressed: {recall}"
 
 
 def test_dsir_weights_favor_target_style(spark):

@@ -77,15 +77,78 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     return fence(F.transform(F.slice(ranked, 1, n), lambda s: s["c"]))
 
 
+#: Above this k, single-cell assignment switches from inlined centroid
+#: literals to the Arrow-batched argmin kernel: the literal expression
+#: embeds k copies of the distance fold (never codegen'd — interpreted
+#: per (row, centroid), measured 75 s for 20k×625×64), and merely
+#: BUILDING it costs k·dim py4j F.lit round-trips.  Same distances,
+#: same lowest-cid tie-break (pinned by test_semdedup_assign_paths_agree).
+_VECTORIZED_ASSIGN_MIN_K = 17
+
+
+def assign_vectorized(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Arrow-batched nearest-centroid assignment for paper-scale k —
+    one float64 BLAS matmul per batch instead of k interpreted
+    higher-order folds per row; all input columns pass through.
+
+    Map-only: the centroid matrix rides the task closure (k·dim
+    doubles), no shuffle.  Distances are |a|² + |c|² − 2a·c in float64;
+    drift vs the sequential Σ(a−c)² fold is ~1e-13 against measured
+    1st-vs-2nd-nearest gaps of ~8e-8 in the test corpora, and
+    np.argmin's first-minimum IS the lowest-cid tie-break.  Row chunks
+    cap the n×k distance block at ~32 MB regardless of k."""
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, IntegerType(), False)]
+    )
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    c2 = (cmat * cmat).sum(axis=1)
+    chunk = max(1, (1 << 22) // max(1, cmat.shape[0]))
+
+    def assign(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            a2 = (a * a).sum(axis=1)
+            cell = np.empty(n, dtype=np.int32)
+            for lo in range(0, n, chunk):
+                hi = min(n, lo + chunk)
+                d2 = (
+                    a2[lo:hi, None]
+                    + c2[None, :]
+                    - 2.0 * (a[lo:hi] @ cmat.T)
+                )
+                cell[lo:hi] = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = cell
+            yield pdf
+
+    return df.mapInPandas(assign, out_schema)
+
+
 def assign_ivf_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Map-only cell assignment (nearest centroid)."""
-    return corpus.withColumn(
-        "ivf_cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
-    )
+    """Map-only cell assignment (nearest centroid).  Small k inlines
+    the centroids as plan literals; paper-scale k takes the vectorized
+    Arrow kernel (see :data:`_VECTORIZED_ASSIGN_MIN_K`) — identical
+    assignments either way."""
+    if len(centroids) < _VECTORIZED_ASSIGN_MIN_K:
+        return corpus.withColumn(
+            "ivf_cell", _nearest_cells(F.col(vec_col), centroids, 1)[0]
+        )
+    return assign_vectorized(corpus, centroids, vec_col, "ivf_cell")
 
 
 def write_ivf_index(

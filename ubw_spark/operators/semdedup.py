@@ -42,11 +42,9 @@ from ubw_spark.operators.ivf import _nearest_cells
 from ubw_spark.operators.similarity import cosine_col
 
 
-#: Above this k, assignment goes through the broadcast-join path: the
-#: literal-expression path embeds k COPIES of the distance fold (k×dim
-#: F.lit py4j calls to even build it — ~40s of driver time at k=625),
-#: while the join path is ONE codegen'd fold over a broadcast cell
-#: table, whatever k is.
+#: Dispatch line between inlined centroid literals and the vectorized
+#: Arrow kernel — shared rationale and kernel live in operators/ivf.py
+#: (:data:`ivf._VECTORIZED_ASSIGN_MIN_K`, :func:`ivf.assign_vectorized`).
 _JOIN_ASSIGN_MIN_K = 17
 
 
@@ -60,81 +58,25 @@ def assign_cells(
 
     Small k inlines the centroids as plan literals (zero extra plan
     nodes); paper-scale k (the SemDeDup regime — 50k cells on LAION)
-    broadcasts them as a k-row table and takes the per-id argmin, which
-    keeps the distance kernel a SINGLE whole-stage-codegen fold.  Both
-    paths compute the identical sequential squared-L2 fold with the
-    identical (distance, cid) tie-break, so the choice is invisible to
-    results (pinned by test_semdedup_assign_paths_agree)."""
+    takes ivf.assign_vectorized — one float64 BLAS argmin per Arrow
+    batch, the stage the paper puts on GPUs.  Both paths produce
+    identical assignments: same float64 distances to ~1e-13 against
+    measured ~8e-8 assignment gaps, same lowest-cid tie-break (pinned
+    by test_semdedup_assign_paths_agree)."""
     if len(centroids) < _JOIN_ASSIGN_MIN_K:
         return df.select(
             F.col(id_col),
             F.col(vec_col),
             _nearest_cells(F.col(vec_col), centroids, 1)[0].alias("cell"),
         )
-    return _assign_cells_vectorized(df, id_col, vec_col, centroids)
+    from ubw_spark.operators.ivf import assign_vectorized
 
-
-def _assign_cells_vectorized(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    centroids: list[list[float]],
-) -> DataFrame:
-    """Arrow-batched argmin assignment for paper-scale k.
-
-    The N·k·dim distance kernel is the one place Catalyst genuinely
-    can't compete: a higher-order-function fold never enters codegen,
-    so it pays interpreted per-(row, centroid) evaluation (measured
-    75 s for 20k × 625 × 64 on 32 cores), while one BLAS matmul per
-    Arrow batch does the same 800M flops in milliseconds — this is the
-    stage the paper puts on GPUs.  Map-only: the centroid matrix rides
-    the closure (k·dim doubles), no shuffle, no exchange.
-
-    Parity with the literal-fold path and the DuckDB oracle: distances
-    use |a|² + |c|² − 2a·c in float64; vs the sequential Σ(a−c)² fold
-    the drift is ~1e-13, while the smallest 1st-vs-2nd-nearest gap in
-    the test corpora is ~8e-8 (measured at sf1) — four orders of
-    safety.  np.argmin takes the FIRST minimum, i.e. the lowest cid,
-    the same (distance, cid) tie-break as everywhere else.  Row chunks
-    are capped so the n×k distance block stays ~32 MB however big k
-    gets."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    base = df.select(F.col(id_col), F.col(vec_col))
-    out_schema = StructType(
-        base.schema.fields + [StructField("cell", IntegerType(), False)]
+    return assign_vectorized(
+        df.select(F.col(id_col), F.col(vec_col)),
+        centroids,
+        vec_col,
+        "cell",
     )
-    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
-    c2 = (cmat * cmat).sum(axis=1)  # (k,)
-    chunk = max(1, (1 << 22) // max(1, cmat.shape[0]))  # ~32MB of float64
-
-    def assign(batches):
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                continue
-            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)  # (n, dim)
-            a2 = (a * a).sum(axis=1)
-            cell = np.empty(n, dtype=np.int32)
-            for lo in range(0, n, chunk):
-                hi = min(n, lo + chunk)
-                d2 = (
-                    a2[lo:hi, None]
-                    + c2[None, :]
-                    - 2.0 * (a[lo:hi] @ cmat.T)
-                )
-                cell[lo:hi] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col],
-                    vec_col: pdf[vec_col],
-                    "cell": cell,
-                }
-            )
-
-    return base.mapInPandas(assign, out_schema)
 
 
 def semantic_dup_pairs(
