@@ -149,9 +149,19 @@ CONTAMINATION_FACTOR = 2.0
 
 def _extract_queries(doc: dict) -> dict[str, float]:
     """Per-query timings from either the raw bench line or the driver's
-    BENCH_rNN.json wrapper ({..., "parsed": {raw line}})."""
+    BENCH_rNN.json wrapper ({..., "parsed": {raw line}}).
+
+    COMPACT summary docs (the worst-5 tail line, marked "compact") are
+    rejected outright: folding a 5-query subset into the composite
+    would silently narrow the regression gate to those 5 queries and
+    shrink composite_baseline's common-set contamination compare to a
+    near-empty intersection.  The full recording for each round is the
+    committed BENCH_LOCAL.json — include it in the compare glob."""
     # "parsed" is null in a crashed round's wrapper (e.g. BENCH_r05.json)
-    return doc.get("queries") or (doc.get("parsed") or {}).get("queries") or {}
+    inner = doc if "queries" in doc else (doc.get("parsed") or {})
+    if inner.get("compact"):
+        return {}
+    return inner.get("queries") or {}
 
 
 def composite_baseline(
@@ -317,6 +327,7 @@ def main() -> None:
         "unit": "sec",
         "sf": doc["sf"],
         "n_queries": len(timings),
+        "compact": True,  # _extract_queries must NOT baseline this doc
         "queries": worst,  # worst-5; full per-query block in `full`
         "full": os.path.basename(out_path),
     }

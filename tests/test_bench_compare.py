@@ -89,3 +89,25 @@ def test_contamination_still_detected_on_common_subset():
     )
     assert skipped == ["contended.json"]
     assert "c" not in base  # the bad file's exclusive names set no floor
+
+
+def test_compact_summary_doc_is_not_a_baseline():
+    """The worst-5 tail line (bench.py's compact summary, what the
+    driver's 2kB capture records as 'parsed') must yield NO baseline
+    queries: folding a 5-query subset into the composite would narrow
+    the regression gate to those 5 and shrink the contamination
+    compare's common set.  Full recordings (BENCH_LOCAL.json) parse."""
+    from bench import _extract_queries
+
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": 70.0,
+        "compact": True,
+        "queries": {"worst1": 9.0, "worst2": 8.0},
+    }
+    assert _extract_queries(compact) == {}
+    assert _extract_queries({"parsed": compact}) == {}
+    full = {"value": 70.0, "queries": {"a": 1.0, "b": 2.0}}
+    assert _extract_queries(full) == {"a": 1.0, "b": 2.0}
+    assert _extract_queries({"parsed": full}) == {"a": 1.0, "b": 2.0}
+    assert _extract_queries({"parsed": None}) == {}

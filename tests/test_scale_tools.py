@@ -407,6 +407,40 @@ def test_excel_reads_foreign_producer_files(tmp_path):
     assert got["price"]["num_fmt"] == "0.00"  # built-in id resolved
     assert got["id"]["num_fmt"] is None
 
+    # REORDERED workbook: part file names are stable when a user drags
+    # sheets around — workbook.xml's <sheet> order through the rels
+    # (r:id -> target) is authoritative, NOT part numbering.  Here the
+    # data sheet (part sheet10.xml) is the FIRST workbook sheet.
+    doc_rel = (
+        "http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships"
+    )
+    wb = (
+        f'<workbook xmlns="{ns}" xmlns:r="{doc_rel}"><sheets>'
+        '<sheet name="Data" sheetId="1" r:id="rIdA"/>'
+        '<sheet name="Blank" sheetId="2" r:id="rIdB"/>'
+        "</sheets></workbook>"
+    )
+    rel_ns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    rels = (
+        f'<Relationships xmlns="{rel_ns}">'
+        '<Relationship Id="rIdA" Type="x" Target="worksheets/sheet10.xml"/>'
+        '<Relationship Id="rIdB" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    path2 = str(tmp_path / "reordered.xlsx")
+    with zipfile.ZipFile(path2, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet2.xml", empty)
+        zf.writestr("xl/worksheets/sheet10.xml", data)
+        zf.writestr("xl/styles.xml", styles)
+    columns, rows = read_xlsx_rows(path2, sheet=0)  # index = workbook order
+    assert columns == ["id", "price"] and rows == [(7, 12.5)]
+    columns, rows = read_xlsx_rows(path2, sheet="Data")  # by name too
+    assert rows == [(7, 12.5)]
+    assert read_xlsx_column_styles(path2, sheet=0)["price"]["num_fmt"] == "0.00"
+
 
 def test_excel_view_runtime_decimals_param(spark, tmp_path):
     """The reference's exact motivating case (doc-01.md problem #5): a

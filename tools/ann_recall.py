@@ -45,6 +45,8 @@ def recall_curve(
     )
     from ubw_spark.operators.similarity import brute_force_topk
 
+    from ubw_spark.operators.ivf import _nearest_cells
+
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     n = emb.count()
     t0 = time.perf_counter()
@@ -55,9 +57,29 @@ def recall_curve(
         brute_force_topk(emb, q, k=topk).select("qid", "vec_id").cache()
     )
     n_truth = brute.count()  # n_queries * topk; also materializes cache
-    cells = assign_ivf_cells(emb, centroids).select("vec_id", "ivf_cell")
+    # cache: the corpus cell assignment is reused by every nprobe's
+    # candidate-volume measurement
+    cells = (
+        assign_ivf_cells(emb, centroids).select("vec_id", "ivf_cell").cache()
+    )
+    cells.count()
     rows = []
     for p in nprobes:
+        # MEASURED candidate volume for this nprobe — KMeans cells are
+        # not uniform, so nprobe/k (the nominal fraction) can misstate
+        # actual IO; this is the row count the probed partitions admit
+        probes = q.select(
+            F.col("vec_id").alias("qid"),
+            F.explode(
+                _nearest_cells(F.col("embedding"), centroids, p)
+            ).alias("ivf_cell"),
+        )
+        n_cand = (
+            cells.join(F.broadcast(probes), "ivf_cell")
+            .where(F.col("vec_id") != F.col("qid"))
+            .dropDuplicates(["qid", "vec_id"])
+            .count()
+        )
         t0 = time.perf_counter()
         top = ivf_ann_topk(emb, q, centroids, k=topk, nprobe=p).select(
             "qid", "vec_id"
@@ -68,12 +90,17 @@ def recall_curve(
             {
                 "nprobe": p,
                 "k_cells": k_cells,
-                "frac_corpus_read": round(min(1.0, p / k_cells), 4),
+                "nominal_frac": round(min(1.0, p / k_cells), 4),
+                "measured_cand_frac": round(
+                    n_cand / (n_queries * n), 4
+                ),
                 "hits": hits,
                 "recall_at_10": round(hits / n_truth, 4),
                 "probe_sec": round(dt, 2),
             }
         )
+    brute.unpersist()
+    cells.unpersist()
     rows.append({"train_sec": round(train_s, 2), "corpus": n})
     return rows
 
@@ -94,11 +121,12 @@ def main() -> None:
     rows = recall_curve(spark, sf_dir, k_cells=64)
     meta = rows.pop()
     print(f"\ncorpus={meta['corpus']}  k_cells=64  train={meta['train_sec']}s")
-    print("| nprobe | corpus read | recall@10 | probe sec |")
-    print("|---|---|---|---|")
+    print("| nprobe | nominal read | measured candidates | recall@10 | probe sec |")
+    print("|---|---|---|---|---|")
     for r in rows:
         print(
-            f"| {r['nprobe']} | {r['frac_corpus_read']:.1%} "
+            f"| {r['nprobe']} | {r['nominal_frac']:.1%} "
+            f"| {r['measured_cand_frac']:.1%} "
             f"| {r['recall_at_10']:.3f} | {r['probe_sec']} |"
         )
     print(json.dumps({"sf_dir": sf_dir, "meta": meta, "curve": rows}))

@@ -105,9 +105,15 @@ def assign_vectorized(
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if out_col in df.columns:
+        # mirror withColumn's replace semantics (the literal path) —
+        # without this the output schema would carry the field twice
+        # and mapInPandas would fail on a schema/columns mismatch
+        df = df.drop(out_col)
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, IntegerType(), False)]
     )
+    dim = len(centroids[0])
     cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
     c2 = (cmat * cmat).sum(axis=1)
     chunk = max(1, (1 << 22) // max(1, cmat.shape[0]))
@@ -117,7 +123,19 @@ def assign_vectorized(
             n = len(pdf)
             if n == 0:
                 continue
-            a = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vecs = pdf[vec_col].tolist()
+            if any(v is None or len(v) != dim for v in vecs):
+                # the literal path silently flows NULL/ragged vectors
+                # through to an undefined cell; here that corrupt input
+                # is a CONTRACT error with a diagnosis instead of an
+                # opaque numpy shape failure mid-job
+                raise ValueError(
+                    f"assign_vectorized: NULL or non-{dim}-dim value in "
+                    f"'{vec_col}' — filter corrupt embeddings upstream "
+                    "(module contract: vector columns are non-null, "
+                    "fixed-dim)"
+                )
+            a = np.array(vecs, dtype=np.float64)
             a2 = (a * a).sum(axis=1)
             cell = np.empty(n, dtype=np.int32)
             for lo in range(0, n, chunk):

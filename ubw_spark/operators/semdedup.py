@@ -38,14 +38,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ubw_spark.functions.hof import fence
+
+# The literal/vectorized dispatch line has ONE definition, next to the
+# kernel in operators/ivf.py — both families must flip at the same k.
+from ubw_spark.operators.ivf import (
+    _VECTORIZED_ASSIGN_MIN_K as _JOIN_ASSIGN_MIN_K,
+)
 from ubw_spark.operators.ivf import _nearest_cells
 from ubw_spark.operators.similarity import cosine_col
-
-
-#: Dispatch line between inlined centroid literals and the vectorized
-#: Arrow kernel — shared rationale and kernel live in operators/ivf.py
-#: (:data:`ivf._VECTORIZED_ASSIGN_MIN_K`, :func:`ivf.assign_vectorized`).
-_JOIN_ASSIGN_MIN_K = 17
 
 
 def assign_cells(

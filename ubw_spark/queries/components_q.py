@@ -25,9 +25,11 @@ def _sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_connected_components",
-    oracle="""
+# One definition of the transitive-closure CTE chain, composed into
+# every oracle in this module — a hand-maintained copy per registration
+# would let a threshold/bound edit desynchronize twins that must pin
+# the same answer.
+_CC_PREFIX = """
     WITH pairs AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -40,10 +42,22 @@ def _sim_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a, b FROM sym
         UNION
         SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
-      SELECT * FROM r)
-    SELECT node, least(node, min_reach) AS component FROM (
-      SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
-    """,
+      SELECT * FROM r),
+    comp AS (
+      SELECT node, least(node, min_reach) AS component FROM (
+        SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a))"""
+
+#: Shared by BOTH connected-components registrations (local + reliable
+#: checkpoint): the checkpoint policy is a failure-posture knob, never
+#: a results knob — structural sharing keeps the twins on one answer.
+_CC_ORACLE = _CC_PREFIX + """
+    SELECT node, component FROM comp
+    """
+
+
+@register(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE,
     tags=("dedup", "graph"),
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,27 +65,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     id<150 block): each node labeled with its component's min id."""
     comp = connected_components(_sim_edges(spark, sf_dir))
     return comp.select("node", "component")
-
-
-# Same transitive-closure oracle as dedup_connected_components: the
-# checkpoint policy is a FAILURE-posture knob, never a results knob.
-_CC_ORACLE = """
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.vec_id < 150 AND b.vec_id < 150
-        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
-      SELECT * FROM r)
-    SELECT node, least(node, min_reach) AS component FROM (
-      SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)
-    """
 
 
 @register(
@@ -89,14 +82,18 @@ def dedup_cc_reliable_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     last durable round, not from the raw pair join.  Shares the
     recursive-CTE oracle with the local-mode twin: same answer,
     different crash story."""
+    import atexit
+    import shutil
     import tempfile
 
     # a context checkpoint dir is the operator's documented precondition
     # for reliable mode; production points this at HDFS/S3
     if spark.sparkContext.getCheckpointDir() is None:
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="ubw_ckpt_")
-        )
+        ckpt = tempfile.mkdtemp(prefix="ubw_ckpt_")
+        spark.sparkContext.setCheckpointDir(ckpt)
+        # Spark never deletes checkpoint files (cleanCheckpoints is off
+        # by default) — reclaim the dir WE created at interpreter exit
+        atexit.register(shutil.rmtree, ckpt, ignore_errors=True)
     comp = connected_components(
         _sim_edges(spark, sf_dir), checkpoint="reliable"
     )
@@ -105,23 +102,7 @@ def dedup_cc_reliable_ckpt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_canonical_selection",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.vec_id < 150 AND b.vec_id < 150
-        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
-      SELECT * FROM r),
-    comp AS (
-      SELECT node, least(node, min_reach) AS component FROM (
-        SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)),
+    oracle=_CC_PREFIX + """,
     ranked AS (
       SELECT c.component, c.node, d.n_chars,
              row_number() OVER (PARTITION BY c.component
@@ -166,23 +147,7 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_cluster_size_histogram",
-    oracle="""
-    WITH pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE a.vec_id < 150 AND b.vec_id < 150
-        AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25),
-    sym AS (SELECT id_a AS a, id_b AS b FROM pairs
-            UNION SELECT id_b, id_a FROM pairs),
-    reach AS (
-      WITH RECURSIVE r(a, b) AS (
-        SELECT a, b FROM sym
-        UNION
-        SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a)
-      SELECT * FROM r),
-    comp AS (
-      SELECT node, least(node, min_reach) AS component FROM (
-        SELECT a AS node, min(b) AS min_reach FROM reach GROUP BY a)),
+    oracle=_CC_PREFIX + """,
     sizes AS (SELECT component, count(*) AS cluster_size
               FROM comp GROUP BY component)
     SELECT cluster_size,

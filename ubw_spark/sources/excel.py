@@ -127,15 +127,41 @@ _BUILTIN_NUMFMT: dict[int, str] = {
 }
 
 
-def _sheet_parts(names: list[str]) -> list[str]:
-    """Worksheet part names in sheet order.  NUMERIC sort on the
-    suffix — lexicographic puts sheet10.xml before sheet2.xml, so
-    workbooks with >9 sheets would resolve the wrong sheet."""
-    parts = [
+def _sheet_parts(zf: "zipfile.ZipFile") -> list[str]:
+    """Worksheet part names in WORKBOOK sheet order.
+
+    The authoritative order is workbook.xml's <sheet> sequence resolved
+    through workbook.xml.rels (r:id → part target): Excel keeps part
+    FILE names stable when sheets are reordered or deleted, so part
+    numbering need not match display order.  When either part is
+    missing (minimal producers), fall back to numeric-suffix order —
+    numeric, not lexicographic, or sheet10.xml sorts before sheet2.xml
+    in >9-sheet workbooks."""
+    names = zf.namelist()
+    try:
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.get("Id"): r.get("Target")
+            for r in rels.iter(f"{{{_REL_NS}}}Relationship")
+        }
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        parts = []
+        for s in wb.iter(f"{{{_NS}}}sheet"):
+            rid = s.get(f"{{{_DOC_REL}}}id")
+            target = rid_to_target[rid]
+            # targets are workbook-relative ("worksheets/sheet1.xml")
+            # unless rooted ("/xl/worksheets/sheet1.xml")
+            part = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+            parts.append(part)
+        if parts and all(p in names for p in parts):
+            return parts
+    except (KeyError, ET.ParseError):
+        pass
+    found = [
         n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
     ]
     return sorted(
-        parts, key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1))
+        found, key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1))
     )
 
 
@@ -385,7 +411,7 @@ def read_xlsx_rows(path: str, *, sheet: str | int = 0):
             root = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             for si in root.iter(f"{{{_NS}}}si"):
                 shared.append("".join(el.text or "" for el in si.iter(f"{{{_NS}}}t")))
-        sheet_parts = _sheet_parts(names)
+        sheet_parts = _sheet_parts(zf)
         if isinstance(sheet, int):
             part = sheet_parts[sheet]
         else:
@@ -441,7 +467,7 @@ def read_xlsx_column_styles(
                         # built-in id: no <numFmt> element exists in the
                         # file — resolve through the ECMA-376 table
                         xf_to_code[i] = _BUILTIN_NUMFMT[fmt_id]
-        root = ET.fromstring(zf.read(_sheet_parts(names)[sheet]))
+        root = ET.fromstring(zf.read(_sheet_parts(zf)[sheet]))
 
     widths: dict[int, float] = {}
     for col in root.iter(f"{{{_NS}}}col"):
