@@ -1213,6 +1213,17 @@ def test_semantic_dedup_planted_clusters(spark):
     ).collect()
     assert all(r.keep == 1 for r in capped)
 
+    # checkpoint="local" truncates lineage after ONE assignment pass
+    # (the cells frame feeds three branches) — results identical
+    ckpt = {
+        r.vec_id: (r.cell, r.keep)
+        for r in semantic_dedup_report(
+            df, "vec_id", "embedding", cents,
+            threshold=0.95, checkpoint="local",
+        ).collect()
+    }
+    assert ckpt == rep
+
 
 def test_semdedup_assign_paths_agree(spark, sf_dir):
     """assign_cells dispatches on k: literal-fold expression below

@@ -217,13 +217,26 @@ def semantic_dedup_report(
     threshold: float = 0.95,
     max_cell: int | None = None,
     pair_salt: int = 1,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Per-row keep decision: (id, cell, keep) for EVERY input row —
     keep = 0 iff the row loses some within-cluster pair (higher id at
     cosine ≥ threshold).  Filtering ``keep = 1`` applies the SemDeDup
     policy; the report form (rather than a filtered frame) is what a
-    curation funnel audits and what the oracle checks row-for-row."""
+    curation funnel audits and what the oracle checks row-for-row.
+
+    ``checkpoint``: the cells frame feeds THREE plan branches (pair
+    a-side, pair b-side, the report join), so by default the N·k·dim
+    assignment kernel runs three times per action.  ``"local"`` /
+    ``"reliable"`` truncate lineage after ONE assignment pass
+    (operators/iterate.truncate — the connected-components posture);
+    at 100 TB pass ``"reliable"`` so the materialized cells also
+    survive executor loss.  Results are identical either way."""
     cells = assign_cells(df, id_col, vec_col, centroids)
+    if checkpoint is not None:
+        from ubw_spark.operators.iterate import truncate
+
+        cells = truncate(cells, checkpoint)
     losers = (
         _pairs_from_cells(
             cells, id_col, vec_col,
