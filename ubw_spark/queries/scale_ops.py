@@ -744,9 +744,11 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair_salt=4: md5-seeded cells are balanced but few at tiny sf
     # (k=16 at sf0.01 vs 32 local threads); salting splits each cell's
     # pair work further (output-identical — see semantic_dup_pairs).
+    # checkpoint="local": the cells frame feeds three plan branches —
+    # truncating after ONE assignment pass scans the corpus once
     return semantic_dedup_report(
         emb, "vec_id", "embedding", seed_ivf_centroids(emb, k=k),
-        threshold=0.45, pair_salt=4,
+        threshold=0.45, pair_salt=4, checkpoint="local",
     )
 
 
