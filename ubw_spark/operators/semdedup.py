@@ -88,6 +88,7 @@ def semantic_dup_pairs(
     threshold: float = 0.95,
     max_cell: int | None = None,
     pair_salt: int = 1,
+    checkpoint: str | None = None,
 ) -> DataFrame:
     """Within-cluster near-dup pairs: (id_a, id_b, cell, cos_sim) with
     id_a < id_b and cosine ≥ threshold.  Pairs across clusters are by
@@ -99,8 +100,17 @@ def semantic_dup_pairs(
     replicate salt-fold): output-identical, parallelism × salt.  Use
     when the quantizer is COARSE relative to the executor count (few
     cells, each big) — at paper-scale k (10^4-10^5 cells) leave it at 1,
-    the cell key already saturates any cluster."""
+    the cell key already saturates any cluster.
+
+    ``checkpoint``: the cells frame feeds BOTH join sides, so by
+    default the assignment kernel runs twice per action; "local" /
+    "reliable" truncate lineage after one pass — same retention
+    contract as :func:`semantic_dedup_report`."""
     cells = assign_cells(df, id_col, vec_col, centroids)
+    if checkpoint is not None:
+        from ubw_spark.operators.iterate import truncate
+
+        cells = truncate(cells, checkpoint)
     return _pairs_from_cells(
         cells, id_col, vec_col,
         threshold=threshold, max_cell=max_cell, pair_salt=pair_salt,
@@ -229,9 +239,18 @@ def semantic_dedup_report(
     a-side, pair b-side, the report join), so by default the N·k·dim
     assignment kernel runs three times per action.  ``"local"`` /
     ``"reliable"`` truncate lineage after ONE assignment pass
-    (operators/iterate.truncate — the connected-components posture);
-    at 100 TB pass ``"reliable"`` so the materialized cells also
-    survive executor loss.  Results are identical either way."""
+    (operators/iterate.truncate — the connected-components posture).
+    Results are identical either way.  Retention contract: "local"
+    pins an executor-storage copy freed by the ContextCleaner when the
+    frame is garbage-collected — right for one-shot jobs; "reliable"
+    writes a corpus-scale parquet dir under the context checkpoint dir
+    WITHOUT a TruncateSlot (this is not an iterative chain — the frame
+    keeps reading from it), so it survives executor loss AND the job,
+    and is reclaimed by the checkpoint dir's retention policy (the
+    standard TTL'd-scratch-bucket production pattern).  Leave None
+    when the plan itself must stay inspectable (lints, .explain) —
+    truncation replaces the assignment subtree with a materialized
+    scan."""
     cells = assign_cells(df, id_col, vec_col, centroids)
     if checkpoint is not None:
         from ubw_spark.operators.iterate import truncate

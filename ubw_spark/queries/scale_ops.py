@@ -744,11 +744,16 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair_salt=4: md5-seeded cells are balanced but few at tiny sf
     # (k=16 at sf0.01 vs 32 local threads); salting splits each cell's
     # pair work further (output-identical — see semantic_dup_pairs).
-    # checkpoint="local": the cells frame feeds three plan branches —
-    # truncating after ONE assignment pass scans the corpus once
+    # checkpoint stays None HERE deliberately: truncation replaces the
+    # assignment subtree with a materialized-RDD scan, which would (a)
+    # run a full job at plan-BUILD time every time the registry builds
+    # this query (plan lints, .explain) and (b) blind the registry-wide
+    # HOF/window plan lints to the assignment branch.  Production jobs
+    # opt in via semantic_dedup_report(checkpoint=...) — one corpus
+    # pass instead of three.
     return semantic_dedup_report(
         emb, "vec_id", "embedding", seed_ivf_centroids(emb, k=k),
-        threshold=0.45, pair_salt=4, checkpoint="local",
+        threshold=0.45, pair_salt=4,
     )
 
 
