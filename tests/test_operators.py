@@ -1254,6 +1254,34 @@ def test_semdedup_assign_paths_agree(spark, sf_dir):
     assert len(set(vec.values())) > 1  # sanity: not all one cell
 
 
+def test_assign_vectorized_rejects_corrupt_vectors(spark):
+    """NULL or ragged vectors are a CONTRACT error with a diagnosis
+    naming the column — not an opaque numpy shape failure mid-job."""
+    import pytest as _pytest
+
+    from ubw_spark.operators.ivf import assign_vectorized
+
+    cents = [[float(i == j) for j in range(4)] for i in range(20)]
+    ok = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    assert assign_vectorized(ok, cents).collect()[0]["ivf_cell"] == 0
+    bad = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    with _pytest.raises(Exception, match="embedding"):
+        assign_vectorized(bad, cents).collect()
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    with _pytest.raises(Exception, match="4-dim"):
+        assign_vectorized(ragged, cents).collect()
+    # pre-existing out_col is replaced, not duplicated (withColumn parity)
+    pre = ok.withColumn("ivf_cell", F.lit(99))
+    assert assign_vectorized(pre, cents).collect()[0]["ivf_cell"] == 0
+
+
 def test_ivf_trained_recall_operating_point(spark, sf_dir):
     """Regression pin on the TRAINED-centroid operating point (VERDICT
     r9 #6): KMeans k=24 / nprobe=4 / recall@10 — the configuration

@@ -134,3 +134,27 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and "c_acctbal" in plan
+
+
+def test_tmp_artifact_cleanup_removes_dirs_and_files(tmp_path):
+    """The app-id-salted /tmp artifacts are reclaimed at interpreter
+    exit — _cleanup_artifacts must handle both dirs (CSV) and files
+    (xlsx) and ignore already-gone paths."""
+    import os
+
+    from ubw_spark.queries.sources_q import _ARTIFACTS, _cleanup_artifacts
+
+    d = tmp_path / "csvdir"
+    d.mkdir()
+    (d / "part-000.csv").write_text("a,b\n1,2\n")
+    f = tmp_path / "report.xlsx"
+    f.write_bytes(b"PK\x03\x04")
+    gone = tmp_path / "never-created"
+    before = set(_ARTIFACTS)
+    _ARTIFACTS.update({str(d), str(f), str(gone)})
+    try:
+        _cleanup_artifacts()
+        assert not d.exists() and not f.exists()
+    finally:
+        _ARTIFACTS.clear()
+        _ARTIFACTS.update(before)
