@@ -294,6 +294,59 @@ def test_no_registered_query_has_global_window_over_raw_rows(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_no_registered_query_plans_a_quadratic_window_frame(spark, sf_dir):
+    """Registry-wide scale lint: no query may plan a window frame with
+    a moving lower bound and an UNBOUNDED FOLLOWING upper bound —
+    Spark's UnboundedFollowingWindowFunctionFrame re-scans to the
+    partition end per row, O(n²) per key (the round-10 gapfill finding;
+    the mechanical fix is the mirrored running frame over the reversed
+    sort).  Whole-partition and running frames pass."""
+    from ubw_spark.plans.inspect import quadratic_window_violations
+
+    offenders = {}
+    for name, qd in sorted(REGISTRY.items()):
+        df = qd.fn(spark, sf_dir)
+        v = quadratic_window_violations(df)
+        if v:
+            offenders[name] = v
+    assert not offenders, offenders
+
+
+def test_quadratic_window_lint_fixtures(spark):
+    from pyspark.sql import Window
+
+    from ubw_spark.plans.inspect import quadratic_window_violations
+
+    df = spark.range(10).withColumn("k", F.col("id") % 2)
+    bad = df.withColumn(
+        "x",
+        F.sum("id").over(
+            Window.partitionBy("k")
+            .orderBy("id")
+            .rowsBetween(0, Window.unboundedFollowing)
+        ),
+    )
+    assert quadratic_window_violations(bad)
+    whole = df.withColumn(
+        "x",
+        F.sum("id").over(
+            Window.partitionBy("k").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    assert quadratic_window_violations(whole) == []
+    running = df.withColumn(
+        "x",
+        F.sum("id").over(
+            Window.partitionBy("k")
+            .orderBy("id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert quadratic_window_violations(running) == []
+
+
 def test_large_probe_contamination_has_no_broadcast_hints(spark, sf_dir):
     """The large-probe decontamination sweep must never plan a broadcast:
     a corpus-sized probe side blows past any broadcast limit at 100 TB.

@@ -190,6 +190,49 @@ def global_window_violations(df: DataFrame) -> list[str]:
     return out
 
 
+#: specifiedwindowframe(<Row|Range>Frame, <lower>, unboundedfollowing$())
+#: with a MOVING lower bound — Spark's UnboundedFollowingWindowFunctionFrame
+#: re-scans from the current row to the partition end for EVERY row.
+_UF_FRAME = re.compile(
+    r"specifiedwindowframe\((?:Row|Range)Frame,"
+    r"\s*([^,]+),\s*unboundedfollowing\$\(\)\)"
+)
+
+
+def _has_quadratic_frame(line: str) -> bool:
+    # lookahead-in-regex is backtracking-fragile here (\s* can hand the
+    # leading space to the bound and defeat it) — capture and compare
+    return any(
+        m.group(1).strip() != "unboundedpreceding$()"
+        for m in _UF_FRAME.finditer(line)
+    )
+
+
+def quadratic_window_violations(df: DataFrame) -> list[str]:
+    """Window frames that execute O(n²) per partition key — a moving
+    lower bound with an UNBOUNDED FOLLOWING upper bound.
+
+    Spark evaluates (CURRENT ROW, UNBOUNDED FOLLOWING) — and any
+    (<k>, UNBOUNDED FOLLOWING) — via
+    UnboundedFollowingWindowFunctionFrame, which reprocesses from the
+    current row to the partition end for EVERY row: O(n²) per key
+    (measured: the sf1 gapfill query halved when its forward anchors
+    moved to a running frame over the DESC sort).  The whole-partition
+    frame (UNBOUNDED PRECEDING, UNBOUNDED FOLLOWING) computes once per
+    key and running frames are single-pass accumulators — both pass.
+
+    The fix is mechanical: ``first/last(... ignorenulls) over
+    (CURRENT, UNBOUNDED FOLLOWING)`` ≡ the mirrored running frame over
+    the REVERSED sort (operators/timeseries.py::gapfill is the
+    worked example).  Returns one string per offending Window node
+    (empty == clean)."""
+    out = []
+    for line in simple_plan(df).split("\n"):
+        if "Window" in line and _has_quadratic_frame(line):
+            out.append(line.strip()[:300])
+    return out
+
+
 def hof_filter_violations(df: DataFrame) -> list[str]:
     """Filter predicates that evaluate a higher-order-function lambda —
     the interpreted re-evaluation hazard.
