@@ -351,6 +351,14 @@ def main() -> None:
         paths: list[str] = []
         for a in baseline_args:
             paths.extend(sorted(_glob.glob(a)) or [a])
+        # this run already overwrote out_path with ITS OWN timings
+        # (written above, before the compare) — baselining it would
+        # compare the run against itself and vacuously pass; the
+        # PREVIOUS round's full recording lives in git history
+        paths = [
+            p for p in paths
+            if os.path.realpath(p) != os.path.realpath(out_path)
+        ]
         docs: dict[str, dict[str, float]] = {}
         for p in paths:
             with open(p) as f:
