@@ -21,8 +21,17 @@ composite baseline is the per-query MIN across all given files, after
 discarding any file whose total is >2× the best-known total — a run
 recorded on a contended box (BENCH_r02.json: 30.8 s vs 11.0 s clean)
 would otherwise inflate every per-query floor and mask a real 2×
-regression.  The default driver invocation — no flag, no env — never
-exits non-zero for a slow query.
+regression.  Baseline files are snapshotted BEFORE this run overwrites
+BENCH_LOCAL.json, so the committed previous round's full recording can
+(and should) be in the compare glob.  The default driver invocation —
+no flag, no env — never exits non-zero for a slow query.
+
+Contention hardening: the output JSON records 1/5/15-min load averages
+at each measurement point ("load_avg"), and when a query regresses
+>1.5× while the 1-min load exceeded LOAD_RETRY_THRESHOLD, bench backs
+off once and re-times just the offenders ("retried" carries the
+provenance) — a shared box's other tenants inflate wall-clock uniformly
+and have flapped the gate with different offenders each run.
 """
 
 from __future__ import annotations
@@ -145,6 +154,21 @@ REGRESSION_FLOOR_SEC = 0.25
 # A baseline file whose total exceeds best-known × this is a contaminated
 # recording (contended box), not a real floor — discard it wholesale.
 CONTAMINATION_FACTOR = 2.0
+# If any query regresses while the 1-min load average exceeds this, the
+# box is contended (other tenants) and the timing is suspect: back off
+# and re-time just the offenders once before gating.  The load averages
+# at each measurement point are recorded in the output JSON either way,
+# so a red gate is self-interpreting after the fact.
+LOAD_RETRY_THRESHOLD = 1.5
+LOAD_RETRY_BACKOFF_SEC = 30.0
+
+
+def _loadavg() -> list[float] | None:
+    """[1, 5, 15]-minute load averages, or None where unsupported."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except (OSError, AttributeError):
+        return None
 
 
 def _extract_queries(doc: dict) -> dict[str, float]:
@@ -225,11 +249,69 @@ def regressions(
     return out
 
 
+def regressed_names(
+    current: dict[str, float],
+    baseline: dict[str, float],
+    factor: float = REGRESSION_FACTOR,
+    floor_sec: float = REGRESSION_FLOOR_SEC,
+) -> list[str]:
+    """Just the query names from :func:`regressions` — the retry pass
+    needs names to re-time, not formatted report lines."""
+    return [r.split(":", 1)[0] for r in
+            regressions(current, baseline, factor, floor_sec)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if not cpus.isdigit():  # 'local[*]' idiom: '*' → machine core count
         cpus = str(os.cpu_count() or 8)
+
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_LOCAL.json"),
+    )
+    # Snapshot the baseline files BEFORE the run overwrites out_path:
+    # the committed previous-round BENCH_LOCAL.json is the only full
+    # recording of recent rounds (driver BENCH_rNN.json wrappers carry
+    # just the compact tail line) — loading baselines after writing
+    # out_path would freeze the gate's floors at old rounds.
+    baseline_args: list[str] = []
+    env = os.environ.get("SPARK_GRAFT_BASELINE")
+    if env:
+        baseline_args.extend(env.split(os.pathsep))
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        if i + 1 >= len(sys.argv):
+            print("--compare requires baseline path(s)", file=sys.stderr)
+            sys.exit(2)
+        baseline_args = sys.argv[i + 1 :]
+    base_queries: dict[str, float] = {}
+    n_baseline_files = 0
+    if baseline_args:
+        paths: list[str] = []
+        for a in baseline_args:
+            paths.extend(sorted(_glob.glob(a)) or [a])
+        docs: dict[str, dict[str, float]] = {}
+        for p in paths:
+            with open(p) as f:
+                docs[p] = _extract_queries(json.load(f))
+        base_queries, skipped = composite_baseline(docs)
+        # an empty composite baseline would silently pass everything
+        if not base_queries:
+            print(f"baselines {paths} have no per-query timings",
+                  file=sys.stderr)
+            sys.exit(2)
+        for p in skipped:
+            print(
+                f"baseline {p} discarded as contaminated "
+                f"(total >{CONTAMINATION_FACTOR}x best-known)",
+                file=sys.stderr,
+            )
+        # only files that actually set floors: non-empty query maps
+        # (compact/crashed docs parse to {}) minus the contaminated
+        n_baseline_files = sum(1 for q in docs.values() if q) - len(skipped)
 
     from ubw_spark.queries import REGISTRY
     from ubw_spark.session import get_session
@@ -269,7 +351,9 @@ def main() -> None:
         except ValueError:
             return None
 
+    load_points: dict[str, list[float] | None] = {"start": _loadavg()}
     timings = timed_pass(sf_dir)
+    load_points["after_primary"] = _loadavg()
 
     # Second scale factor (default sf0.01; SPARK_GRAFT_SF2_DIR overrides,
     # empty disables): round-over-round comparisons need to separate
@@ -288,11 +372,50 @@ def main() -> None:
         and os.path.realpath(sf2_dir) != os.path.realpath(sf_dir)
     ):
         t2 = timed_pass(sf2_dir)
+        load_points["after_sf_extra"] = _loadavg()
         sf_extra = {
             "sf": parse_sf(sf2_dir),
             "value": round(sum(t2.values()), 3),
             "queries": t2,
         }
+
+    # Retry-under-load: if a query regressed vs the baseline AND the box
+    # was contended at measurement time (another tenant's load inflates
+    # every wall-clock uniformly — the documented flap signature), back
+    # off once and re-time just the offenders.  min(first, retry) is the
+    # recorded number; the provenance rides in the output JSON so a gate
+    # decision is auditable.
+    retried: list[dict] = []
+    if base_queries:
+        offenders = regressed_names(timings, base_queries)
+        loads_1m = [lp[0] for lp in load_points.values() if lp]
+        contended = bool(loads_1m) and max(loads_1m) > LOAD_RETRY_THRESHOLD
+        if offenders and contended:
+            print(
+                f"retrying {len(offenders)} regressed quer(ies) after "
+                f"{LOAD_RETRY_BACKOFF_SEC:.0f}s backoff (1-min load peaked "
+                f"at {max(loads_1m):.2f} > {LOAD_RETRY_THRESHOLD})",
+                file=sys.stderr,
+            )
+            time.sleep(LOAD_RETRY_BACKOFF_SEC)
+            load_points["at_retry"] = _loadavg()
+            for name in offenders:
+                qd = REGISTRY[name]
+                best = None
+                for _pass in range(2):
+                    t0 = time.perf_counter()
+                    qd.fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    dt = round(time.perf_counter() - t0, 3)
+                    if best is None or dt < best:
+                        best = dt
+                retried.append(
+                    {"query": name, "first": timings[name], "retry": best}
+                )
+                if best < timings[name]:
+                    timings[name] = best
+            load_points["after_retry"] = _loadavg()
 
     doc = {
         "metric": "headline_queries_total_runtime",
@@ -300,18 +423,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": parse_sf(sf_dir),
+        "load_avg": load_points,
     }
+    if retried:
+        doc["retried"] = retried
     if sf_extra is not None:
         doc["sf_extra"] = sf_extra
     # Full recording to a file (the driver keeps only a ~2kB stdout
     # tail, which truncates the 50+-query line into "parsed": null);
     # the LAST stdout line is a compact summary that fits the tail
     # whole, so the driver's BENCH_rN.json carries a parseable block.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_LOCAL.json"),
-    )
     try:
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)
@@ -330,6 +451,8 @@ def main() -> None:
         "compact": True,  # _extract_queries must NOT baseline this doc
         "queries": worst,  # worst-5; full per-query block in `full`
         "full": os.path.basename(out_path),
+        "load_1m": (load_points.get("start") or [None])[0],
+        "n_retried": len(retried),
     }
     if sf_extra is not None:
         compact["sf_extra_total"] = sf_extra["value"]
@@ -337,51 +460,14 @@ def main() -> None:
     print(json.dumps(compact))
     spark.stop()
 
-    baseline_args: list[str] = []
-    env = os.environ.get("SPARK_GRAFT_BASELINE")
-    if env:
-        baseline_args.extend(env.split(os.pathsep))
-    if "--compare" in sys.argv:
-        i = sys.argv.index("--compare")
-        if i + 1 >= len(sys.argv):
-            print("--compare requires baseline path(s)", file=sys.stderr)
-            sys.exit(2)
-        baseline_args = sys.argv[i + 1 :]
-    if baseline_args:
-        paths: list[str] = []
-        for a in baseline_args:
-            paths.extend(sorted(_glob.glob(a)) or [a])
-        # this run already overwrote out_path with ITS OWN timings
-        # (written above, before the compare) — baselining it would
-        # compare the run against itself and vacuously pass; the
-        # PREVIOUS round's full recording lives in git history
-        paths = [
-            p for p in paths
-            if os.path.realpath(p) != os.path.realpath(out_path)
-        ]
-        docs: dict[str, dict[str, float]] = {}
-        for p in paths:
-            with open(p) as f:
-                docs[p] = _extract_queries(json.load(f))
-        base_queries, skipped = composite_baseline(docs)
-        # an empty composite baseline would silently pass everything
-        if not base_queries:
-            print(f"baselines {paths} have no per-query timings",
-                  file=sys.stderr)
-            sys.exit(2)
-        for p in skipped:
-            print(
-                f"baseline {p} discarded as contaminated "
-                f"(total >{CONTAMINATION_FACTOR}x best-known)",
-                file=sys.stderr,
-            )
+    if base_queries:
         regs = regressions(timings, base_queries)
         for r in regs:
             print(f"REGRESSION {r}", file=sys.stderr)
         if regs:
             sys.exit(1)
         print(
-            f"no regressions vs {len(docs) - len(skipped)} baseline file(s) "
+            f"no regressions vs {n_baseline_files} baseline file(s) "
             f"(factor {REGRESSION_FACTOR}, floor {REGRESSION_FLOOR_SEC}s)",
             file=sys.stderr,
         )

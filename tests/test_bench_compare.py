@@ -111,3 +111,12 @@ def test_compact_summary_doc_is_not_a_baseline():
     assert _extract_queries(full) == {"a": 1.0, "b": 2.0}
     assert _extract_queries({"parsed": full}) == {"a": 1.0, "b": 2.0}
     assert _extract_queries({"parsed": None}) == {}
+
+
+def test_regressed_names_extracts_query_names():
+    from bench import regressed_names
+
+    cur = {"fast": 0.1, "slow": 3.0, "new": 9.9}
+    base = {"fast": 0.1, "slow": 1.0}
+    assert regressed_names(cur, base) == ["slow"]
+    assert regressed_names({"q": 1.1}, {"q": 1.0}) == []

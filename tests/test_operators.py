@@ -1280,6 +1280,17 @@ def test_assign_vectorized_rejects_corrupt_vectors(spark):
     # pre-existing out_col is replaced, not duplicated (withColumn parity)
     pre = ok.withColumn("ivf_cell", F.lit(99))
     assert assign_vectorized(pre, cents).collect()[0]["ivf_cell"] == 0
+    # ... IN PLACE: withColumn keeps the replaced column's position, so
+    # both dispatch paths must emit the same column ORDER too — the
+    # vectorized path used to drop-then-append, and positional consumers
+    # (createDataFrame from rows, parquet append) would diverge on k
+    pre2 = ok.select(
+        "vec_id", F.lit(99).alias("ivf_cell"), F.col("embedding")
+    )
+    out = assign_vectorized(pre2, cents)
+    assert out.columns == ["vec_id", "ivf_cell", "embedding"]
+    assert out.columns == pre2.withColumn("ivf_cell", F.lit(0)).columns
+    assert out.collect()[0]["ivf_cell"] == 0
 
 
 def test_ivf_trained_recall_operating_point(spark, sf_dir):

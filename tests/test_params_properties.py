@@ -173,6 +173,140 @@ def test_keyset_all_null_boundary_is_terminal(spark, friend_df):
     assert _page(one_null, {"age": None, "id": None}) == []
 
 
+# ------------------------------------------------- keyset × redirect fuzz
+#
+# The param layer's trickiest interaction (VERDICT r10 #6): after_key +
+# orderTarget redirect + hidden sort keys + NULL boundaries.  SPY and
+# HIDDEN share declarations except rank's visibility, so SPY pages can
+# supply boundary values that HIDDEN's caller could never read off a page.
+
+_FUZZ_SCHEMA = "age bigint, label string, rank bigint, id bigint, name string"
+_FUZZ_ROWS = [
+    (30, "a", 5, 1, "n1"),
+    (30, "b", None, 2, "n2"),
+    (None, "c", 2, 3, "n3"),
+    (12, "d", 2, 4, "n4"),
+    (12, "e", 7, 5, "n5"),
+    (None, "f", None, 6, "n6"),
+    (44, "g", 5, 7, "n7"),
+    (44, "h", 5, 8, "n8"),
+    (30, "i", 5, 9, "n9"),
+]
+
+
+def _fuzz_specs():
+    cols = lambda vis: [  # noqa: E731
+        ColumnSpec("age", orderable=True, filterable=True),
+        ColumnSpec("label", order_target="rank"),
+        ColumnSpec("rank", orderable=True, visible=vis),
+        ColumnSpec("id", orderable=True),
+        ColumnSpec("name"),
+    ]
+    return QuerySpec(cols(True)), QuerySpec(cols(False))
+
+
+_fuzz_keys = st.sampled_from(["age", "label", "rank", "id", "name", "bogus"])
+_fuzz_orders = st.lists(
+    st.tuples(_fuzz_keys, st.booleans()), min_size=0, max_size=4
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(orders=_fuzz_orders, take=st.integers(1, 4))
+def test_keyset_fuzz_pages_partition_redirected_order(spark, orders, take):
+    """For ANY random order request (redirects, hidden keys, unknown and
+    non-orderable names, NULL-heavy sort values), walking the keyset
+    cursor reproduces the unpaged result exactly — no dup, no gap, no
+    crash — and the hidden-rank variant returns the same rows minus the
+    hidden column (hidden sort keys stay live)."""
+    from ubw_spark.params import _effective_order_keys
+
+    spy_spec, hidden_spec = _fuzz_specs()
+    df = spark.createDataFrame(_FUZZ_ROWS, _FUZZ_SCHEMA)
+    orders = list(orders) + [("id", False)]  # unique tiebreak => total order
+    eff = [s.name for s, _ in _effective_order_keys(spy_spec, tuple(orders))]
+
+    full = apply_params(df, spy_spec, QueryParams(orders=orders)).collect()
+    walked, after = [], None
+    for _ in range(len(_FUZZ_ROWS) + 2):
+        page = apply_params(
+            df, spy_spec,
+            QueryParams(orders=orders, after_key=after, take=take),
+        ).collect()
+        if not page:
+            break
+        walked.extend(page)
+        after = {n: page[-1][n] for n in eff}
+    assert [tuple(r) for r in walked] == [tuple(r) for r in full]
+
+    hidden_full = apply_params(
+        df, hidden_spec, QueryParams(orders=orders)
+    ).collect()
+    vis = [c.name for c in hidden_spec.visible_columns()]
+    assert [tuple(r) for r in hidden_full] == [
+        tuple(r[n] for n in vis) for r in full
+    ]
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    boundary=st.dictionaries(
+        _fuzz_keys,
+        st.one_of(st.none(), st.integers(-5, 50), st.text(max_size=3)),
+        max_size=3,
+    ),
+    take=st.integers(1, 3),
+)
+def test_keyset_fuzz_junk_boundary_valueerror_or_valid_page(
+    spark, boundary, take
+):
+    """A random after_key dict either raises the documented ValueError
+    (wrong names, un-coercible values) or returns a well-formed page —
+    never an AnalysisException or an ANSI cast failure mid-job."""
+    spy_spec, _ = _fuzz_specs()
+    df = spark.createDataFrame(_FUZZ_ROWS, _FUZZ_SCHEMA)
+    try:
+        rows = apply_params(
+            df, spy_spec,
+            QueryParams(
+                orders=[("age", True), ("id", False)],
+                after_key=boundary, take=take,
+            ),
+        ).collect()
+    except ValueError:
+        return  # the documented loud contract
+    assert len(rows) <= take
+
+
+def test_keyset_boundary_values_coerce_like_filters(spark):
+    """JSON-layer boundary values: a numeric string coerces, junk text
+    raises the loud ValueError (not an opaque ANSI cast error)."""
+    spy_spec, _ = _fuzz_specs()
+    df = spark.createDataFrame(_FUZZ_ROWS, _FUZZ_SCHEMA)
+    base = dict(orders=[("age", False), ("id", False)], take=3)
+    want = apply_params(
+        df, spy_spec, QueryParams(after_key={"age": 30, "id": 2}, **base)
+    ).collect()
+    got = apply_params(
+        df, spy_spec,
+        QueryParams(after_key={"age": "30", "id": "2"}, **base),
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    with pytest.raises(ValueError, match="not coercible"):
+        apply_params(
+            df, spy_spec,
+            QueryParams(after_key={"age": "zz", "id": 2}, **base),
+        ).collect()
+
+
 def test_keyset_rejects_page1_and_drop0_too(spark, friend_df):
     """code-review r9: page_index=1 / drop=0 compute to a ZERO offset
     but still declare offset paging — they must raise with after_key,

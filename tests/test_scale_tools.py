@@ -441,6 +441,40 @@ def test_excel_reads_foreign_producer_files(tmp_path):
     assert rows == [(7, 12.5)]
     assert read_xlsx_column_styles(path2, sheet=0)["price"]["num_fmt"] == "0.00"
 
+    # CHARTSHEET workbook: Excel lists chartsheets in workbook.xml's
+    # <sheet> sequence too (their rels target chartsheets/sheetN.xml).
+    # They carry no row data and must not shift index/name resolution;
+    # a Relationship with a missing Target must not crash either.
+    wb3 = (
+        f'<workbook xmlns="{ns}" xmlns:r="{doc_rel}"><sheets>'
+        '<sheet name="Chart1" sheetId="1" r:id="rIdC"/>'
+        '<sheet name="Data" sheetId="2" r:id="rIdA"/>'
+        '<sheet name="Broken" sheetId="3" r:id="rIdX"/>'
+        '<sheet name="Blank" sheetId="4" r:id="rIdB"/>'
+        "</sheets></workbook>"
+    )
+    rels3 = (
+        f'<Relationships xmlns="{rel_ns}">'
+        '<Relationship Id="rIdC" Type="x" Target="chartsheets/sheet1.xml"/>'
+        '<Relationship Id="rIdA" Type="x" Target="worksheets/sheet10.xml"/>'
+        '<Relationship Id="rIdX" Type="x"/>'
+        '<Relationship Id="rIdB" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    path3 = str(tmp_path / "chartsheet.xlsx")
+    with zipfile.ZipFile(path3, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb3)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels3)
+        zf.writestr("xl/chartsheets/sheet1.xml", f'<chartsheet xmlns="{ns}"/>')
+        zf.writestr("xl/worksheets/sheet2.xml", empty)
+        zf.writestr("xl/worksheets/sheet10.xml", data)
+        zf.writestr("xl/styles.xml", styles)
+    columns, rows = read_xlsx_rows(path3, sheet=0)  # first WORKSHEET
+    assert columns == ["id", "price"] and rows == [(7, 12.5)]
+    columns, rows = read_xlsx_rows(path3, sheet="Data")  # name stays aligned
+    assert rows == [(7, 12.5)]
+    assert read_xlsx_column_styles(path3, sheet=0)["price"]["num_fmt"] == "0.00"
+
 
 def test_excel_view_runtime_decimals_param(spark, tmp_path):
     """The reference's exact motivating case (doc-01.md problem #5): a

@@ -105,10 +105,15 @@ def assign_vectorized(
     import numpy as np
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    # mirror withColumn's replace-IN-PLACE semantics (the literal
+    # path): a pre-existing out_col keeps its position, a new one
+    # appends — the two dispatch paths must emit identical column
+    # order or positional consumers (createDataFrame from rows,
+    # schema hashing, parquet append) diverge on the k threshold
+    final_cols = list(df.columns) if out_col in df.columns else (
+        df.columns + [out_col]
+    )
     if out_col in df.columns:
-        # mirror withColumn's replace semantics (the literal path) —
-        # without this the output schema would carry the field twice
-        # and mapInPandas would fail on a schema/columns mismatch
         df = df.drop(out_col)
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, IntegerType(), False)]
@@ -150,7 +155,7 @@ def assign_vectorized(
             pdf[out_col] = cell
             yield pdf
 
-    return df.mapInPandas(assign, out_schema)
+    return df.mapInPandas(assign, out_schema).select(*final_cols)
 
 
 def assign_ivf_cells(

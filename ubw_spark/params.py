@@ -156,7 +156,9 @@ def _effective_order_keys(
 
 
 def _keyset_predicate(
-    keys: list[tuple[ColumnSpec, bool]], after_key: dict[str, Any]
+    keys: list[tuple[ColumnSpec, bool]],
+    after_key: dict[str, Any],
+    dtypes: dict[str, str] | None = None,
 ) -> Column:
     """Compile the last-seen sort-key row into a lexicographic
     strictly-after predicate — keyset pagination, the deep-offset
@@ -183,6 +185,12 @@ def _keyset_predicate(
     exactly the effective sort columns: a partial boundary would
     silently return rows from the wrong page — a correctness hazard,
     not a capability negotiation like the orders/filters whitelists.
+    Boundary VALUES go through the same JSON-layer coercion as filter
+    operands (``_coerce_operand``) when ``dtypes`` is provided — an
+    un-coercible value raises the same loud ValueError instead of an
+    opaque ANSI cast failure mid-job (boundaries normally come from a
+    previous page's row and are type-correct; a JSON layer can hand a
+    string where a date/number belongs).
     """
     eff_names = [s.name for s, _ in keys]
     if sorted(after_key) != sorted(eff_names):
@@ -192,6 +200,22 @@ def _keyset_predicate(
             "needs the full boundary row (include a unique tiebreak "
             "key in orders)"
         )
+    if dtypes is not None:
+        coerced: dict[str, Any] = {}
+        for name, v in after_key.items():
+            if v is None:
+                coerced[name] = None
+                continue
+            ok, cv = _coerce_operand(dtypes.get(name, "string"), v)
+            if not ok:
+                raise ValueError(
+                    f"after_key[{name!r}] = {v!r} is not coercible to "
+                    f"column type {dtypes.get(name, 'string')} — a "
+                    "malformed boundary would silently page from the "
+                    "wrong position"
+                )
+            coerced[name] = cv
+        after_key = coerced
     disjuncts: list[Column] = []
     for i, (s, is_desc) in enumerate(keys):
         conj: list[Column] = []
@@ -301,7 +325,9 @@ def apply_params(
                 "after_key requires orders: keyset paging is only "
                 "defined over the effective sort columns"
             )
-        out = out.where(_keyset_predicate(keys, params.after_key))
+        out = out.where(
+            _keyset_predicate(keys, params.after_key, dict(out.dtypes))
+        )
         offset = None
 
     if keys:

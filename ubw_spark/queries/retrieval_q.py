@@ -110,6 +110,84 @@ def search_bm25_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_term_index(spark, path, QUERY, k=TOP_K)
 
 
+@register(
+    "stream_term_index_ingest",
+    oracle=_BM25_ORACLE,
+    tags=("search", "retrieval", "index", "streaming"),
+)
+def stream_term_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live-search ingest loop EXECUTED AS A REAL STRUCTURED
+    STREAMING QUERY under the driver gate (VERDICT r10 #7): the corpus
+    arrives as micro-batch parquet files through ``readStream`` with
+    ``maxFilesPerTrigger=1`` → ``foreachBatch(append_term_batch)`` with
+    a checkpoint (at-least-once; the store's batch_id high-water mark
+    makes the fold exactly-once), and the standing BM25 query is then
+    answered from the streamed-in store alone.
+
+    Oracle = the SAME batch BM25 SQL as ``search_bm25_store_probe``:
+    a store assembled by streaming appends must be score-identical to
+    a from-scratch batch build (df/N/avgdl exact-merge via the stats
+    sidecar).  Streaming is net-new vs the reference (SURVEY §2.9 —
+    the reference is strictly batch, framework/FQuery.scala never
+    leaves finite relations); at 100 TB this loop is the continuous
+    ingest posture: each micro-batch shuffles only its own postings,
+    the corpus-sized store is extended by hardlink carryover, never
+    rewritten."""
+    import uuid
+
+    from ubw_spark.operators.retrieval import (
+        append_term_batch,
+        write_term_index,
+    )
+    from ubw_spark.queries.sources_q import _ARTIFACTS
+
+    d = table(spark, sf_dir, "documents")
+    # fresh per-CALL scratch: a reused checkpoint would make the
+    # framework skip "already processed" files on a second invocation
+    # in the same session (plan lints + correctness both call fn twice)
+    run = uuid.uuid4().hex[:10]
+    base = f"/tmp/ubw_spark_stream_term_{run}"
+    incoming, ckpt, store = f"{base}/in", f"{base}/ckpt", f"{base}/store"
+    _ARTIFACTS.add(base)
+    import os
+
+    os.makedirs(incoming, exist_ok=True)
+
+    # seed the store with slice 0, stream slices 1..3 as one file each
+    seed = d.where(F.col("doc_id") % 4 == 0)
+    write_term_index(seed, "doc_id", "text", store)
+    for i in (1, 2, 3):
+        (
+            d.where(F.col("doc_id") % 4 == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{base}/stage_{i}")
+        )
+        for f in os.listdir(f"{base}/stage_{i}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{base}/stage_{i}/{f}", f"{incoming}/b{i}.parquet")
+
+    def handle(bdf: DataFrame, batch_id: int) -> None:
+        append_term_batch(bdf, "doc_id", "text", store, batch_id=batch_id)
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
+    return probe_term_index(spark, store, QUERY, k=TOP_K)
+
+
 _RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
 _LIST_K = 20
 

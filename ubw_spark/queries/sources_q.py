@@ -195,10 +195,14 @@ def source_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     columns, rows = read_xlsx_rows(path)
     styles = read_xlsx_column_styles(path)
+    if columns != ["balance", "key", "name", "segment"]:
+        # explicit raise, not assert: under `python -O` a stripped
+        # assert would let a header mismatch flow into createDataFrame
+        # as positionally misnamed columns instead of failing fast
+        raise ValueError(f"xlsx round-trip header mismatch: {columns}")
     back = spark.createDataFrame(
         rows, "balance double, key bigint, name string, segment string"
     )
-    assert columns == ["balance", "key", "name", "segment"]
     return back.select(
         "*",
         F.lit(styles["balance"]["num_fmt"]).alias("balance_fmt"),

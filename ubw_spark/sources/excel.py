@@ -127,16 +127,20 @@ _BUILTIN_NUMFMT: dict[int, str] = {
 }
 
 
-def _sheet_parts(zf: "zipfile.ZipFile") -> list[str]:
-    """Worksheet part names in WORKBOOK sheet order.
+def _sheet_parts(zf: "zipfile.ZipFile") -> list[tuple[str, str | None]]:
+    """(worksheet part name, display title) pairs in WORKBOOK sheet order.
 
     The authoritative order is workbook.xml's <sheet> sequence resolved
     through workbook.xml.rels (r:id → part target): Excel keeps part
     FILE names stable when sheets are reordered or deleted, so part
-    numbering need not match display order.  When either part is
-    missing (minimal producers), fall back to numeric-suffix order —
-    numeric, not lexicographic, or sheet10.xml sorts before sheet2.xml
-    in >9-sheet workbooks."""
+    numbering need not match display order.  workbook.xml's <sheet>
+    list also enumerates CHARTSHEETS (rels target chartsheets/sheetN.xml)
+    — not row data; they are filtered out here, and the title rides
+    along in the same walk so name resolution stays aligned with the
+    filtered list.  When either part is missing (minimal producers),
+    fall back to numeric-suffix order — numeric, not lexicographic, or
+    sheet10.xml sorts before sheet2.xml in >9-sheet workbooks — with
+    None titles."""
     names = zf.namelist()
     try:
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
@@ -149,20 +153,27 @@ def _sheet_parts(zf: "zipfile.ZipFile") -> list[str]:
         for s in wb.iter(f"{{{_NS}}}sheet"):
             rid = s.get(f"{{{_DOC_REL}}}id")
             target = rid_to_target[rid]
+            if target is None:  # malformed Relationship: no Target attr
+                continue
             # targets are workbook-relative ("worksheets/sheet1.xml")
             # unless rooted ("/xl/worksheets/sheet1.xml")
             part = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
-            parts.append(part)
-        if parts and all(p in names for p in parts):
+            if not part.startswith("xl/worksheets/"):
+                continue  # chartsheet (or other non-worksheet part)
+            parts.append((part, s.get("name")))
+        if parts and all(p in names for p, _ in parts):
             return parts
     except (KeyError, ET.ParseError):
         pass
     found = [
         n for n in names if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
     ]
-    return sorted(
-        found, key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1))
-    )
+    return [
+        (n, None)
+        for n in sorted(
+            found, key=lambda n: int(re.search(r"sheet(\d+)\.xml", n).group(1))
+        )
+    ]
 
 
 def _style_table(
@@ -413,12 +424,12 @@ def read_xlsx_rows(path: str, *, sheet: str | int = 0):
                 shared.append("".join(el.text or "" for el in si.iter(f"{{{_NS}}}t")))
         sheet_parts = _sheet_parts(zf)
         if isinstance(sheet, int):
-            part = sheet_parts[sheet]
+            part = sheet_parts[sheet][0]
         else:
-            # resolve the sheet name through workbook.xml's order
-            wb = ET.fromstring(zf.read("xl/workbook.xml"))
-            titles = [s.get("name") for s in wb.iter(f"{{{_NS}}}sheet")]
-            part = sheet_parts[titles.index(sheet)]
+            # titles ride along with the (chartsheet-filtered) parts,
+            # so name resolution can't drift against the part list
+            titles = [t for _, t in sheet_parts]
+            part = sheet_parts[titles.index(sheet)][0]
         root = ET.fromstring(zf.read(part))
 
     grid: list[dict[int, object]] = []
@@ -467,7 +478,7 @@ def read_xlsx_column_styles(
                         # built-in id: no <numFmt> element exists in the
                         # file — resolve through the ECMA-376 table
                         xf_to_code[i] = _BUILTIN_NUMFMT[fmt_id]
-        root = ET.fromstring(zf.read(_sheet_parts(zf)[sheet]))
+        root = ET.fromstring(zf.read(_sheet_parts(zf)[sheet][0]))
 
     widths: dict[int, float] = {}
     for col in root.iter(f"{{{_NS}}}col"):
