@@ -86,10 +86,17 @@ def test_linkage_score_weights_and_order(spark):
 
 def test_match_topk_plan_is_take_ordered(spark, sf_dir):
     from ubw_spark.plans import has_take_ordered
+    from ubw_spark.plans.inspect import simple_plan
     from ubw_spark.queries import REGISTRY
 
     df = REGISTRY["linkage_match_topk"].fn(spark, sf_dir)
     assert has_take_ordered(df)
+    # r11 scale pin: candidates come from the sorted-neighborhood
+    # window, NOT a block self-join — the 3-point sweep caught the
+    # block join going 4.6 s -> 43.7 s for a 3x data step (pairs ∝
+    # corpus² on a vocab-bounded key); any Join node here is that
+    # regression coming back
+    assert "Join" not in simple_plan(df)
 
 
 def test_sorted_neighborhood_window_pairs(spark):

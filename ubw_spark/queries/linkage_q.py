@@ -65,42 +65,79 @@ def linkage_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH p AS (SELECT p_partkey, p_name, p_brand, p_size,
                       split_part(p_name, ' ', 1) AS tok0,
                       p_size // 4 AS szb FROM part),
-    a AS (SELECT * FROM p WHERE p_partkey % 2 = 0),
-    b AS (SELECT * FROM p WHERE p_partkey % 2 = 1),
+    w AS (SELECT p_partkey, p_name, p_size,
+            lead(p_partkey, 1) OVER win AS id1,
+            lead(p_name, 1) OVER win AS nm1,
+            lead(p_size, 1) OVER win AS sz1,
+            lead(p_partkey, 2) OVER win AS id2,
+            lead(p_name, 2) OVER win AS nm2,
+            lead(p_size, 2) OVER win AS sz2,
+            lead(p_partkey, 3) OVER win AS id3,
+            lead(p_name, 3) OVER win AS nm3,
+            lead(p_size, 3) OVER win AS sz3,
+            lead(p_partkey, 4) OVER win AS id4,
+            lead(p_name, 4) OVER win AS nm4,
+            lead(p_size, 4) OVER win AS sz4
+          FROM p
+          WINDOW win AS (PARTITION BY tok0, p_brand, szb
+                         ORDER BY p_name, p_partkey)),
+    pairs AS (
+      SELECT p_partkey AS key_a, id1 AS key_b, p_name AS na, nm1 AS nb,
+             p_size AS sa, sz1 AS sb FROM w WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT p_partkey, id2, p_name, nm2, p_size, sz2
+      FROM w WHERE id2 IS NOT NULL
+      UNION ALL
+      SELECT p_partkey, id3, p_name, nm3, p_size, sz3
+      FROM w WHERE id3 IS NOT NULL
+      UNION ALL
+      SELECT p_partkey, id4, p_name, nm4, p_size, sz4
+      FROM w WHERE id4 IS NOT NULL),
     scored AS (
-      SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      SELECT key_a, key_b,
              round(
-               0.7e0 * (1.0e0 - levenshtein(a.p_name, b.p_name)::DOUBLE
-                        / greatest(length(a.p_name),
-                                   length(b.p_name))::DOUBLE)
-               + 0.3e0 * (CASE WHEN abs(a.p_size - b.p_size) <= 2
+               0.7e0 * (1.0e0 - levenshtein(na, nb)::DOUBLE
+                        / greatest(length(na), length(nb))::DOUBLE)
+               + 0.3e0 * (CASE WHEN abs(sa - sb) <= 2
                                THEN 1 ELSE 0 END)::DOUBLE,
              6) AS score
-      FROM a JOIN b ON a.tok0 = b.tok0 AND a.p_brand = b.p_brand
-                   AND a.szb = b.szb)
+      FROM pairs)
     SELECT key_a, key_b, score FROM scored
     ORDER BY score DESC, key_a, key_b LIMIT 100
     """,
-    tags=("linkage", "join", "llm"),
+    tags=("linkage", "window", "llm"),
 )
 def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi–Sunter-style weighted agreement within the (first name
-    token, brand, size-bucket) block: name edit similarity 0.7, size
-    within ±2 0.3; top-100 by score with a total order; the top-k plans
-    as TakeOrderedAndProject (per-partition heads, no global sort).
+    """Fellegi–Sunter-style weighted agreement — name edit similarity
+    0.7, size within ±2 0.3 — over BLOCKED SORTED-NEIGHBORHOOD
+    candidates: within each (first name token, brand, size-bucket)
+    block, rows sort by (name, key) and pair with their next 4
+    neighbors; top-100 by score with a total order, planned as
+    TakeOrderedAndProject (per-partition heads, no global sort).
 
-    Scale: the block key must GROW with the data or the pair join is
-    quadratic.  (tok0, brand) alone is vocab-bounded (~500 keys at any
-    sf), so blocks grow ∝ corpus and pairs ∝ corpus² — measured
-    sf0.1→sf1: 1.3 s → 62 s (≈45× for 10× data, the BENCH_sf1 flag
-    that motivated this shape).  Adding the ``p_size div 4`` bucket —
-    aligned with the score's own ±2 size-agreement window, so the
-    candidates it keeps are the ones the size rule rewards — multiplies
-    key cardinality by the size range and cuts sf1 to ~6.5 s (≈5× for
-    10× data: linear + log).  For truly degenerate keys the remaining
-    levers are ``max_block`` (measured ~1.5 s at sf1, with
-    ``oversized_buckets`` routing the drops) and the linear
-    sorted-neighborhood variant registered alongside."""
+    Scale history — this query is the repo's worked example of blocking
+    economics, now three shapes deep:
+
+    1. (tok0, brand) block join — pairs ∝ corpus² / |vocab|;
+       sf0.1→sf1 measured 1.3 s → 62 s (round 9).
+    2. + ``p_size div 4`` in the key (round 9) — bought a constant
+       (×|size buckets| more blocks) but the key is STILL vocab-bounded,
+       so the quadratic term only hid under fixed costs: the round-11
+       3-point sweep caught it (sf1→sf3, 3× data: 4.6 s → 43.7 s ≈ 9.5×
+       — m²-in-block-size resurfacing exactly as predicted).
+    3. Sorted-neighborhood within the same block (Hernández & Stolfo
+       1995, operators/linkage.py::sorted_neighborhood_pairs): every
+       row pairs with its next 4 sort neighbors — |block|·4 candidates,
+       LINEAR for any block size and any corpus, no cap needed.  The
+       price is recall for matches that sort far apart (the standard
+       remedy is extra passes with different sort keys); the sort key
+       (p_name) is the score's dominant field, so near-identical names
+       — the pairs the top-k surfaces — are adjacent by construction.
+
+    The m² block join remains the right tool when block keys genuinely
+    grow with data (see ``linkage_blocked_pairs`` + ``max_block``)."""
+    from ubw_spark.operators.linkage import sorted_neighborhood_pairs
+
     p = table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
@@ -109,9 +146,14 @@ def linkage_match_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("p_name"), " ")[0].alias("tok0"),
         F.expr("p_size div 4").alias("szb"),
     )
-    a = p.where(F.col("p_partkey") % 2 == 0)
-    b = p.where(F.col("p_partkey") % 2 == 1)
-    cands = blocked_candidates(a, b, ["tok0", "p_brand", "szb"])
+    cands = sorted_neighborhood_pairs(
+        p,
+        ["tok0", "p_brand", "szb"],
+        "p_name",
+        window=5,  # each row pairs with its next 4 neighbors
+        id_col="p_partkey",
+        carry_cols=["p_size"],
+    )
     score = linkage_score(
         [
             (0.7, edit_similarity(F.col("p_name_a"), F.col("p_name_b"))),
