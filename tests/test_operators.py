@@ -47,6 +47,38 @@ def test_minhash_finds_planted_near_dup(spark, sf_dir):
     assert (0, 100000) in found
 
 
+def test_lsh_recall_audit_shape_and_exact_dup_bucket(spark, sf_dir):
+    """The recall audit's invariants on the registered slice (found ⊆
+    truth per bucket, recall bounded), and — on a corpus with PLANTED
+    verbatim clones, because the shipped slice has no Jaccard-1.0 pair
+    and an assertion over it alone would be vacuous — that the
+    exact-duplicate bucket (jac_bucket == 10) exists and scores recall
+    1.0: identical shingle sets produce identical signatures, so every
+    band collides."""
+    from ubw_spark.operators.dedup import lsh_recall_report
+    from ubw_spark.queries import REGISTRY
+
+    rows = REGISTRY["dedup_lsh_recall_audit"].fn(spark, sf_dir).collect()
+    assert rows  # the sf0.001+ corpora plant near-dups
+    for r in rows:
+        assert 4 <= r["jac_bucket"] <= 10
+        assert 0 <= r["n_found"] <= r["n_truth"]
+        assert 0.0 <= r["recall"] <= 1.0
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    clones = docs.where(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    planted = docs.select("doc_id", "text").unionByName(clones)
+    rep = {
+        r["jac_bucket"]: r
+        for r in lsh_recall_report(planted, "doc_id", "text").collect()
+    }
+    assert 10 in rep, "verbatim clones must land in the jac=1.0 bucket"
+    assert rep[10]["n_truth"] >= 3
+    assert rep[10]["recall"] == 1.0
+
+
 def test_simhash_near_pairs_on_planted_dup(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog near the river bank"),

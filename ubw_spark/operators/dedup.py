@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ubw_spark.functions.hof import let
+from ubw_spark.functions.text import tokens
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
@@ -254,6 +255,72 @@ def minhash_dedup_pairs(
         .join(b, "id_b")
         .where(jac >= threshold)
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    rows_per_band: int = 2,
+    threshold: float = 0.4,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """MEASURED MinHash-LSH recall against exact-Jaccard ground truth
+    per Jaccard bucket — run it on a FIXED-SIZE audit slice (the truth
+    join is m² in the slice, by design constant as the corpus grows).
+
+    Ground truth = every pair with exact shingle-set Jaccard ≥
+    ``threshold``; found = the production pipeline
+    (:func:`minhash_dedup_pairs`) with the same parameters, which
+    verifies the same Jaccard, so found ⊆ truth.  The bucket is
+    integer-exact cross-engine: ``(10·|∩|) div |∪|`` never sits on a
+    float boundary.  Returns (jac_bucket, n_truth, n_found, recall) —
+    the empirical S-curve 1-(1-j^r)^b that a banding-parameter
+    regression (fewer bands, broken hash, over-aggressive cap) would
+    visibly dent."""
+    base = df.where(F.size(tokens(F.col(text_col))) >= k)
+    sh = base.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    truth = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(inter / union >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "(10 * size(array_intersect(__sha, __shb))) div "
+                "size(array_union(__sha, __shb))"
+            ).alias("__bucket"),
+        )
+    )
+    found = minhash_dedup_pairs(
+        base, id_col, text_col,
+        k=k, num_hashes=num_hashes, bands=bands,
+        rows_per_band=rows_per_band, threshold=threshold,
+        max_bucket=max_bucket,
+    ).select("id_a", "id_b", F.lit(1).alias("__hit"))
+    return (
+        truth.join(found, ["id_a", "id_b"], "left")
+        .groupBy(F.col("__bucket").alias("jac_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("bigint").alias(
+                "n_found"
+            ),
+            F.round(
+                F.coalesce(F.sum("__hit"), F.lit(0)) / F.count(F.lit(1)), 4
+            ).alias("recall"),
+        )
     )
 
 

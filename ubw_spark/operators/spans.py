@@ -389,17 +389,30 @@ def write_gram_index(
         .bucketBy(num_buckets, "gh")
         .saveAsTable(table_name)
     )
-    # Record k on the table: probing with a different k would silently
-    # report zero contamination (4-gram hashes never match 8-gram
-    # hashes) — a silent-wrong-result API unless the mismatch raises.
+    # Record k AND the gram-hash scheme on the table: probing with a
+    # different k — or with a build whose gh definition changed (the
+    # r11 move from string-gram xxhash64 to token-hash-window xxhash64)
+    # — would silently report zero contamination and double the index
+    # on append (every old gram looks novel to the anti-join).  A
+    # mismatch must raise, exactly like the Bloom/CMS param pins.
     spark.sql(
         f"ALTER TABLE {table_name} SET TBLPROPERTIES "
-        f"('ubw.gram_k' = '{int(k)}')"
+        f"('ubw.gram_k' = '{int(k)}', "
+        f"'ubw.gram_hash' = '{GRAM_HASH_SCHEME}')"
     )
 
 
+#: Version tag of the gh definition: "thw1" = xxhash64 over the k-long
+#: token-hash window (round 11).  The pre-r11 scheme (xxhash64 of the
+#: space-joined gram STRING) wrote no tag; a tag mismatch — including a
+#: missing one on a legacy index — must refuse loudly, because old and
+#: new gh values never collide and every probe would report zero hits.
+GRAM_HASH_SCHEME = "thw1"
+
+
 def _check_index_k(spark, table_name: str, k: int) -> None:
-    """Raise if ``table_name`` was built with a different gram size."""
+    """Raise if ``table_name`` was built with a different gram size or
+    an incompatible gram-hash scheme."""
     rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
     props = {r["key"]: r["value"] for r in rows}
     stored = props.get("ubw.gram_k")
@@ -408,6 +421,15 @@ def _check_index_k(spark, table_name: str, k: int) -> None:
             f"gram index {table_name} was built with k={stored}, "
             f"probed/appended with k={k} — results would be silently "
             "empty; use the index's k or rebuild it"
+        )
+    scheme = props.get("ubw.gram_hash")
+    if scheme != GRAM_HASH_SCHEME:
+        raise ValueError(
+            f"gram index {table_name} was built with gram-hash scheme "
+            f"{scheme or 'pre-thw1 (string grams)'}, this build probes "
+            f"with {GRAM_HASH_SCHEME} — hashes never match across "
+            "schemes; rebuild the index (write_gram_index) before "
+            "probing or appending"
         )
 
 
@@ -573,7 +595,11 @@ def compact_gram_index(
     lacks.  A single-statement swap needs an engine-level transactional
     catalog (Iceberg/Delta commit) and composes here unchanged."""
     k_rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
-    stored_k = {r["key"]: r["value"] for r in k_rows}.get("ubw.gram_k")
+    props = {r["key"]: r["value"] for r in k_rows}
+    stored_k = props.get("ubw.gram_k")
+    # carry the STORED scheme verbatim — compaction must not bless a
+    # legacy (pre-thw1) index as current; probe/append still refuse it
+    stored_scheme = props.get("ubw.gram_hash")
     num_buckets = _table_num_buckets(spark, table_name) or 32
     kept = compacted_gram_rows(
         spark, table_name, retired, broadcast_drops=broadcast_drops
@@ -588,10 +614,14 @@ def compact_gram_index(
         .bucketBy(num_buckets, "gh")
         .saveAsTable(tmp)
     )
+    props_out = []
     if stored_k is not None:
+        props_out.append(f"'ubw.gram_k' = '{int(stored_k)}'")
+    if stored_scheme is not None:
+        props_out.append(f"'ubw.gram_hash' = '{stored_scheme}'")
+    if props_out:
         spark.sql(
-            f"ALTER TABLE {tmp} SET TBLPROPERTIES "
-            f"('ubw.gram_k' = '{int(stored_k)}')"
+            f"ALTER TABLE {tmp} SET TBLPROPERTIES ({', '.join(props_out)})"
         )
     spark.sql(f"DROP TABLE IF EXISTS {old}")
     spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")

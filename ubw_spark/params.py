@@ -40,6 +40,7 @@ depth — see :func:`_keyset_predicate` and the oracled
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from functools import reduce
 from typing import Any
@@ -206,7 +207,7 @@ def _keyset_predicate(
             if v is None:
                 coerced[name] = None
                 continue
-            ok, cv = _coerce_operand(dtypes.get(name, "string"), v)
+            ok, cv = _coerce_boundary(dtypes.get(name, "string"), v)
             if not ok:
                 raise ValueError(
                     f"after_key[{name!r}] = {v!r} is not coercible to "
@@ -375,6 +376,48 @@ def _coerce_operand(dtype: str, v: Any) -> tuple[bool, Any]:
         return True, v  # exotic types: pass through
     except (TypeError, ValueError):
         return False, None
+
+
+_INT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _coerce_boundary(dtype: str, v: Any) -> tuple[bool, Any]:
+    """Keyset-boundary coercion — stricter AND more permissive than the
+    filter-operand path in exactly the ways a page cursor needs:
+
+    - values that are ALREADY the column's native Python type pass
+      through untouched (a boundary normally comes from a collected
+      Row: ``datetime``/``date`` for timestamp/date columns and
+      ``Decimal`` for decimals are type-correct, but
+      ``_coerce_operand`` — built for JSON operands — only accepts
+      strings there and would reject a perfectly valid cursor);
+    - integer-typed columns parse integral strings with ``int()``, not
+      through ``float()``: a JSON bigint cursor above 2^53 would round
+      to the nearest even double and silently page from the wrong row
+      — the exact hazard this path exists to prevent."""
+    import datetime
+    import decimal as _decimal
+
+    base = dtype.split("(")[0]
+    if base in ("date",) and isinstance(v, datetime.date) and not isinstance(
+        v, datetime.datetime
+    ):
+        return True, v
+    if base in ("timestamp", "timestamp_ntz") and isinstance(
+        v, datetime.datetime
+    ):
+        return True, v
+    if (base in _NUMERIC_TYPES or base == "decimal") and isinstance(
+        v, _decimal.Decimal
+    ):
+        return True, v
+    if (
+        base in _INT_TYPES
+        and isinstance(v, str)
+        and re.fullmatch(r"[+-]?\d+", v.strip())
+    ):
+        return True, int(v.strip())
+    return _coerce_operand(dtype, v)
 
 
 def _coerce_for_op(dtype: str, op: str, operand: Any) -> tuple[bool, Any]:

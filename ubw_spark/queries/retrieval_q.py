@@ -182,9 +182,17 @@ def stream_term_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     try:
-        q.awaitTermination(300)
+        finished = q.awaitTermination(300)
     finally:
         q.stop()
+    if not finished:
+        # a timed-out availableNow stream means some slice was never
+        # folded — probing the partial store would return silently
+        # wrong scores as the query result
+        raise RuntimeError(
+            "stream_term_index_ingest: streaming ingest did not finish "
+            "within 300s — refusing to probe a partially-ingested store"
+        )
     return probe_term_index(spark, store, QUERY, k=TOP_K)
 
 

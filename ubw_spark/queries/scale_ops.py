@@ -82,6 +82,88 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lsh_recall_audit",
+    oracle=r"""
+    WITH audit AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM audit),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks WHERE len(t) >= 3),
+    truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(list_distinct(list_concat(a.s, b.s))) AS un
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s)) * 1.0
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.4e0),
+    h AS (SELECT doc_id, ('0x' || substr(md5(u.s2), 1, 8))::BIGINT AS hv
+          FROM sh, unnest(sh.s) AS u(s2)),
+    sig AS (SELECT doc_id, p.i,
+                   min(((2 * p.i + 1) * hv + 104729 * p.i + 17) % 2147483647) AS m
+            FROM h CROSS JOIN generate_series(0, 63) AS p(i)
+            GROUP BY doc_id, p.i),
+    band AS (SELECT doc_id, i // 2 AS bj,
+                    string_agg(m::VARCHAR, ',' ORDER BY i) AS key
+             FROM sig GROUP BY doc_id, i // 2),
+    capped AS (SELECT * FROM band
+               QUALIFY count(*) OVER (PARTITION BY bj, key) <= 64),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM capped a JOIN capped b
+               ON a.bj = b.bj AND a.key = b.key AND a.doc_id < b.doc_id),
+    marked AS (
+      SELECT (10 * t.inter) // t.un AS bucket,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN cand c USING (id_a, id_b))
+    SELECT bucket AS jac_bucket,
+           count(*)::BIGINT AS n_truth,
+           sum(hit)::BIGINT AS n_found,
+           round(sum(hit) * 1.0 / count(*), 4) AS recall
+    FROM marked GROUP BY bucket
+    """,
+    tags=("dedup", "lsh", "audit"),
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED MinHash-LSH recall against exact-Jaccard ground truth —
+    the dedup analog of ``sim_recall_report`` (measure, don't guess):
+    on a FIXED 250-document audit slice plus 5 planted verbatim CANARY
+    clones, every pair's exact 3-shingle Jaccard ≥ 0.4 is ground truth,
+    and the production LSH pipeline (same 64-hash / 32×2-band / cap-64
+    parameters as ``dedup_minhash_lsh``) is scored against it per
+    Jaccard bucket — the empirical S-curve 1-(1-j^r)^b, which for r=2,
+    b=32 predicts recall ≈0.996 at j=0.4 rising to 1 at j=1.
+
+    The canaries make the audit self-grounding: a uniform fixed-size
+    sample of a growing corpus eventually contains no natural near-dup
+    PAIR (both members must land in the sample — at sf1 the slice has
+    none), so the exact-duplicate bucket would go empty exactly when a
+    recall regression is most expensive; planted clones guarantee a
+    jac=1.0 population whose recall must be 1.0 in any healthy build.
+    The bucket is integer-exact cross-engine ((10·inter) div union —
+    never a float boundary); the truth join is m² ONLY on the audit
+    slice, whose size is constant at any corpus scale."""
+    from ubw_spark.operators.dedup import lsh_recall_report
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    audit = d.where(F.col("doc_id") < 250).unionByName(
+        d.where(F.col("doc_id") < 5).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    return lsh_recall_report(
+        audit, "doc_id", "text",
+        k=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4,
+    )
+
+
+@register(
     "simhash_pairs",
     oracle=r"""
     WITH toks AS (

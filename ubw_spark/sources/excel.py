@@ -144,22 +144,29 @@ def _sheet_parts(zf: "zipfile.ZipFile") -> list[tuple[str, str | None]]:
     names = zf.namelist()
     try:
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
-        rid_to_target = {
-            r.get("Id"): r.get("Target")
+        rid_to = {
+            r.get("Id"): (r.get("Target"), r.get("Type") or "")
             for r in rels.iter(f"{{{_REL_NS}}}Relationship")
         }
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         parts = []
         for s in wb.iter(f"{{{_NS}}}sheet"):
             rid = s.get(f"{{{_DOC_REL}}}id")
-            target = rid_to_target[rid]
+            target, rtype = rid_to[rid]
             if target is None:  # malformed Relationship: no Target attr
                 continue
             # targets are workbook-relative ("worksheets/sheet1.xml")
             # unless rooted ("/xl/worksheets/sheet1.xml")
             part = target.lstrip("/") if target.startswith("/") else f"xl/{target}"
-            if not part.startswith("xl/worksheets/"):
-                continue  # chartsheet (or other non-worksheet part)
+            # chartsheets are filtered by relationship TYPE (with the
+            # conventional path as fallback for type-less producers) —
+            # NOT by requiring xl/worksheets/: a foreign writer may
+            # store real worksheets at a nonstandard part path, and a
+            # prefix allowlist would reject the whole workbook
+            if rtype.endswith("/chartsheet") or part.startswith(
+                "xl/chartsheets/"
+            ):
+                continue
             parts.append((part, s.get("name")))
         if parts and all(p in names for p, _ in parts):
             return parts
