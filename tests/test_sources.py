@@ -136,6 +136,38 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     assert "PushedFilters: [" in plan and "c_acctbal" in plan
 
 
+def test_orc_partitioned_write_prunes_directories(spark, sf_dir):
+    """source_orc_roundtrip's scale property: the o_orderstatus filter
+    is a PARTITION filter on the partitioned ORC layout — pruned at
+    file-listing time, so non-matching directories are never opened
+    (at 100 TB that is metadata work, not a scan)."""
+    from ubw_spark.queries import REGISTRY
+
+    df = REGISTRY["source_orc_roundtrip"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the status predicate must appear among partition filters, and the
+    # data-filter list must NOT carry it (it would mean a post-listing
+    # row-level evaluation of a directory-level predicate)
+    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_line and "o_orderstatus" in part_line[0]
+
+
+def test_json_roundtrip_schema_and_nesting(spark, sf_dir):
+    """source_json_roundtrip reads back under the writer's schema (no
+    inference pass) and the nested attrs struct survives the text
+    boundary with its field types."""
+    from ubw_spark.queries import REGISTRY
+
+    df = REGISTRY["source_json_roundtrip"].fn(spark, sf_dir)
+    assert df.schema.simpleString() == (
+        "struct<p_partkey:bigint,p_name:string,brand:string,"
+        "size:int,price:double>"
+    )
+    src = spark.read.parquet(f"{sf_dir}/part.parquet")
+    assert df.count() == src.count()
+
+
 def test_tmp_artifact_cleanup_removes_dirs_and_files(tmp_path):
     """The app-id-salted /tmp artifacts are reclaimed at interpreter
     exit — _cleanup_artifacts must handle both dirs (CSV) and files

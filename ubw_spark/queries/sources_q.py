@@ -262,3 +262,98 @@ def source_jdbc_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_bound=1_000_000,
         num_partitions=4,
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice, 2) AS DOUBLE) AS totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+    tags=("sources", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC PARTITIONED BY o_orderstatus → read back with a
+    partition filter → only the 'F' directory's bytes move.
+
+    The read plan carries ``PartitionFilters: [o_orderstatus = F]``
+    (asserted in test_sources.py): at 100 TB the filter prunes whole
+    directories during file listing — the other statuses are never
+    opened, which is the difference between a metadata operation and a
+    full-format scan.  Matching the parquet-truth oracle proves the ORC
+    writer/reader pair is lossless for ints, doubles and dates AND that
+    rows are neither lost nor duplicated across the partition split.
+    o_orderdate rides INSIDE the ORC file as a real DATE (timezone-free,
+    so the binary boundary cannot shift it) and is formatted to
+    yyyy-MM-dd only in the final projection — the registry's date
+    convention, since the two engines' pandas bridges widen DATE
+    differently; totalprice is 2-dp currency like the other S6
+    oracles."""
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).cast("double").alias("totalprice"),
+        F.col("o_orderdate").cast("date").alias("orderdate"),
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    out = _tmp("orc_src", sf_dir, spark)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").orc(out)
+    back = spark.read.orc(out).where(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "totalprice",
+        F.date_format("orderdate", "yyyy-MM-dd").alias("orderdate"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand AS brand, p_size AS size,
+           CAST(round(p_retailprice, 2) AS DOUBLE) AS price
+    FROM part
+    """,
+    tags=("sources", "json"),
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → JSON lines (with a NESTED attrs struct) → read back under
+    an EXPLICIT schema → flattened row set.
+
+    Two at-scale disciplines are the point: (1) the read passes the
+    writer's schema instead of inferring — JSON inference is a full
+    extra pass over the corpus before the real scan; (2) nesting
+    round-trips — ``{brand, size}`` goes through the text boundary as
+    one JSON object and comes back as a typed struct, proving the
+    reader's nested-path projection (``attrs.brand``) works, which is
+    how semi-structured event/document feeds actually arrive.  Doubles
+    survive via Jackson's shortest-round-trip formatting; the 2-dp pin
+    matches the other S6 oracles' currency convention."""
+    from pyspark.sql import functions as F
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.struct(
+            F.col("p_brand").alias("brand"), F.col("p_size").alias("size")
+        ).alias("attrs"),
+        F.round("p_retailprice", 2).cast("double").alias("price"),
+    )
+    out = _tmp("json_src", sf_dir, spark)
+    p.write.mode("overwrite").json(out)
+    back = spark.read.schema(p.schema).json(out)
+    return back.select(
+        "p_partkey",
+        "p_name",
+        F.col("attrs.brand").alias("brand"),
+        F.col("attrs.size").alias("size"),
+        "price",
+    )
