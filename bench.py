@@ -341,6 +341,12 @@ def main() -> None:
     spark = get_session(
         "ubw_spark-bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
     )
+    # The contention discriminator must be sampled BEFORE any of the
+    # bench's own work: by the end of the warmup pass the 1-min loadavg
+    # reflects this process's local[N] threads (measured ~2-3 on an
+    # otherwise idle box), which would trip the LOAD_RETRY_THRESHOLD
+    # gate on EVERY run and reduce "contended" to "always".
+    load_points: dict[str, list[float] | None] = {"start": _loadavg()}
     # Warmup pass (untimed): JVM JIT + parquet footer/file-index caches.
     # The reported numbers are steady-state throughput, which is what a
     # long-lived cluster session delivers.
@@ -373,7 +379,7 @@ def main() -> None:
         except ValueError:
             return None
 
-    load_points: dict[str, list[float] | None] = {"start": _loadavg()}
+    load_points["after_warmup"] = _loadavg()
     timings = timed_pass(sf_dir)
     load_points["after_primary"] = _loadavg()
 
