@@ -65,7 +65,12 @@ def test_lsh_recall_audit_shape_and_exact_dup_bucket(spark, sf_dir):
         assert 0 <= r["n_found"] <= r["n_truth"]
         assert 0.0 <= r["recall"] <= 1.0
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    # doc_id < 40, not limit(40): an order-free limit over a multi-file
+    # parquet listing has no guarantee of CONTAINING doc_id 0-2, and
+    # this test needs those specific rows present to clone them
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    )
     clones = docs.where(F.col("doc_id") < 3).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )

@@ -307,6 +307,38 @@ def test_keyset_boundary_values_coerce_like_filters(spark):
         ).collect()
 
 
+def test_boundary_coercion_temporal_and_decimal_exactness():
+    """code-review r11: the boundary coercer's two remaining holes —
+    (a) date/timestamp STRING boundaries must PARSE, not pass on
+    any-non-empty-string (a junk cursor becomes col > lit('zz'): an
+    ANSI CAST_INVALID_INPUT mid-job, or with ANSI off a silently empty
+    page forever); (b) decimal string cursors must not round through
+    float() — above 2^53 that pages from the wrong row."""
+    import datetime
+    import decimal
+
+    from ubw_spark.params import _coerce_boundary
+
+    ok, v = _coerce_boundary("date", "zz")
+    assert not ok
+    ok, v = _coerce_boundary("date", "2024-02-03")
+    assert ok and v == datetime.date(2024, 2, 3)
+    ok, v = _coerce_boundary("timestamp", "2024-02-03T01:02:03")
+    assert ok and v == datetime.datetime(2024, 2, 3, 1, 2, 3)
+    ok, v = _coerce_boundary("timestamp", "not a time")
+    assert not ok
+    # native Row types still pass through untouched
+    ok, v = _coerce_boundary("date", datetime.date(2020, 1, 1))
+    assert ok and v == datetime.date(2020, 1, 1)
+    # decimal string: exact, no float round-trip (2^53 + 1 survives)
+    big = "9007199254740993"
+    ok, v = _coerce_boundary("decimal(20,0)", big)
+    assert ok and isinstance(v, decimal.Decimal) and int(v) == int(big)
+    assert float(big) != int(big)  # the hazard the branch exists for
+    ok, v = _coerce_boundary("decimal(20,2)", "12.34")
+    assert ok and v == decimal.Decimal("12.34")
+
+
 def test_keyset_rejects_page1_and_drop0_too(spark, friend_df):
     """code-review r9: page_index=1 / drop=0 compute to a ZERO offset
     but still declare offset paging — they must raise with after_key,

@@ -143,14 +143,23 @@ def test_orc_partitioned_write_prunes_directories(spark, sf_dir):
     (at 100 TB that is metadata work, not a scan)."""
     from ubw_spark.queries import REGISTRY
 
+    import re
+
     df = REGISTRY["source_orc_roundtrip"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan
-    # the status predicate must appear among partition filters, and the
-    # data-filter list must NOT carry it (it would mean a post-listing
-    # row-level evaluation of a directory-level predicate)
-    part_line = [l for l in plan.splitlines() if "PartitionFilters" in l]
-    assert part_line and "o_orderstatus" in part_line[0]
+    # the status predicate must appear among PARTITION filters, and the
+    # data/pushed-filter lists must NOT carry it (that would mean a
+    # post-listing row-level evaluation of a directory-level predicate).
+    # Each filter list renders as its own bracketed group, so match
+    # inside the brackets specifically — the whole FileScan line also
+    # contains the other lists.
+    def bracket(kind: str) -> str:
+        m = re.search(kind + r":\s*\[([^\]]*)\]", plan)
+        return m.group(1) if m else ""
+
+    assert "o_orderstatus" in bracket("PartitionFilters")
+    assert "o_orderstatus" not in bracket("DataFilters")
+    assert "o_orderstatus" not in bracket("PushedFilters")
 
 
 def test_json_roundtrip_schema_and_nesting(spark, sf_dir):

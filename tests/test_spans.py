@@ -315,6 +315,42 @@ def test_gram_index_lifecycle_write_probe_append(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_gram_index_legacy_scheme_refused_everywhere(spark):
+    """A pre-thw1 index (no ubw.gram_hash tag — its gh values come from
+    a different hash definition) must be refused by probe, append AND
+    compact: old and new hashes never collide, so every operation would
+    otherwise 'succeed' with silently wrong results — zero contamination
+    reported, the index doubled on append, nothing removed on compact."""
+    from ubw_spark.operators.spans import (
+        append_gram_index,
+        compact_gram_index,
+        grams_of,
+        probe_gram_index,
+        write_gram_index,
+    )
+
+    tbl = "gram_idx_legacy_scheme_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    try:
+        corpus = _docs(spark, [(1, SHARED)])
+        write_gram_index(corpus, "doc_id", "text", tbl, k=4)
+        # simulate a legacy index: strip the scheme tag
+        spark.sql(
+            f"ALTER TABLE {tbl} UNSET TBLPROPERTIES ('ubw.gram_hash')"
+        )
+        batch = _docs(spark, [(10, SHARED)])
+        with pytest.raises(ValueError, match="pre-thw1"):
+            probe_gram_index(spark, batch, tbl, "doc_id", "text", k=4)
+        with pytest.raises(ValueError, match="pre-thw1"):
+            append_gram_index(spark, batch, tbl, "doc_id", "text", k=4)
+        retired = grams_of(corpus, "doc_id", "text", k=4)
+        with pytest.raises(ValueError, match="pre-thw1"):
+            compact_gram_index(spark, tbl, retired)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compact")
+
+
 def test_gram_index_probe_has_no_index_side_shuffle(spark):
     """The scale contract: probing shuffles ONLY the batch — the
     bucketed index scan feeds the join with no Exchange above it."""

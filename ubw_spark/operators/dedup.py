@@ -194,6 +194,35 @@ def lsh_candidate_pairs(
     )
 
 
+def shingle_pair_frames(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared shingle-set frames for exact-Jaccard verification: the
+    ≥k-token base corpus, its (id, __sh) shingle table, and the
+    pair-aliased (id_a, __sha) / (id_b, __shb) sides.  ONE definition
+    serves both :func:`minhash_dedup_pairs`' candidate verify and
+    :func:`lsh_recall_report`'s ground truth — the audit measures the
+    production pipeline only if the two compute the same sets, so they
+    must not be free to drift."""
+    base = df.where(F.size(tokens(F.col(text_col))) >= k)
+    sh = base.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
+    return base, sh, a, b
+
+
+def exact_jaccard() -> Column:
+    """0-guarded exact Jaccard over the pair-aliased shingle columns
+    (``__sha``/``__shb`` from :func:`shingle_pair_frames`).  The guard
+    is unreachable after the ≥k-token filter (both sets non-empty) but
+    keeps the expression total."""
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    union = F.size(F.array_union("__sha", "__shb"))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -221,20 +250,15 @@ def minhash_dedup_pairs(
     input partitioning (right when the lake already has many splits)."""
     if parallelism:
         df = df.repartition(parallelism)
-    # Drop docs shorter than k words BEFORE shingling: they can't be
-    # near-dups under this metric, and their all-null signatures would
-    # band together and 0/0 in the Jaccard verify.  Filtering on the raw
-    # token count (not on the shingle array) keeps the guard out of the
-    # shingle expression — a where(size(__sh)>0) after the projection
-    # gets pushed down and re-evaluates the whole shingle pipeline
-    # (measured 4x on the sf0.1 bench).
-    from ubw_spark.functions.text import tokens
-
-    df = df.where(F.size(tokens(F.col(text_col))) >= k)
-    sh = df.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), k).alias("__sh"),
-    )
+    # shingle_pair_frames drops docs shorter than k words BEFORE
+    # shingling: they can't be near-dups under this metric, and their
+    # all-null signatures would band together and 0/0 in the Jaccard
+    # verify.  Filtering on the raw token count (not on the shingle
+    # array) keeps the guard out of the shingle expression — a
+    # where(size(__sh)>0) after the projection gets pushed down and
+    # re-evaluates the whole shingle pipeline (measured 4x on the
+    # sf0.1 bench).
+    _, sh, a, b = shingle_pair_frames(df, id_col, text_col, k)
     hashed = sh.select(
         id_col, "__sh", F.transform("__sh", portable_hash).alias("__hv")
     )
@@ -245,11 +269,7 @@ def minhash_dedup_pairs(
         sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band,
         max_bucket=max_bucket,
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    union = F.size(F.array_union("__sha", "__shb"))
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    jac = exact_jaccard()
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -283,17 +303,10 @@ def lsh_recall_report(
     the empirical S-curve 1-(1-j^r)^b that a banding-parameter
     regression (fewer bands, broken hash, over-aggressive cap) would
     visibly dent."""
-    base = df.where(F.size(tokens(F.col(text_col))) >= k)
-    sh = base.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
-    inter = F.size(F.array_intersect("__sha", "__shb"))
-    union = F.size(F.array_union("__sha", "__shb"))
+    base, _, a, b = shingle_pair_frames(df, id_col, text_col, k)
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .where(inter / union >= threshold)
+        .where(exact_jaccard() >= threshold)
         .select(
             "id_a",
             "id_b",

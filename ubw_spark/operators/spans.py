@@ -597,9 +597,20 @@ def compact_gram_index(
     k_rows = spark.sql(f"SHOW TBLPROPERTIES {table_name}").collect()
     props = {r["key"]: r["value"] for r in k_rows}
     stored_k = props.get("ubw.gram_k")
-    # carry the STORED scheme verbatim — compaction must not bless a
-    # legacy (pre-thw1) index as current; probe/append still refuse it
     stored_scheme = props.get("ubw.gram_hash")
+    # The retire set comes from grams_of under the CURRENT scheme; an
+    # index under any other scheme anti-joins to zero matches and the
+    # full rewrite would complete "successfully" while every retired
+    # document's grams survive — a silent no-op removal.  Refuse loudly,
+    # the same contract probe/append enforce.
+    if stored_scheme != GRAM_HASH_SCHEME:
+        raise ValueError(
+            f"gram index {table_name} was built with gram-hash scheme "
+            f"{stored_scheme or 'pre-thw1 (string grams)'}; the retire "
+            f"set is {GRAM_HASH_SCHEME}-hashed, so compaction would "
+            "silently remove nothing — rebuild the index "
+            "(write_gram_index) before compacting"
+        )
     num_buckets = _table_num_buckets(spark, table_name) or 32
     kept = compacted_gram_rows(
         spark, table_name, retired, broadcast_drops=broadcast_drops

@@ -296,7 +296,11 @@ def apply_params(
     # Keep every declared column in scope for filters and hidden sort keys.
     out = spec.frame(df, all_columns=True)
 
-    pred = _rebind_pred_to_projection(spec, params.filters, dict(out.dtypes))
+    # one schema analysis serves both the filter and keyset paths —
+    # where() does not change the schema, and each dict(out.dtypes) is
+    # a py4j round trip on the per-request compile path
+    dtypes = dict(out.dtypes)
+    pred = _rebind_pred_to_projection(spec, params.filters, dtypes)
     if pred is not None:
         out = out.where(pred)
 
@@ -327,7 +331,7 @@ def apply_params(
                 "defined over the effective sort columns"
             )
         out = out.where(
-            _keyset_predicate(keys, params.after_key, dict(out.dtypes))
+            _keyset_predicate(keys, params.after_key, dtypes)
         )
         offset = None
 
@@ -391,10 +395,17 @@ def _coerce_boundary(dtype: str, v: Any) -> tuple[bool, Any]:
       ``Decimal`` for decimals are type-correct, but
       ``_coerce_operand`` — built for JSON operands — only accepts
       strings there and would reject a perfectly valid cursor);
-    - integer-typed columns parse integral strings with ``int()``, not
-      through ``float()``: a JSON bigint cursor above 2^53 would round
-      to the nearest even double and silently page from the wrong row
-      — the exact hazard this path exists to prevent."""
+    - integer- and decimal-typed columns parse strings WITHOUT a
+      ``float()`` round-trip (``int()`` / ``Decimal()``): a JSON bigint
+      or decimal cursor above 2^53 would round to the nearest even
+      double and silently page from the wrong row — the exact hazard
+      this path exists to prevent;
+    - date/timestamp STRING boundaries must actually parse as ISO
+      dates/timestamps: the filter path's any-non-empty-string rule is
+      fine for a silent-no-op filter, but a junk cursor here becomes
+      ``col > lit('zz')`` — an ANSI CAST_INVALID_INPUT mid-job (or,
+      ANSI off, a silently empty page forever) instead of this
+      function's documented loud ValueError."""
     import datetime
     import decimal as _decimal
 
@@ -411,12 +422,22 @@ def _coerce_boundary(dtype: str, v: Any) -> tuple[bool, Any]:
         v, _decimal.Decimal
     ):
         return True, v
-    if (
-        base in _INT_TYPES
-        and isinstance(v, str)
-        and re.fullmatch(r"[+-]?\d+", v.strip())
-    ):
-        return True, int(v.strip())
+    if isinstance(v, str):
+        s = v.strip()
+        if base in _INT_TYPES and re.fullmatch(r"[+-]?\d+", s):
+            return True, int(s)
+        if base == "decimal" and re.fullmatch(r"[+-]?\d+(\.\d+)?", s):
+            return True, _decimal.Decimal(s)
+        if base == "date":
+            try:
+                return True, datetime.date.fromisoformat(s)
+            except ValueError:
+                return False, None
+        if base in ("timestamp", "timestamp_ntz"):
+            try:
+                return True, datetime.datetime.fromisoformat(s)
+            except ValueError:
+                return False, None
     return _coerce_operand(dtype, v)
 
 
