@@ -15,6 +15,13 @@ read as super-linear scaling: a 0.3 s query that becomes 4 s is
 dominated by constant cost, not by a bad asymptotic.
 
 Usage: python tools/scale_report.py BENCH_sf1.json [--threshold 12]
+
+Three-point mode (round 11): pass three standalone recordings in
+ascending-sf order to get the two-step slope table COVERAGE.md carries —
+the second step is what separates real slope from fixed-cost share (it
+caught linkage_match_topk's hidden quadratic):
+
+    python tools/scale_report.py BENCH_LOCAL.json BENCH_sf1.json BENCH_sf3.json
 """
 
 from __future__ import annotations
@@ -51,12 +58,60 @@ def report(
     return rows, flags
 
 
+def three_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
+    """Two-step slope table over three standalone recordings."""
+    docs = []
+    for p in paths:
+        with open(p) as f:
+            d = json.load(f)
+        if "parsed" in d:
+            d = d["parsed"] or {}
+        docs.append(d)
+    sfs = [d.get("sf") for d in docs]
+    qs = [d.get("queries") or {} for d in docs]
+    names = [n for n in qs[0] if n in qs[1] and n in qs[2]]
+    step1 = sfs[1] / sfs[0] if sfs[0] and sfs[1] else None
+    step2 = sfs[2] / sfs[1] if sfs[1] and sfs[2] else None
+    rows = sorted(
+        names, key=lambda n: -(qs[2][n] / qs[1][n] if qs[1][n] else 0)
+    )
+    print(
+        f"| query | sf{sfs[0]} s | sf{sfs[1]} s | sf{sfs[2]} s "
+        f"| sf{sfs[0]}→sf{sfs[1]} ({step1:.0f}×) "
+        f"| sf{sfs[1]}→sf{sfs[2]} ({step2:.0f}×) | note |"
+    )
+    print("|---|---|---|---|---|---|---|")
+    for n in rows:
+        a, b, c = qs[0][n], qs[1][n], qs[2][n]
+        note = "fixed-cost dominated at small sf" if a < floor_small_sec else ""
+        print(
+            f"| {n} | {a:.2f} | {b:.2f} | {c:.2f} "
+            f"| {b / a:.2f}× | {c / b:.2f}× | {note} |"
+        )
+    t = [sum(q[n] for n in rows) for q in qs]
+    print(
+        f"\ntotals: {t[0]:.1f}s -> {t[1]:.1f}s -> {t[2]:.1f}s "
+        f"({t[1] / t[0]:.2f}x for {step1:.0f}x, "
+        f"{t[2] / t[1]:.2f}x for a further {step2:.0f}x)"
+    )
+    worst = rows[0]
+    print(
+        f"worst sf{sfs[1]}->sf{sfs[2]} slope: {worst} at "
+        f"{qs[2][worst] / qs[1][worst]:.2f}x"
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("path")
+    ap.add_argument("paths", nargs="+")
     ap.add_argument("--threshold", type=float, default=12.0)
     args = ap.parse_args()
-    with open(args.path) as f:
+    if len(args.paths) == 3:
+        three_point(args.paths)
+        return
+    if len(args.paths) != 1:
+        raise SystemExit("pass ONE bench file (sf_extra mode) or THREE")
+    with open(args.paths[0]) as f:
         doc = json.load(f)
     if "parsed" in doc:
         doc = doc["parsed"] or {}
@@ -65,7 +120,7 @@ def main() -> None:
     sf_small = (doc.get("sf_extra") or {}).get("sf")
     if not rows or sf_big is None or sf_small is None:
         raise SystemExit(
-            f"{args.path}: needs a primary block AND an sf_extra block "
+            f"{args.paths[0]}: needs a primary block AND an sf_extra block "
             "with overlapping queries (run bench.py with "
             "SPARK_GRAFT_SF2_DIR set); nothing to compare"
         )
