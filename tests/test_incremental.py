@@ -71,6 +71,34 @@ def test_null_values_count_but_do_not_sum(spark):
     assert got == want == [("a", 2, 7)]
 
 
+def test_all_null_group_sum_stays_null(spark):
+    """code-review r11: SUM is NULL iff every input is NULL — the
+    maintained fold must preserve that, not coalesce it to 0, or
+    maintained != recomputed for all-NULL groups.  Uses a raw
+    (uncoalesced) measure: the shared MEASURES maps NULL v to 0."""
+    meas = {
+        "cnt": F.lit(1).cast("long"),
+        "vsum": F.col("v").cast("long"),
+    }
+    old = _df(spark, [(1, "a", None), (2, "a", None), (10, "b", 3)])
+    new = _df(
+        spark, [(1, "a", None), (2, "a", None), (3, "a", None), (10, "b", 4)]
+    )
+    state = grouped_agg(old, ["g"], meas)
+    delta = row_delta(old, new, ["id"], ["g", "v"])
+    got = sorted(
+        map(tuple, apply_delta_to_agg(
+            state, delta, ["g"], meas, count_col="cnt"
+        ).collect()),
+        key=repr,
+    )
+    want = sorted(map(tuple, grouped_agg(new, ["g"], meas).collect()), key=repr)
+    assert got == want
+    by_g = {t[0]: t for t in got}
+    assert by_g["a"][2] is None  # really NULL on both paths, not 0
+    assert by_g["b"][2] == 4
+
+
 def test_validation(spark):
     df = _df(spark, [(1, "a", 1)])
     with pytest.raises(ValueError, match="at least one value column"):

@@ -579,6 +579,49 @@ def test_canonical_keep_prefers_quality_over_min_id(spark):
     assert {r["id"] for r in kept.collect()} == {2, 10, 99}
 
 
+def test_canonical_keep_null_ids_pass_through(spark):
+    """code-review r11: NULL-id rows cannot appear in the pair graph,
+    so ALL of them must survive — before the fix they coalesced into
+    one window partition (partitionBy groups NULL keys together) and
+    all but one were silently deleted."""
+    from ubw_spark.operators.components import dedup_canonical_keep
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (None, 1.0), (None, 2.0), (None, 3.0)],
+        "id bigint, score double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    kept = dedup_canonical_keep(
+        docs, pairs, "id", priority=[F.col("score").desc()]
+    ).collect()
+    assert sorted(r["score"] for r in kept if r["id"] is None) == [
+        1.0, 2.0, 3.0,
+    ]
+    assert {r["id"] for r in kept if r["id"] is not None} == {2}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """code-review r11: exhausting max_iter with labels still moving
+    must raise — the partial labels are min-of-k-hop neighborhoods, not
+    components, and canonical-keep downstream would let duplicates
+    survive silently."""
+    import pytest
+
+    from ubw_spark.operators.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and a max_iter that fits the diameter converges to one component
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=10).collect()
+    }
+    assert set(comp.values()) == {0}
+
+
 def test_int8_quantize_roundtrip_error_bound(spark, sf_dir):
     """Dequantized values reconstruct within scale/2 per dimension;
     constant vectors reconstruct exactly (scale 0 path)."""

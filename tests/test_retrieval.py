@@ -146,6 +146,25 @@ def test_compact_retires_docs_and_restats(spark, docs_df, tmp_path, bc):
     assert all(r[0] not in (0, 4) for r in got)
 
 
+def test_compact_can_retire_every_document(spark, docs_df, tmp_path):
+    """code-review r11: full retirement (takedown of the last docs in a
+    store) must commit — the restat used to schema-infer the empty new
+    version dir and crash BEFORE the manifest flip, making the
+    retirement permanently impossible.  The empty committed version
+    stays readable (schema-bearing marker file) and reports zero
+    documents."""
+    path = str(tmp_path / "ti_all")
+    write_term_index(docs_df, "doc_id", "text", path)
+    all_ids = docs_df.select("doc_id")
+    compact_term_index(spark, path, all_ids)
+    st = read_term_stats(path)
+    assert st["n_docs"] == 0 and st["total_tokens"] == 0
+    # the store still resolves and probes to an empty result, not an
+    # unreadable directory
+    got = probe_term_index(spark, path, "hash join", k=5).collect()
+    assert got == []
+
+
 def test_probe_missing_sidecar_raises(spark, docs_df, tmp_path):
     # a bare parquet dir is NOT a term store: guessed stats would skew
     # every idf silently

@@ -114,6 +114,68 @@ def test_snapshot_diff_status_matrix(spark):
     }
 
 
+def test_snapshot_diff_null_content_presence(spark):
+    """code-review r11: presence must come from the side markers, not
+    fingerprint nullness — md5(NULL) is NULL, so NULL-content rows used
+    to read as absent and misclassify every status they touched."""
+    from ubw_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, None)],
+        "id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (5, None)],
+        "id bigint, text string",
+    )
+    out = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(old, new, "id", "text").collect()
+    }
+    assert out == {
+        1: "changed",    # NULL -> 'x' (was misreported 'added')
+        2: "unchanged",  # NULL == NULL (was 'added')
+        3: "changed",    # 'x' -> NULL
+        4: "removed",    # present-old-only with NULL content (was 'added')
+        5: "added",      # present-new-only with NULL content
+    }
+
+
+def test_scd2_merge_null_ts_rows_survive(spark):
+    """code-review r11: a dimension row whose valid_from is NULL (NULL
+    snapshot ts) must not vanish — presence is an explicit join marker,
+    not valid_from nullness."""
+    snap = spark.createDataFrame(
+        [(1, "a", None), (2, "b", "2024-01-01 00:00:00")],
+        "k bigint, v string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = scd2_init(snap, "ts")
+    changes = spark.createDataFrame(
+        [(2, "b2", "2024-02-01 00:00:00")], "k bigint, v string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = scd2_merge(dim, changes, ["k"], "ts")
+    by_key = {(r["k"], r["is_current"]): r for r in out.collect()}
+    # key 1 (NULL valid_from) still present and current
+    assert (1, True) in by_key and by_key[(1, True)]["v"] == "a"
+    # key 2 closed + fresh
+    assert by_key[(2, True)]["v"] == "b2"
+    assert by_key[(2, False)]["v"] == "b"
+
+
+def test_scd2_merge_requires_attr_cols(spark):
+    snap = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "k bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    dim = scd2_init(
+        spark.createDataFrame(
+            [(1, "a", None)], "k bigint, v string, ts timestamp"
+        ),
+        "ts",
+    )
+    with pytest.raises(ValueError, match="no attribute columns"):
+        scd2_merge(dim, snap, ["k"], "ts")
+
+
 class TestKeySkewReport:
     def test_shares_and_ranks(self, spark):
         from ubw_spark.operators.skew import key_skew_report

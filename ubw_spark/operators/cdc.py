@@ -44,18 +44,37 @@ def scd2_merge(
     attr_cols = compare_cols or [
         c for c in changes.columns if c not in set(keys) | {ts_col}
     ]
+    if not attr_cols:
+        raise ValueError(
+            "scd2_merge: changes carry no attribute columns to compare "
+            "(only keys + ts) — pass compare_cols or include at least "
+            "one non-key attribute"
+        )
     # A batch may carry several changes per key; the full-outer join
     # below assumes at most one, so reduce to the LATEST per key first
     # (otherwise each duplicate mints its own is_current=true version).
+    # Same-ts ties break on the attribute fingerprint: row_number over
+    # ts alone would pick a shuffle-dependent winner, and every ordering
+    # in this repo is deterministic by contract.
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*keys).orderBy(F.col(ts_col).desc())
+    w = W.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(),
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in attr_cols]))).desc(),
+    )
     changes = (
         changes.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
-    cur = dim.where(F.col("is_current"))
+    # Presence on each join side comes from an explicit marker column,
+    # NOT from nullness of a data column (valid_from / ts may themselves
+    # be NULL — inferring presence from them silently drops such rows
+    # from every branch below).  Same pattern as incremental.py's
+    # __in_delta.
+    cur = dim.where(F.col("is_current")).withColumn(
+        "__cur_present", F.lit(True)
+    )
     hist = dim.where(~F.col("is_current"))
 
     # Rename every change column: the aliases mint fresh attribute ids,
@@ -63,7 +82,8 @@ def scd2_merge(
     # frame (self-join lineage) stays resolvable; all downstream
     # references are by unambiguous name, no "a.b" qualifiers.
     chg = changes.select(
-        *[F.col(c).alias(f"__chg_{c}") for c in changes.columns]
+        *[F.col(c).alias(f"__chg_{c}") for c in changes.columns],
+        F.lit(True).alias("__chg_present"),
     )
     cond = F.lit(True)
     for k in keys:
@@ -76,8 +96,8 @@ def scd2_merge(
     differs = cmp[0]
     for c in cmp[1:]:
         differs = differs | c
-    chg_present = F.col(f"__chg_{ts_col}").isNotNull()
-    cur_present = F.col("valid_from").isNotNull()
+    chg_present = F.coalesce(F.col("__chg_present"), F.lit(False))
+    cur_present = F.coalesce(F.col("__cur_present"), F.lit(False))
 
     dim_cols = ["valid_from", "valid_to", "is_current"]
     # 1. untouched current rows (no change arrived, or arrived identical)
@@ -129,16 +149,31 @@ def snapshot_diff(
 
     Scale shape: each side reduces to (id, 16-byte md5 fingerprint)
     map-side, so the full-outer join shuffles fingerprints, never
-    document bodies — the same discipline as exact dedup."""
+    document bodies — the same discipline as exact dedup.
+
+    Presence comes from an explicit per-side marker, not from
+    fingerprint nullness: ``md5(NULL)`` is NULL, so a present row with
+    NULL content would otherwise read as absent and be misclassified
+    (present-both with one NULL side → 'added' instead of 'changed';
+    removed-with-NULL-content → 'added')."""
     fp = F.md5(F.lower(F.trim(F.col(content_col))))
-    a = old.select(F.col(id_col), fp.alias("__fp_old"))
-    b = new.select(F.col(id_col), fp.alias("__fp_new"))
+    a = old.select(
+        F.col(id_col), fp.alias("__fp_old"), F.lit(True).alias("__in_old")
+    )
+    b = new.select(
+        F.col(id_col), fp.alias("__fp_new"), F.lit(True).alias("__in_new")
+    )
     j = a.join(b, id_col, "full_outer")
+    in_old = F.coalesce(F.col("__in_old"), F.lit(False))
+    in_new = F.coalesce(F.col("__in_new"), F.lit(False))
     return j.select(
         id_col,
-        F.when(F.col("__fp_old").isNull(), F.lit("added"))
-        .when(F.col("__fp_new").isNull(), F.lit("removed"))
-        .when(F.col("__fp_old") != F.col("__fp_new"), F.lit("changed"))
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(
+            ~F.col("__fp_old").eqNullSafe(F.col("__fp_new")),
+            F.lit("changed"),
+        )
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

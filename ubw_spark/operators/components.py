@@ -93,6 +93,20 @@ def connected_components(
         labels = updated.drop("__changed")
         if not changed:
             break
+    else:
+        # Exhausting max_iter with labels still moving means the
+        # returned labels are min-of-max_iter-hop neighborhoods, NOT
+        # components — downstream canonical-keep would then split one
+        # cluster into several "components" and let duplicates survive
+        # dedup, silently.  A graph needing more rounds than the guard
+        # is a loud error, not a result.
+        raise ValueError(
+            f"connected_components did not converge in {max_iter} "
+            f"rounds ({changed} labels still changing) — the graph's "
+            "diameter exceeds max_iter; raise max_iter (near-dup "
+            "graphs converging this slowly usually mean the pair "
+            "generator is linking non-duplicates)"
+        )
     return labels
 
 
@@ -132,10 +146,14 @@ def dedup_canonical_keep(
     (their own id is their component).
 
     Cost: label propagation over the (small) pair graph + ONE window
-    shuffle keyed by component over the clustered rows only — the
-    unclustered bulk of the corpus takes the left-join and passes
-    through without entering the window (component is null → its own
-    singleton partition key is the row id, so no hot partition forms)."""
+    shuffle keyed by component — the unclustered bulk of the corpus
+    rides through as singleton partitions keyed by its own row id, so
+    no hot partition forms.
+
+    NULL-id rows cannot appear in the pair graph (pairs reference ids),
+    so they pass through untouched — they must NOT enter the window,
+    where partitionBy would group every NULL key into ONE partition and
+    keep a single survivor from what are unrelated rows."""
     from pyspark.sql import Window
 
     # dunder-rename the graph columns so they can't collide with caller
@@ -145,12 +163,15 @@ def dedup_canonical_keep(
     ).select(
         F.col("node").alias("__node"), F.col("component").alias("__component")
     )
-    labeled = df.join(
+    keyed = df.where(F.col(id_col).isNotNull())
+    null_ids = df.where(F.col(id_col).isNull())
+    labeled = keyed.join(
         comp, F.col(id_col) == F.col("__node"), "left"
     ).withColumn("__comp", F.coalesce(F.col("__component"), F.col(id_col)))
     w = Window.partitionBy("__comp").orderBy(*priority, F.col(id_col))
-    return (
+    kept = (
         labeled.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__node", "__component", "__comp", "__rn")
     )
+    return kept.unionByName(null_ids)

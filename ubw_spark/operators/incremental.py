@@ -145,11 +145,20 @@ def apply_delta_to_agg(
         .alias(g)
         for g in group_cols
     ]
+    # NULL-preserving fold: SUM is NULL iff every input is NULL, so a
+    # group whose measure is NULL on BOTH sides must stay NULL — a
+    # plain coalesce-to-0 fold would emit 0 there and break the
+    # maintained == recomputed bit-identity grouped_agg promises.
     out_cols = [
-        (
+        F.when(
+            F.col(name).isNull() & F.col(f"__d_{name}").isNull(),
+            F.lit(None),  # untyped NULL unifies with the sum branch
+        )
+        .otherwise(
             F.coalesce(F.col(name), zero)
             + F.coalesce(F.col(f"__d_{name}"), zero)
-        ).alias(name)
+        )
+        .alias(name)
         for name in measures
     ]
     merged = j.select(*group_out, *out_cols)

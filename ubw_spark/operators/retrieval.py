@@ -50,7 +50,6 @@ this is net-new capability, same as the ANN family.
 from __future__ import annotations
 
 import hashlib
-import json
 import os
 import re
 
@@ -63,7 +62,10 @@ from ubw_spark.operators.dedup import portable_hash
 from ubw_spark.operators.versioned import (
     begin_rewrite,
     commit_rewrite,
+    compact_partitioned_store,
+    read_sidecar,
     resolve_root,
+    write_sidecar,
 )
 
 __all__ = [
@@ -350,24 +352,18 @@ def _write_stats(
     }
     if last_batch_id is not None:
         stats["last_batch_id"] = last_batch_id
-    with open(os.path.join(root, STATS_FILE), "w") as f:
-        json.dump(stats, f)
+    write_sidecar(root, STATS_FILE, stats)
 
 
 def _read_stats_at(root: str, path: str) -> dict:
     """Sidecar of an ALREADY-RESOLVED version root — callers that also
     scan postings must resolve once and read both from the same root
     (versioned.py's readers-resolve-once rule: resolving twice lets a
-    concurrent compaction split stats and postings across versions)."""
-    try:
-        with open(os.path.join(root, STATS_FILE)) as f:
-            return json.load(f)
-    except FileNotFoundError:
-        raise ValueError(
-            f"term index at {path} has no {STATS_FILE} sidecar — not a "
-            "term-index store (or a partial write); rebuild with "
-            "write_term_index"
-        ) from None
+    concurrent compaction split stats and postings across versions).
+    Thin wrapper over the shared sidecar reader; ``path`` keeps the
+    caller-facing store path in scope for future messaging."""
+    del path  # the resolved root identifies the store in the error
+    return read_sidecar(root, STATS_FILE, "term index")
 
 
 def read_term_stats(path: str) -> dict:
@@ -481,8 +477,7 @@ def append_term_batch(
         merged["last_batch_id"] = batch_id
     elif old.get("last_batch_id") is not None:
         merged["last_batch_id"] = old["last_batch_id"]
-    with open(os.path.join(new_root, STATS_FILE), "w") as f:
-        json.dump(merged, f)
+    write_sidecar(new_root, STATS_FILE, merged)
     commit_rewrite(path, cur, new_v)
 
 
@@ -508,7 +503,10 @@ def probe_term_index(
     root = resolve_root(path)
     stats = _read_stats_at(root, path)
     idx = spark.read.parquet(root)
-    if not qts:
+    # Empty query OR fully-retired store → empty result up front: with
+    # n_docs = 0 the avgdl literal is total/0, which ANSI constant
+    # folding rejects at PLAN time even though no row would evaluate it.
+    if not qts or stats["n_docs"] == 0:
         return idx.select(
             F.col(id_col),
             F.lit(0).cast("long").alias("n_terms_hit"),
@@ -561,6 +559,17 @@ def probe_term_index_batch(
 
     root = resolve_root(path)
     stats = _read_stats_at(root, path)
+    if stats["n_docs"] == 0:
+        # fully-retired store: same plan-time ANSI divide-by-zero guard
+        # as probe_term_index
+        idx0 = spark.read.parquet(root)
+        return queries.select(
+            F.col(qid_col).alias("qid"),
+            F.lit(None).cast(idx0.schema[id_col].dataType).alias(id_col),
+            F.lit(0).cast("long").alias("n_terms_hit"),
+            F.lit(0.0).alias("score"),
+            F.lit(1).alias("rank"),
+        ).where(F.lit(False))
     qt = (
         queries.select(
             F.col(qid_col).alias("qid"),
@@ -621,35 +630,48 @@ def compact_term_index(
     versioned.py)."""
     old_root = resolve_root(path)
     old = _read_stats_at(old_root, path)
-    drops = drop_ids.select(
-        F.col(drop_ids.columns[0]).alias(id_col)
-    )
-    maybe_bc = broadcast if broadcast_drops else (lambda d: d)
-    kept = spark.read.parquet(old_root).join(
-        maybe_bc(drops), id_col, "left_anti"
-    )
-    cur, new_v, new_root = begin_rewrite(path)
-    (
-        kept.repartition("tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(new_root)
-    )
-    st = (
-        spark.read.parquet(new_root)
-        .select(id_col, "dl")
-        .distinct()
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+    # Schema captured from the OLD version: the restat read below must
+    # pass it explicitly — a full retirement writes a version dir with
+    # zero part files, and a schema-INFERRING read of it throws before
+    # the commit, making "retire the last documents" (takedown/GDPR)
+    # permanently impossible.
+    schema = spark.read.parquet(old_root).schema
+
+    def restat(new_root: str) -> None:
+        kept = spark.read.schema(schema).parquet(new_root)
+        st = (
+            kept.select(id_col, "dl")
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            )
+            .collect()[0]  # one row: two bigints
         )
-        .collect()[0]  # one row: two bigints
+        if st["n"] == 0:
+            # leave one empty schema-bearing part file so later
+            # readers without an explicit schema (probes) still
+            # resolve the store instead of failing schema inference
+            import pyarrow.parquet as papq
+
+            papq.write_table(
+                spark.createDataFrame([], schema).toArrow(),
+                os.path.join(new_root, "part-empty.parquet"),
+            )
+        _write_stats(
+            new_root,
+            st["n"],
+            st["t"],
+            old["buckets"],
+            last_batch_id=old.get("last_batch_id"),
+        )
+
+    compact_partitioned_store(
+        spark,
+        path,
+        drop_ids,
+        id_col,
+        "tb",
+        broadcast_drops=broadcast_drops,
+        pre_commit=restat,
     )
-    _write_stats(
-        new_root,
-        st["n"],
-        st["t"],
-        old["buckets"],
-        last_batch_id=old.get("last_batch_id"),
-    )
-    commit_rewrite(path, cur, new_v)

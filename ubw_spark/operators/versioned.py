@@ -174,13 +174,20 @@ def compact_partitioned_store(
     *,
     broadcast_drops: bool = True,
     legacy_prefixes: tuple[str, ...] = (),
+    pre_commit=None,
 ) -> None:
     """The shared compaction body for partitionBy-laid-out stores (IVF
-    cells, IVFPQ codes): anti-join ``drop_ids`` out of the live
-    version, rewrite partition-preserving into a new version dir, flip
-    the manifest.  ``broadcast_drops=False`` plans a shuffled anti-join
-    for corpus-fraction drop sets — the same two-posture rule as every
-    compaction here."""
+    cells, IVFPQ codes, the term index): anti-join ``drop_ids`` out of
+    the live version, rewrite partition-preserving into a new version
+    dir, flip the manifest.  ``broadcast_drops=False`` plans a shuffled
+    anti-join for corpus-fraction drop sets — the same two-posture rule
+    as every compaction here.
+
+    ``pre_commit(new_root)``: optional hook invoked after the rewrite
+    lands and BEFORE the manifest flips — the one correct place to
+    regenerate a stats/params sidecar for the new version (a hook that
+    raises leaves the old version live and the new dir orphaned, which
+    commit_rewrite's begin/commit contract already tolerates)."""
     from pyspark.sql import functions as F
     from pyspark.sql.functions import broadcast
 
@@ -197,6 +204,8 @@ def compact_partitioned_store(
         .partitionBy(partition_col)
         .parquet(new_root)
     )
+    if pre_commit is not None:
+        pre_commit(new_root)
     commit_rewrite(path, cur, new_v, legacy_prefixes=legacy_prefixes)
 
 
