@@ -789,3 +789,155 @@ def test_json_agg_post_chain(spark):
         compile_json_query(spark, bad, reg.get)
     assert "unknown fn 'nope'" in str(e.value)
     assert "not unary" in str(e.value)
+
+
+# ---- code-review r11: compiler contract holes -------------------------
+
+
+def test_visible_false_column_hidden_but_sortable(spark, tables):
+    """Per-column capability flags must survive into the post-blocks:
+    a visible:false column is a live (hidden) sort key but absent from
+    the output — before the fix every declared flag was discarded."""
+    q = {
+        "from": "friend",
+        "columns": [
+            {"name": "sort_key", "expr": "age", "visible": False},
+            {"name": "nick", "expr": "nick"},
+        ],
+        "orders": [["sort_key", True]],
+        "take": 2,
+    }
+    out = compile_json_query(spark, q, tables)
+    assert out.columns == ["nick"]
+    ages = {r["nick"] for r in out.collect()}
+    assert len(ages) == 2
+
+
+def test_orderable_false_order_silently_ignored(spark, tables):
+    """orderable:false follows the engine's silent-ignore contract for
+    runtime order params (L1)."""
+    q = {
+        "from": "friend",
+        "columns": [
+            {"name": "nick", "expr": "nick", "orderable": False},
+            {"name": "age", "expr": "age"},
+        ],
+        "orders": [["nick", True], ["age", False]],
+    }
+    out = compile_json_query(spark, q, tables).collect()
+    assert [r["age"] for r in out] == sorted(
+        (r["age"] for r in out), key=lambda a: (a is None, a)
+    )
+
+
+def test_group_by_without_aggs_is_an_error(spark, tables):
+    q = {
+        "from": "friend",
+        "columns": [{"name": "g", "expr": "grade"}],
+        "group_by": ["g"],
+    }
+    with pytest.raises(SpecValidationError, match="requires 'aggs'"):
+        compile_json_query(spark, q, tables)
+
+
+def test_same_named_join_key_dedups_scope(spark, tables, friend_df):
+    """id = id joins (the common case) must compile — the right copy of
+    the key is dropped so later references stay unambiguous."""
+    reg = {
+        "a": friend_df.select(F.col("id"), F.col("nick")),
+        "b": friend_df.select(F.col("id"), F.col("age")),
+    }
+    q = {
+        "from": "a",
+        "joins": [{"table": "b", "on": [["id", "id"]]}],
+        "columns": [
+            {"name": "id", "expr": "id"},
+            {"name": "nick", "expr": "nick"},
+            {"name": "age", "expr": "age"},
+        ],
+        "orders": [["id", False]],
+    }
+    out = compile_json_query(spark, q, lambda n: reg[n])
+    assert out.columns == ["id", "nick", "age"]
+    assert out.count() == friend_df.count()
+
+
+def test_non_key_column_collision_is_an_error(spark, friend_df):
+    reg = {"a": friend_df, "b": friend_df.withColumnRenamed("id", "fid")}
+    q = {
+        "from": "a",
+        "joins": [{"table": "b", "on": [["id", "fid"]]}],
+        "columns": [{"name": "id", "expr": "id"}],
+    }
+    with pytest.raises(SpecValidationError, match="collision"):
+        compile_json_query(spark, q, lambda n: reg[n])
+
+
+def test_agg_validation_accumulates(spark, tables):
+    """Missing arg / unknown arg / unknown group_by key all land in ONE
+    SpecValidationError instead of raw TypeError/AnalysisException."""
+    q = {
+        "from": "friend",
+        "columns": [{"name": "g", "expr": "grade"}],
+        "group_by": ["g", "typo_dim"],
+        "aggs": [
+            {"name": "s", "fn": "sum"},
+            {"name": "t", "fn": "sum", "arg": "typo_col"},
+        ],
+    }
+    with pytest.raises(SpecValidationError) as ei:
+        compile_json_query(spark, q, tables)
+    msg = str(ei.value)
+    assert "requires 'arg'" in msg
+    assert "typo_col" in msg and "typo_dim" in msg
+
+
+def test_nested_fn_arg_scope_checked(spark, tables):
+    q = {
+        "from": "friend",
+        "columns": [
+            {"name": "x", "fn": "upper", "args": [{"expr": "typo"}]}
+        ],
+    }
+    with pytest.raises(SpecValidationError, match="not in scope"):
+        compile_json_query(spark, q, tables)
+
+
+def test_missing_columns_selects_whole_scope(spark, tables):
+    out = compile_json_query(spark, {"from": "friend", "take": 3}, tables)
+    assert set(out.columns) == {"id", "name", "nick", "age", "grade"}
+    assert out.count() == 3
+
+
+def test_empty_columns_list_is_an_error(spark, tables):
+    with pytest.raises(SpecValidationError, match="at least one column"):
+        compile_json_query(spark, {"from": "friend", "columns": []}, tables)
+
+
+def test_insert_literal_rows_date_decimal(spark, tmp_path):
+    """JSON write verbs must accept date/timestamp/decimal targets —
+    JSON carries them as strings; the carrier-cast path makes that
+    work instead of createDataFrame TypeErrors."""
+    import datetime
+    import decimal
+
+    from ubw_spark.core.jsonquery import compile_json_write
+
+    target = spark.createDataFrame(
+        [(1, datetime.date(2020, 1, 1), decimal.Decimal("10.50"))],
+        "id bigint, d date, amt decimal(10,2)",
+    )
+    verb, out = compile_json_write(
+        spark,
+        {
+            "verb": "insert",
+            "into": "t",
+            "rows": [{"id": 2, "d": "1996-01-02", "amt": "17954.55"}],
+        },
+        lambda n: target,
+    )
+    assert verb == "insert"
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {2}
+    assert rows[2]["d"] == datetime.date(1996, 1, 2)
+    assert rows[2]["amt"] == decimal.Decimal("17954.55")

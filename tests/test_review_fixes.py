@@ -276,3 +276,65 @@ def test_semdedup_rejects_nonpositive_pair_salt(spark):
         semantic_dup_pairs(
             df, "vec_id", "embedding", [[1.0, 0.0]], pair_salt=0
         ).collect()
+
+
+def test_excel_reader_foreign_cells(spark, tmp_path):
+    """code-review r11: real-Excel constructs the stdlib reader must
+    survive — error cells (t="e"), ISO-date cells (t="d"), and cells
+    WITHOUT an r attribute (position implied sequentially)."""
+    import zipfile
+
+    from ubw_spark.sources.excel import read_xlsx_rows
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rel_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    sheet = f"""<?xml version="1.0"?>
+<worksheet xmlns="{ns}"><sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c><c r="B1" t="inlineStr"><is><t>b</t></is></c><c r="C1" t="inlineStr"><is><t>c</t></is></c></row>
+<row r="2"><c><v>1</v></c><c><v>2</v></c><c t="e"><v>#DIV/0!</v></c></row>
+<row r="3"><c r="A3" t="d"><v>2024-01-02</v></c><c><v>9</v></c></row>
+</sheetData></worksheet>"""
+    wb = f"""<?xml version="1.0"?>
+<workbook xmlns="{ns}" xmlns:r="{rel_ns}"><sheets>
+<sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    rels = f"""<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="{rel_ns}/worksheet" Target="worksheets/sheet1.xml"/>
+</Relationships>"""
+    path = str(tmp_path / "foreign.xlsx")
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    cols, rows = read_xlsx_rows(path)
+    assert cols == ["a", "b", "c"]
+    # r-less cells land sequentially; the error cell decodes to None
+    assert rows[0] == (1, 2, None)
+    # t="d" keeps the ISO text; the r-less 9 sits one past A3
+    assert rows[1] == ("2024-01-02", 9, None)
+
+
+def test_render_decimal_is_json_serializable(spark):
+    import json
+
+    from ubw_spark.core.spec import ColumnSpec, QuerySpec
+    from ubw_spark.render import to_view
+
+    df = spark.createDataFrame(
+        [(1, "17954.55")], "id bigint, amt string"
+    ).select("id", F.col("amt").cast("decimal(12,2)").alias("amt"))
+    view = to_view(df, QuerySpec([ColumnSpec("id"), ColumnSpec("amt")]))
+    dumped = json.loads(json.dumps(view))
+    assert dumped["data"][0]["amt"] == 17954.55
+
+
+def test_pipeline_rejects_duplicate_stage_names():
+    from ubw_spark.pipeline import Pipeline, PipelineStage
+
+    with pytest.raises(ValueError, match="duplicate stage name"):
+        Pipeline(
+            [
+                PipelineStage(lambda d: d, observe={"n": F.count(F.lit(1))}),
+                PipelineStage(lambda d: d, observe={"n": F.count(F.lit(1))}),
+            ]
+        )

@@ -206,16 +206,32 @@ def _compile_window(
     return None
 
 
-def _compile_expr(node: Any, acc: ErrorAccumulator, path: str) -> Column:
+def _compile_expr(
+    node: Any,
+    acc: ErrorAccumulator,
+    path: str,
+    scope: set[str] | None = None,
+) -> Column:
     """Recursively compile an expression node: {"expr": col} |
-    {"lit": v} | {"fn": name, "args": [...]} | bare string = column."""
+    {"lit": v} | {"fn": name, "args": [...]} | bare string = column.
+
+    ``scope``: when provided, every column reference (bare string or
+    {"expr": ...}) is validated against it — otherwise a typo'd name
+    inside a nested fn escapes the accumulator and surfaces as a raw
+    AnalysisException from Spark's eager analysis."""
+
+    def ref(name: Any, where: str) -> Column:
+        if scope is not None and name not in scope:
+            acc.add(f"{where}: source column '{name}' not in scope")
+        return F.col(name)
+
     if isinstance(node, str):
-        return F.col(node)
+        return ref(node, path)
     if not isinstance(node, dict):
         acc.add(f"{path}: expression node must be str or object, got {type(node).__name__}")
         return F.lit(None)
     if "expr" in node:
-        return F.col(node["expr"])
+        return ref(node["expr"], path)
     if "lit" in node:
         return F.lit(node["lit"])
     if "fn" in node:
@@ -224,7 +240,7 @@ def _compile_expr(node: Any, acc: ErrorAccumulator, path: str) -> Column:
             acc.add(f"{path}: unknown function '{node['fn']}'")
             return F.lit(None)
         args = [
-            _compile_expr(a, acc, f"{path}.args[{i}]")
+            _compile_expr(a, acc, f"{path}.args[{i}]", scope)
             for i, a in enumerate(node.get("args", []))
         ]
         try:
@@ -353,31 +369,73 @@ def compile_json_query(
         if not on:
             acc.add(f"joins[{j_i}]: 'on' pairs required (no implicit cross joins)")
             continue
-        conds = []
+        how = join.get("how", "inner")
         problems_before = len(acc.problems)
+        right_keys: set[str] = set()
         for pair in on:
             lcol, rcol = pair
+            right_keys.add(rcol)
             if lcol not in available:
                 acc.add(f"joins[{j_i}]: left key '{lcol}' not in scope")
             if rcol not in right.columns:
                 acc.add(f"joins[{j_i}]: right key '{rcol}' not in '{jname}'")
-            conds.append(F.col(lcol) == F.col(rcol))
+        # Same-named columns across the two sides make every later
+        # reference AMBIGUOUS at analysis (AMBIGUOUS_REFERENCE — a raw
+        # AnalysisException, not the accumulated contract).  Same-named
+        # JOIN KEYS are the normal case and are handled by dropping the
+        # right copy after an inner/left/semi join (its value equals the
+        # kept left key); for right/full joins the right key carries
+        # right-only rows, so the collision must be renamed instead.
+        shared_keys = {
+            rcol for lcol, rcol in on if lcol == rcol and rcol in available
+        }
+        overlap = (available & set(right.columns)) - shared_keys
+        if overlap:
+            acc.add(
+                f"joins[{j_i}]: column name collision with scope "
+                f"{sorted(overlap)} — every later reference would be "
+                "ambiguous; rename in the source table or join a "
+                "projected view"
+            )
+        if shared_keys and how in ("right", "full", "outer", "full_outer"):
+            acc.add(
+                f"joins[{j_i}]: same-named join key(s) "
+                f"{sorted(shared_keys)} with how='{how}' — the right "
+                "copy carries right-only rows and cannot be dropped; "
+                "use distinct key names for outer joins"
+            )
         if len(acc.problems) > problems_before:
             # THIS join is broken — still bring its columns into scope so
             # later joins/columns validate against the intended schema
             # instead of cascading spurious not-in-scope errors
             available |= set(right.columns)
             continue
+        # side-qualified references (df[...]/right[...]), the same fix
+        # _apply_lookups carries: unqualified F.col on a same-named key
+        # is ambiguous the moment both sides are in the join
+        conds = [df[lcol] == right[rcol] for lcol, rcol in on]
         cond = conds[0]
         for c in conds[1:]:
             cond = cond & c
         rhs = _broadcast(right) if join.get("broadcast") else right
-        df = df.join(rhs, cond, join.get("how", "inner"))
-        available |= set(right.columns)
+        df = df.join(rhs, cond, how)
+        for rcol in sorted(shared_keys):
+            df = df.drop(right[rcol])
+        available |= set(right.columns) - shared_keys
 
-    # derived/selected columns
+    # derived/selected columns; absent "columns" = select the whole
+    # scope (SQL *); an explicitly EMPTY list is a spec error — the
+    # zero-column df.select() it used to compile to "succeeds" with
+    # data-less rows
+    if "columns" not in spec:
+        cdefs = [{"name": c, "expr": c} for c in df.columns]
+    else:
+        cdefs = spec.get("columns") or []
+        if not cdefs:
+            acc.add("'columns' must name at least one column (omit the "
+                    "key entirely to select the whole scope)")
     col_specs: list[ColumnSpec] = []
-    for c_i, cdef in enumerate(spec.get("columns", [])):
+    for c_i, cdef in enumerate(cdefs):
         name = cdef.get("name")
         if not name:
             acc.add(f"columns[{c_i}]: 'name' required")
@@ -392,6 +450,7 @@ def compile_json_query(
                 {k: v for k, v in cdef.items() if k != "name"},
                 acc,
                 f"columns[{c_i}]",
+                scope=available,
             )
         col_specs.append(
             ColumnSpec(
@@ -415,6 +474,20 @@ def compile_json_query(
     aggs = spec.get("aggs", [])
     if group_type not in ("groupby", "cube", "rollup"):
         acc.add(f"unknown group_type '{group_type}'")
+    if group_by and not aggs:
+        # silently returning UNGROUPED rows is the worst reading of
+        # this spec; distinct dimension rows are one count() away
+        acc.add(
+            "'group_by' requires 'aggs' — for bare distinct dimension "
+            'rows add e.g. {"name": "n", "fn": "count"}'
+        )
+    proj_cols = {cs.name for cs in col_specs}
+    if group_by:
+        for g_i, g in enumerate(group_by):
+            if g not in proj_cols:
+                acc.add(
+                    f"group_by[{g_i}]: '{g}' is not a projected column"
+                )
     if aggs:
         agg_cols = []
         for a_i, adef in enumerate(aggs):
@@ -423,7 +496,18 @@ def compile_json_query(
                 acc.add(f"aggs[{a_i}]: unknown aggregate '{adef.get('fn')}'")
                 continue
             arg = adef.get("arg")
-            col = fn(arg) if arg is not None else fn()
+            if arg is not None and arg not in proj_cols:
+                acc.add(
+                    f"aggs[{a_i}]: arg '{arg}' is not a projected column"
+                )
+                continue
+            try:
+                col = fn(arg) if arg is not None else fn()
+            except TypeError:
+                acc.add(
+                    f"aggs[{a_i}]: '{adef.get('fn')}' requires 'arg'"
+                )
+                continue
             # optional unary post-chain over the AGGREGATE output (names
             # from the scalar vocabulary): the money convention —
             # exact decimal sum, then ["round2", "cast_double"] — stays
@@ -451,7 +535,7 @@ def compile_json_query(
         else:
             projected = projected.agg(*agg_cols)
 
-    return _apply_post_blocks(spark, projected, spec, acc)
+    return _apply_post_blocks(spark, projected, spec, acc, caps=col_specs)
 
 
 def _apply_post_blocks(
@@ -459,6 +543,7 @@ def _apply_post_blocks(
     projected: DataFrame,
     spec: dict[str, Any],
     acc: ErrorAccumulator,
+    caps: list[ColumnSpec] | None = None,
 ) -> DataFrame:
     """The blocks shared by scan and setop specs: windows, then runtime
     filters / orders / paging.
@@ -486,13 +571,35 @@ def _apply_post_blocks(
             projected = projected.withColumn(wname, col)
     acc.raise_if_any()
 
-    # runtime params: filters / orders / paging reuse the param compiler
-    out_spec = QuerySpec(
-        [
-            ColumnSpec(c, orderable=True, filterable=True, likeable=True)
-            for c in projected.columns
-        ]
-    )
+    # Runtime params: filters / orders / paging reuse the param
+    # compiler.  Per-column capabilities declared in the JSON
+    # (visible / orderable / filterable / likeable / describe) carry
+    # through via ``caps`` — a "visible": false column stays live for
+    # filters and hidden sort keys but is dropped from the output
+    # (apply_params selects visible_columns() last), exactly the P3
+    # hidden-sort-key contract of the engine layer.  Columns minted
+    # after the projection (aggregate outputs, window columns, setop
+    # results) default to every capability on.
+    declared = {c.name: c for c in caps or []}
+
+    def post_spec(c: str) -> ColumnSpec:
+        d = declared.get(c)
+        if d is None:
+            return ColumnSpec(
+                c, orderable=True, filterable=True, likeable=True
+            )
+        # flags only — the declared expr already ran in the projection,
+        # and re-binding it here would reference pre-projection names
+        return ColumnSpec(
+            c,
+            describe=d.describe,
+            orderable=d.orderable,
+            filterable=d.filterable,
+            likeable=d.likeable,
+            visible=d.visible,
+        )
+
+    out_spec = QuerySpec([post_spec(c) for c in projected.columns])
     params = QueryParams(
         orders=[tuple(o) if isinstance(o, list) else o for o in spec.get("orders", [])],
         filters=spec.get("filters", {}),
@@ -563,11 +670,49 @@ def _literal_rows_df(
     if bad:
         return None
     cols = sorted({c for row in rows for c in row})
-    data = [tuple(row.get(c) for c in cols) for row in rows]
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import (
+        DateType,
+        DecimalType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
 
-    schema = StructType([StructField(c, tcols[c], True) for c in cols])
-    return spark.createDataFrame(data, schema)
+    # JSON cannot carry date/timestamp/decimal natively — they arrive
+    # as strings (or floats for decimals).  createDataFrame against the
+    # target's exact types rejects those outright (TypeError), which
+    # made the write verbs unusable on any table with such columns.
+    # Carrier scheme: those fields ride in as STRINGS (stringified
+    # verbatim), then ONE projection casts every column to the target
+    # type — same cast path _align_to_target applies to select-sourced
+    # writes.
+    def needs_carrier(dt) -> bool:
+        return isinstance(
+            dt, (DateType, TimestampType, TimestampNTZType, DecimalType)
+        )
+
+    def carry(v, dt):
+        if v is None or not needs_carrier(dt):
+            return v
+        return str(v)
+
+    data = [
+        tuple(carry(row.get(c), tcols[c]) for c in cols) for row in rows
+    ]
+    schema = StructType(
+        [
+            StructField(
+                c, StringType() if needs_carrier(tcols[c]) else tcols[c], True
+            )
+            for c in cols
+        ]
+    )
+    carrier = spark.createDataFrame(data, schema)
+    return carrier.select(
+        *[F.col(c).cast(tcols[c]).alias(c) for c in cols]
+    )
 
 
 def _apply_lookups(
@@ -703,7 +848,10 @@ def compile_json_write(
             if col not in target.columns:
                 acc.add(f"update.assign: column '{col}' not in target")
                 continue
-            exprs[col] = _compile_expr(node, acc, f"update.assign.{col}")
+            exprs[col] = _compile_expr(
+                node, acc, f"update.assign.{col}",
+                scope=set(target.columns),
+            )
         acc.raise_if_any()
         field_types = {f_.name: f_.dataType for f_ in target.schema.fields}
         # ONE projection for all assignments (withColumns, not chained

@@ -59,16 +59,25 @@ class Pipeline:
         observe: dict[str, Column] | None = None,
     ) -> "Pipeline":
         if isinstance(fn, PipelineStage):
-            self.stages.append(fn)
+            stage = fn
         else:
-            self.stages.append(
-                PipelineStage(
-                    fn,
-                    name or f"stage{len(self.stages)}",
-                    tuple(requires or ()),
-                    dict(observe or {}),
-                )
+            stage = PipelineStage(
+                fn,
+                name or f"stage{len(self.stages)}",
+                tuple(requires or ()),
+                dict(observe or {}),
             )
+        # Stage names key the _observations dict AND Spark's
+        # CollectMetrics names: a duplicate (trivially hit via
+        # PipelineStage's default name) silently drops the earlier
+        # stage's summary and is rejected by Spark at action time —
+        # refuse at construction, where the fix is obvious.
+        if any(s.name == stage.name for s in self.stages):
+            raise ValueError(
+                f"duplicate stage name {stage.name!r} — stage names key "
+                "the per-stage summaries; pass a distinct name"
+            )
+        self.stages.append(stage)
         return self
 
     def then(self, other: "Pipeline") -> "Pipeline":

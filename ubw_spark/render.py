@@ -17,6 +17,7 @@ UI).  For 100 TB results use the sinks in ubw_spark.sources.writers;
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -50,6 +51,11 @@ def _json_value(v: Any) -> Any:
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        # the dominant TPC-H numeric type must json.dumps cleanly; a
+        # 2-dp currency decimal is exact in float64 far beyond any
+        # money magnitude here, and the view layer is presentation
+        return float(v)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, dict):

@@ -408,6 +408,15 @@ def _parse_cell(cell: ET.Element, shared: list[str]):
         return v.text
     if t == "b":
         return v.text == "1"
+    if t == "e":
+        # formula error cell (#DIV/0!, #N/A, ...): no value exists —
+        # real Excel output contains these routinely, and letting the
+        # error TEXT fall through to float() crashed the whole read
+        return None
+    if t == "d":
+        # ISO-8601 date cell (OOXML's optional date type): keep the
+        # text verbatim — the caller's schema decides the parse
+        return v.text
     # numeric: keep ints integral
     text = v.text
     try:
@@ -443,13 +452,22 @@ def read_xlsx_rows(path: str, *, sheet: str | int = 0):
     width = 0
     for row in root.iter(f"{{{_NS}}}row"):
         cells: dict[int, object] = {}
+        # cells without an ``r`` attribute are legal OOXML (position is
+        # implied: one past the previous cell) — decoding them all to
+        # index -1 silently dropped every such cell
+        next_implied = 0
         for c in row.findall(f"{{{_NS}}}c"):
             ref = c.get("r", "")
             col_letters = "".join(ch for ch in ref if ch.isalpha())
-            idx = 0
-            for ch in col_letters:
-                idx = idx * 26 + (ord(ch) - ord("A") + 1)
-            cells[idx - 1] = _parse_cell(c, shared)
+            if col_letters:
+                idx = 0
+                for ch in col_letters:
+                    idx = idx * 26 + (ord(ch) - ord("A") + 1)
+                idx -= 1
+            else:
+                idx = next_implied
+            next_implied = idx + 1
+            cells[idx] = _parse_cell(c, shared)
         grid.append(cells)
         width = max(width, max(cells, default=-1) + 1)
     if not grid:
@@ -507,8 +525,13 @@ def read_xlsx_column_styles(
     header: dict[int, str] = {}
     col_code: dict[int, str] = {}
     for r, row in enumerate(root.iter(f"{{{_NS}}}row")):
+        # same implied-position rule as read_xlsx_rows: a cell without
+        # ``r`` sits one past the previous cell, not at index -1
+        next_implied = 0
         for c in row.findall(f"{{{_NS}}}c"):
-            idx = _idx(c.get("r", ""))
+            ref = c.get("r", "")
+            idx = _idx(ref) if any(ch.isalpha() for ch in ref) else next_implied
+            next_implied = idx + 1
             if r == 0:
                 texts = [el.text or "" for el in c.iter(f"{{{_NS}}}t")]
                 header[idx] = "".join(texts)
