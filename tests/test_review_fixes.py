@@ -338,3 +338,99 @@ def test_pipeline_rejects_duplicate_stage_names():
                 PipelineStage(lambda d: d, observe={"n": F.count(F.lit(1))}),
             ]
         )
+
+
+def test_lsh_buckets_reject_corrupt_vectors(spark):
+    """code-review r11: NULL/wrong-dim vectors used to sign-bit to 0
+    and pile into bucket 0 of every table (silent candidate blowup or
+    capped recall-0 drop) — now a loud executor-side error."""
+    from ubw_spark.operators.similarity import hyperplane_lsh_buckets
+
+    bad = spark.createDataFrame(
+        [(1, [0.1] * 8), (2, [0.5] * 5)], "id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="non-8-dim"):
+        hyperplane_lsh_buckets(bad, dim=8, bits=4, tables=2).agg(
+            F.sum("lsh_bucket")
+        ).collect()
+
+
+def test_training_shards_reject_reserved_columns(spark, tmp_path):
+    from ubw_spark.operators.shards import write_training_shards
+
+    df = spark.createDataFrame(
+        [(1, 7), (2, 8)], "id bigint, shard_key int"
+    )
+    with pytest.raises(ValueError, match="shard_key"):
+        write_training_shards(df, str(tmp_path / "s"), "id", 2)
+
+
+def test_dsir_featureless_target_raises(spark):
+    """code-review r11: an empty/featureless target made every
+    log-ratio NULL and the coalesce handed back neutral weights —
+    dsir_select would silently degrade to uniform sampling."""
+    from ubw_spark.operators.dsir import dsir_log_weights
+
+    source = spark.createDataFrame(
+        [(1, "some words here to featurize")], "id bigint, text string"
+    )
+    empty_target = spark.createDataFrame([], "id bigint, text string")
+    with pytest.raises(Exception, match="NO features"):
+        dsir_log_weights(source, empty_target, "id", "text").collect()
+
+
+def test_pq_empty_queries_return_empty(spark):
+    from ubw_spark.operators.pq import pq_adc_topk, pq_encode
+
+    books = [[[1.0, 0.0], [0.0, 1.0]], [[1.0, 1.0], [0.5, 0.5]]]
+    vecs = spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.8, 0.9])], "vec_id bigint, embedding array<float>"
+    )
+    codes = pq_encode(vecs, books)
+    out = pq_adc_topk(codes, [], books)
+    assert out.columns == ["qid", "vec_id", "approx_ip"]
+    assert out.count() == 0
+
+
+def test_minhash_index_param_pin(spark, tmp_path):
+    """code-review r11: probing/appending a written LSH index with
+    drifted banding params produced keys that never match (silent
+    zero pairs) — the sidecar pin now refuses loudly."""
+    from ubw_spark.operators.lsh_index import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta " + str(i))
+         for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "lsh")
+    write_minhash_index(docs, "doc_id", "text", path, bands=16)
+    with pytest.raises(ValueError, match="params mismatch"):
+        probe_minhash_index(
+            spark, path, docs, "doc_id", "text", bands=32
+        )
+    # matching params still probe fine
+    out = probe_minhash_index(
+        spark, path, docs, "doc_id", "text", bands=16
+    )
+    assert out.count() >= 0
+
+
+def test_ivf_index_quantizer_pin(spark, tmp_path):
+    from ubw_spark.operators.ivf import probe_ivf_index, write_ivf_index
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 2), 1.0 - (i % 2)]) for i in range(8)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    path = str(tmp_path / "ivf")
+    write_ivf_index(vecs, cents, path)
+    with pytest.raises(ValueError, match="different quantizer"):
+        probe_ivf_index(
+            spark, path, vecs.limit(1), [[0.9, 0.1], [0.1, 0.9]],
+        )
+    assert probe_ivf_index(spark, path, vecs.limit(1), cents).count() >= 0

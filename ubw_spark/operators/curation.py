@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ubw_spark.operators.dedup import portable_hash
-from ubw_spark.operators.splits import _BUCKETS
+from ubw_spark.operators.splits import _BUCKETS, _salted_bucket
 
 
 def quantile_gate(
@@ -136,9 +136,10 @@ def token_budget_mix(
         )
         .select(source_col, "__frac")
     )
-    bucket = portable_hash(
-        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
-    ) % _BUCKETS
+    # THE canonical hash-bucket recipe (splits._salted_bucket — one
+    # definition, literally mirrored by the SQL oracles); inlining it
+    # here was the drift risk the single definition exists to prevent
+    bucket = _salted_bucket(F.col(id_col), salt)
     return (
         df.join(F.broadcast(totals), source_col)
         .where(bucket < F.floor(F.col("__frac") * _BUCKETS))

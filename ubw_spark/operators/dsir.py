@@ -117,6 +117,23 @@ def dsir_log_weights(
     totals = sc.agg(F.sum("__cs").alias("__ts")).crossJoin(
         tc.agg(F.sum("__ct").alias("__tt"))
     )
+    # A FEATURELESS target (empty corpus, or every doc shorter than n
+    # tokens) makes __tt NULL, every log-ratio NULL, and the final
+    # coalesce would silently hand back the neutral weight for every
+    # document — dsir_select would then rank on pure Gumbel noise while
+    # the caller believes it importance-resampled.  A broken target
+    # model is a loud error, not a uniform sample.
+    tt = F.when(
+        F.col("__tt").isNull(),
+        F.raise_error(
+            F.lit(
+                "dsir_log_weights: target corpus has NO features (empty, "
+                f"or every document shorter than n={n} tokens) — the "
+                "target multinomial is undefined; fix the target "
+                "selection instead of sampling uniformly"
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("__tt"))
     # Full outer over the two count tables: a bucket seen only in one
     # corpus still gets its smoothed probability in the other.
     ratio = (
@@ -127,7 +144,7 @@ def dsir_log_weights(
             (
                 F.log(
                     (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(smoothing))
-                    / (F.col("__tt") + F.lit(smoothing * buckets))
+                    / (tt + F.lit(smoothing * buckets))
                 )
                 - F.log(
                     (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(smoothing))

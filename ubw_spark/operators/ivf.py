@@ -158,6 +158,58 @@ def assign_vectorized(
     return df.mapInPandas(assign, out_schema).select(*final_cols)
 
 
+#: Params sidecar pinning the quantizer a cell store was built with.
+#: Probing with DIFFERENT centroids silently probes the wrong cells
+#: (recall collapses with no error) — the same silent-undercount class
+#: the bloom/CMS/gram/LSH param pins exist for.
+IVF_PARAMS_FILE = "_IVF_PARAMS"
+
+
+def centroid_params(centroids: list[list[float]]) -> dict:
+    """Fingerprint of a centroid (or codebook) table for the sidecar —
+    shape + md5 over the float-normalized JSON, so any numeric drift in
+    any cell is a mismatch."""
+    import hashlib
+    import json
+
+    norm = [[float(x) for x in c] for c in centroids]
+    return {
+        "n_cells": len(norm),
+        "dim": len(norm[0]) if norm else 0,
+        "md5": hashlib.md5(json.dumps(norm).encode()).hexdigest(),
+    }
+
+
+def _check_ivf_params(
+    root: str, centroids: list[list[float]], kind: str = "ivf index"
+) -> None:
+    from ubw_spark.operators.versioned import read_sidecar
+
+    stored = read_sidecar(root, IVF_PARAMS_FILE, kind)
+    got = centroid_params(centroids)
+    if stored != got:
+        raise ValueError(
+            f"{kind} at {root} was built with a different quantizer "
+            f"(store {stored}, caller {got}) — probing/appending with "
+            "drifted centroids silently assigns the wrong cells; use "
+            "the training-time centroids or rebuild the index"
+        )
+
+
+def nearest_cells_py(
+    q: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side nearest-cell pick for an already-collected query
+    vector: squared-L2, plain left-to-right float64 fold (the SAME
+    operation order as the ``_nearest_cells`` plan-literal fold, so the
+    two paths agree bit-for-bit incl. the lowest-cid tie-break)."""
+    d = [
+        (sum((x - c) * (x - c) for x, c in zip(q, cent)), ci)
+        for ci, cent in enumerate(centroids)
+    ]
+    return [ci for _, ci in sorted(d)[:nprobe]]
+
+
 def assign_ivf_cells(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -199,6 +251,9 @@ def write_ivf_index(
         .partitionBy("ivf_cell")
         .parquet(root)
     )
+    from ubw_spark.operators.versioned import write_sidecar
+
+    write_sidecar(root, IVF_PARAMS_FILE, centroid_params(centroids))
     commit_rewrite(path, cur, new_v, legacy_prefixes=("ivf_cell=",))
 
 
@@ -222,20 +277,54 @@ def probe_ivf_index(
     ~nprobe/k of the corpus (PartitionFilters in the plan, asserted in
     tests/test_plans.py) rather than relying on runtime DPP.  The
     subsequent broadcast join on ivf_cell then only fans candidates out
-    of the surviving partitions."""
+    of the surviving partitions.
+
+    The probe side is collected ONCE (queries are broadcast-sized by
+    contract — the isin cell list always required a collect anyway) and
+    its cells are computed driver-side with :func:`nearest_cells_py`:
+    the previous shape evaluated the ``queries`` plan twice (collect
+    for the cell list, again inside the join), which silently lost
+    candidates when queries was non-deterministic (sample(), unordered
+    limit, re-read of mutable storage) AND paid the k·dim literal
+    expression build per call at paper-scale k."""
     from ubw_spark.operators.versioned import resolve_root
 
     root = resolve_root(path)
-    probes = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(
-            _nearest_cells(F.col(vec_col), centroids, nprobe)
-        ).alias("ivf_cell"),
-    )
-    cells = [
-        r["ivf_cell"] for r in probes.select("ivf_cell").distinct().collect()
+    _check_ivf_params(root, centroids)
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+    ).collect()
+    for r in q_rows:
+        if r["__qv"] is None:
+            raise ValueError(
+                f"probe_ivf_index: NULL query vector for qid={r['qid']!r} "
+                "— filter corrupt embeddings upstream (module contract: "
+                "vector columns are non-null, fixed-dim)"
+            )
+    probe_rows = [
+        (r["qid"], r["__qv"], cell)
+        for r in q_rows
+        for cell in nearest_cells_py(
+            [float(x) for x in r["__qv"]], centroids, nprobe
+        )
     ]
+    from pyspark.sql.types import StructField, StructType
+
+    probes = spark.createDataFrame(
+        probe_rows,
+        StructType(
+            [
+                StructField("qid", queries.schema[id_col].dataType, True),
+                StructField("__qv", queries.schema[vec_col].dataType, True),
+                StructField(
+                    "ivf_cell",
+                    spark.read.parquet(root).schema["ivf_cell"].dataType,
+                    True,
+                ),
+            ]
+        ),
+    )
+    cells = sorted({c for _, _, c in probe_rows})
     indexed = spark.read.parquet(root).where(F.col("ivf_cell").isin(cells))
     cands = (
         indexed.join(broadcast(probes), "ivf_cell")
@@ -266,15 +355,49 @@ def ivf_ann_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """Probe the nprobe nearest cells per query; exact-cosine re-rank
-    candidates only.  Join key is the small int cell id."""
+    candidates only.  Join key is the small int cell id.
+
+    Probe-cell pick dispatches like cell assignment: small k embeds the
+    centroid literals in the plan; at ``_VECTORIZED_ASSIGN_MIN_K`` and
+    above the (broadcast-sized) queries are collected and their cells
+    computed driver-side — merely BUILDING the literal expression costs
+    k·dim py4j F.lit round-trips, the documented paper-scale stall."""
     indexed = assign_ivf_cells(corpus, centroids, vec_col)
-    probes = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(
-            _nearest_cells(F.col(vec_col), centroids, nprobe)
-        ).alias("ivf_cell"),
-    )
+    if len(centroids) >= _VECTORIZED_ASSIGN_MIN_K:
+        spark = queries.sparkSession
+        q_rows = queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).alias("__qv")
+        ).collect()
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        probes = spark.createDataFrame(
+            [
+                (r["qid"], r["__qv"], cell)
+                for r in q_rows
+                for cell in nearest_cells_py(
+                    [float(x) for x in r["__qv"]], centroids, nprobe
+                )
+            ],
+            StructType(
+                [
+                    StructField(
+                        "qid", queries.schema[id_col].dataType, True
+                    ),
+                    StructField(
+                        "__qv", queries.schema[vec_col].dataType, True
+                    ),
+                    StructField("ivf_cell", IntegerType(), True),
+                ]
+            ),
+        )
+    else:
+        probes = queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("__qv"),
+            F.explode(
+                _nearest_cells(F.col(vec_col), centroids, nprobe)
+            ).alias("ivf_cell"),
+        )
     cands = (
         indexed.join(broadcast(probes), "ivf_cell")
         .where(F.col(id_col) != F.col("qid"))
@@ -309,6 +432,7 @@ def append_ivf_batch(
     from ubw_spark.operators.versioned import resolve_root
 
     root = resolve_root(path)
+    _check_ivf_params(root, centroids)
     (
         assign_ivf_cells(batch, centroids, vec_col)
         .repartition("ivf_cell")
@@ -334,9 +458,20 @@ def compact_ivf_index(
     path).  Cell partitioning is preserved; the swap is the shared
     versioned-manifest flip (operators/versioned.py) — write new
     version, one small-object pointer write, grace-keep the previous."""
-    from ubw_spark.operators.versioned import compact_partitioned_store
+    from ubw_spark.operators.versioned import (
+        compact_partitioned_store,
+        read_sidecar,
+        resolve_root,
+        write_sidecar,
+    )
 
+    stored = read_sidecar(resolve_root(path), IVF_PARAMS_FILE, "ivf index")
     compact_partitioned_store(
         spark, path, drop_ids, id_col, "ivf_cell",
         broadcast_drops=broadcast_drops, legacy_prefixes=("ivf_cell=",),
+        # the quantizer pin carries verbatim — compaction changes
+        # membership, never cell geometry
+        pre_commit=lambda new_root: write_sidecar(
+            new_root, IVF_PARAMS_FILE, stored
+        ),
     )

@@ -63,8 +63,35 @@ from ubw_spark.operators.versioned import (
     begin_rewrite,
     commit_rewrite,
     current_version,  # re-exported: part of this module's public API
+    read_sidecar,
     resolve_root as _resolve_root,
+    write_sidecar,
 )
+
+#: Params sidecar pinning the banding layout.  Probing or appending
+#: with drifted parameters (fewer bands, different shingle k, other
+#: hash count) makes band keys that NEVER match the stored ones —
+#: silent zero/undercounted near-dup pairs, the exact failure class
+#: the bloom/CMS/gram-index param pins exist for.
+PARAMS_FILE = "_LSH_PARAMS"
+
+
+def _check_lsh_params(
+    root: str, k: int, num_hashes: int, bands: int, rows_per_band: int
+) -> None:
+    stored = read_sidecar(root, PARAMS_FILE, "minhash index")
+    got = {
+        "k": k,
+        "num_hashes": num_hashes,
+        "bands": bands,
+        "rows_per_band": rows_per_band,
+    }
+    if stored != got:
+        raise ValueError(
+            f"minhash index params mismatch: store has {stored}, caller "
+            f"passed {got} — band keys never match across parameter "
+            "sets; use the stored params or rebuild the index"
+        )
 
 __all__ = [
     "write_minhash_index",
@@ -124,6 +151,16 @@ def write_minhash_index(
         .parquet(_bands_path(root))
     )
     sh.write.mode("overwrite").parquet(_docs_path(root))
+    write_sidecar(
+        root,
+        PARAMS_FILE,
+        {
+            "k": k,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+        },
+    )
     commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))
 
 
@@ -153,6 +190,7 @@ def append_minhash_batch(
     the old or the new file set — both are complete indexes (the batch
     is simply not yet visible in the old one)."""
     root = _resolve_root(path)
+    _check_lsh_params(root, k, num_hashes, bands, rows_per_band)
     sh, banded = banded_minhash(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
@@ -197,6 +235,7 @@ def probe_minhash_index(
     verify join read the same version even if a compaction flips the
     pointer mid-query."""
     root = _resolve_root(path)
+    _check_lsh_params(root, k, num_hashes, bands, rows_per_band)
     p_sh, p_banded = banded_minhash(
         probe, id_col, text_col, id_alias="probe_id", sh_name="sh_probe",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
@@ -289,6 +328,8 @@ def compact_minhash_index(
     overwrite.  A reader that resolved the manifest just before the
     flip keeps scanning the previous version, which survives as a
     grace copy until the NEXT compaction garbage-collects it."""
+    old_root = _resolve_root(path)
+    stored_params = read_sidecar(old_root, PARAMS_FILE, "minhash index")
     cur, new_v, new_root = begin_rewrite(path)
     bands_kept, docs_kept = compacted_index_frames(
         spark, path, drop_ids, id_col, broadcast_drops=broadcast_drops
@@ -300,6 +341,9 @@ def compact_minhash_index(
         .parquet(_bands_path(new_root))
     )
     docs_kept.write.mode("overwrite").parquet(_docs_path(new_root))
+    # the layout params carry verbatim — compaction changes membership,
+    # never the banding scheme
+    write_sidecar(new_root, PARAMS_FILE, stored_params)
     # Flip + GC + legacy flat-store cleanup, shared contract:
     # operators/versioned.py::commit_rewrite.
     commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))

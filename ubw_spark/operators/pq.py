@@ -153,6 +153,88 @@ def pq_encode(
     )
 
 
+def _nearest_cells_py(
+    q: list[float], cell_centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """Driver-side probe-cell pick — the shared ivf definition (ONE
+    fold order + cid tie-break for every path that picks cells: the
+    written store and the in-memory scorer must probe the same
+    cells)."""
+    from ubw_spark.operators.ivf import nearest_cells_py
+
+    return nearest_cells_py(q, cell_centroids, nprobe)
+
+
+def _adc_sum_sql(
+    q: list[float], codebooks: list[list[list[float]]], code_col: str
+) -> str:
+    """The per-query ADC score as generated SQL: m element_at lookups
+    into plan-literal ⟨q_sub, centroid⟩ tables, rounded to 4 dp.  Plain
+    left-to-right float64 sums (the oracle's list_inner_product folds
+    the same way); emitted as SQL text for the same plan-build-cost
+    reason as pq_encode.  Shared by all three ADC scorers — the fold
+    order and the element_at +1 contract live in ONE place."""
+    terms = []
+    for j, book in enumerate(codebooks):
+        dsub = len(book[0])
+        qsub = q[j * dsub : (j + 1) * dsub]
+        table = [sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book]
+        tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
+        terms.append(
+            f"element_at({tbl}, element_at({code_col}, {j + 1}) + 1)"
+        )
+    return f"round({' + '.join(terms)}, 4)"
+
+
+#: Params sidecar for the written IVFPQ store: probing with drifted
+#: cell centroids OR codebooks silently probes wrong cells / decodes
+#: against wrong tables (the IVF pin rationale, doubled).
+PQ_PARAMS_FILE = "_IVFPQ_PARAMS"
+
+
+def _ivfpq_params(
+    cell_centroids: list[list[float]], codebooks: list[list[list[float]]]
+) -> dict:
+    from ubw_spark.operators.ivf import centroid_params
+
+    return {
+        "cells": centroid_params(cell_centroids),
+        "codebooks": [centroid_params(book) for book in codebooks],
+    }
+
+
+def _check_ivfpq_params(
+    root: str,
+    cell_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    from ubw_spark.operators.versioned import read_sidecar
+
+    stored = read_sidecar(root, PQ_PARAMS_FILE, "ivfpq index")
+    got = _ivfpq_params(cell_centroids, codebooks)
+    if stored != got:
+        raise ValueError(
+            f"ivfpq index at {root} was built with a different "
+            "quantizer/codebook set — probing with drifted parameters "
+            "silently scores wrong; use the training-time tables or "
+            "rebuild the index"
+        )
+
+
+def _empty_adc_result(frame: DataFrame, id_col: str) -> DataFrame:
+    """Zero-row (qid, id, approx_ip) result — the empty-``queries``
+    branch of the three ADC scorers.  F.explode(F.array()) of zero
+    structs is a VOID element whose field extraction fails ANALYSIS, so
+    without this branch an empty micro-batch killed the job where every
+    DataFrame-input ANN path just returns no rows.  qid rides as bigint
+    (the repo's id convention)."""
+    return frame.select(
+        F.lit(None).cast("bigint").alias("qid"),
+        F.col(id_col),
+        F.lit(0.0).alias("approx_ip"),
+    ).where(F.lit(False))
+
+
 def pq_adc_topk(
     codes: DataFrame,
     queries: list[tuple],
@@ -169,28 +251,17 @@ def pq_adc_topk(
     (exploded), and a per-qid window keeps the top k.  Returns
     (qid, vec_id, approx_ip) with the same 4-dp round + id tiebreak
     contract as the other ANN paths."""
+    if not queries:
+        return _empty_adc_result(codes, id_col)
     per_query = []
     for qid, vec in queries:
         q = [float(x) for x in vec]
-        terms = []
-        for j, book in enumerate(codebooks):
-            dsub = len(book[0])
-            qsub = q[j * dsub : (j + 1) * dsub]
-            # the ADC table: ⟨q_sub, centroid⟩ for every centroid, plain
-            # left-to-right float64 sums (the oracle's list_inner_product
-            # folds the same way); emitted as generated SQL for the same
-            # plan-build-cost reason as pq_encode
-            table = [
-                sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
-            ]
-            tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
-            terms.append(
-                f"element_at({tbl}, element_at({code_col}, {j + 1}) + 1)"
-            )
         per_query.append(
             F.struct(
                 F.lit(qid).alias("qid"),
-                F.expr(f"round({' + '.join(terms)}, 4)").alias("approx_ip"),
+                F.expr(_adc_sum_sql(q, codebooks, code_col)).alias(
+                    "approx_ip"
+                ),
             )
         )
     scored = (
@@ -240,29 +311,13 @@ def ivf_pq_topk(
     coded = pq_encode(
         assign_ivf_cells(corpus, cell_centroids, vec_col), codebooks
     ).select(id_col, "ivf_cell", "pq_code")
-
-    def probe_cells(q: list[float]) -> list[int]:
-        d = [
-            (sum((x - c) * (x - c) for x, c in zip(q, cent)), ci)
-            for ci, cent in enumerate(cell_centroids)
-        ]
-        return [ci for _, ci in sorted(d)[:nprobe]]
+    if not queries:
+        return _empty_adc_result(coded, id_col)
 
     per_query = []
     for qid, vec in queries:
         q = [float(x) for x in vec]
-        cells = probe_cells(q)
-        terms = []
-        for j, book in enumerate(codebooks):
-            dsub = len(book[0])
-            qsub = q[j * dsub : (j + 1) * dsub]
-            table = [
-                sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
-            ]
-            tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
-            terms.append(
-                f"element_at({tbl}, element_at(pq_code, {j + 1}) + 1)"
-            )
+        cells = _nearest_cells_py(q, cell_centroids, nprobe)
         per_query.append(
             F.struct(
                 F.lit(qid).alias("qid"),
@@ -271,7 +326,9 @@ def ivf_pq_topk(
                     + ",".join(str(c) for c in cells)
                     + "), ivf_cell)"
                 ).alias("in_probe"),
-                F.expr(f"round({' + '.join(terms)}, 4)").alias("approx_ip"),
+                F.expr(_adc_sum_sql(q, codebooks, "pq_code")).alias(
+                    "approx_ip"
+                ),
             )
         )
     scored = (
@@ -322,6 +379,9 @@ def write_ivfpq_index(
         .partitionBy("ivf_cell")
         .parquet(root)
     )
+    from ubw_spark.operators.versioned import write_sidecar
+
+    write_sidecar(root, PQ_PARAMS_FILE, _ivfpq_params(cell_centroids, codebooks))
     commit_rewrite(path, cur, new_v, legacy_prefixes=("ivf_cell=",))
 
 
@@ -341,37 +401,23 @@ def probe_ivfpq_index(
     plan — the same pattern as ivf.probe_ivf_index), and the per-query
     cell bound + ADC scoring then run exactly as :func:`ivf_pq_topk`.
     Corpus text/vectors are never read — only m-int codes."""
-
-    def probe_cells(q: list[float]) -> list[int]:
-        d = [
-            (sum((x - c) * (x - c) for x, c in zip(q, cent)), ci)
-            for ci, cent in enumerate(cell_centroids)
-        ]
-        return [ci for _, ci in sorted(d)[:nprobe]]
-
-    probes = {
-        qid: probe_cells([float(x) for x in vec]) for qid, vec in queries
-    }
-    all_cells = sorted({c for cells in probes.values() for c in cells})
     from ubw_spark.operators.versioned import resolve_root
 
-    coded = spark.read.parquet(resolve_root(path)).where(
+    root = resolve_root(path)
+    _check_ivfpq_params(root, cell_centroids, codebooks)
+    if not queries:
+        return _empty_adc_result(spark.read.parquet(root), id_col)
+    probes = {
+        qid: _nearest_cells_py([float(x) for x in vec], cell_centroids, nprobe)
+        for qid, vec in queries
+    }
+    all_cells = sorted({c for cells in probes.values() for c in cells})
+    coded = spark.read.parquet(root).where(
         F.col("ivf_cell").isin(all_cells)
     )
     per_query = []
     for qid, vec in queries:
         q = [float(x) for x in vec]
-        terms = []
-        for j, book in enumerate(codebooks):
-            dsub = len(book[0])
-            qsub = q[j * dsub : (j + 1) * dsub]
-            table = [
-                sum(qs * cs for qs, cs in zip(qsub, cent)) for cent in book
-            ]
-            tbl = "array(" + ",".join(f"{t!r}D" for t in table) + ")"
-            terms.append(
-                f"element_at({tbl}, element_at(pq_code, {j + 1}) + 1)"
-            )
         per_query.append(
             F.struct(
                 F.lit(qid).alias("qid"),
@@ -380,7 +426,9 @@ def probe_ivfpq_index(
                     + ",".join(str(c) for c in probes[qid])
                     + "), ivf_cell)"
                 ).alias("in_probe"),
-                F.expr(f"round({' + '.join(terms)}, 4)").alias("approx_ip"),
+                F.expr(_adc_sum_sql(q, codebooks, "pq_code")).alias(
+                    "approx_ip"
+                ),
             )
         )
     scored = (
@@ -420,9 +468,18 @@ def compact_ivfpq_index(
     corpus-fraction drop sets; cell partitioning preserved; swap via
     the versioned-manifest flip — one shared body for both
     cell-partitioned stores (versioned.compact_partitioned_store)."""
-    from ubw_spark.operators.versioned import compact_partitioned_store
+    from ubw_spark.operators.versioned import (
+        compact_partitioned_store,
+        read_sidecar,
+        resolve_root,
+        write_sidecar,
+    )
 
+    stored = read_sidecar(resolve_root(path), PQ_PARAMS_FILE, "ivfpq index")
     compact_partitioned_store(
         spark, path, drop_ids, id_col, "ivf_cell",
         broadcast_drops=broadcast_drops, legacy_prefixes=("ivf_cell=",),
+        pre_commit=lambda new_root: write_sidecar(
+            new_root, PQ_PARAMS_FILE, stored
+        ),
     )

@@ -106,6 +106,20 @@ def write_training_shards(
     within every shard.  One explicit-count shuffle on shard, then a
     sorted write; re-running with the same seed rewrites identical
     shard contents (tested)."""
+    # The bookkeeping names this function mints would silently REPLACE
+    # (withColumn) and then DROP a caller's same-named columns — the
+    # written shards would lose caller data with no error.  Reserved
+    # names are a loud contract instead.
+    reserved = {"shard", "shard_key"}
+    if curriculum is not None:
+        reserved.add("curriculum_bin")
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"write_training_shards: input already has column(s) "
+            f"{sorted(clash)} — these names are minted internally and "
+            "would be overwritten then dropped; rename them first"
+        )
     d = assign_shard(df, id_col, n_shards, seed)
     bookkeeping = ["shard_key"]
     order = ["shard"]

@@ -84,7 +84,33 @@ def hyperplane_lsh_buckets(
     The bucket key packs the sign bits of <v, h_j> for the table's
     ``bits`` hyperplanes.  Hyperplanes are literals in the plan (seeded),
     so executors need no broadcast variable and the plan is fully
-    deterministic."""
+    deterministic.
+
+    NULL or wrong-``dim`` vectors raise at execution (``raise_error``,
+    same contract message as ivf.assign_vectorized): before this guard
+    zip_with padded the short side with nulls, the dot fold went NULL,
+    every sign bit fell to 0, and ALL corrupt rows piled into bucket 0
+    of every table — a silent |corpus|×|queries| candidate blowup (or,
+    capped, a silent recall-0 drop of the whole bucket)."""
+    df = df.withColumn(
+        vec_col,
+        F.when(
+            F.col(vec_col).isNull() | (F.size(F.col(vec_col)) != dim),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"hyperplane_lsh_buckets: NULL or non-{dim}-dim "
+                        f"value in '{vec_col}' — filter corrupt "
+                        "embeddings upstream (module contract: vector "
+                        "columns are non-null, fixed-dim); got size="
+                    ),
+                    F.coalesce(
+                        F.size(F.col(vec_col)).cast("string"), F.lit("NULL")
+                    ),
+                )
+            ).cast(df.schema[vec_col].dataType),
+        ).otherwise(F.col(vec_col)),
+    )
     planes = _hyperplanes(dim, bits, tables, seed)
     per_table = []
     for t in range(tables):
