@@ -170,6 +170,34 @@ CONTAMINATION_FACTOR = 2.0
 # so a red gate is self-interpreting after the fact.
 LOAD_RETRY_THRESHOLD = 1.5
 LOAD_RETRY_BACKOFF_SEC = 30.0
+# A recording qualifies as a committed dated floor (BENCH_IDLE_rNN.json)
+# only when captured on an actually idle box: 1-min load below this AT
+# START (bench's own local[N] threads pollute every later sample) and
+# zero contention retries.  COVERAGE.md's scale tables cite this gate.
+IDLE_LOAD_THRESHOLD = 0.5
+
+
+def idle_snapshot_verdict(doc: dict) -> tuple[bool, str]:
+    """Whether a full recording qualifies as a dated idle floor.
+
+    The driver's per-round bench run overwrites BENCH_LOCAL.json, so a
+    clean recording survives only if copied to a dated
+    ``BENCH_IDLE_rNN.json`` and committed — and only QUALIFYING
+    recordings may be: an inflated floor loosens next round's 1.5×
+    regression gate by exactly its inflation (the round-11 committed
+    sf0.1 leg started at load 1.96 with 4 retries and loosened the gate
+    ~1.15-1.8×).  ``--idle-snapshot PATH`` applies this verdict."""
+    start = ((doc.get("load_avg") or {}).get("start") or [None])[0]
+    if start is None:
+        return False, "no load_avg.start sample"
+    if start >= IDLE_LOAD_THRESHOLD:
+        return (
+            False,
+            f"1-min load at start {start:.2f} >= {IDLE_LOAD_THRESHOLD}",
+        )
+    if doc.get("retried"):
+        return False, f"{len(doc['retried'])} quer(ies) retried under load"
+    return True, f"idle (start load {start:.2f}, no retries)"
 
 
 def _loadavg() -> list[float] | None:
@@ -299,16 +327,27 @@ def main() -> None:
     # recording of recent rounds (driver BENCH_rNN.json wrappers carry
     # just the compact tail line) — loading baselines after writing
     # out_path would freeze the gate's floors at old rounds.
+    # --idle-snapshot is extracted FIRST: --compare slurps every
+    # remaining argv token as a baseline path
+    argv = list(sys.argv[1:])
+    idle_out: str | None = None
+    if "--idle-snapshot" in argv:
+        i = argv.index("--idle-snapshot")
+        if i + 1 >= len(argv):
+            print("--idle-snapshot requires an output path", file=sys.stderr)
+            sys.exit(2)
+        idle_out = argv[i + 1]
+        del argv[i : i + 2]
     baseline_args: list[str] = []
     env = os.environ.get("SPARK_GRAFT_BASELINE")
     if env:
         baseline_args.extend(env.split(os.pathsep))
-    if "--compare" in sys.argv:
-        i = sys.argv.index("--compare")
-        if i + 1 >= len(sys.argv):
+    if "--compare" in argv:
+        i = argv.index("--compare")
+        if i + 1 >= len(argv):
             print("--compare requires baseline path(s)", file=sys.stderr)
             sys.exit(2)
-        baseline_args = sys.argv[i + 1 :]
+        baseline_args = argv[i + 1 :]
     base_queries: dict[str, float] = {}
     n_baseline_files = 0
     if baseline_args:
@@ -473,6 +512,19 @@ def main() -> None:
             json.dump(doc, f, indent=1)
     except OSError as e:
         print(f"could not write {out_path}: {e}", file=sys.stderr)
+    if idle_out:
+        ok, why = idle_snapshot_verdict(doc)
+        if ok:
+            with open(idle_out, "w") as f:
+                json.dump(doc, f, indent=1)
+            print(f"idle floor written to {idle_out}: {why}", file=sys.stderr)
+        else:
+            print(
+                f"NOT writing idle floor {idle_out}: {why} — rerun on an "
+                "idle box; committing this recording would loosen the "
+                "regression gate",
+                file=sys.stderr,
+            )
     print(json.dumps(doc))
     worst = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:5]

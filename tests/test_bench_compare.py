@@ -120,3 +120,56 @@ def test_regressed_names_extracts_query_names():
     base = {"fast": 0.1, "slow": 1.0}
     assert regressed_names(cur, base) == ["slow"]
     assert regressed_names({"q": 1.1}, {"q": 1.0}) == []
+
+
+# --- dated idle floors (BENCH_IDLE_rNN.json) ---
+
+
+def test_idle_snapshot_verdict_gates_on_start_load_and_retries():
+    from bench import idle_snapshot_verdict
+
+    clean = {"load_avg": {"start": [0.3, 1.0, 1.2]}, "queries": {"q": 1.0}}
+    assert idle_snapshot_verdict(clean)[0]
+    loaded = {"load_avg": {"start": [1.96, 1.61, 1.9]}}
+    ok, why = idle_snapshot_verdict(loaded)
+    assert not ok and "1.96" in why
+    retried = {
+        "load_avg": {"start": [0.2, 0.3, 0.3]},
+        "retried": [{"query": "q", "first": 2.0, "retry": 1.0}],
+    }
+    ok, why = idle_snapshot_verdict(retried)
+    assert not ok and "retried" in why
+    assert not idle_snapshot_verdict({})[0]  # no load sample → not provable
+
+
+def test_committed_idle_floors_set_best_known_per_query():
+    """The round-12 gate compares against the BEST historical floor per
+    query: a dated idle recording keeps its clean floor even after the
+    driver overwrites BENCH_LOCAL.json with a contended run."""
+    idle_r11 = {"q1": 1.0, "minhash": 3.0}        # committed dated floor
+    driver_overwrite = {"q1": 1.4, "minhash": 4.1}  # later, warmer box
+    base, skipped = composite_baseline(
+        {"BENCH_IDLE_r11.json": idle_r11, "BENCH_LOCAL.json": driver_overwrite}
+    )
+    assert skipped == []
+    assert base == {"q1": 1.0, "minhash": 3.0}
+
+
+def test_committed_idle_files_parse_and_qualify():
+    """Every committed BENCH_IDLE_r*.json must be a FULL recording
+    (usable as a baseline) that passes its own idle gate — an inflated
+    dated floor defeats the whole mechanism."""
+    import glob
+    import json
+    import os
+
+    from bench import _extract_queries, idle_snapshot_verdict
+
+    root = os.path.dirname(os.path.abspath(__file__)) + "/.."
+    files = sorted(glob.glob(os.path.join(root, "BENCH_IDLE_r*.json")))
+    for p in files:
+        with open(p) as f:
+            doc = json.load(f)
+        assert _extract_queries(doc), f"{p} has no per-query timings"
+        ok, why = idle_snapshot_verdict(doc)
+        assert ok, f"{p} does not qualify as an idle floor: {why}"

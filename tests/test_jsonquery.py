@@ -941,3 +941,91 @@ def test_insert_literal_rows_date_decimal(spark, tmp_path):
     assert set(rows) == {2}
     assert rows[2]["d"] == datetime.date(1996, 1, 2)
     assert rows[2]["amt"] == decimal.Decimal("17954.55")
+
+
+def test_semi_anti_join_ignores_right_collisions(spark, friend_df):
+    """Semi/anti joins are pure left-side filters: a same-named right
+    column is NOT a collision (it never reaches the output), and right
+    columns must NOT enter later scope."""
+    reg = {
+        "a": friend_df,
+        "b": friend_df.where(F.col("grade") >= 5),  # identical schema
+    }
+    q = {
+        "from": "a",
+        "joins": [{"table": "b", "on": [["id", "id"]], "how": "left_semi"}],
+        "columns": [{"name": "id", "expr": "id"}, {"name": "grade", "expr": "grade"}],
+        "orders": [["id", False]],
+    }
+    out = compile_json_query(spark, q, lambda n: reg[n])
+    assert out.columns == ["id", "grade"]
+    assert all(r["grade"] >= 5 for r in out.collect())
+
+    anti = dict(q)
+    anti["joins"] = [{"table": "b", "on": [["id", "id"]], "how": "anti"}]
+    out2 = compile_json_query(spark, anti, lambda n: reg[n])
+    assert all(r["grade"] < 5 for r in out2.collect())
+
+
+def test_semi_join_right_columns_not_in_scope(spark, friend_df):
+    """A later reference to a semi-joined table's column is a compile
+    error (it would otherwise die at Spark analysis)."""
+    reg = {
+        "a": friend_df.select("id", "grade"),
+        "b": friend_df.select(F.col("id"), F.col("nick").alias("only_b")),
+    }
+    q = {
+        "from": "a",
+        "joins": [{"table": "b", "on": [["id", "id"]], "how": "left_semi"}],
+        "columns": [{"name": "x", "expr": "only_b"}],
+    }
+    with pytest.raises(SpecValidationError, match="only_b.*not in scope"):
+        compile_json_query(spark, q, lambda n: reg[n])
+
+
+def test_unknown_join_how_is_an_error(spark, tables):
+    q = {
+        "from": "friend",
+        "joins": [{"table": "grades", "on": [["grade", "g"]], "how": "sideways"}],
+        "columns": [{"name": "id", "expr": "id"}],
+    }
+    with pytest.raises(SpecValidationError, match="unknown how 'sideways'"):
+        compile_json_query(spark, q, tables)
+
+
+def test_count_star_agg(spark, tables):
+    """SQL count(*) spelling: arg '*' on count is a row count, exempt
+    from the projected-column rule."""
+    q = {
+        "from": "friend",
+        "columns": [{"name": "g", "expr": "grade"}],
+        "group_by": ["g"],
+        "aggs": [{"name": "n", "fn": "count", "arg": "*"}],
+        "orders": [["g", False]],
+    }
+    out = compile_json_query(spark, q, tables)
+    assert [tuple(r) for r in out.collect()] == [
+        tuple(r)
+        for r in compile_json_query(
+            spark,
+            {
+                "from": "friend",
+                "columns": [{"name": "g", "expr": "grade"}],
+                "group_by": ["g"],
+                "aggs": [{"name": "n", "fn": "count"}],
+                "orders": [["g", False]],
+            },
+            tables,
+        ).collect()
+    ]
+
+
+def test_count_star_only_for_count(spark, tables):
+    q = {
+        "from": "friend",
+        "columns": [{"name": "g", "expr": "grade"}],
+        "group_by": ["g"],
+        "aggs": [{"name": "s", "fn": "sum", "arg": "*"}],
+    }
+    with pytest.raises(SpecValidationError, match="projected column"):
+        compile_json_query(spark, q, tables)

@@ -1757,3 +1757,73 @@ def test_reliable_checkpoint_mode(spark, tmp_path):
     assert bpe_train_merges(docs, "text", 3) == bpe_train_merges(
         docs, "text", 3, checkpoint="reliable"
     )
+
+
+def test_bless_sidecar_migrates_legacy_minhash_index(spark, sf_dir, tmp_path):
+    """A store written before params pinning (simulated by deleting the
+    sidecar) is refused by probe; bless_minhash_index writes the pin
+    one-shot and the probe works again; blessing a PINNED store is
+    refused (drifting a live pin is the failure the pins prevent)."""
+    import os
+
+    import pytest as _pytest
+
+    from ubw_spark.operators.lsh_index import (
+        PARAMS_FILE,
+        bless_minhash_index,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+    from ubw_spark.operators.versioned import resolve_root
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, "doc_id", "text", path)
+    batch = docs.limit(3)
+
+    with _pytest.raises(ValueError, match="already has a"):
+        bless_minhash_index(path, k=3, num_hashes=64, bands=32, rows_per_band=2)
+
+    os.remove(os.path.join(resolve_root(path), PARAMS_FILE))
+    with _pytest.raises(ValueError, match="no .* sidecar"):
+        probe_minhash_index(spark, path, batch, "doc_id", "text").collect()
+
+    bless_minhash_index(path, k=3, num_hashes=64, bands=32, rows_per_band=2)
+    probe_minhash_index(spark, path, batch, "doc_id", "text").collect()
+
+
+def test_bless_sidecar_refuses_unversioned_path(tmp_path):
+    """bless only migrates REAL stores — for a bare directory with no
+    _CURRENT manifest, resolve_root falls back to the flat layout and
+    blessing an empty dir would fabricate a store; the write itself is
+    fine (flat layouts are readable), so assert the pin lands in the
+    directory given, not a version dir."""
+    from ubw_spark.operators.versioned import bless_sidecar, read_sidecar
+
+    p = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(p)
+    bless_sidecar(p, "_X_PARAMS", {"a": 1}, "x index")
+    assert read_sidecar(p, "_X_PARAMS", "x index") == {"a": 1}
+
+
+def test_empty_adc_result_qid_type(spark):
+    """Empty-queries ADC branch must match the populated branch's qid
+    type for string-qid callers (schema-stable across micro-batches)."""
+    from ubw_spark.operators.pq import pq_adc_topk, seed_pq_codebooks
+
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(20)],
+        "vec_id bigint, embedding array<float>",
+    )
+    books = seed_pq_codebooks(emb, m=2, ksub=4)
+    from ubw_spark.operators.pq import pq_encode
+
+    codes = pq_encode(emb, books)
+    empty_str = pq_adc_topk(codes, [], books, qid_type="string")
+    assert dict(empty_str.dtypes)["qid"] == "string"
+    assert empty_str.count() == 0
+    # populated string-qid path agrees
+    pop = pq_adc_topk(codes, [("q1", [0.5] * 8)], books, qid_type="string")
+    assert dict(pop.dtypes)["qid"] == "string"

@@ -69,9 +69,19 @@ def three_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
         docs.append(d)
     sfs = [d.get("sf") for d in docs]
     qs = [d.get("queries") or {} for d in docs]
+    if any(not sf for sf in sfs):
+        raise SystemExit(
+            f"three_point: every recording needs a nonzero 'sf' "
+            f"(got {sfs} from {paths}) — pass three standalone bench "
+            "recordings, smallest sf first"
+        )
     names = [n for n in qs[0] if n in qs[1] and n in qs[2]]
-    step1 = sfs[1] / sfs[0] if sfs[0] and sfs[1] else None
-    step2 = sfs[2] / sfs[1] if sfs[1] and sfs[2] else None
+    if not names:
+        raise SystemExit(
+            "three_point: no query appears in all three recordings"
+        )
+    step1 = sfs[1] / sfs[0]
+    step2 = sfs[2] / sfs[1]
     rows = sorted(
         names, key=lambda n: -(qs[2][n] / qs[1][n] if qs[1][n] else 0)
     )
@@ -81,23 +91,28 @@ def three_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
         f"| sf{sfs[1]}→sf{sfs[2]} ({step2:.0f}×) | note |"
     )
     print("|---|---|---|---|---|---|---|")
+    def ratio(num: float, den: float) -> str:
+        # a 0.0 timing (sub-resolution query) makes the slope undefined,
+        # not infinite — same guard the sort key applies
+        return f"{num / den:.2f}×" if den else "n/a"
+
     for n in rows:
         a, b, c = qs[0][n], qs[1][n], qs[2][n]
         note = "fixed-cost dominated at small sf" if a < floor_small_sec else ""
         print(
             f"| {n} | {a:.2f} | {b:.2f} | {c:.2f} "
-            f"| {b / a:.2f}× | {c / b:.2f}× | {note} |"
+            f"| {ratio(b, a)} | {ratio(c, b)} | {note} |"
         )
     t = [sum(q[n] for n in rows) for q in qs]
     print(
         f"\ntotals: {t[0]:.1f}s -> {t[1]:.1f}s -> {t[2]:.1f}s "
-        f"({t[1] / t[0]:.2f}x for {step1:.0f}x, "
-        f"{t[2] / t[1]:.2f}x for a further {step2:.0f}x)"
+        f"({ratio(t[1], t[0])} for {step1:.0f}x, "
+        f"{ratio(t[2], t[1])} for a further {step2:.0f}x)"
     )
     worst = rows[0]
     print(
         f"worst sf{sfs[1]}->sf{sfs[2]} slope: {worst} at "
-        f"{qs[2][worst] / qs[1][worst]:.2f}x"
+        f"{ratio(qs[2][worst], qs[1][worst])}"
     )
 
 

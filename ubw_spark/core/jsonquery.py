@@ -33,6 +33,14 @@ SQL/py (no expr() strings).  Validation accumulates every problem
 (unknown table/column/function) before any execution, like the
 reference's AtomicException (AtomicGen.scala:18-37).
 
+Scoping rules (by design): ``group_by`` and ``aggs[].arg`` reference
+PROJECTED column names (the ``columns`` block runs first; aggregates
+fold its output), not raw scope columns — project a source column to
+aggregate it.  ``count`` takes no arg (or the literal ``"*"``) for a
+row count.  Semi/anti joins are pure left-side filters: their right
+tables never contribute output columns, so right-side names are not in
+scope after them and same-named right columns are not a collision.
+
 Scale: the compiler only *declares* the plan — joins/aggs land in
 Catalyst exactly as hand-written DataFrame code would, with optional
 per-join broadcast hints from the JSON.
@@ -103,6 +111,24 @@ _WIN_RANKING: dict[str, Callable[[], Column]] = {
 }
 _WIN_OFFSET: dict[str, Callable[..., Column]] = {"lag": F.lag, "lead": F.lead}
 _WIN_AGGS = _AGGS  # same aggregate vocabulary, evaluated .over(window)
+
+# join 'how' vocabulary — Spark accepts more spellings, the spec pins
+# this set so an unknown/misspelled how is an accumulated error, not a
+# raw IllegalArgumentException out of the JVM
+_SEMI_ANTI_HOWS = {"semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+_JOIN_HOWS = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "right",
+    "right_outer",
+    "rightouter",
+    "full",
+    "full_outer",
+    "fullouter",
+    "outer",
+} | _SEMI_ANTI_HOWS
 
 _FRAME_BOUNDS = {
     "unbounded_preceding": Window.unboundedPreceding,
@@ -370,6 +396,16 @@ def compile_json_query(
             acc.add(f"joins[{j_i}]: 'on' pairs required (no implicit cross joins)")
             continue
         how = join.get("how", "inner")
+        if how not in _JOIN_HOWS:
+            acc.add(
+                f"joins[{j_i}]: unknown how '{how}' (one of "
+                f"{sorted(_JOIN_HOWS)})"
+            )
+            continue
+        # semi/anti joins are pure left-side filters: no right column
+        # ever reaches the output, so right-side name collisions are
+        # harmless and right columns must NOT enter later scope
+        semi_anti = how in _SEMI_ANTI_HOWS
         problems_before = len(acc.problems)
         right_keys: set[str] = set()
         for pair in on:
@@ -390,7 +426,7 @@ def compile_json_query(
             rcol for lcol, rcol in on if lcol == rcol and rcol in available
         }
         overlap = (available & set(right.columns)) - shared_keys
-        if overlap:
+        if overlap and not semi_anti:
             acc.add(
                 f"joins[{j_i}]: column name collision with scope "
                 f"{sorted(overlap)} — every later reference would be "
@@ -408,7 +444,9 @@ def compile_json_query(
             # THIS join is broken — still bring its columns into scope so
             # later joins/columns validate against the intended schema
             # instead of cascading spurious not-in-scope errors
-            available |= set(right.columns)
+            # (semi/anti never contribute columns, broken or not)
+            if not semi_anti:
+                available |= set(right.columns)
             continue
         # side-qualified references (df[...]/right[...]), the same fix
         # _apply_lookups carries: unqualified F.col on a same-named key
@@ -419,9 +457,10 @@ def compile_json_query(
             cond = cond & c
         rhs = _broadcast(right) if join.get("broadcast") else right
         df = df.join(rhs, cond, how)
-        for rcol in sorted(shared_keys):
-            df = df.drop(right[rcol])
-        available |= set(right.columns) - shared_keys
+        if not semi_anti:
+            for rcol in sorted(shared_keys):
+                df = df.drop(right[rcol])
+            available |= set(right.columns) - shared_keys
 
     # derived/selected columns; absent "columns" = select the whole
     # scope (SQL *); an explicitly EMPTY list is a spec error — the
@@ -496,9 +535,15 @@ def compile_json_query(
                 acc.add(f"aggs[{a_i}]: unknown aggregate '{adef.get('fn')}'")
                 continue
             arg = adef.get("arg")
-            if arg is not None and arg not in proj_cols:
+            if arg == "*" and adef.get("fn") == "count":
+                # SQL count(*) — row count, no column reference to
+                # validate against the projection
+                arg = None
+            elif arg is not None and arg not in proj_cols:
                 acc.add(
-                    f"aggs[{a_i}]: arg '{arg}' is not a projected column"
+                    f"aggs[{a_i}]: arg '{arg}' must be a projected "
+                    "column (aggregates run AFTER projection; project "
+                    "the source column or use count with arg '*')"
                 )
                 continue
             try:

@@ -475,3 +475,17 @@ def compact_ivf_index(
             new_root, IVF_PARAMS_FILE, stored
         ),
     )
+
+
+def bless_ivf_index(path: str, centroids: list[list[float]]) -> None:
+    """Migrate an IVF cell store written before params pinning: pins
+    the caller-supplied quantizer into the live version root so
+    probe/append/compact stop refusing it (refuses if already pinned —
+    see versioned.bless_sidecar).  The caller owns the claim that these
+    ARE the training-time centroids; blessing with the wrong table
+    makes every later probe silently scan the wrong cells."""
+    from ubw_spark.operators.versioned import bless_sidecar
+
+    bless_sidecar(
+        path, IVF_PARAMS_FILE, centroid_params(centroids), "ivf index"
+    )

@@ -99,6 +99,7 @@ __all__ = [
     "probe_minhash_index",
     "compacted_index_frames",
     "compact_minhash_index",
+    "bless_minhash_index",
     "current_version",
 ]
 
@@ -347,3 +348,26 @@ def compact_minhash_index(
     # Flip + GC + legacy flat-store cleanup, shared contract:
     # operators/versioned.py::commit_rewrite.
     commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))
+
+
+def bless_minhash_index(
+    path: str, k: int, num_hashes: int, bands: int, rows_per_band: int
+) -> None:
+    """Migrate a minhash band store written before params pinning: pins
+    the caller-supplied banding layout into the live version root so
+    probe/append/compact stop refusing it (refuses if already pinned —
+    see versioned.bless_sidecar).  Bless with the wrong layout and band
+    keys silently never match — rebuild when in doubt."""
+    from ubw_spark.operators.versioned import bless_sidecar
+
+    bless_sidecar(
+        path,
+        PARAMS_FILE,
+        {
+            "k": k,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+        },
+        "minhash index",
+    )

@@ -221,15 +221,20 @@ def _check_ivfpq_params(
         )
 
 
-def _empty_adc_result(frame: DataFrame, id_col: str) -> DataFrame:
+def _empty_adc_result(
+    frame: DataFrame, id_col: str, qid_type: str = "bigint"
+) -> DataFrame:
     """Zero-row (qid, id, approx_ip) result — the empty-``queries``
     branch of the three ADC scorers.  F.explode(F.array()) of zero
     structs is a VOID element whose field extraction fails ANALYSIS, so
     without this branch an empty micro-batch killed the job where every
-    DataFrame-input ANN path just returns no rows.  qid rides as bigint
-    (the repo's id convention)."""
+    DataFrame-input ANN path just returns no rows.  With an EMPTY
+    queries list the qid type is non-inferable (the populated path
+    types it from ``F.lit(qid)``), so callers with non-bigint qids pass
+    ``qid_type`` to keep the two branches schema-identical across
+    micro-batches."""
     return frame.select(
-        F.lit(None).cast("bigint").alias("qid"),
+        F.lit(None).cast(qid_type).alias("qid"),
         F.col(id_col),
         F.lit(0.0).alias("approx_ip"),
     ).where(F.lit(False))
@@ -242,6 +247,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     code_col: str = "pq_code",
     k: int = 5,
+    qid_type: str = "bigint",
 ) -> DataFrame:
     """ADC top-k: ``queries`` is a small collected list of
     ``(qid, vector)`` (driver-bounded, like IVF's centroid collect).
@@ -252,7 +258,7 @@ def pq_adc_topk(
     (qid, vec_id, approx_ip) with the same 4-dp round + id tiebreak
     contract as the other ANN paths."""
     if not queries:
-        return _empty_adc_result(codes, id_col)
+        return _empty_adc_result(codes, id_col, qid_type)
     per_query = []
     for qid, vec in queries:
         q = [float(x) for x in vec]
@@ -294,6 +300,7 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    qid_type: str = "bigint",
 ) -> DataFrame:
     """IVF-PQ: the composed billion-vector layout (coarse cells bound
     the candidate set, PQ codes bound the bytes scanned per candidate —
@@ -312,7 +319,7 @@ def ivf_pq_topk(
         assign_ivf_cells(corpus, cell_centroids, vec_col), codebooks
     ).select(id_col, "ivf_cell", "pq_code")
     if not queries:
-        return _empty_adc_result(coded, id_col)
+        return _empty_adc_result(coded, id_col, qid_type)
 
     per_query = []
     for qid, vec in queries:
@@ -394,6 +401,7 @@ def probe_ivfpq_index(
     id_col: str = "vec_id",
     k: int = 5,
     nprobe: int = 4,
+    qid_type: str = "bigint",
 ) -> DataFrame:
     """ADC top-k against a written IVFPQ store, reading ONLY the probed
     cells' partitions: the union of every query's probe set becomes a
@@ -406,7 +414,7 @@ def probe_ivfpq_index(
     root = resolve_root(path)
     _check_ivfpq_params(root, cell_centroids, codebooks)
     if not queries:
-        return _empty_adc_result(spark.read.parquet(root), id_col)
+        return _empty_adc_result(spark.read.parquet(root), id_col, qid_type)
     probes = {
         qid: _nearest_cells_py([float(x) for x in vec], cell_centroids, nprobe)
         for qid, vec in queries
@@ -482,4 +490,22 @@ def compact_ivfpq_index(
         pre_commit=lambda new_root: write_sidecar(
             new_root, PQ_PARAMS_FILE, stored
         ),
+    )
+
+
+def bless_ivfpq_index(
+    path: str,
+    cell_centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> None:
+    """Migrate an IVFPQ store written before params pinning — the
+    IVF bless helper's double-table twin (quantizer + codebooks).
+    Refuses already-pinned stores; see versioned.bless_sidecar."""
+    from ubw_spark.operators.versioned import bless_sidecar
+
+    bless_sidecar(
+        path,
+        PQ_PARAMS_FILE,
+        _ivfpq_params(cell_centroids, codebooks),
+        "ivfpq index",
     )

@@ -268,3 +268,32 @@ def read_sidecar(root: str, filename: str, kind: str) -> dict:
             f"{kind} store at {root} has no {filename} sidecar — not a "
             f"{kind} store (or written by hand); refusing to guess params"
         ) from None
+
+
+def bless_sidecar(path: str, filename: str, params: dict, kind: str) -> None:
+    """One-shot migration for stores written BEFORE params pinning
+    existed: writes the params sidecar into the store's CURRENT version
+    root from caller-supplied params, so probe/append/compact stop
+    refusing a legacy store without forcing a full rebuild.
+
+    Two refusals keep this from becoming a footgun: an EXISTING pin is
+    never overwritten (silently drifting a live pin is exactly the
+    mis-score failure the sidecars exist to prevent — rebuild instead),
+    and an unversioned path (no ``_CURRENT`` manifest) is rejected.
+    The caller owns the claim that ``params`` match what the store was
+    actually built with — bless with guessed params and every probe
+    inherits the guess."""
+    import json
+    import os
+
+    root = resolve_root(path)
+    p = posixpath.join(root, filename)
+    if os.path.exists(p):
+        with open(p) as f:
+            stored = json.load(f)
+        raise ValueError(
+            f"{kind} store at {path} already has a {filename} pin "
+            f"({stored!r}) — bless_sidecar only migrates UNpinned "
+            "legacy stores; rebuild the index to change params"
+        )
+    write_sidecar(root, filename, params)
