@@ -155,6 +155,13 @@ HEADLINE = [
     # production MinHash pipeline — the measure-don't-guess artifact).
     "stream_term_index_ingest",
     "dedup_lsh_recall_audit",
+    # Round-12 additions: the watermark/event-time streaming path (real
+    # readStream over out-of-order arrival files → 10-day watermark →
+    # append-mode tumbling windows, oracled against the batch twin) and
+    # the SimHash recall audit (exact-Hamming ground truth on the fixed
+    # audit slice — the MinHash audit's bitwise sibling).
+    "stream_tumbling_watermark",
+    "simhash_recall_audit",
 ]
 
 

@@ -1827,3 +1827,24 @@ def test_empty_adc_result_qid_type(spark):
     # populated string-qid path agrees
     pop = pq_adc_topk(codes, [("q1", [0.5] * 8)], books, qid_type="string")
     assert dict(pop.dtypes)["qid"] == "string"
+
+
+def test_simhash_recall_guaranteed_region_is_perfect(spark, sf_dir):
+    """4×16-bit prefix banding pigeonhole: any pair within Hamming 3
+    shares an untouched band, so recall in buckets 0-3 must be exactly
+    1.0 (modulo the hot-bucket cap, which the audit slice never hits).
+    A dent here is a broken band construction, not a tuning choice.
+    Also pin that the canaries populate both regions: bucket 0 occupied
+    (verbatim clones) and at least one bucket > 3 occupied (trimmed
+    clones — the measured region must not be empty)."""
+    from ubw_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["simhash_recall_audit"].fn(spark, sf_dir).collect()
+    )
+    by_bucket = {r["ham_bucket"]: r for r in rows}
+    assert 0 in by_bucket and by_bucket[0]["recall"] == 1.0
+    for h, r in by_bucket.items():
+        if h <= 3:
+            assert r["recall"] == 1.0, f"guaranteed bucket {h}: {r}"
+    assert any(h > 3 for h in by_bucket), "measured region empty"

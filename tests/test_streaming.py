@@ -1147,3 +1147,51 @@ def test_stream_agg_store_kill_and_replay(spark, tmp_path):
         for r in grouped_agg(everything, ["kind"], measures()).collect()
     }
     assert got == want == {"a": (3, 400), "b": (1, 50), "c": (1, 300)}
+
+
+def test_stream_tumbling_watermark_out_of_order_is_real(spark, sf_dir):
+    """The gated watermark query's value rests on its input being
+    genuinely out-of-order: the demoted slice (crc32(event_id)%7==0,
+    excluding chunk-0 events which cannot be late) must be non-empty at
+    every sf, and every demoted event must be OLDER than some event in
+    an earlier-arriving file."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    chunk = ((F.dayofmonth("ts") - 1).cast("int") / F.lit(10)).cast("int")
+    demoted = ev.where(
+        (F.crc32(F.col("event_id").cast("string")) % 7 == 0) & (chunk >= 0)
+    )
+    n_late = demoted.count()
+    assert n_late > 0
+    # a demoted chunk-c event arrives in slot c+1, AFTER slot c's
+    # natives — all of chunk c's non-demoted events, which include
+    # NEWER timestamps with probability ~1 at any sf; assert directly:
+    per_chunk = (
+        ev.withColumn("__c", chunk)
+        .withColumn(
+            "__late", F.crc32(F.col("event_id").cast("string")) % 7 == 0
+        )
+        .groupBy("__c")
+        .agg(
+            F.max(F.when(~F.col("__late"), F.col("ts"))).alias("max_native"),
+            F.min(F.when(F.col("__late"), F.col("ts"))).alias("min_late"),
+        )
+        .collect()
+    )
+    assert any(
+        r["min_late"] is not None
+        and r["max_native"] is not None
+        and r["min_late"] < r["max_native"]
+        for r in per_chunk
+    ), "no demoted event is actually older than a same-slot-or-earlier native"
+
+
+def test_stream_tumbling_watermark_matches_batch(spark, sf_dir):
+    """stream(out-of-order, watermarked, append) == batch, row for row
+    — the pytest twin of the registered oracle check."""
+    from ubw_spark.queries import REGISTRY
+
+    streamed = REGISTRY["stream_tumbling_watermark"].fn(spark, sf_dir)
+    batch = REGISTRY["events_tumbling_hourly"].fn(spark, sf_dir)
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b

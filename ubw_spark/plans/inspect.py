@@ -190,6 +190,76 @@ def global_window_violations(df: DataFrame) -> list[str]:
     return out
 
 
+def global_window_exemptions(df: DataFrame) -> list[str]:
+    """The bound behind every unpartitioned window the lint EXEMPTS —
+    what makes a clean run's ``WindowExec: No Partition Defined``
+    warnings self-certifying (VERDICT r11 #7).
+
+    For each unpartitioned Window node that :func:`global_window_
+    violations` waves through, returns the sorted set of grounding
+    kinds its input paths hit: ``aggregate:<NodeName>`` (cardinality
+    = the group count of a bounded groupBy — the ledger pattern) or
+    ``limit:<NodeName>`` (cardinality ≤ a literal k).  The registry
+    test pins the full query→groundings map, so ADDING an exempted
+    window anywhere fails CI until its bound is reviewed and listed.
+    Shares the exact walker with the violations lint — the two can
+    never disagree about which windows are exempt."""
+
+    def children(node):
+        seq = node.children()
+        kids = [seq.apply(i) for i in range(seq.size())]
+        if not kids:
+            for probe in ("inputPlan", "plan", "child"):
+                try:
+                    return [getattr(node, probe)()]
+                except Exception:
+                    continue
+        return kids
+
+    def is_passthrough(name: str) -> bool:
+        return name in _WINDOW_PASSTHROUGH_EXACT or name.startswith(
+            _WINDOW_PASSTHROUGH_PREFIX
+        )
+
+    def groundings(node) -> list[str] | None:
+        """Sorted grounding kinds, or None when any path is ungrounded
+        (a violation — not an exemption)."""
+        kinds: set[str] = set()
+        stack = list(children(node))
+        while stack:
+            cur = stack.pop()
+            name = cur.nodeName()
+            if "Aggregate" in name:
+                kinds.add(f"aggregate:{name}")
+                continue
+            if any(name.startswith(g) for g in _WINDOW_GROUNDING_LIMITS):
+                kinds.add(f"limit:{name}")
+                continue
+            if is_passthrough(name):
+                stack.extend(children(cur))
+                continue
+            return None
+        return sorted(kinds)
+
+    plan = df._jdf.queryExecution().executedPlan()
+    out: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "Window" in name:
+            try:
+                unpartitioned = node.partitionSpec().size() == 0
+            except Exception:
+                unpartitioned = False
+            if unpartitioned:
+                g = groundings(node)
+                if g is not None:
+                    out.append(f"{name} grounded by {'+'.join(g)}")
+        stack.extend(children(node))
+    return sorted(out)
+
+
 #: specifiedwindowframe(<Row|Range>Frame, <lower>, unboundedfollowing$())
 #: with a MOVING lower bound — Spark's UnboundedFollowingWindowFunctionFrame
 #: re-scans from the current row to the partition end for EVERY row.

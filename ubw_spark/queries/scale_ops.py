@@ -226,6 +226,107 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(sig, "doc_id", max_hamming=3, prefix_bits=16)
 
 
+@register(
+    "simhash_recall_audit",
+    oracle=r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 250
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 5
+      UNION ALL
+      SELECT doc_id + 2000000,
+             substr(text, 1, greatest(length(text) - 40, 1))
+      FROM documents WHERE doc_id < 8),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      FROM docs),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 0)),
+               i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS s
+      FROM toks),
+    tok AS (SELECT doc_id, md5(u.s2) AS h FROM sh, unnest(sh.s) AS u(s2)),
+    bitsum AS (
+      SELECT d.doc_id, g.i AS bit,
+             coalesce(sum(CASE WHEN ((('0x' || substr(tok.h, 2*(g.i//8)+1, 2))::INT
+                                      >> (7 - g.i % 8)) & 1) = 1
+                          THEN 1 ELSE -1 END), 0) AS acc
+      FROM docs d CROSS JOIN generate_series(0, 63) AS g(i)
+      LEFT JOIN tok ON tok.doc_id = d.doc_id
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id, bit // 16 AS band,
+             CAST(sum(CASE WHEN acc > 0 THEN 1 << (bit % 16) ELSE 0 END)
+                  AS INT) AS key
+      FROM bitsum GROUP BY 1, 2),
+    -- exact all-pairs Hamming on the audit slice (m^2 by design):
+    -- bands partition the 64 bits, so per-band popcounts sum to it
+    truth AS (
+      SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+             CAST(sum(bit_count(xor(sa.key, sb.key))) AS INT) AS hamming
+      FROM sig sa JOIN sig sb
+        ON sb.band = sa.band AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2
+      HAVING sum(bit_count(xor(sa.key, sb.key))) <= 8),
+    capped AS (SELECT * FROM sig
+               QUALIFY count(*) OVER (PARTITION BY band, key) <= 64),
+    cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             FROM capped a JOIN capped b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    marked AS (
+      SELECT t.hamming,
+             CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN cand c USING (id_a, id_b))
+    SELECT hamming AS ham_bucket,
+           count(*)::BIGINT AS n_truth,
+           sum(hit)::BIGINT AS n_found,
+           round(sum(hit) * 1.0 / count(*), 4) AS recall
+    FROM marked GROUP BY 1
+    """,
+    tags=("dedup", "simhash", "audit"),
+)
+def simhash_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED SimHash recall against exact-Hamming ground truth — the
+    bitwise sibling of ``dedup_lsh_recall_audit`` (VERDICT r11 #5), on
+    the same FIXED 250-document audit slice plus two canary families:
+    5 verbatim clones (Hamming 0 — the bucket a uniform sample of a
+    growing corpus eventually loses, exactly like the MinHash audit's
+    jac=1.0 canaries) and 8 TRIMMED clones (last 40 chars dropped — a
+    handful of changed shingles lands small positive distances, which
+    populates the measured region).
+
+    With 4×16-bit prefix bands, distance ≤ 3 is pigeonhole-guaranteed
+    (recall must be 1.0 modulo the hot-bucket cap — a dent there means
+    a broken band construction); distances 4..8 are where banding can
+    genuinely miss, so their recall is the measured radius/band
+    trade-off.  The truth join is m² ONLY on the constant-size slice;
+    DuckDB reproduces every stage bit-for-bit via the band-key popcount
+    construction (see ``simhash_pairs``)."""
+    from ubw_spark.operators.dedup import simhash_recall_report
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    audit = (
+        d.where(F.col("doc_id") < 250)
+        .unionByName(
+            d.where(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.where(F.col("doc_id") < 8).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.expr(
+                    "substring(text, 1, greatest(length(text) - 40, 1))"
+                ).alias("text"),
+            )
+        )
+    )
+    return simhash_recall_report(
+        audit, "doc_id", "text", max_hamming=8, prefix_bits=16
+    )
+
+
 def _lsh_ann_oracle(dim: int = 64, bits: int = 4, tables: int = 16,
                     seed: int = 42, k: int = 5) -> str:
     """DuckDB mirror of the hyperplane-LSH ANN path: identical seeded
