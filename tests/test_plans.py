@@ -277,21 +277,83 @@ def test_q11_threshold_reuses_pv_exchange(q):
     assert "ReusedExchange" in executed
 
 
+# Every unpartitioned window the lint exempts, WITH its cardinality
+# bound (VERDICT r11 #7 — the `WindowExec: No Partition Defined`
+# warnings in a clean run must be provably bounded, not presumed):
+#   aggregate:HashAggregate → window input is a bounded groupBy (the
+#     two-phase prefix-sum ledger: group count ≤ a bucket/day/quantile
+#     vocabulary, never raw-row cardinality);
+#   limit:TakeOrderedAndProject → window input is a literal top-k.
+# ADDING an exempted window anywhere fails this test until the new
+# site is reviewed and listed here with its bound.
+_EXPECTED_WINDOW_EXEMPTIONS = {
+    # k survivors of the DSIR importance sort (literal select_n)
+    "curation_dsir_select": ["Window grounded by limit:TakeOrderedAndProject"],
+    # per-day latency quantiles: input = groupBy(day) ≤ calendar days
+    "events_conversion_latency_quantiles": [
+        "Window grounded by aggregate:HashAggregate"
+    ],
+    # KM curve: per-day death/at-risk ledger, ≤ calendar days (×2 passes)
+    "events_survival_curve": [
+        "Window grounded by aggregate:HashAggregate",
+        "Window grounded by aggregate:HashAggregate",
+    ],
+    # histogram over ≤ num_buckets quantile buckets
+    "layout_quantile_bucket_histogram": [
+        "Window grounded by aggregate:HashAggregate"
+    ],
+    # packing ledger: per-bucket offsets, groupBy(bucket) ≤ num_buckets
+    "pack_sequences": ["Window grounded by aggregate:HashAggregate"],
+    # top-k hottest keys report (literal k)
+    "profile_key_skew": ["Window grounded by limit:TakeOrderedAndProject"],
+    # RRF fuses two literal top-k lists (one window per list)
+    "search_hybrid_rrf": [
+        "Window grounded by limit:TakeOrderedAndProject",
+        "Window grounded by limit:TakeOrderedAndProject",
+    ],
+    # rank over ≤ 2^p sketch cells / merged quantile bins
+    "sketch_quantile_estimate": [
+        "Window grounded by aggregate:HashAggregate"
+    ],
+    "sketch_quantile_store_probe": [
+        "Window grounded by aggregate:HashAggregate"
+    ],
+    # trim bounds over groupBy(group) ≤ group vocabulary
+    "stats_winsorized_mean": ["Window grounded by aggregate:HashAggregate"],
+    # funnel report: one row per filter stage (≤ stage count)
+    "text_filter_funnel": ["Window grounded by aggregate:HashAggregate"],
+    # quartile boundaries over a bounded groupBy ledger
+    "window_ntile_quartiles": ["Window grounded by aggregate:HashAggregate"],
+}
+
+
 def test_no_registered_query_has_global_window_over_raw_rows(spark, sf_dir):
     """Registry-wide scale lint: no query may plan an unpartitioned
-    WindowExec over raw table rows (the one-task 100 TB killer).  The
-    documented ledger windows (two-phase prefix sums in packing.py /
-    ranking.py / quality.py, whose window input is a bounded-cardinality
-    Aggregate) are exempted by the lint itself; anything else fails."""
-    from ubw_spark.plans.inspect import global_window_violations
+    WindowExec over raw table rows (the one-task 100 TB killer) — and
+    every window the lint DOES exempt must appear, with its grounding,
+    in the reviewed _EXPECTED_WINDOW_EXEMPTIONS table above (one plan
+    sweep computes both, so lint and certification can't drift)."""
+    from ubw_spark.plans.inspect import (
+        global_window_exemptions,
+        global_window_violations,
+    )
 
     offenders = {}
+    exempted = {}
     for name, qd in sorted(REGISTRY.items()):
         df = qd.fn(spark, sf_dir)
         v = global_window_violations(df)
         if v:
             offenders[name] = v
+        e = global_window_exemptions(df)
+        if e:
+            exempted[name] = e
     assert not offenders, offenders
+    assert exempted == _EXPECTED_WINDOW_EXEMPTIONS, (
+        "exempted global windows changed — review each new site's "
+        "cardinality bound and update _EXPECTED_WINDOW_EXEMPTIONS\n"
+        f"got: {exempted}"
+    )
 
 
 def test_no_registered_query_plans_a_quadratic_window_frame(spark, sf_dir):
