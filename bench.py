@@ -184,6 +184,23 @@ LOAD_RETRY_BACKOFF_SEC = 30.0
 IDLE_LOAD_THRESHOLD = 0.5
 
 
+def expand_baseline_args(args: list[str]) -> list[str]:
+    """Baseline path expansion for --compare / SPARK_GRAFT_BASELINE.
+    An empty GLOB is fine (e.g. 'BENCH_IDLE_r*.json' before the first
+    idle floor exists) and is skipped with a note; a missing LITERAL
+    path is a typo and passes through so open() fails loudly."""
+    paths: list[str] = []
+    for a in args:
+        matches = sorted(_glob.glob(a))
+        if matches:
+            paths.extend(matches)
+        elif _glob.has_magic(a):
+            print(f"baseline glob {a} matched nothing", file=sys.stderr)
+        else:
+            paths.append(a)
+    return paths
+
+
 def idle_snapshot_verdict(doc: dict) -> tuple[bool, str]:
     """Whether a full recording qualifies as a dated idle floor.
 
@@ -358,9 +375,7 @@ def main() -> None:
     base_queries: dict[str, float] = {}
     n_baseline_files = 0
     if baseline_args:
-        paths: list[str] = []
-        for a in baseline_args:
-            paths.extend(sorted(_glob.glob(a)) or [a])
+        paths = expand_baseline_args(baseline_args)
         docs: dict[str, dict[str, float]] = {}
         for p in paths:
             with open(p) as f:

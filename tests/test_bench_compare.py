@@ -173,3 +173,18 @@ def test_committed_idle_files_parse_and_qualify():
         assert _extract_queries(doc), f"{p} has no per-query timings"
         ok, why = idle_snapshot_verdict(doc)
         assert ok, f"{p} does not qualify as an idle floor: {why}"
+
+
+def test_empty_glob_baseline_is_skipped_not_opened(tmp_path):
+    """An unmatched glob (e.g. 'BENCH_IDLE_r*.json' before any idle
+    floor exists) must be skipped, not treated as a literal path —
+    main() crashed on FileNotFoundError otherwise.  A missing LITERAL
+    path must still fail loudly (typo protection)."""
+    from bench import expand_baseline_args as expand
+
+    assert expand([str(tmp_path / "BENCH_IDLE_r*.json")]) == []
+    missing = str(tmp_path / "BENCH_LOCAL.json")
+    assert expand([missing]) == [missing]  # literal passes through to open()
+    real = tmp_path / "BENCH_IDLE_r12.json"
+    real.write_text("{}")
+    assert expand([str(tmp_path / "BENCH_IDLE_r*.json")]) == [str(real)]
