@@ -1156,7 +1156,8 @@ def test_stream_tumbling_watermark_out_of_order_is_real(spark, sf_dir):
     every sf, and every demoted event must be OLDER than some event in
     an earlier-arriving file."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    chunk = ((F.dayofmonth("ts") - 1).cast("int") / F.lit(10)).cast("int")
+    lo_day = ev.agg(F.min("ts")).first()[0].date()
+    chunk = (F.datediff(F.col("ts"), F.lit(lo_day)) / F.lit(10)).cast("int")
     demoted = ev.where(
         (F.crc32(F.col("event_id").cast("string")) % 7 == 0) & (chunk >= 0)
     )

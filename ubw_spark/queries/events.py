@@ -256,11 +256,12 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     STREAMING QUERY under the driver gate (VERDICT r11 #4) — the
     out-of-order twin of ``events_tumbling_hourly``.
 
-    Construction: events are split into four arrival files by 10-day
-    event-time chunk, but a deterministic ~1/7 slice (crc32(event_id)
-    % 7 == 0) is DEMOTED one file — it arrives up to 10 days late, so
-    every micro-batch after the first contains genuinely out-of-order
-    rows.  The stream runs ``readStream`` (maxFilesPerTrigger=1) →
+    Construction: events are split into arrival files by 10-day
+    event-time chunk (anchored at the data's own min(ts), so the proof
+    holds for any time span), but a deterministic ~1/7 slice
+    (crc32(event_id) % 7 == 0) is DEMOTED one file — it arrives up to
+    10 days late, so every micro-batch after the first contains
+    genuinely out-of-order rows.  The stream runs ``readStream`` (maxFilesPerTrigger=1) →
     ``withWatermark("ts", "10 days")`` → tumbling 1-hour window agg →
     append-mode parquet sink with a checkpoint.  The 10-day delay
     provably never drops a row: an event from chunk c arrives at latest
@@ -283,6 +284,8 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ubw_spark.queries.sources_q import _ARTIFACTS
 
+    import datetime
+
     ev = table(spark, sf_dir, "events")
     run = uuid.uuid4().hex[:10]
     base = f"/tmp/ubw_spark_stream_wm_{run}"
@@ -290,13 +293,26 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ARTIFACTS.add(base)
     os.makedirs(incoming, exist_ok=True)
 
-    # arrival slot: event-time chunk (10-day) + 1 for the late slice
-    chunk = (F.dayofmonth("ts") - 1).cast("int") / F.lit(10)
-    slot = chunk.cast("int") + F.when(
+    # arrival slot: 10-day event-time chunk FROM THE DATA'S OWN min(ts)
+    # (one tiny agg job; chunking by day-of-month would silently
+    # interleave months and void the drop-free proof on multi-month
+    # data), + 1 for the late slice.  Every slot in [0, n_chunks] gets
+    # a file even when empty — an unwritten slot would silently drop
+    # its demoted rows from the stream.
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo_day = bounds["lo"].date()
+    span_days = (bounds["hi"].date() - lo_day).days
+    n_chunks = span_days // 10 + 1
+    chunk = (F.datediff(F.col("ts"), F.lit(lo_day)) / F.lit(10)).cast("int")
+    slot = chunk + F.when(
         F.crc32(F.col("event_id").cast("string")) % 7 == 0, F.lit(1)
     ).otherwise(F.lit(0))
     staged = ev.withColumn("__slot", slot)
-    n_slots = 4  # days 1-31 → chunks 0..2 (data ends Jan 30), +1 late
+    n_slots = n_chunks + 1
+    sentinel_days = (
+        lo_day + datetime.timedelta(days=span_days + 40),
+        lo_day + datetime.timedelta(days=span_days + 41),
+    )
     mtime = 1_700_000_000
     for s in range(n_slots):
         stage = f"{base}/stage_{s}"
@@ -310,11 +326,13 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # file-source batch order = (modification time, path):
                 # pin it so "late" files are genuinely processed later
                 os.utime(dst, (mtime + s, mtime + s))
-    # two sentinel flush files: the FIRST advances the watermark past
-    # every real window end, the SECOND makes that advance take effect
+    # two sentinel flush files: the FIRST (min+span+40d — far past every
+    # real window end + watermark delay) advances the watermark past
+    # every real window, the SECOND makes that advance take effect
     # during a data batch (watermark used in batch k is computed from
     # batches < k)
-    for i, sent_ts in enumerate(("2024-03-01 00:00:00", "2024-03-02 00:00:00")):
+    for i, sent_day in enumerate(sentinel_days):
+        sent_ts = f"{sent_day.isoformat()} 00:00:00"
         sent = spark.createDataFrame(
             [(10_000_000 + i, sent_ts, 0, "__flush__", 0.0, "{}")],
             "event_id bigint, ts string, user_id bigint, "
