@@ -199,3 +199,36 @@ def test_tmp_artifact_cleanup_removes_dirs_and_files(tmp_path):
     finally:
         _ARTIFACTS.clear()
         _ARTIFACTS.update(before)
+
+
+def test_schema_evolution_merge_nulls_and_pruning(spark, sf_dir):
+    """source_schema_evolution's scale properties: (1) old-epoch rows
+    surface the new column as NULL and new-epoch rows never do;
+    (2) a filter on the epoch partition column prunes at listing time
+    (PartitionFilters), and a data filter still pushes down through the
+    MERGED-schema scan (PushedFilters) — schema merge must not cost
+    pushdown."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ubw_spark.queries import REGISTRY
+
+    df = REGISTRY["source_schema_evolution"].fn(spark, sf_dir)
+    agg = df.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("quality").alias("n_quality"),
+    )
+    by_epoch = {r["epoch"]: r for r in agg.collect()}
+    assert by_epoch[0]["n"] > 0 and by_epoch[0]["n_quality"] == 0
+    assert by_epoch[1]["n"] > 0 and by_epoch[1]["n_quality"] == by_epoch[1]["n"]
+
+    def bracket(plan: str, kind: str) -> str:
+        m = re.search(kind + r":\s*\[([^\]]*)\]", plan)
+        return m.group(1) if m else ""
+
+    pruned = df.where((F.col("epoch") == 1) & (F.col("doc_id") > 10))
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "epoch" in bracket(plan, "PartitionFilters"), plan[:1500]
+    assert "doc_id" in bracket(plan, "PushedFilters"), plan[:1500]

@@ -357,3 +357,54 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attrs.size").alias("size"),
         "price",
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT doc_id, lang, CAST(NULL AS INTEGER) AS quality,
+           CAST(0 AS INTEGER) AS epoch
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, CAST(length(text) % 997 AS INTEGER) AS quality,
+           CAST(1 AS INTEGER) AS epoch
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    tags=("sources", "parquet", "evolution"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema drift across partition batches — the S6 scenario every
+    long-lived 100 TB table hits: month-1 files were written WITHOUT a
+    column that month-2 files carry.
+
+    Batch epoch=0 writes (doc_id, lang); epoch=1 adds an int
+    ``quality`` column.  The read is ONE ``mergeSchema`` parquet scan
+    over both epoch directories under a shared ``basePath`` — the
+    unified schema comes from file footers only (a metadata merge, no
+    data pass, unlike JSON inference), old rows surface the new column
+    as NULL, and ``epoch`` materializes as a partition column usable
+    for pruning (test_sources.py asserts an epoch filter becomes
+    PartitionFilters and that data filters still push down through the
+    merged scan).  The oracle reconstructs the union from the source
+    table, so a row lost, duplicated, or mis-NULLed by the merge is a
+    hash mismatch.  ``quality`` is integer-exact (length % 997) — the
+    evolution contract under test is column PRESENCE/NULLing, not float
+    formatting."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents")
+    root = _tmp("schema_evo", sf_dir, spark)
+    old = d.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = d.where(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "lang",
+        (F.length("text") % 997).cast("int").alias("quality"),
+    )
+    old.write.mode("overwrite").parquet(f"{root}/epoch=0")
+    new.write.mode("overwrite").parquet(f"{root}/epoch=1")
+    back = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(f"{root}/epoch=0", f"{root}/epoch=1")
+    )
+    return back.select("doc_id", "lang", "quality", "epoch")
