@@ -1029,3 +1029,42 @@ def test_count_star_only_for_count(spark, tables):
     }
     with pytest.raises(SpecValidationError, match="projected column"):
         compile_json_query(spark, q, tables)
+
+
+def test_outer_join_spelling_variants_all_guarded(spark, friend_df):
+    """EVERY right-preserving spelling the vocabulary accepts must hit
+    the same-named-key guard — 'right_outer'/'rightouter'/'fullouter'
+    previously slipped past the ('right','full','outer','full_outer')
+    tuple and silently dropped the right key copy (NULL keys for every
+    right-only row)."""
+    reg = {
+        "a": friend_df.select("id", "nick"),
+        "b": friend_df.select("id", "age"),
+    }
+    for how in (
+        "right", "right_outer", "rightouter",
+        "full", "full_outer", "fullouter", "outer",
+    ):
+        q = {
+            "from": "a",
+            "joins": [{"table": "b", "on": [["id", "id"]], "how": how}],
+            "columns": [{"name": "id", "expr": "id"}],
+        }
+        with pytest.raises(SpecValidationError, match="cannot be dropped"):
+            compile_json_query(spark, q, lambda n: reg[n])
+
+
+def test_unknown_how_does_not_cascade_scope_errors(spark, tables):
+    """A typo'd 'how' must report ONE error, not a spurious
+    not-in-scope error for every later reference to the joined table's
+    columns (the broken-join scope convention)."""
+    q = {
+        "from": "friend",
+        "joins": [{"table": "grades", "on": [["grade", "g"]], "how": "lefty"}],
+        "columns": [{"name": "letter", "expr": "letter"}],
+    }
+    with pytest.raises(SpecValidationError) as ei:
+        compile_json_query(spark, q, tables)
+    msg = str(ei.value)
+    assert "unknown how 'lefty'" in msg
+    assert "not in scope" not in msg

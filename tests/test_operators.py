@@ -1848,3 +1848,57 @@ def test_simhash_recall_guaranteed_region_is_perfect(spark, sf_dir):
         if h <= 3:
             assert r["recall"] == 1.0, f"guaranteed bucket {h}: {r}"
     assert any(h > 3 for h in by_bucket), "measured region empty"
+
+
+def test_bless_ivf_and_ivfpq_wrappers(spark, sf_dir, tmp_path):
+    """The IVF/IVFPQ bless wrappers must write the SAME params their
+    probe checks read (a wrong constant — e.g. centroid_params vs
+    _ivfpq_params, or the wrong sidecar filename — would ship a
+    migration helper that blesses stores into a still-refused state)."""
+    import os
+
+    import pytest as _pytest
+
+    from ubw_spark.operators.ivf import (
+        IVF_PARAMS_FILE,
+        bless_ivf_index,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+    from ubw_spark.operators.versioned import resolve_root
+    from ubw_spark.queries.scale_ops import seed_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    cents = seed_ivf_centroids(emb, k=4)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, cents, path)
+    queries = emb.limit(2)
+
+    with _pytest.raises(ValueError, match="already has a"):
+        bless_ivf_index(path, cents)
+    os.remove(os.path.join(resolve_root(path), IVF_PARAMS_FILE))
+    with _pytest.raises(ValueError, match="no .* sidecar"):
+        probe_ivf_index(spark, path, queries, cents).collect()
+    bless_ivf_index(path, cents)
+    probe_ivf_index(spark, path, queries, cents).collect()
+
+    from ubw_spark.operators.pq import (
+        PQ_PARAMS_FILE,
+        bless_ivfpq_index,
+        probe_ivfpq_index,
+        seed_pq_codebooks,
+        write_ivfpq_index,
+    )
+
+    books = seed_pq_codebooks(emb, m=2, ksub=4)
+    path2 = str(tmp_path / "ivfpq")
+    write_ivfpq_index(emb, cents, books, path2)
+    qlist = [(r["vec_id"], list(r["embedding"])) for r in queries.collect()]
+
+    with _pytest.raises(ValueError, match="already has a"):
+        bless_ivfpq_index(path2, cents, books)
+    os.remove(os.path.join(resolve_root(path2), PQ_PARAMS_FILE))
+    with _pytest.raises(ValueError, match="no .* sidecar"):
+        probe_ivfpq_index(spark, path2, qlist, cents, books).collect()
+    bless_ivfpq_index(path2, cents, books)
+    probe_ivfpq_index(spark, path2, qlist, cents, books).collect()

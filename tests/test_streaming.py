@@ -1151,16 +1151,18 @@ def test_stream_agg_store_kill_and_replay(spark, tmp_path):
 
 def test_stream_tumbling_watermark_out_of_order_is_real(spark, sf_dir):
     """The gated watermark query's value rests on its input being
-    genuinely out-of-order: the demoted slice (crc32(event_id)%7==0,
-    excluding chunk-0 events which cannot be late) must be non-empty at
-    every sf, and every demoted event must be OLDER than some event in
-    an earlier-arriving file."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    genuinely out-of-order: the demoted slice (crc32(event_id)%7==0)
+    must be non-empty at every sf, and some demoted event must be OLDER
+    than a native event of its own arrival slot or earlier."""
+    from ubw_spark.queries.registry import table
+
+    # table(), not raw spark.read: the registry choke-point normalizes
+    # the two shipped ts encodings (TIMESTAMP(NANOS) vs micros), same
+    # as the production query under test
+    ev = table(spark, sf_dir, "events")
     lo_day = ev.agg(F.min("ts")).first()[0].date()
     chunk = (F.datediff(F.col("ts"), F.lit(lo_day)) / F.lit(10)).cast("int")
-    demoted = ev.where(
-        (F.crc32(F.col("event_id").cast("string")) % 7 == 0) & (chunk >= 0)
-    )
+    demoted = ev.where(F.crc32(F.col("event_id").cast("string")) % 7 == 0)
     n_late = demoted.count()
     assert n_late > 0
     # a demoted chunk-c event arrives in slot c+1, AFTER slot c's

@@ -116,11 +116,11 @@ _WIN_AGGS = _AGGS  # same aggregate vocabulary, evaluated .over(window)
 # this set so an unknown/misspelled how is an accumulated error, not a
 # raw IllegalArgumentException out of the JVM
 _SEMI_ANTI_HOWS = {"semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
-_JOIN_HOWS = {
-    "inner",
-    "left",
-    "left_outer",
-    "leftouter",
+# joins where the right side contributes rows with NO left match — a
+# same-named join key's right copy carries those rows and cannot be
+# dropped (every spelling Spark accepts must be here, or that spelling
+# silently mis-keys right-only rows)
+_RIGHT_PRESERVING_HOWS = {
     "right",
     "right_outer",
     "rightouter",
@@ -128,7 +128,12 @@ _JOIN_HOWS = {
     "full_outer",
     "fullouter",
     "outer",
-} | _SEMI_ANTI_HOWS
+}
+_JOIN_HOWS = (
+    {"inner", "left", "left_outer", "leftouter"}
+    | _RIGHT_PRESERVING_HOWS
+    | _SEMI_ANTI_HOWS
+)
 
 _FRAME_BOUNDS = {
     "unbounded_preceding": Window.unboundedPreceding,
@@ -401,6 +406,10 @@ def compile_json_query(
                 f"joins[{j_i}]: unknown how '{how}' (one of "
                 f"{sorted(_JOIN_HOWS)})"
             )
+            # bring the columns into scope anyway so later references
+            # validate against the intended schema instead of cascading
+            # spurious not-in-scope errors (the broken-join convention)
+            available |= set(right.columns)
             continue
         # semi/anti joins are pure left-side filters: no right column
         # ever reaches the output, so right-side name collisions are
@@ -433,7 +442,7 @@ def compile_json_query(
                 "ambiguous; rename in the source table or join a "
                 "projected view"
             )
-        if shared_keys and how in ("right", "full", "outer", "full_outer"):
+        if shared_keys and how in _RIGHT_PRESERVING_HOWS:
             acc.add(
                 f"joins[{j_i}]: same-named join key(s) "
                 f"{sorted(shared_keys)} with how='{how}' — the right "

@@ -276,13 +276,16 @@ def bless_sidecar(path: str, filename: str, params: dict, kind: str) -> None:
     root from caller-supplied params, so probe/append/compact stop
     refusing a legacy store without forcing a full rebuild.
 
-    Two refusals keep this from becoming a footgun: an EXISTING pin is
+    One refusal keeps this from becoming a footgun: an EXISTING pin is
     never overwritten (silently drifting a live pin is exactly the
-    mis-score failure the sidecars exist to prevent — rebuild instead),
-    and an unversioned path (no ``_CURRENT`` manifest) is rejected.
-    The caller owns the claim that ``params`` match what the store was
-    actually built with — bless with guessed params and every probe
-    inherits the guess."""
+    mis-score failure the sidecars exist to prevent — rebuild instead).
+    Unversioned paths (no ``_CURRENT`` manifest) are accepted on
+    purpose: the pre-manifest FLAT layout is precisely what a legacy
+    store looks like, and resolve_root writes the pin into the flat dir
+    itself, where flat-layout readers will find it.  The caller owns
+    BOTH claims — that the path really is a store, and that ``params``
+    match what it was built with; bless an empty dir or guessed params
+    and every probe inherits the lie."""
     import json
     import os
 

@@ -314,18 +314,42 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         lo_day + datetime.timedelta(days=span_days + 41),
     )
     mtime = 1_700_000_000
-    for s in range(n_slots):
-        stage = f"{base}/stage_{s}"
-        staged.where(F.col("__slot") == s).drop("__slot").coalesce(
-            1
-        ).write.mode("overwrite").parquet(stage)
-        for fname in os.listdir(stage):
-            if fname.endswith(".parquet"):
-                dst = f"{incoming}/b{s}.parquet"
-                os.rename(f"{stage}/{fname}", dst)
-                # file-source batch order = (modification time, path):
-                # pin it so "late" files are genuinely processed later
-                os.utime(dst, (mtime + s, mtime + s))
+    # ONE events pass splits all arrival files (repartition on the slot
+    # → one file per slot under __slot=N/ dirs) — the per-slot
+    # filter-and-write loop it replaces re-scanned the whole table once
+    # per slot, ~n_slots× the read volume for a headline query.  A slot
+    # with no rows yields no directory and simply isn't a micro-batch;
+    # the watermark proof only cares that files arrive in slot order.
+    stage = f"{base}/stage"
+    (
+        staged.repartition(F.col("__slot"))
+        .write.mode("overwrite")
+        .partitionBy("__slot")
+        .parquet(stage)
+    )
+    for d_name in sorted(os.listdir(stage)):
+        if not d_name.startswith("__slot="):
+            continue
+        s = int(d_name.split("=", 1)[1])
+        parts = [
+            f for f in os.listdir(f"{stage}/{d_name}")
+            if f.endswith(".parquet")
+        ]
+        if len(parts) != 1:
+            # the drop-free proof needs each slot to be ONE micro-batch:
+            # a same-slot split would let the first file raise the
+            # watermark over the second file's oldest demoted events.
+            # repartition(col) puts a slot's rows in one partition, so
+            # this can only fire if that guarantee changes — fail loud.
+            raise RuntimeError(
+                f"stream_tumbling_watermark: slot {s} wrote "
+                f"{len(parts)} files; expected exactly 1"
+            )
+        dst = f"{incoming}/b{s}.parquet"
+        os.rename(f"{stage}/{d_name}/{parts[0]}", dst)
+        # file-source batch order = (modification time, path): pin it
+        # so "late" files are genuinely processed later
+        os.utime(dst, (mtime + s, mtime + s))
     # two sentinel flush files: the FIRST (min+span+40d — far past every
     # real window end + watermark delay) advances the watermark past
     # every real window, the SECOND makes that advance take effect
