@@ -179,11 +179,16 @@ def test_json_roundtrip_schema_and_nesting(spark, sf_dir):
 
 def test_tmp_artifact_cleanup_removes_dirs_and_files(tmp_path):
     """The app-id-salted /tmp artifacts are reclaimed at interpreter
-    exit — _cleanup_artifacts must handle both dirs (CSV) and files
-    (xlsx) and ignore already-gone paths."""
-    import os
-
-    from ubw_spark.queries.sources_q import _ARTIFACTS, _cleanup_artifacts
+    exit — cleanup_artifacts must handle both dirs (CSV) and files
+    (xlsx) and ignore already-gone paths.  The registry is the SHARED
+    helper (ubw_spark.artifacts) all staging query modules use —
+    sources_q/events/retrieval_q must register there, not in private
+    module globals."""
+    from ubw_spark.artifacts import (
+        ARTIFACTS,
+        cleanup_artifacts,
+        register_artifact,
+    )
 
     d = tmp_path / "csvdir"
     d.mkdir()
@@ -191,14 +196,29 @@ def test_tmp_artifact_cleanup_removes_dirs_and_files(tmp_path):
     f = tmp_path / "report.xlsx"
     f.write_bytes(b"PK\x03\x04")
     gone = tmp_path / "never-created"
-    before = set(_ARTIFACTS)
-    _ARTIFACTS.update({str(d), str(f), str(gone)})
+    before = set(ARTIFACTS)
+    for p in (d, f, gone):
+        assert register_artifact(str(p)) == str(p)
     try:
-        _cleanup_artifacts()
+        cleanup_artifacts()
         assert not d.exists() and not f.exists()
     finally:
-        _ARTIFACTS.clear()
-        _ARTIFACTS.update(before)
+        ARTIFACTS.clear()
+        ARTIFACTS.update(before)
+
+
+def test_no_private_artifact_reach_in():
+    """VERDICT r12 #6: no query module may import another module's
+    private artifact global — the shared registry is ubw_spark.artifacts."""
+    import pathlib
+
+    qdir = pathlib.Path(__file__).resolve().parents[1] / "ubw_spark"
+    offenders = [
+        str(p)
+        for p in qdir.rglob("*.py")
+        if "queries.sources_q import _ARTIFACTS" in p.read_text()
+    ]
+    assert offenders == []
 
 
 def test_schema_evolution_merge_nulls_and_pruning(spark, sf_dir):

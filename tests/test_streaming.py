@@ -1198,3 +1198,145 @@ def test_stream_tumbling_watermark_matches_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b
+
+
+def test_stream_session_window_matches_batch(spark, sf_dir):
+    """Stateful streaming sessionization (merging session_window state
+    across out-of-order micro-batches) == the batch gap-rule twin,
+    row for row — the pytest twin of the registered oracle check."""
+    from ubw_spark.queries import REGISTRY
+
+    streamed = REGISTRY["stream_session_window_stateful"].fn(spark, sf_dir)
+    batch = (
+        REGISTRY["events_sessionize"]
+        .fn(spark, sf_dir)
+        .select("user_id", "session_start", "n_events", "session_cents")
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+
+
+def _session_stream_agg(spark, incoming, schema):
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(incoming)
+    )
+    return (
+        stream.withWatermark("ts", "10 days")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100, 0)
+            .cast("long")
+            .alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            "session_cents",
+        )
+    )
+
+
+def test_stream_session_kill_and_replay_exactly_once(spark, sf_dir, tmp_path):
+    """Kill-and-replay exactly-once (VERDICT r12 #1): the stateful
+    session stream is STOPPED mid-run after a few committed
+    micro-batches (simulating an executor/driver loss), restarted from
+    the same checkpoint, and must still produce exactly the batch
+    answer — no dropped sessions (state restored), no duplicated
+    appends (file-sink transaction log makes batch replay idempotent).
+    A third restart with no new data must append nothing."""
+    import time
+
+    from ubw_spark.queries.events import _stage_out_of_order_arrivals
+    from ubw_spark.queries.registry import table
+
+    ev = table(spark, sf_dir, "events")
+    base = str(tmp_path / "killreplay")
+    incoming = _stage_out_of_order_arrivals(spark, ev, base)
+    ckpt, sink = f"{base}/ckpt", f"{base}/out"
+    files = sorted(os.listdir(incoming))
+    assert len(files) >= 4, "need several micro-batches to kill between"
+    # hold back the 2 sentinel flush files + the last data chunk: no
+    # matter how fast the early runs go, they CANNOT finalize every
+    # session — the restart provably carries open-session state forward
+    held = [f for f in files if f.startswith("s")] + [
+        f for f in files if f.startswith("b")
+    ][-1:]
+    holding = str(tmp_path / "holding")
+    os.makedirs(holding)
+    for f in held:
+        os.rename(f"{incoming}/{f}", f"{holding}/{f}")  # rename keeps mtime
+
+    def start():
+        return (
+            _session_stream_agg(spark, incoming, ev.schema)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: kill mid-run — stop() as soon as the first micro-batch
+    # reports progress (best-effort; the held-back files guarantee
+    # incompleteness even if the stop lands after the last present file)
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline and not q.recentProgress:
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+
+    # run 2: restart from the same checkpoint; must resume (skip
+    # committed batches, restore session state) and finish what's there
+    q2 = start()
+    assert q2.awaitTermination(240), "resumed run did not finish"
+
+    # run 3: late data arrives AFTER the restart cycle — the held-back
+    # chunk and sentinels; open sessions in restored state must absorb
+    # the late rows and then finalize
+    for f in held:
+        os.rename(f"{holding}/{f}", f"{incoming}/{f}")
+    q3 = start()
+    assert q3.awaitTermination(240), "post-arrival run did not finish"
+
+    # run 4: no new files — replay must append NOTHING
+    n_after_resume = spark.read.parquet(sink).count()
+    q4 = start()
+    assert q4.awaitTermination(120)
+    final = spark.read.parquet(sink)
+    assert final.count() == n_after_resume, "idle replay duplicated rows"
+
+    batch = {
+        tuple(r)
+        for r in table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value") * 100, 0)
+            .cast("long")
+            .alias("session_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("session_start"),
+            "n_events",
+            "session_cents",
+        )
+        .collect()
+    }
+    got = {tuple(r) for r in final.collect()}
+    assert got == batch, (
+        f"kill-and-replay diverged from batch: {len(got)} vs {len(batch)}"
+    )
+    # exactly-once also means no duplicate session rows in the sink
+    assert final.count() == final.distinct().count()

@@ -139,7 +139,7 @@ def stream_term_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         append_term_batch,
         write_term_index,
     )
-    from ubw_spark.queries.sources_q import _ARTIFACTS
+    from ubw_spark.artifacts import register_artifact
 
     d = table(spark, sf_dir, "documents")
     # fresh per-CALL scratch: a reused checkpoint would make the
@@ -148,7 +148,7 @@ def stream_term_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = uuid.uuid4().hex[:10]
     base = f"/tmp/ubw_spark_stream_term_{run}"
     incoming, ckpt, store = f"{base}/in", f"{base}/ckpt", f"{base}/store"
-    _ARTIFACTS.add(base)
+    register_artifact(base)
     import os
 
     os.makedirs(incoming, exist_ok=True)

@@ -20,39 +20,17 @@ truth) only matches when the connector is lossless:
 
 from __future__ import annotations
 
-import atexit
 import hashlib
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ubw_spark.artifacts import register_artifact
 from ubw_spark.queries.registry import register, table
 from ubw_spark.sources.readers import read_jdbc
 from ubw_spark.sources.writers import write_jdbc
 
 DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-
-
-#: Per-application artifact paths, reclaimed at interpreter exit — the
-#: application-id salt means every Spark app writes FRESH paths, which
-#: without cleanup would accumulate one CSV dir + xlsx per run of the
-#: registry in /tmp.
-_ARTIFACTS: set[str] = set()
-
-
-def _cleanup_artifacts() -> None:
-    for p in _ARTIFACTS:
-        if os.path.isdir(p):
-            shutil.rmtree(p, ignore_errors=True)
-        else:
-            try:
-                os.remove(p)
-            except OSError:
-                pass
-
-
-atexit.register(_cleanup_artifacts)
 
 
 def _tmp(kind: str, sf_dir: str, spark: SparkSession | None = None) -> str:
@@ -66,8 +44,7 @@ def _tmp(kind: str, sf_dir: str, spark: SparkSession | None = None) -> str:
     path = f"/tmp/ubw_spark_{kind}_" + hashlib.md5(
         salt.encode()
     ).hexdigest()[:10]
-    _ARTIFACTS.add(path)
-    return path
+    return register_artifact(path)
 
 
 @register(
@@ -185,7 +162,7 @@ def source_excel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         take=100,
     )
     path = _tmp("xlsx", sf_dir, spark) + ".xlsx"
-    _ARTIFACTS.add(path)  # _tmp registered the suffixless stem
+    register_artifact(path)  # _tmp registered the suffixless stem
     write_excel_view(
         table(spark, sf_dir, "customer"),
         spec,
