@@ -105,6 +105,69 @@ _WINDOW_PASSTHROUGH_PREFIX = (
 )
 
 
+def _plan_children(node):
+    """Children of a physical-plan node via py4j; AQE/stage wrappers
+    report no children, so descend through their held plan explicitly."""
+    seq = node.children()
+    kids = [seq.apply(i) for i in range(seq.size())]
+    if not kids:
+        for probe in ("inputPlan", "plan", "child"):
+            try:
+                return [getattr(node, probe)()]
+            except Exception:
+                continue
+    return kids
+
+
+def _is_window_passthrough(name: str) -> bool:
+    return name in _WINDOW_PASSTHROUGH_EXACT or name.startswith(
+        _WINDOW_PASSTHROUGH_PREFIX
+    )
+
+
+def _window_groundings(node) -> list[str] | None:
+    """Sorted grounding kinds for an unpartitioned window's input —
+    ``aggregate:<NodeName>`` / ``limit:<NodeName>`` — or None when any
+    input path reaches a non-grounding node first (a violation, not an
+    exemption).  THE single classification both lints derive from."""
+    kinds: set[str] = set()
+    stack = list(_plan_children(node))
+    while stack:
+        cur = stack.pop()
+        name = cur.nodeName()
+        if "Aggregate" in name:
+            kinds.add(f"aggregate:{name}")
+            continue
+        if any(name.startswith(g) for g in _WINDOW_GROUNDING_LIMITS):
+            kinds.add(f"limit:{name}")
+            continue
+        if _is_window_passthrough(name):
+            stack.extend(_plan_children(cur))
+            continue
+        return None
+    return sorted(kinds)
+
+
+def _unpartitioned_window_sweep(df: DataFrame) -> list[tuple[str, list[str] | None]]:
+    """One walk of the executed plan: every Window node with an empty
+    partition spec, paired with its groundings (None == ungrounded)."""
+    plan = df._jdf.queryExecution().executedPlan()
+    out: list[tuple[str, list[str] | None]] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if "Window" in name:
+            try:
+                unpartitioned = node.partitionSpec().size() == 0
+            except Exception:
+                unpartitioned = False  # node type without a partitionSpec
+            if unpartitioned:
+                out.append((name, _window_groundings(node)))
+        stack.extend(_plan_children(node))
+    return out
+
+
 def global_window_violations(df: DataFrame) -> list[str]:
     """Unpartitioned WindowExec nodes whose DIRECT input is not an
     aggregate — the 100 TB scale-killer (all rows through one task).
@@ -135,59 +198,12 @@ def global_window_violations(df: DataFrame) -> list[str]:
     unlike runtime cardinality.
     Returns one descriptive string per offending node (empty == clean).
     """
-
-    def children(node):
-        seq = node.children()
-        kids = [seq.apply(i) for i in range(seq.size())]
-        if not kids:
-            # AQE/stage wrappers report no children; descend explicitly.
-            for probe in ("inputPlan", "plan", "child"):
-                try:
-                    return [getattr(node, probe)()]
-                except Exception:
-                    continue
-        return kids
-
-    def is_passthrough(name: str) -> bool:
-        return name in _WINDOW_PASSTHROUGH_EXACT or name.startswith(
-            _WINDOW_PASSTHROUGH_PREFIX
-        )
-
-    def direct_input_aggregate(node) -> bool:
-        """True iff every path down through pass-through nodes hits an
-        Aggregate — or a literal global limit — before anything else."""
-        stack = list(children(node))
-        while stack:
-            cur = stack.pop()
-            name = cur.nodeName()
-            if "Aggregate" in name:
-                continue  # this path is grounded in an aggregate
-            if any(name.startswith(g) for g in _WINDOW_GROUNDING_LIMITS):
-                continue  # grounded: cardinality bounded by a literal k
-            if is_passthrough(name):
-                stack.extend(children(cur))
-                continue
-            return False
-        return True
-
-    plan = df._jdf.queryExecution().executedPlan()
-    out: list[str] = []
-    stack = [plan]
-    while stack:
-        node = stack.pop()
-        name = node.nodeName()
-        if "Window" in name:
-            try:
-                unpartitioned = node.partitionSpec().size() == 0
-            except Exception:
-                unpartitioned = False  # node type without a partitionSpec
-            if unpartitioned and not direct_input_aggregate(node):
-                out.append(
-                    f"{name} with empty partition spec whose direct input "
-                    "is not an aggregate"
-                )
-        stack.extend(children(node))
-    return out
+    return [
+        f"{name} with empty partition spec whose direct input "
+        "is not an aggregate"
+        for name, groundings in _unpartitioned_window_sweep(df)
+        if groundings is None
+    ]
 
 
 def global_window_exemptions(df: DataFrame) -> list[str]:
@@ -202,62 +218,14 @@ def global_window_exemptions(df: DataFrame) -> list[str]:
     ``limit:<NodeName>`` (cardinality ≤ a literal k).  The registry
     test pins the full query→groundings map, so ADDING an exempted
     window anywhere fails CI until its bound is reviewed and listed.
-    Shares the exact walker with the violations lint — the two can
-    never disagree about which windows are exempt."""
-
-    def children(node):
-        seq = node.children()
-        kids = [seq.apply(i) for i in range(seq.size())]
-        if not kids:
-            for probe in ("inputPlan", "plan", "child"):
-                try:
-                    return [getattr(node, probe)()]
-                except Exception:
-                    continue
-        return kids
-
-    def is_passthrough(name: str) -> bool:
-        return name in _WINDOW_PASSTHROUGH_EXACT or name.startswith(
-            _WINDOW_PASSTHROUGH_PREFIX
-        )
-
-    def groundings(node) -> list[str] | None:
-        """Sorted grounding kinds, or None when any path is ungrounded
-        (a violation — not an exemption)."""
-        kinds: set[str] = set()
-        stack = list(children(node))
-        while stack:
-            cur = stack.pop()
-            name = cur.nodeName()
-            if "Aggregate" in name:
-                kinds.add(f"aggregate:{name}")
-                continue
-            if any(name.startswith(g) for g in _WINDOW_GROUNDING_LIMITS):
-                kinds.add(f"limit:{name}")
-                continue
-            if is_passthrough(name):
-                stack.extend(children(cur))
-                continue
-            return None
-        return sorted(kinds)
-
-    plan = df._jdf.queryExecution().executedPlan()
-    out: list[str] = []
-    stack = [plan]
-    while stack:
-        node = stack.pop()
-        name = node.nodeName()
-        if "Window" in name:
-            try:
-                unpartitioned = node.partitionSpec().size() == 0
-            except Exception:
-                unpartitioned = False
-            if unpartitioned:
-                g = groundings(node)
-                if g is not None:
-                    out.append(f"{name} grounded by {'+'.join(g)}")
-        stack.extend(children(node))
-    return sorted(out)
+    Derived from the SAME ``_unpartitioned_window_sweep`` as the
+    violations lint (ADVICE r12) — a window is an exemption here iff it
+    is not a violation there, by construction."""
+    return sorted(
+        f"{name} grounded by {'+'.join(groundings)}"
+        for name, groundings in _unpartitioned_window_sweep(df)
+        if groundings is not None
+    )
 
 
 #: specifiedwindowframe(<Row|Range>Frame, <lower>, unboundedfollowing$())

@@ -106,6 +106,58 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_salted_join",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN user_id % 10 < 7 THEN 0
+                  ELSE CAST(user_id % 25 AS INTEGER) END AS n_nationkey,
+             value
+      FROM events),
+    j AS (SELECT n.n_name, p.value
+          FROM probe p JOIN nation n ON n.n_nationkey = p.n_nationkey)
+    SELECT n_name,
+           count(*) AS n_rows,
+           CAST(round(sum(value) * 100) AS BIGINT) AS total_cents
+    FROM j GROUP BY 1
+    """,
+    tags=("skew", "join"),
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under the driver gate (VERDICT r12 #2): the probe
+    side is events with a PLANTED Zipf-hot dimension key — ~70% of all
+    rows map to n_nationkey 0 (user_id%10<7), the rest spread over the
+    other nation keys — the shape where a plain shuffled join puts 70%
+    of the probe in ONE reducer task.  operators/skew.py::salted_join
+    replicates the build side ×8 (explode over the salt sequence),
+    salts each probe row deterministically (xxhash64 of the full row —
+    reruns and retries agree), and joins on (key, __salt): the hot
+    key's rows spread over 8 tasks, at the explicit cost of 8× the
+    (tiny) build side.  Oracle = the PLAIN join + GROUP BY: salting
+    must be invisible in the result.  Plan-asserted in
+    tests/test_plans.py: the join condition carries __salt and the
+    build side is explode-replicated.  (At THIS dim size a broadcast
+    join would win outright — the query pins the construction for the
+    fact-fact case where the build side is too big to broadcast but
+    has a hot probe key AQE's skew split can't touch, e.g. bucketed
+    non-shuffle joins.)"""
+    from ubw_spark.operators.skew import salted_join
+
+    probe = table(spark, sf_dir, "events").select(
+        F.when(F.pmod(F.col("user_id"), F.lit(10)) < 7, F.lit(0))
+        .otherwise(F.pmod(F.col("user_id"), F.lit(25)))
+        .cast("int")
+        .alias("n_nationkey"),
+        "value",
+    )
+    nat = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(probe, nat, "n_nationkey", salt_buckets=8)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("value") * 100, 0).cast("long").alias("total_cents"),
+    )
+
+
+@register(
     "engine_properties_catalog",
     oracle="""
     SELECT * FROM (VALUES
