@@ -2,12 +2,19 @@
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
 The Spark-side contract is real and tested: schemas, partitioning, UDF
-signatures, batch shapes.  Image decode/resize under ``codec="real"``
-uses PIL via an optional executor-side import (NotImplementedError with
-install guidance where pillow is absent — as in this container; the
-tests skip accordingly).  Video frame sampling stays gated the same way
-pending an ffmpeg binding.  A deterministic fake (``codec="fake"``)
-drives the always-on tests and the DuckDB oracles.
+signatures, batch shapes.  The IMAGE path is fully un-gated via a
+stdlib PNG codec (``png_encode``/``png_decode`` below — zlib inflate +
+per-scanline unfiltering, CRC-checked, validated byte-exact against the
+JVM's independent ImageIO decoder): ``codec="png"`` gives real decode /
+feature-extract / resize with no third-party dependency, and
+``extract_image_features`` value-checks against a closed-form DuckDB
+oracle.  ``codec="real"`` remains the PIL integration point for the
+full format zoo (JPEG etc.) via an optional executor-side import
+(NotImplementedError with install guidance where pillow is absent — as
+in this container; the tests skip accordingly).  Video frame sampling
+stays gated the same way pending an ffmpeg binding.  A deterministic
+fake (``codec="fake"``) drives payload-agnostic plumbing tests and the
+DuckDB oracles that predate the PNG codec.
 
 Scale: payloads stay in executor memory one Arrow batch at a time
 (bound via spark.sql.execution.arrow.maxRecordsPerBatch for fat rows);
@@ -96,6 +103,33 @@ def decode_batches(
             feats = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
+                if codec == "png":
+                    # stdlib decode (no PIL): grayscale column-block
+                    # average pooling to feature_dim values in [0, 1]
+                    try:
+                        w, h, ch, px = png_decode(raw)
+                        gray = (
+                            px
+                            if ch == 1
+                            else bytes(
+                                sum(px[i:i + 3]) // 3
+                                for i in range(0, len(px), 3)
+                            )
+                        )
+                        vec = []
+                        for j in range(feature_dim):
+                            lo = j * w // feature_dim
+                            hi = max((j + 1) * w // feature_dim, lo + 1)
+                            cols = [
+                                gray[y * w + min(x, w - 1)]
+                                for y in range(h)
+                                for x in range(lo, hi)
+                            ]
+                            vec.append(sum(cols) / len(cols) / 255.0)
+                        feats.append(vec)
+                    except Exception:
+                        feats.append(None)
+                    continue
                 if codec == "real":
                     # real decode: grayscale thumbnail row as the feature
                     # vector; undecodable payloads yield NULL (dirty bytes
@@ -199,6 +233,29 @@ def resize_images(
             payloads = []
             for payload in pdf[payload_col]:
                 raw = bytes(payload) if payload is not None else b""
+                if codec == "png":
+                    # stdlib decode + nearest-neighbor resample to
+                    # interleaved RGB (same output contract as the PIL
+                    # path: raw bytes, exactly width*height*3 long)
+                    try:
+                        w0, h0, ch, px = png_decode(raw)
+                        out = bytearray(out_len)
+                        for y in range(height):
+                            sy = y * h0 // height
+                            for x in range(width):
+                                sx = x * w0 // width
+                                if ch == 1:
+                                    v = px[sy * w0 + sx]
+                                    trip = bytes((v, v, v))
+                                else:
+                                    i = (sy * w0 + sx) * 3
+                                    trip = px[i:i + 3]
+                                o = (y * width + x) * 3
+                                out[o:o + 3] = trip
+                        payloads.append(bytes(out))
+                    except Exception:
+                        payloads.append(None)
+                    continue
                 if codec == "real":
                     # real resize: raw interleaved RGB bytes, exactly
                     # width*height*3 long; undecodable payloads → NULL
@@ -394,3 +451,228 @@ def extract_audio_features(
             yield pd.DataFrame({"id": pdf[id_col], **out})
 
     return df.mapInPandas(_extract, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stdlib PNG codec (VERDICT r12 #3) — un-gates the image path without PIL.
+#
+# PNG is zlib (stdlib) + per-scanline prediction filters; for 8-bit
+# grayscale/RGB that is ~100 lines, the way sources/excel.py hand-rolls
+# OOXML.  The ENCODER deliberately cycles through all five filter types
+# (row y uses filter y % 5), so a synthesized corpus forces the decoder
+# to exercise None/Sub/Up/Average/Paeth unfiltering — a decoder bug
+# cannot hide behind filter-0-only inputs.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(pixels: bytes, width: int, height: int, channels: int = 1) -> bytes:
+    """Encode raw 8-bit pixels (row-major, interleaved) as a real PNG.
+
+    channels=1 → grayscale (color type 0); channels=3 → RGB (type 2).
+    Row y is written with filter type y % 5, cycling through every
+    PNG prediction filter."""
+    import struct
+    import zlib
+
+    if len(pixels) != width * height * channels:
+        raise ValueError(
+            f"pixel buffer {len(pixels)} != {width}x{height}x{channels}"
+        )
+    bpp = channels
+    stride = width * channels
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                f = row[x]
+            elif ftype == 1:
+                f = row[x] - left
+            elif ftype == 2:
+                f = row[x] - up
+            elif ftype == 3:
+                f = row[x] - (left + up) // 2
+            else:
+                f = row[x] - _paeth(left, up, ul)
+            raw.append(f & 0xFF)
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an 8-bit grayscale/RGB PNG → (width, height, channels,
+    raw row-major pixels).  Full chunk walk with CRC verification and
+    all five filter types unfiltered; raises ValueError on anything
+    malformed or unsupported (callers route, not crash)."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = channels = -1
+    idat = bytearray()
+    seen_end = False
+    while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise ValueError("truncated chunk body")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color not in (0, 2) or comp or filt or inter:
+                raise ValueError(
+                    "unsupported PNG (need 8-bit gray/RGB, no interlace)"
+                )
+            channels = 1 if color == 0 else 3
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if width < 0 or not seen_end:
+        raise ValueError("missing IHDR or IEND")
+    raw = zlib.decompress(bytes(idat))
+    bpp = channels
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("decompressed size mismatch")
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        frow = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if ftype == 0:
+                v = frow[x]
+            elif ftype == 1:
+                v = frow[x] + left
+            elif ftype == 2:
+                v = frow[x] + up
+            elif ftype == 3:
+                v = frow[x] + (left + up) // 2
+            elif ftype == 4:
+                v = frow[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            row[x] = v & 0xFF
+        out.extend(row)
+        prior = bytes(row)
+    return width, height, channels, bytes(out)
+
+
+def synthesize_png(df: DataFrame, id_col: str) -> DataFrame:
+    """Deterministic PNG payloads from the id column — the image-path
+    test/oracle generator (pixel (x, y) of image ``id`` is the
+    closed-form ``(id + 7x + 13y) % 256`` over a ``(4 + id%5) ×
+    (3 + id%4)`` grayscale grid, so :func:`extract_image_features` is
+    value-checkable in plain SQL over a generate_series pixel grid).
+    Rows cycle through all five PNG filters (see png_encode)."""
+
+    def _synth(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for rid in pdf[id_col]:
+                i = int(rid)
+                w, h = 4 + i % 5, 3 + i % 4
+                px = bytes(
+                    (i + 7 * x + 13 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                )
+                payloads.append(png_encode(px, w, h))
+            yield pd.DataFrame({"id": pdf[id_col], "payload": payloads})
+
+    return df.select(F.col(id_col)).mapInPandas(
+        _synth, schema="id bigint, payload binary"
+    )
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_pixels", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("min_px", T.IntegerType(), True),
+        T.StructField("max_px", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_image_features(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """REAL image decode with the stdlib PNG codec (no PIL): parse
+    chunks, verify CRCs, inflate, unfilter, and reduce the pixels to
+    exact integer features (dimensions, count, sum, min, max — integer
+    stats so the oracle comparison is drift-free).  RGB inputs are
+    reduced over all interleaved samples.  Undecodable payloads yield
+    NULL features — routed, not raised, as with the audio path."""
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "width", "height", "n_pixels", "sum_px", "min_px", "max_px",
+            )}
+            for payload in pdf[payload_col]:
+                try:
+                    raw = bytes(payload) if payload is not None else b""
+                    w, h, ch, px = png_decode(raw)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_pixels"].append(w * h)
+                    out["sum_px"].append(sum(px))
+                    out["min_px"].append(min(px))
+                    out["max_px"].append(max(px))
+                except Exception:
+                    for k in out:
+                        out[k].append(None)
+            yield pd.DataFrame({"id": pdf[id_col], **out})
+
+    return df.mapInPandas(_extract, schema=IMAGE_SCHEMA)
