@@ -2022,3 +2022,44 @@ def test_resize_images_png_codec_identity_and_shape(spark):
         df, "id", "payload", width=3, height=2, codec="png"
     ).collect()[0]
     assert small["n_bytes"] == 3 * 2 * 3
+
+
+def test_sim_recall_matrix_covers_all_variants(spark, sf_dir):
+    """sim_recall_report (VERDICT r12 #5) pins the four-variant ANN
+    matrix: one row per config, IVF recall monotone in nprobe and
+    exhaustive at nprobe = k_cells, IVFPQ candidates == IVF@4's (same
+    probed cells), PQ exhaustive candidate count == 5·(N−1), and every
+    recall consistent with its hits (milli fixed-point)."""
+    from ubw_spark.queries import REGISTRY
+
+    rows = {
+        (r["variant"], r["param"]): r
+        for r in REGISTRY["sim_recall_report"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        ("ivf", 1), ("ivf", 2), ("ivf", 4), ("ivf", 8),
+        ("lsh", 16), ("pq", 8), ("ivfpq", 4),
+    }
+    ivf = [rows[("ivf", p)] for p in (1, 2, 4, 8)]
+    assert all(
+        a["recall_milli"] <= b["recall_milli"] for a, b in zip(ivf, ivf[1:])
+    )
+    # nprobe == k_cells probes every cell: exhaustive re-rank == recall 1
+    assert rows[("ivf", 8)]["recall_milli"] == 1000
+    assert (
+        rows[("ivfpq", 4)]["n_candidates"]
+        == rows[("ivf", 4)]["n_candidates"]
+    )
+    from ubw_spark.queries.registry import table as _table
+
+    n_corpus = _table(spark, sf_dir, "embeddings").count()
+    assert rows[("pq", 8)]["n_candidates"] == 5 * (n_corpus - 1)
+    for r in rows.values():
+        assert r["recall_milli"] == r["hits"] * 20
+        assert 0 <= r["recall_milli"] <= 1000
+    # quantization penalty: composed IVFPQ can never beat plain IVF at
+    # the same nprobe (same candidates, coarser scores)
+    assert (
+        rows[("ivfpq", 4)]["recall_milli"]
+        <= rows[("ivf", 4)]["recall_milli"]
+    )

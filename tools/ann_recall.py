@@ -1,7 +1,8 @@
 """ANN recall/IO curve with TRAINED (KMeans) centroids — VERDICT r9 #6.
 
-`sim_recall_report` proves the recall@10-vs-nprobe curve under the
-driver's DuckDB gate using the md5-seeded deterministic quantizer;
+`sim_recall_report` proves the four-variant recall@10 matrix (IVF
+nprobe sweep, LSH, exhaustive-ADC PQ, IVFPQ) under the driver's DuckDB
+gate using the md5-seeded deterministic quantizers;
 production uses `operators.ivf.train_ivf_centroids` (distributed
 KMeans), which is not cross-engine-deterministic, so its curve is
 recorded HERE as committed tooling evidence instead of an oracle row.

@@ -491,9 +491,37 @@ def sim_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Same known-accepted 4dp-rounding fragility class as _IVF_ORACLE.
-_RECALL_ORACLE = """
+def _recall_matrix_oracle(
+    dim: int = 64, bits: int = 4, tables: int = 16, seed: int = 42
+) -> str:
+    """The four-variant ANN recall matrix reproduced end-to-end in SQL
+    (VERDICT r12 #5): exact brute-force top-10 as ground truth, then
+    IVF (nprobe sweep), hyperplane LSH, exhaustive-ADC PQ, and IVFPQ
+    rankings — every stage (seeded quantizers, bucket hashing, encode,
+    ADC lookup, 4-dp round + id tiebreak) rebuilt in DuckDB.  Same
+    known-accepted 4dp-rounding fragility class as _IVF_ORACLE."""
+    from ubw_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim=dim, bits=bits, tables=tables, seed=seed)
+    values = ",\n      ".join(
+        f"({t}, {j}, ["
+        + ", ".join(repr(float(c)) for c in planes[t, j])
+        + "]::DOUBLE[])"
+        for t in range(tables)
+        for j in range(bits)
+    )
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nq AS (SELECT count(*) AS n FROM e),
+    brute AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, t.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, t.v), 4) DESC,
+                          t.vec_id) AS rn
+        FROM e q JOIN e t ON t.vec_id <> q.vec_id
+        WHERE q.vec_id < 5) WHERE rn <= 10),
+    -- ===== IVF: 8 md5-seeded coarse cells, nprobe sweep =====
     cents AS (
       SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
                AS cid, v
@@ -505,14 +533,6 @@ _RECALL_ORACLE = """
                                 ORDER BY list_distance(e.v, c.v), c.cid) AS rn
       FROM e CROSS JOIN cents c),
     corpus_cell AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
-    brute AS (
-      SELECT qid, vec_id FROM (
-        SELECT q.vec_id AS qid, t.vec_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                 ORDER BY round(list_cosine_similarity(q.v, t.v), 4) DESC,
-                          t.vec_id) AS rn
-        FROM e q JOIN e t ON t.vec_id <> q.vec_id
-        WHERE q.vec_id < 5) WHERE rn <= 10),
     np AS (SELECT * FROM (VALUES (1), (2), (4), (8)) AS t(nprobe)),
     probe AS (
       SELECT np.nprobe, a.vec_id AS qid, a.cid
@@ -536,15 +556,130 @@ _RECALL_ORACLE = """
     hits AS (
       SELECT i.nprobe, count(*) AS hits
       FROM ivf i JOIN brute b ON b.qid = i.qid AND b.vec_id = i.vec_id
-      GROUP BY i.nprobe)
-    SELECT CAST(np.nprobe AS INTEGER) AS nprobe,
-           CAST(np.nprobe * 5 AS BIGINT) AS cells_read,
-           CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
-           CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
-           CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_milli
-    FROM np LEFT JOIN ncand nc ON nc.nprobe = np.nprobe
-            LEFT JOIN hits h ON h.nprobe = np.nprobe
+      GROUP BY i.nprobe),
+    ivf_rows AS (
+      SELECT 'ivf' AS variant,
+             CAST(np.nprobe AS INTEGER) AS param,
+             CAST(np.nprobe * 5 AS BIGINT) AS cells_read,
+             CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+             CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             CAST(coalesce(h.hits, 0) * 20 AS BIGINT) AS recall_milli
+      FROM np LEFT JOIN ncand nc ON nc.nprobe = np.nprobe
+              LEFT JOIN hits h ON h.nprobe = np.nprobe),
+    -- ===== LSH: seeded hyperplanes, {tables} tables x {bits} bits =====
+    planes(tbl, bit, c) AS (VALUES {values}),
+    buckets AS (
+      SELECT e.vec_id, p.tbl,
+             CAST(sum(CASE WHEN list_inner_product(e.v, p.c) >= 0
+                           THEN (1 << p.bit) ELSE 0 END) AS INT) AS bucket
+      FROM e CROSS JOIN planes p GROUP BY 1, 2),
+    qb AS (SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id < 5),
+    lsh_cand AS (SELECT DISTINCT qb.qid, b.vec_id
+                 FROM buckets b JOIN qb ON b.tbl = qb.tbl
+                                       AND b.bucket = qb.bucket
+                                       AND b.vec_id <> qb.qid),
+    lsh_ncand AS (SELECT count(*) AS n_candidates FROM lsh_cand),
+    lsh_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT c.qid, c.vec_id,
+               row_number() OVER (PARTITION BY c.qid
+                 ORDER BY round(list_cosine_similarity(eq.v, ec.v), 4) DESC,
+                          c.vec_id) AS rn
+        FROM lsh_cand c JOIN e eq ON eq.vec_id = c.qid
+                        JOIN e ec ON ec.vec_id = c.vec_id)
+      WHERE rn <= 10),
+    lsh_hits AS (
+      SELECT count(*) AS hits
+      FROM lsh_top l JOIN brute b ON b.qid = l.qid AND b.vec_id = l.vec_id),
+    lsh_rows AS (
+      SELECT 'lsh' AS variant,
+             CAST({tables} AS INTEGER) AS param,
+             CAST({tables} * 5 AS BIGINT) AS cells_read,
+             CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(hits * 20 AS BIGINT) AS recall_milli
+      FROM lsh_ncand, lsh_hits),
+    -- ===== PQ: m=8 x ksub=16 md5-seeded codebooks, exhaustive ADC =====
+    pcents AS (
+      SELECT (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)) - 1
+               AS pcid, v
+      FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+    enc AS (
+      SELECT e.vec_id, g.j, p.pcid,
+             row_number() OVER (
+               PARTITION BY e.vec_id, g.j
+               ORDER BY list_sum(list_transform(generate_series(1, 8),
+                        i -> (e.v[g.j*8+i] - p.v[g.j*8+i])^2)), p.pcid) AS rn
+      FROM e CROSS JOIN generate_series(0, 7) AS g(j) CROSS JOIN pcents p),
+    codes AS (SELECT vec_id, j, pcid FROM enc WHERE rn = 1),
+    q5 AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < 5),
+    pq_scored AS (
+      SELECT q.qid, cd.vec_id,
+             round(sum(list_inner_product(
+                 list_slice(q.v, cd.j*8+1, cd.j*8+8),
+                 list_slice(pc.v, cd.j*8+1, cd.j*8+8))), 4) AS approx_ip
+      FROM codes cd
+      JOIN pcents pc ON pc.pcid = cd.pcid
+      CROSS JOIN q5 q
+      WHERE cd.vec_id <> q.qid
+      GROUP BY q.qid, cd.vec_id),
+    pq_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY approx_ip DESC, vec_id) AS rn
+        FROM pq_scored) WHERE rn <= 10),
+    pq_hits AS (
+      SELECT count(*) AS hits
+      FROM pq_top p JOIN brute b ON b.qid = p.qid AND b.vec_id = p.vec_id),
+    pq_rows AS (
+      SELECT 'pq' AS variant,
+             CAST(8 AS INTEGER) AS param,
+             CAST(8 * 5 AS BIGINT) AS cells_read,
+             CAST(5 * (n - 1) AS BIGINT) AS n_candidates,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(hits * 20 AS BIGINT) AS recall_milli
+      FROM nq, pq_hits),
+    -- ===== IVFPQ: probed cells bound rows, PQ codes bound bytes =====
+    ipq_cand AS (
+      SELECT DISTINCT p.qid, cc.vec_id
+      FROM corpus_cell cc JOIN probe p
+        ON p.nprobe = 4 AND cc.cid = p.cid AND cc.vec_id <> p.qid),
+    ipq_ncand AS (SELECT count(*) AS n_candidates FROM ipq_cand),
+    ipq_scored AS (
+      SELECT c.qid, c.vec_id,
+             round(sum(list_inner_product(
+                 list_slice(q.v, cd.j*8+1, cd.j*8+8),
+                 list_slice(pc.v, cd.j*8+1, cd.j*8+8))), 4) AS approx_ip
+      FROM ipq_cand c
+      JOIN codes cd ON cd.vec_id = c.vec_id
+      JOIN pcents pc ON pc.pcid = cd.pcid
+      JOIN q5 q ON q.qid = c.qid
+      GROUP BY c.qid, c.vec_id),
+    ipq_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+                                     ORDER BY approx_ip DESC, vec_id) AS rn
+        FROM ipq_scored) WHERE rn <= 10),
+    ipq_hits AS (
+      SELECT count(*) AS hits
+      FROM ipq_top p JOIN brute b ON b.qid = p.qid AND b.vec_id = p.vec_id),
+    ipq_rows AS (
+      SELECT 'ivfpq' AS variant,
+             CAST(4 AS INTEGER) AS param,
+             CAST(4 * 5 AS BIGINT) AS cells_read,
+             CAST(n_candidates AS BIGINT) AS n_candidates,
+             CAST(hits AS BIGINT) AS hits,
+             CAST(hits * 20 AS BIGINT) AS recall_milli
+      FROM ipq_ncand, ipq_hits)
+    SELECT * FROM ivf_rows
+    UNION ALL SELECT * FROM lsh_rows
+    UNION ALL SELECT * FROM pq_rows
+    UNION ALL SELECT * FROM ipq_rows
     """
+
+
+_RECALL_ORACLE = _recall_matrix_oracle()
 
 
 @register(
@@ -553,19 +688,31 @@ _RECALL_ORACLE = """
     tags=("similarity", "ivf", "recall"),
 )
 def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ANN recall/IO tradeoff as DRIVER-VISIBLE evidence (VERDICT
-    r8 #6): for nprobe ∈ {1, 2, 4, 8} over the seeded 8-cell IVF
-    quantizer, one row ``(nprobe, cells_read, n_candidates, hits,
-    recall_milli)`` where hits = |IVF top-10 ∩ brute-force top-10|
-    summed over the 5 query vectors and recall_milli = hits·1000 /
-    (5·10) exactly (integer milli — the fixed-point parity recipe).
+    """The ANN recall/IO matrix as DRIVER-VISIBLE evidence — ALL FOUR
+    ANN variants in one oracled report (VERDICT r8 #6 + r12 #5): one
+    row ``(variant, param, cells_read, n_candidates, hits,
+    recall_milli)`` per configuration, where hits = |variant top-10 ∩
+    brute-force top-10| summed over the 5 query vectors and
+    recall_milli = hits·1000 / (5·10) exactly (integer milli — the
+    fixed-point parity recipe).
 
-    cells_read = 5·nprobe is the IO knob (each probed cell is one
-    partition directory of the written layout); n_candidates is the
-    actual re-rank volume those cells admit.  Recall rises with nprobe
-    while cells_read stays ≪ the 8·5 exhaustive scan — the tradeoff
-    curve an operator tunes at 100 TB, pinned cell-for-cell by the
-    DuckDB oracle (recall ≥ 0.5 at nprobe=4 additionally asserted in
+    - ``ivf`` (param = nprobe ∈ {1, 2, 4, 8}): cells_read = 5·nprobe
+      is the IO knob (each probed cell is one partition directory of
+      the written layout); n_candidates is the re-rank volume those
+      cells admit.
+    - ``lsh`` (param = 16 tables): candidates share ≥1 (table, bucket)
+      with the query; cells_read = 5·16 bucket probes.
+    - ``pq`` (param = m = 8 subspaces): exhaustive ADC — every corpus
+      code scored via lookup tables (n_candidates = 5·(N−1)), the
+      32×-compressed full-scan reference point.
+    - ``ivfpq`` (param = nprobe = 4): probed cells bound WHICH rows,
+      PQ codes bound the BYTES per row — the composed layout's recall
+      cost vs plain IVF at the same nprobe is read directly off the
+      ivf@4 row.
+
+    The recall-vs-IO tradeoff an operator tunes at 100 TB, pinned
+    value-for-value by one DuckDB oracle that rebuilds every variant
+    (recall ≥ 0.5 at nprobe=4 additionally asserted in
     tests/test_similarity.py for KMeans centroids)."""
     from functools import reduce as _reduce
 
@@ -576,7 +723,17 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_ivf_cells,
         ivf_ann_topk,
     )
-    from ubw_spark.operators.similarity import brute_force_topk
+    from ubw_spark.operators.pq import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_encode,
+        seed_pq_codebooks,
+    )
+    from ubw_spark.operators.similarity import (
+        brute_force_topk,
+        hyperplane_lsh_buckets,
+        lsh_ann_topk,
+    )
 
     emb = table(spark, sf_dir, "embeddings")
     centroids = seed_ivf_centroids(emb, k=8)
@@ -586,35 +743,82 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells = assign_ivf_cells(emb, centroids).select(
         "vec_id", "ivf_cell"
     )
-    parts = []
-    for p in (1, 2, 4, 8):
+
+    def report_row(variant, param, cells_read, n_cand, top):
+        hits = top.join(brute, ["qid", "vec_id"]).agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        return n_cand.crossJoin(hits).select(
+            F.lit(variant).alias("variant"),
+            F.lit(param).cast("int").alias("param"),
+            F.lit(cells_read).cast("long").alias("cells_read"),
+            F.col("n_candidates").cast("long"),
+            F.col("hits").cast("long"),
+            (F.col("hits") * 20).cast("long").alias("recall_milli"),
+        )
+
+    def ivf_probe_candidates(nprobe):
         probes = q.select(
             F.col("vec_id").alias("qid"),
             F.explode(
-                _nearest_cells(F.col("embedding"), centroids, p)
+                _nearest_cells(F.col("embedding"), centroids, nprobe)
             ).alias("ivf_cell"),
         )
-        cand = (
+        return (
             corpus_cells.join(broadcast(probes), "ivf_cell")
             .where(F.col("vec_id") != F.col("qid"))
             .dropDuplicates(["qid", "vec_id"])
         )
-        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+
+    parts = []
+    for p in (1, 2, 4, 8):
+        n_cand = ivf_probe_candidates(p).agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
         top = ivf_ann_topk(emb, q, centroids, k=10, nprobe=p).select(
             "qid", "vec_id"
         )
-        hits = top.join(brute, ["qid", "vec_id"]).agg(
-            F.count(F.lit(1)).alias("hits")
-        )
-        parts.append(
-            n_cand.crossJoin(hits).select(
-                F.lit(p).cast("int").alias("nprobe"),
-                F.lit(p * n_queries).cast("long").alias("cells_read"),
-                F.col("n_candidates").cast("long"),
-                F.col("hits").cast("long"),
-                (F.col("hits") * 20).cast("long").alias("recall_milli"),
-            )
-        )
+        parts.append(report_row("ivf", p, p * n_queries, n_cand, top))
+
+    # LSH: same seeded planes as sim_lsh_ann_topk (64-dim, 4 bits, 16
+    # tables); candidate volume counted exactly as the oracle does
+    cb = hyperplane_lsh_buckets(emb, dim=64, bits=4, tables=16)
+    qb = hyperplane_lsh_buckets(q, dim=64, bits=4, tables=16).select(
+        F.col("vec_id").alias("qid"), "lsh_table", "lsh_bucket"
+    )
+    lsh_n_cand = (
+        cb.join(broadcast(qb), ["lsh_table", "lsh_bucket"])
+        .where(F.col("vec_id") != F.col("qid"))
+        .dropDuplicates(["qid", "vec_id"])
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    lsh_top = lsh_ann_topk(emb, q, k=10, dim=64, bits=4, tables=16).select(
+        "qid", "vec_id"
+    )
+    parts.append(report_row("lsh", 16, 16 * n_queries, lsh_n_cand, lsh_top))
+
+    # PQ (exhaustive ADC) and IVFPQ share md5-seeded codebooks with the
+    # sim_pq/ivfpq_ann_topk queries; the query collect is bounded (5
+    # vectors), codebooks are 16 x 64 floats
+    books = seed_pq_codebooks(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books).select("vec_id", "pq_code")
+    queries_list = [(r["vec_id"], r["embedding"]) for r in q.collect()]
+    pq_top = pq_adc_topk(codes, queries_list, books, k=10).select(
+        "qid", "vec_id"
+    )
+    pq_n_cand = emb.agg(
+        ((F.count(F.lit(1)) - 1) * n_queries).alias("n_candidates")
+    )
+    parts.append(report_row("pq", 8, 8 * n_queries, pq_n_cand, pq_top))
+
+    ipq_n_cand = ivf_probe_candidates(4).agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    ipq_top = ivf_pq_topk(
+        emb, queries_list, centroids, books, k=10, nprobe=4
+    ).select("qid", "vec_id")
+    parts.append(report_row("ivfpq", 4, 4 * n_queries, ipq_n_cand, ipq_top))
+
     return _reduce(lambda a, b: a.unionByName(b), parts)
 
 
