@@ -162,6 +162,16 @@ HEADLINE = [
     # audit slice — the MinHash audit's bitwise sibling).
     "stream_tumbling_watermark",
     "simhash_recall_audit",
+    # Round-13 additions: the STATEFUL streaming path (session_window
+    # state merging across out-of-order micro-batches, oracled against
+    # the batch sessionize twin — timing IS the micro-batch lifecycle,
+    # like the other streaming entries), the salted hot-key join, the
+    # stdlib-PNG image decode path, and the four-variant ANN recall
+    # matrix (IVF sweep + LSH + PQ + IVFPQ vs exact, one report).
+    "stream_session_window_stateful",
+    "skew_salted_join",
+    "multimodal_image_features",
+    "sim_recall_report",
 ]
 
 
@@ -182,6 +192,28 @@ LOAD_RETRY_BACKOFF_SEC = 30.0
 # START (bench's own local[N] threads pollute every later sample) and
 # zero contention retries.  COVERAGE.md's scale tables cite this gate.
 IDLE_LOAD_THRESHOLD = 0.5
+# The host-drift canary (VERDICT r12 #7): every minted idle floor
+# records this query's time alongside the best historical floor, so a
+# reader can tell shared-box speed drift (canary moved with the total)
+# from a code regression (total moved, canary didn't) without replaying
+# the composite.  q1 is the oldest, most stable headline query.
+DRIFT_CANARY_QUERY = "q1_pricing_summary"
+
+
+def drift_canary(
+    timings: dict[str, float], base_queries: dict[str, float] | None
+) -> dict:
+    """The canary block embedded in idle-floor snapshots."""
+    best = (base_queries or {}).get(DRIFT_CANARY_QUERY)
+    at_mint = timings.get(DRIFT_CANARY_QUERY)
+    return {
+        "query": DRIFT_CANARY_QUERY,
+        "at_mint_sec": at_mint,
+        "best_floor_sec": best,
+        "ratio_vs_best_floor": (
+            round(at_mint / best, 3) if at_mint and best else None
+        ),
+    }
 
 
 def expand_baseline_args(args: list[str]) -> list[str]:
@@ -537,6 +569,7 @@ def main() -> None:
     if idle_out:
         ok, why = idle_snapshot_verdict(doc)
         if ok:
+            doc["drift_canary"] = drift_canary(timings, base_queries)
             with open(idle_out, "w") as f:
                 json.dump(doc, f, indent=1)
             print(f"idle floor written to {idle_out}: {why}", file=sys.stderr)

@@ -188,3 +188,39 @@ def test_empty_glob_baseline_is_skipped_not_opened(tmp_path):
     real = tmp_path / "BENCH_IDLE_r12.json"
     real.write_text("{}")
     assert expand([str(tmp_path / "BENCH_IDLE_r*.json")]) == [str(real)]
+
+
+def test_drift_canary_block():
+    """Minted idle floors carry the host-drift canary (VERDICT r12 #7):
+    the canary query's at-mint time next to the best historical floor
+    so drift and regression are distinguishable without a replay."""
+    from bench import DRIFT_CANARY_QUERY, drift_canary
+
+    c = drift_canary(
+        {DRIFT_CANARY_QUERY: 1.73, "other": 2.0},
+        {DRIFT_CANARY_QUERY: 0.97},
+    )
+    assert c["query"] == DRIFT_CANARY_QUERY
+    assert c["at_mint_sec"] == 1.73 and c["best_floor_sec"] == 0.97
+    assert c["ratio_vs_best_floor"] == round(1.73 / 0.97, 3)
+    # degenerate inputs: no baseline yet / canary not timed → no ratio
+    assert drift_canary({}, None)["ratio_vs_best_floor"] is None
+    assert drift_canary({DRIFT_CANARY_QUERY: 1.0}, {})["best_floor_sec"] is None
+
+
+def test_committed_idle_floors_from_r13_carry_drift_canary():
+    """Every dated idle floor minted from round 13 on must embed the
+    canary block — --idle-snapshot adds it at write time."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__)) + "/.."
+    for p in sorted(glob.glob(os.path.join(root, "BENCH_IDLE_r*.json"))):
+        m = re.search(r"BENCH_IDLE_r(\d+)", p)
+        if m and int(m.group(1)) >= 13:
+            with open(p) as f:
+                doc = json.load(f)
+            assert "drift_canary" in doc, f"{p} missing drift_canary"
+            assert doc["drift_canary"]["at_mint_sec"] is not None

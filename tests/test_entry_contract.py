@@ -47,3 +47,29 @@ def test_all_oracles_are_valid_duckdb(sf_dir):
         except Exception as e:
             bad.append((name, str(e)[:120]))
     assert not bad, bad
+
+
+def test_gate_window_ordering():
+    """The driver samples the first 50 queries() entries; the explicit
+    gate window must (a) be exactly 50 unique registered names, all
+    oracled, (b) lead the dict in order, (c) contain every round-13
+    new/changed operator, and (d) leave the full registry intact
+    behind it (no query lost by the reordering)."""
+    import __spark_entry__ as entry
+    from ubw_spark.queries import REGISTRY
+
+    gate = entry._GATE_FIRST
+    assert len(gate) == 50 and len(set(gate)) == 50
+    q = entry.queries()
+    assert list(q)[:50] == gate
+    oracles = entry.oracle_sql()
+    assert all(n in oracles for n in gate)
+    for name in (
+        "stream_session_window_stateful",
+        "skew_salted_join",
+        "multimodal_image_features",
+        "sim_recall_report",
+    ):
+        assert name in gate, name
+    assert set(q) == set(REGISTRY)
+    assert list(oracles)[:50] == gate
