@@ -60,7 +60,11 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     expression over centroid literals."""
     dists = []
     for ci, c in enumerate(centroids):
-        lit = F.array(*[F.lit(float(x)) for x in c])
+        # one parsed SQL array literal per centroid, not dim F.lit py4j
+        # round trips (same plan-build-cost fix as pq_encode/LSH buckets)
+        lit = F.expr(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        )
         d = F.aggregate(
             F.zip_with(
                 vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)

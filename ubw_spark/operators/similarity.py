@@ -112,25 +112,29 @@ def hyperplane_lsh_buckets(
         ).otherwise(F.col(vec_col)),
     )
     planes = _hyperplanes(dim, bits, tables, seed)
+    # Bucket expressions are emitted as SQL TEXT, not composed via
+    # F.lit/F.array: the literal form costs tables×bits×dim py4j round
+    # trips at PLAN BUILD time (measured ~6 s for 16×4×64 — it dominated
+    # the whole query at small sf), while one F.expr per table parses in
+    # milliseconds to the IDENTICAL Catalyst tree (same zip_with →
+    # aggregate fold, same cast, same fold order → same values).
     per_table = []
     for t in range(tables):
         bit_terms = []
         for j in range(bits):
-            coeffs = F.array(*[F.lit(float(c)) for c in planes[t, j]])
-            dot = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), coeffs, lambda x, c: x.cast("double") * c
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+            arr = "array(" + ",".join(f"{float(c)!r}D" for c in planes[t, j]) + ")"
+            dot = (
+                f"aggregate(zip_with({vec_col}, {arr}, "
+                "(x, c) -> cast(x as double) * c), 0.0D, (acc, x) -> acc + x)"
             )
             bit_terms.append(
-                F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+                f"(case when {dot} >= 0.0D then {1 << j} else 0 end)"
             )
-        bucket = bit_terms[0]
-        for term in bit_terms[1:]:
-            bucket = bucket + term
-        per_table.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+        per_table.append(
+            F.expr(
+                f"struct({t} as t, ({' + '.join(bit_terms)}) as b)"
+            )
+        )
     return (
         df.withColumn("__tb", F.explode(F.array(*per_table)))
         .withColumn("lsh_table", F.col("__tb.t"))

@@ -716,32 +716,36 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py for KMeans centroids)."""
     from functools import reduce as _reduce
 
+    from pyspark.sql import Window as _W
     from pyspark.sql.functions import broadcast
 
-    from ubw_spark.operators.ivf import (
-        _nearest_cells,
-        assign_ivf_cells,
-        ivf_ann_topk,
-    )
+    from ubw_spark.operators.ivf import _nearest_cells, assign_ivf_cells
     from ubw_spark.operators.pq import (
-        ivf_pq_topk,
-        pq_adc_topk,
+        _adc_sum_sql,
         pq_encode,
         seed_pq_codebooks,
     )
     from ubw_spark.operators.similarity import (
         brute_force_topk,
+        cosine_col,
         hyperplane_lsh_buckets,
-        lsh_ann_topk,
     )
 
     emb = table(spark, sf_dir, "embeddings")
     centroids = seed_ivf_centroids(emb, k=8)
     q = emb.where(F.col("vec_id") < 5)
     n_queries = 5
-    brute = brute_force_topk(emb, q, k=10).select("qid", "vec_id")
-    corpus_cells = assign_ivf_cells(emb, centroids).select(
-        "vec_id", "ivf_cell"
+    # Every intermediate cached below is BOUNDED: brute = 5·10 ids,
+    # scored candidate sets ≤ 5·N small rows (ids + one double), never
+    # vectors.  Sharing them collapses what would otherwise be 7
+    # independent subplans (each rebuilding ground truth, plan-literal
+    # hyperplanes, and ADC tables) into one probe + one score pass per
+    # family — measured 64 s → single-digit s at sf0.01, almost all of
+    # it plan-build overhead, not data.
+    brute = brute_force_topk(emb, q, k=10).select("qid", "vec_id").cache()
+    e_q = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv"))
+    rerank_w = _W.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
     )
 
     def report_row(variant, param, cells_read, n_cand, top):
@@ -757,66 +761,129 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("hits") * 20).cast("long").alias("recall_milli"),
         )
 
-    def ivf_probe_candidates(nprobe):
-        probes = q.select(
-            F.col("vec_id").alias("qid"),
-            F.explode(
-                _nearest_cells(F.col("embedding"), centroids, nprobe)
-            ).alias("ivf_cell"),
+    # ONE probe pass covers the whole nprobe sweep: probe_rank r means
+    # "this corpus row's cell is the query's r-th nearest", so the
+    # nprobe=p candidate set is exactly probe_rank <= p (each corpus
+    # row lives in ONE cell — no dedup needed).  Same _nearest_cells /
+    # assign_ivf_cells kernels as ivf_ann_topk, same 4-dp + id-tiebreak
+    # rerank contract.
+    probes = q.select(
+        F.col("vec_id").alias("qid"),
+        F.posexplode(
+            _nearest_cells(F.col("embedding"), centroids, 8)
+        ).alias("__pos", "ivf_cell"),
+    ).select("qid", (F.col("__pos") + 1).alias("probe_rank"), "ivf_cell")
+    corpus_cells = assign_ivf_cells(emb, centroids).select(
+        "vec_id", "ivf_cell"
+    )
+    scored_ivf = (
+        corpus_cells.join(broadcast(probes), "ivf_cell")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(broadcast(e_q), "qid")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            "probe_rank",
+            F.round(
+                cosine_col(F.col("__qv"), F.col("embedding")), 4
+            ).alias("cos_sim"),
         )
-        return (
-            corpus_cells.join(broadcast(probes), "ivf_cell")
-            .where(F.col("vec_id") != F.col("qid"))
-            .dropDuplicates(["qid", "vec_id"])
-        )
+        .cache()
+    )
 
     parts = []
     for p in (1, 2, 4, 8):
-        n_cand = ivf_probe_candidates(p).agg(
-            F.count(F.lit(1)).alias("n_candidates")
-        )
-        top = ivf_ann_topk(emb, q, centroids, k=10, nprobe=p).select(
-            "qid", "vec_id"
+        filt = scored_ivf.where(F.col("probe_rank") <= p)
+        n_cand = filt.agg(F.count(F.lit(1)).alias("n_candidates"))
+        top = (
+            filt.withColumn("__rn", F.row_number().over(rerank_w))
+            .where(F.col("__rn") <= 10)
+            .select("qid", "vec_id")
         )
         parts.append(report_row("ivf", p, p * n_queries, n_cand, top))
 
     # LSH: same seeded planes as sim_lsh_ann_topk (64-dim, 4 bits, 16
-    # tables); candidate volume counted exactly as the oracle does
+    # tables), buckets built ONCE for corpus and queries; candidates
+    # scored once, count and top-10 both read the cached set
     cb = hyperplane_lsh_buckets(emb, dim=64, bits=4, tables=16)
     qb = hyperplane_lsh_buckets(q, dim=64, bits=4, tables=16).select(
         F.col("vec_id").alias("qid"), "lsh_table", "lsh_bucket"
     )
-    lsh_n_cand = (
+    scored_lsh = (
         cb.join(broadcast(qb), ["lsh_table", "lsh_bucket"])
         .where(F.col("vec_id") != F.col("qid"))
         .dropDuplicates(["qid", "vec_id"])
-        .agg(F.count(F.lit(1)).alias("n_candidates"))
+        .select("qid", "vec_id")
+        .join(broadcast(e_q), "qid")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(
+                cosine_col(F.col("__qv"), F.col("embedding")), 4
+            ).alias("cos_sim"),
+        )
+        .cache()
     )
-    lsh_top = lsh_ann_topk(emb, q, k=10, dim=64, bits=4, tables=16).select(
-        "qid", "vec_id"
+    lsh_n_cand = scored_lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
+    lsh_top = (
+        scored_lsh.withColumn("__rn", F.row_number().over(rerank_w))
+        .where(F.col("__rn") <= 10)
+        .select("qid", "vec_id")
     )
     parts.append(report_row("lsh", 16, 16 * n_queries, lsh_n_cand, lsh_top))
 
-    # PQ (exhaustive ADC) and IVFPQ share md5-seeded codebooks with the
-    # sim_pq/ivfpq_ann_topk queries; the query collect is bounded (5
-    # vectors), codebooks are 16 x 64 floats
+    # PQ / IVFPQ: md5-seeded codebooks shared with sim_pq/ivfpq_ann_topk;
+    # ADC scores computed ONCE over the full code table with the same
+    # _adc_sum_sql kernel those operators use (per-query lookup tables
+    # as plan literals), then PQ ranks everything and IVFPQ ranks the
+    # probed-cell subset — one expression tree instead of two
     books = seed_pq_codebooks(emb, m=8, ksub=16)
     codes = pq_encode(emb, books).select("vec_id", "pq_code")
     queries_list = [(r["vec_id"], r["embedding"]) for r in q.collect()]
-    pq_top = pq_adc_topk(codes, queries_list, books, k=10).select(
-        "qid", "vec_id"
+    per_query = [
+        F.struct(
+            F.lit(qid).alias("qid"),
+            F.expr(
+                _adc_sum_sql([float(x) for x in vec], books, "pq_code")
+            ).alias("approx_ip"),
+        )
+        for qid, vec in queries_list
+    ]
+    adc = (
+        codes.select("vec_id", F.explode(F.array(*per_query)).alias("__q"))
+        .select(
+            F.col("__q.qid").alias("qid"),
+            "vec_id",
+            F.col("__q.approx_ip").alias("approx_ip"),
+        )
+        .where(F.col("vec_id") != F.col("qid"))
+        .cache()
+    )
+    adc_w = _W.partitionBy("qid").orderBy(
+        F.col("approx_ip").desc(), F.col("vec_id")
+    )
+    pq_top = (
+        adc.withColumn("__rn", F.row_number().over(adc_w))
+        .where(F.col("__rn") <= 10)
+        .select("qid", "vec_id")
     )
     pq_n_cand = emb.agg(
         ((F.count(F.lit(1)) - 1) * n_queries).alias("n_candidates")
     )
     parts.append(report_row("pq", 8, 8 * n_queries, pq_n_cand, pq_top))
 
-    ipq_n_cand = ivf_probe_candidates(4).agg(
-        F.count(F.lit(1)).alias("n_candidates")
+    ipq_keys = scored_ivf.where(F.col("probe_rank") <= 4).select(
+        "qid", "vec_id"
     )
-    ipq_top = ivf_pq_topk(
-        emb, queries_list, centroids, books, k=10, nprobe=4
-    ).select("qid", "vec_id")
+    ipq_n_cand = ipq_keys.agg(F.count(F.lit(1)).alias("n_candidates"))
+    ipq_top = (
+        adc.join(ipq_keys, ["qid", "vec_id"])
+        .withColumn("__rn", F.row_number().over(adc_w))
+        .where(F.col("__rn") <= 10)
+        .select("qid", "vec_id")
+    )
     parts.append(report_row("ivfpq", 4, 4 * n_queries, ipq_n_cand, ipq_top))
 
     return _reduce(lambda a, b: a.unionByName(b), parts)
