@@ -16,12 +16,15 @@ dominated by constant cost, not by a bad asymptotic.
 
 Usage: python tools/scale_report.py BENCH_sf1.json [--threshold 12]
 
-Three-point mode (round 11): pass three standalone recordings in
-ascending-sf order to get the two-step slope table COVERAGE.md carries —
-the second step is what separates real slope from fixed-cost share (it
-caught linkage_match_topk's hidden quadratic):
+Multi-point mode (round 11, generalized round 13): pass N ≥ 2
+standalone recordings in ascending-sf order to get the per-step slope
+table COVERAGE.md carries — the later steps are what separate real
+slope from fixed-cost share (the sf3 step caught linkage_match_topk's
+hidden quadratic; the sf10 step settles the dedup headliners' "linear"
+claim across a third decade):
 
-    python tools/scale_report.py BENCH_LOCAL.json BENCH_sf1.json BENCH_sf3.json
+    python tools/scale_report.py BENCH_IDLE_r13.json BENCH_sf1.json \
+        BENCH_sf3.json BENCH_sf10.json
 """
 
 from __future__ import annotations
@@ -58,8 +61,10 @@ def report(
     return rows, flags
 
 
-def three_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
-    """Two-step slope table over three standalone recordings."""
+def multi_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
+    """Per-step slope table over N ≥ 2 standalone recordings (round 13
+    generalizes the round-11 three-point mode so a 4th decade — sf10 —
+    extends the same table; VERDICT r12 #4)."""
     docs = []
     for p in paths:
         with open(p) as f:
@@ -71,49 +76,79 @@ def three_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
     qs = [d.get("queries") or {} for d in docs]
     if any(not sf for sf in sfs):
         raise SystemExit(
-            f"three_point: every recording needs a nonzero 'sf' "
-            f"(got {sfs} from {paths}) — pass three standalone bench "
+            f"multi_point: every recording needs a nonzero 'sf' "
+            f"(got {sfs} from {paths}) — pass standalone bench "
             "recordings, smallest sf first"
         )
-    names = [n for n in qs[0] if n in qs[1] and n in qs[2]]
+    if sorted(sfs) != sfs:
+        raise SystemExit(
+            f"multi_point: recordings must be in ascending-sf order "
+            f"(got {sfs})"
+        )
+    names = [n for n in qs[0] if all(n in q for q in qs[1:])]
     if not names:
         raise SystemExit(
-            "three_point: no query appears in all three recordings"
+            "multi_point: no query appears in all recordings"
         )
-    step1 = sfs[1] / sfs[0]
-    step2 = sfs[2] / sfs[1]
+    steps = [sfs[i + 1] / sfs[i] for i in range(len(sfs) - 1)]
     rows = sorted(
-        names, key=lambda n: -(qs[2][n] / qs[1][n] if qs[1][n] else 0)
+        names, key=lambda n: -(qs[-1][n] / qs[-2][n] if qs[-2][n] else 0)
     )
-    print(
-        f"| query | sf{sfs[0]} s | sf{sfs[1]} s | sf{sfs[2]} s "
-        f"| sf{sfs[0]}→sf{sfs[1]} ({step1:.0f}×) "
-        f"| sf{sfs[1]}→sf{sfs[2]} ({step2:.0f}×) | note |"
-    )
-    print("|---|---|---|---|---|---|---|")
+
     def ratio(num: float, den: float) -> str:
         # a 0.0 timing (sub-resolution query) makes the slope undefined,
         # not infinite — same guard the sort key applies
         return f"{num / den:.2f}×" if den else "n/a"
 
-    for n in rows:
-        a, b, c = qs[0][n], qs[1][n], qs[2][n]
-        note = "fixed-cost dominated at small sf" if a < floor_small_sec else ""
-        print(
-            f"| {n} | {a:.2f} | {b:.2f} | {c:.2f} "
-            f"| {ratio(b, a)} | {ratio(c, b)} | {note} |"
+    header = (
+        "| query | "
+        + " | ".join(f"sf{sf} s" for sf in sfs)
+        + " | "
+        + " | ".join(
+            f"sf{sfs[i]}→sf{sfs[i + 1]} ({steps[i]:.0f}×)"
+            for i in range(len(steps))
         )
-    t = [sum(q[n] for n in rows) for q in qs]
+        + " | note |"
+    )
+    print(header)
+    print("|" + "---|" * (len(sfs) + len(steps) + 2))
+    for n in rows:
+        ts = [q[n] for q in qs]
+        note = (
+            "fixed-cost dominated at small sf"
+            if ts[0] < floor_small_sec
+            else ""
+        )
+        print(
+            f"| {n} | "
+            + " | ".join(f"{t:.2f}" for t in ts)
+            + " | "
+            + " | ".join(
+                ratio(ts[i + 1], ts[i]) for i in range(len(steps))
+            )
+            + f" | {note} |"
+        )
+    totals = [sum(q[n] for n in rows) for q in qs]
     print(
-        f"\ntotals: {t[0]:.1f}s -> {t[1]:.1f}s -> {t[2]:.1f}s "
-        f"({ratio(t[1], t[0])} for {step1:.0f}x, "
-        f"{ratio(t[2], t[1])} for a further {step2:.0f}x)"
+        "\ntotals: "
+        + " -> ".join(f"{t:.1f}s" for t in totals)
+        + " ("
+        + ", ".join(
+            f"{ratio(totals[i + 1], totals[i])} for {steps[i]:.0f}x"
+            for i in range(len(steps))
+        )
+        + ")"
     )
     worst = rows[0]
     print(
-        f"worst sf{sfs[1]}->sf{sfs[2]} slope: {worst} at "
-        f"{ratio(qs[2][worst], qs[1][worst])}"
+        f"worst sf{sfs[-2]}->sf{sfs[-1]} slope: {worst} at "
+        f"{ratio(qs[-1][worst], qs[-2][worst])}"
     )
+
+
+def three_point(paths: list[str], floor_small_sec: float = 0.5) -> None:
+    """Back-compat alias for the round-11 three-recording mode."""
+    multi_point(paths, floor_small_sec)
 
 
 def main() -> None:
@@ -121,11 +156,9 @@ def main() -> None:
     ap.add_argument("paths", nargs="+")
     ap.add_argument("--threshold", type=float, default=12.0)
     args = ap.parse_args()
-    if len(args.paths) == 3:
-        three_point(args.paths)
+    if len(args.paths) >= 2:
+        multi_point(args.paths)
         return
-    if len(args.paths) != 1:
-        raise SystemExit("pass ONE bench file (sf_extra mode) or THREE")
     with open(args.paths[0]) as f:
         doc = json.load(f)
     if "parsed" in doc:
