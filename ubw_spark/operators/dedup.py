@@ -304,6 +304,11 @@ def lsh_recall_report(
     regression (fewer bands, broken hash, over-aggressive cap) would
     visibly dent."""
     base, _, a, b = shingle_pair_frames(df, id_col, text_col, k)
+    # Same cartesian-over-partition-pairs hazard as
+    # simhash_recall_report: the slice is small by contract, so pin it
+    # to one partition and broadcast the inner side — the m² truth join
+    # must cost m² ROW comparisons, not splits² SCAN re-runs.
+    a, b = a.repartition(1), F.broadcast(b.repartition(1))
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .where(exact_jaccard() >= threshold)
@@ -488,7 +493,15 @@ def simhash_recall_report(
     — a dent below 1.0 in the guaranteed region means a broken band
     construction or an over-aggressive cap; the 4+ region quantifies
     the radius/band trade-off instead of guessing it."""
-    sig = simhash_signature(df, id_col, text_col)
+    # The audit slice is small BY CONTRACT, but it arrives as a union of
+    # filtered scans spread over every file split: the m² truth join
+    # below then plans as a CartesianProduct over partition PAIRS, each
+    # re-running the scan + signature UDF — 45² = 2025 tasks at sf10,
+    # quadratic in SPLIT COUNT with a constant-size slice (measured
+    # 2.7 s → 66 s sf3 → sf10 before this pin).  One repartition(1) of
+    # the ≤~300-row signature frame + a broadcast hint makes the truth
+    # join a single-task nested loop regardless of corpus layout.
+    sig = simhash_signature(df, id_col, text_col).repartition(1)
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa")
     )
@@ -497,7 +510,7 @@ def simhash_recall_report(
     )
     ham = F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).cast("int")
     truth = (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", ham.alias("__ham"))
         .where(F.col("__ham") <= max_hamming)
     )
