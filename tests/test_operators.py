@@ -47,6 +47,110 @@ def test_minhash_finds_planted_near_dup(spark, sf_dir):
     assert (0, 100000) in found
 
 
+def test_minhash_agreement_counts_equal_components(spark):
+    from ubw_spark.operators.dedup import minhash_agreement
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 9, 3, 9]), ([5, 5, 5, 5], [5, 5, 5, 5])],
+        "a array<bigint>, b array<bigint>",
+    )
+    got = [
+        r["n"]
+        for r in df.select(
+            minhash_agreement(F.col("a"), F.col("b"), 4).alias("n")
+        ).collect()
+    ]
+    assert got == [2, 4]
+
+
+def test_prefilter_min_agree_cut_values():
+    from ubw_spark.operators.dedup import prefilter_min_agree
+
+    # the shipped default: ceil((0.4 - 0.15) * 64) = 16 — the value the
+    # SQL oracles hard-code; a drift here silently breaks hash parity
+    assert prefilter_min_agree(0.4, 64, 0.15) == 16
+    assert prefilter_min_agree(0.6, 64, 0.15) == 29
+    assert prefilter_min_agree(0.4, 64, None) == 0  # disabled
+    assert prefilter_min_agree(0.1, 64, 0.15) == 0  # margin swallows it
+    # exact-integer boundary must not pick up a float-epsilon extra unit
+    assert prefilter_min_agree(0.5, 64, 0.25) == 16
+
+
+def test_minhash_prefilter_keeps_results_identical(spark, sf_dir):
+    """The signature-estimate prefilter thins the candidate stream but
+    must not change what the operator FINDS on a normal corpus: every
+    true near-dup pair's agreement count sits far above the cut (mean
+    64·j vs cut 16), so prefilter-on and prefilter-off return the same
+    verified pairs here (the boundary cases the margin prices are
+    quantified by lsh_recall_report, not sampled by this corpus)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    clone = docs.where(F.col("doc_id") == 0).select(
+        F.lit(200000).cast("bigint").alias("doc_id"),
+        F.expr("substring(text, 1, length(text) - 6)").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clone)
+    on = sorted(
+        map(tuple, minhash_dedup_pairs(corpus, "doc_id", "text").collect())
+    )
+    off = sorted(
+        map(
+            tuple,
+            minhash_dedup_pairs(
+                corpus, "doc_id", "text", prefilter_margin=None
+            ).collect(),
+        )
+    )
+    assert on == off and any(p[:2] == (0, 200000) for p in on)
+
+
+def test_minhash_index_sigs_store_and_legacy_probe(spark, sf_dir, tmp_path):
+    """The index persists the signature store (backing the probe-side
+    prefilter) and a legacy bands+docs-only index still probes — the
+    prefilter is an optimization stage, not a layout requirement."""
+    import shutil
+
+    from ubw_spark.operators.lsh_index import (
+        _resolve_root,
+        _sigs_path,
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("doc_id") < 40
+    )
+    path = str(tmp_path / "idx")
+    write_minhash_index(docs, "doc_id", "text", path)
+    sigs = spark.read.parquet(_sigs_path(_resolve_root(path)))
+    assert set(sigs.columns) == {"corpus_id", "sig"}
+    assert sigs.count() == docs.count()
+    assert len(sigs.first()["sig"]) == 64
+
+    batch = docs.where(F.col("doc_id") == 0).select(
+        F.lit(300000).cast("bigint").alias("doc_id"), "text"
+    )
+    with_sigs = sorted(
+        map(
+            tuple,
+            probe_minhash_index(
+                spark, path, batch, "doc_id", "text", threshold=0.6
+            ).collect(),
+        )
+    )
+    assert any(p[:2] == (0, 300000) for p in with_sigs)
+    # amputate the signature store → a pre-round-13 index layout
+    shutil.rmtree(_sigs_path(_resolve_root(path)))
+    legacy = sorted(
+        map(
+            tuple,
+            probe_minhash_index(
+                spark, path, batch, "doc_id", "text", threshold=0.6
+            ).collect(),
+        )
+    )
+    assert legacy == with_sigs
+
+
 def test_lsh_recall_audit_shape_and_exact_dup_bucket(spark, sf_dir):
     """The recall audit's invariants on the registered slice (found ⊆
     truth per bucket, recall bounded), and — on a corpus with PLANTED
@@ -1116,16 +1220,18 @@ def test_minhash_index_shuffled_compaction_and_versioned_swap(
     thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        b_sh, d_sh = compacted_index_frames(
+        b_sh, d_sh, s_sh = compacted_index_frames(
             spark, path, drops, broadcast_drops=False
         )
         assert broadcast_join_count(b_sh) == 0
         assert broadcast_join_count(d_sh) == 0
-        b_bc, d_bc = compacted_index_frames(
+        assert broadcast_join_count(s_sh) == 0
+        b_bc, d_bc, s_bc = compacted_index_frames(
             spark, path, drops, broadcast_drops=True
         )
         assert broadcast_join_count(b_bc) >= 1  # positive control
         assert broadcast_join_count(d_bc) >= 1
+        assert broadcast_join_count(s_bc) >= 1
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
 

@@ -7,7 +7,13 @@ Built for the 100 TB posture:
 - **MinHash-LSH**: per-row signature computation is pure array
   expressions (JVM codegen, no Python, no explode until banding); the
   only shuffle is the band-bucket self-join, whose fanout is bounded by
-  bucket size.  O(N²) never appears.
+  bucket size.  Between banding and the exact-Jaccard verify sits the
+  signature-estimate prefilter (:func:`minhash_agreement`): banding's
+  false-candidate stream grows ∝ N²·p_bg (background-similarity pairs
+  under the S-curve knee — measured at the sf10 scale point), and the
+  prefilter stops it at the 512-byte signatures so document shingles
+  only ever move for pairs whose estimated Jaccard is within margin of
+  the threshold.
 - **SimHash**: vectorized pandas_udf (numpy bit-twiddling is genuinely
   not expressible in Spark SQL), Arrow-batched; candidates via banded
   prefix buckets like LSH.
@@ -20,7 +26,7 @@ ubw_spark/queries/scale_ops.py.
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ubw_spark.functions.hof import let
+from ubw_spark.functions.hof import fence, let
 from ubw_spark.functions.text import tokens
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
@@ -223,6 +229,42 @@ def exact_jaccard() -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def minhash_agreement(
+    sig_a: Column, sig_b: Column, num_hashes: int = 64
+) -> Column:
+    """Number of agreeing components between two MinHash signatures —
+    64·Ĵ, the classic unbiased Jaccard estimator (each component agrees
+    with probability exactly J).
+
+    Deliberately an unrolled sum of integer equality casts, NOT a
+    ``zip_with``/``filter`` fold: the consumer is a join/filter
+    predicate, and a ``lambdafunction`` there is both the interpreted
+    re-evaluation hazard plans/inspect.py::hof_filter_violations lints
+    for and invisible to whole-stage codegen.  64 flat comparisons over
+    two materialized arrays codegen to straight-line JVM ints."""
+    agree = (sig_a[0] == sig_b[0]).cast("int")
+    for i in range(1, num_hashes):
+        agree = agree + (sig_a[i] == sig_b[i]).cast("int")
+    return agree
+
+
+def prefilter_min_agree(
+    threshold: float, num_hashes: int = 64, margin: float | None = 0.15
+) -> int:
+    """Integer agreement cut for the signature-estimate prefilter:
+    ``ceil((threshold − margin)·num_hashes)``, 0 (disabled) when margin
+    is None or swallows the whole threshold.  The cut is part of the
+    operator's deterministic semantics (both engines of an oracle pair
+    apply the identical integer compare), so it must be derived from
+    whole-number arithmetic, never from a float compare at run time."""
+    if margin is None:
+        return 0
+    import math
+
+    cut = math.ceil((threshold - margin) * num_hashes - 1e-9)
+    return max(cut, 0)
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str,
@@ -235,13 +277,38 @@ def minhash_dedup_pairs(
     threshold: float = 0.4,
     parallelism: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_margin: float | None = 0.15,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
-    candidates → exact-Jaccard verification ≥ threshold.
+    candidates → signature-estimate prefilter → exact-Jaccard
+    verification ≥ threshold.
 
     Returns (id_a, id_b, jaccard).  The exact verification joins shingle
     sets back only for candidate pairs (LSH-bounded), so the quadratic
     kernel never touches non-candidates.
+
+    **The prefilter is the 100 TB load-bearer** (diagnosed at the sf10
+    scale point, round 13): with (b=32, r=2) banding the S-curve
+    threshold sits at (1/b)^(1/r) ≈ 0.18, so background-similarity pairs
+    at j ≈ 0.05–0.15 collide in some band with probability ≈ 32·j² —
+    and the NUMBER of such pairs grows ∝ N² (measured: 8.8M candidates
+    for 500k docs vs 64k pairs at j ≥ 0.1; cand/doc 8.9 → 17.7 for
+    10×).  Shipping full shingle sets (KBs/doc) to exact-verify that
+    stream is the quadratic that sf3 hid.  The 64 signature components
+    the pipeline already computed are an unbiased Jaccard estimator
+    (σ = √(j(1−j)/64) ≈ 0.06), so candidates are first joined against
+    the 512-byte signatures and pairs with agreement below
+    ``ceil((threshold − prefilter_margin)·num_hashes)`` (default
+    0.25·64 = 16) are dropped BEFORE any shingle moves — ~100× fewer
+    pairs reach the exact verify, at the cost of re-running the linear
+    signature map for the two prefilter join sides.  The cut is
+    deterministic (exact integer minima compared for equality), applied
+    identically in the SQL oracles, and measured per Jaccard bucket by
+    ``lsh_recall_report``: a true pair at j = threshold clears it with
+    P ≈ 97.5% and the miss probability decays to ~0 by j ≈ 0.6 — for
+    corpora where even that matters, widen the margin (more verify
+    volume) or re-band (r=3, b=21 moves the S-curve itself to 0.36).
+    ``prefilter_margin=None`` disables.
 
     ``parallelism``: signature computation is CPU-heavy per row; when the
     input has fewer splits than cores (small/unsplittable files), pass
@@ -269,6 +336,31 @@ def minhash_dedup_pairs(
         sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band,
         max_bucket=max_bucket,
     )
+    cut = prefilter_min_agree(threshold, num_hashes, prefilter_margin)
+    if cut > 0:
+        # fence: the agreement predicate's inferred null-checks would
+        # otherwise push below this projection and rebuild the whole
+        # shingle→hash→sign pipeline per input row (the exact hazard
+        # plans/inspect.py::hof_filter_violations lints for)
+        siga = sig.select(
+            F.col(id_col).alias("id_a"),
+            fence(F.col("__sig")).alias("__siga"),
+        )
+        sigb = sig.select(
+            F.col(id_col).alias("id_b"),
+            fence(F.col("__sig")).alias("__sigb"),
+        )
+        cands = (
+            cands.join(siga, "id_a")
+            .join(sigb, "id_b")
+            .where(
+                minhash_agreement(
+                    F.col("__siga"), F.col("__sigb"), num_hashes
+                )
+                >= cut
+            )
+            .select("id_a", "id_b")
+        )
     jac = exact_jaccard()
     return (
         cands.join(a, "id_a")
@@ -289,6 +381,7 @@ def lsh_recall_report(
     rows_per_band: int = 2,
     threshold: float = 0.4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    prefilter_margin: float | None = 0.15,
 ) -> DataFrame:
     """MEASURED MinHash-LSH recall against exact-Jaccard ground truth
     per Jaccard bucket — run it on a FIXED-SIZE audit slice (the truth
@@ -296,12 +389,15 @@ def lsh_recall_report(
 
     Ground truth = every pair with exact shingle-set Jaccard ≥
     ``threshold``; found = the production pipeline
-    (:func:`minhash_dedup_pairs`) with the same parameters, which
+    (:func:`minhash_dedup_pairs`) with the same parameters — banding
+    AND the signature-estimate prefilter, so this report prices the
+    FULL candidate-thinning stack, not just the band S-curve — which
     verifies the same Jaccard, so found ⊆ truth.  The bucket is
     integer-exact cross-engine: ``(10·|∩|) div |∪|`` never sits on a
     float boundary.  Returns (jac_bucket, n_truth, n_found, recall) —
-    the empirical S-curve 1-(1-j^r)^b that a banding-parameter
-    regression (fewer bands, broken hash, over-aggressive cap) would
+    the empirical S-curve 1-(1-j^r)^b (times the prefilter's
+    boundary-bucket pass rate) that a banding-parameter regression
+    (fewer bands, broken hash, over-aggressive cap or margin) would
     visibly dent."""
     base, _, a, b = shingle_pair_frames(df, id_col, text_col, k)
     # Same cartesian-over-partition-pairs hazard as
@@ -325,7 +421,7 @@ def lsh_recall_report(
         base, id_col, text_col,
         k=k, num_hashes=num_hashes, bands=bands,
         rows_per_band=rows_per_band, threshold=threshold,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, prefilter_margin=prefilter_margin,
     ).select("id_a", "id_b", F.lit(1).alias("__hit"))
     return (
         truth.join(found, ["id_a", "id_b"], "left")
@@ -548,13 +644,15 @@ def banded_minhash(
     bands: int = 32,
     rows_per_band: int = 2,
     parallelism: int | None = None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared MinHash banding pipeline: filter short docs, shingle,
-    hash, sign, band.  Returns ``(shingles, banded)`` where shingles is
-    ``(id, sh_name)`` and banded is ``(id, __band, __key)`` — the two
-    frames every LSH consumer (self-join dedup, cross-dataset
-    contamination, the persisted index) builds candidates and verifies
-    from.
+    hash, sign, band.  Returns ``(shingles, signatures, banded)`` where
+    shingles is ``(id, sh_name)``, signatures is ``(id, __sig)`` (the
+    64-long array the signature-estimate prefilter compares — see
+    :func:`minhash_agreement`), and banded is ``(id, __band, __key)`` —
+    the frames every LSH consumer (self-join dedup, cross-dataset
+    contamination, the persisted index) builds candidates, prefilters,
+    and verifies from.
 
     ``parallelism``: signature computation is the CPU-heavy stage; when
     the input has fewer splits than cores (small/unsplittable files),
@@ -591,7 +689,7 @@ def banded_minhash(
             ),
         ).alias("__key"),
     )
-    return sh, banded
+    return sh, sig, banded
 
 
 def minhash_contamination_pairs(
@@ -608,13 +706,19 @@ def minhash_contamination_pairs(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     large_probe: bool = False,
     parallelism: int | None = None,
+    prefilter_margin: float | None = 0.15,
 ) -> DataFrame:
     """Cross-dataset near-dup detection (decontamination): probe rows
     (an eval/test set) that near-duplicate corpus rows (training data).
 
     Same MinHash-LSH machinery as :func:`minhash_dedup_pairs`, but the
     band join runs corpus × probe instead of self-join — returns
-    (corpus_id, probe_id, jaccard) with jaccard ≥ threshold.
+    (corpus_id, probe_id, jaccard) with jaccard ≥ threshold.  The
+    signature-estimate prefilter (see :func:`minhash_dedup_pairs` —
+    same cut, same rationale, same oracle parity) sits between the band
+    join and the shingle verify; in the large-probe dump-vs-dump
+    posture it is what keeps the O(N²·p_bg) false-candidate stream from
+    ever touching document shingles.
 
     Two scale postures, selected by ``large_probe``:
 
@@ -630,7 +734,9 @@ def minhash_contamination_pairs(
       collision probability is unchanged; only the physical strategy
       differs."""
 
-    def prep(df: DataFrame, side: str) -> tuple[DataFrame, DataFrame]:
+    def prep(
+        df: DataFrame, side: str
+    ) -> tuple[DataFrame, DataFrame, DataFrame]:
         return banded_minhash(
             df, id_col, text_col,
             id_alias=f"{side}_id", sh_name=f"__sh_{side}",
@@ -638,8 +744,8 @@ def minhash_contamination_pairs(
             rows_per_band=rows_per_band, parallelism=parallelism,
         )
 
-    c_sh, c_banded = prep(corpus, "corpus")
-    p_sh, p_banded = prep(probe, "probe")
+    c_sh, c_sig, c_banded = prep(corpus, "corpus")
+    p_sh, p_sig, p_banded = prep(probe, "probe")
     if max_bucket is not None:
         c_banded = cap_buckets(c_banded, ["__band", "__key"], max_bucket)
         if large_probe:
@@ -652,6 +758,33 @@ def minhash_contamination_pairs(
         .select("corpus_id", "probe_id")
         .distinct()
     )
+    cut = prefilter_min_agree(threshold, num_hashes, prefilter_margin)
+    if cut > 0:
+        # fence: see minhash_dedup_pairs — keeps the agreement
+        # predicate's inferred null-checks above the signature pipeline
+        cands = (
+            cands.join(
+                c_sig.select(
+                    "corpus_id", fence(F.col("__sig")).alias("__sigc")
+                ),
+                "corpus_id",
+            )
+            .join(
+                maybe_bc(
+                    p_sig.select(
+                        "probe_id", fence(F.col("__sig")).alias("__sigp")
+                    )
+                ),
+                "probe_id",
+            )
+            .where(
+                minhash_agreement(
+                    F.col("__sigc"), F.col("__sigp"), num_hashes
+                )
+                >= cut
+            )
+            .select("corpus_id", "probe_id")
+        )
     inter = F.size(F.array_intersect("__sh_corpus", "__sh_probe"))
     union = F.size(F.array_union("__sh_corpus", "__sh_probe"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

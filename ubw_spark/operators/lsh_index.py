@@ -33,7 +33,9 @@ invisible on read.
 
 Layout versioning: the index root holds ``_CURRENT`` (a one-line
 manifest naming the live version) and ``vNNNNN/`` directories, each a
-complete ``bands``+``docs`` pair.  Readers resolve the manifest once
+complete ``bands``+``docs``+``sigs`` triple (``sigs`` — the persisted
+MinHash signatures backing the candidate prefilter — is absent on
+indexes written before round 13; probing them skips the prefilter).  Readers resolve the manifest once
 per query; rewrites (overwrite, compaction) write a fresh version dir
 and flip the manifest with a single small-file write — atomic locally
 via rename, atomic on object stores as one PUT.  The previous version
@@ -58,6 +60,8 @@ from ubw_spark.operators.dedup import (
     DEFAULT_MAX_BUCKET,
     banded_minhash,
     cap_buckets,
+    minhash_agreement,
+    prefilter_min_agree,
 )
 from ubw_spark.operators.versioned import (
     begin_rewrite,
@@ -112,6 +116,21 @@ def _docs_path(path: str) -> str:
     return posixpath.join(path, "docs")
 
 
+def _sigs_path(path: str) -> str:
+    return posixpath.join(path, "sigs")
+
+
+def _has_sigs(root: str) -> bool:
+    """Whether this version root carries the signature store.  Indexes
+    written before the round-13 signature-estimate prefilter have only
+    ``bands`` + ``docs``; probing them still works (the prefilter is an
+    optimization stage, not a layout contract), it just ships every
+    banded candidate straight to the shingle verify."""
+    import os
+
+    return os.path.isdir(_sigs_path(root))
+
+
 def write_minhash_index(
     df: DataFrame,
     id_col: str,
@@ -138,7 +157,7 @@ def write_minhash_index(
     compaction) write a NEW version dir and flip the pointer — never
     mutate a dir a reader may hold open."""
     cur, new_v, root = begin_rewrite(path)
-    sh, banded = banded_minhash(
+    sh, sig, banded = banded_minhash(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
         parallelism=parallelism,
@@ -152,6 +171,12 @@ def write_minhash_index(
         .parquet(_bands_path(root))
     )
     sh.write.mode("overwrite").parquet(_docs_path(root))
+    # the signature store backs the prefilter between the band join and
+    # the shingle verify: ~512 B/doc vs KBs/doc of shingles, rewritten
+    # alongside docs, read with a two-column pruned scan at probe time
+    sig.withColumnRenamed("__sig", "sig").write.mode("overwrite").parquet(
+        _sigs_path(root)
+    )
     write_sidecar(
         root,
         PARAMS_FILE,
@@ -162,7 +187,7 @@ def write_minhash_index(
             "rows_per_band": rows_per_band,
         },
     )
-    commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))
+    commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs", "sigs"))
 
 
 def append_minhash_batch(
@@ -192,7 +217,7 @@ def append_minhash_batch(
     is simply not yet visible in the old one)."""
     root = _resolve_root(path)
     _check_lsh_params(root, k, num_hashes, bands, rows_per_band)
-    sh, banded = banded_minhash(
+    sh, sig, banded = banded_minhash(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
     )
@@ -205,6 +230,10 @@ def append_minhash_batch(
         .parquet(_bands_path(root))
     )
     sh.write.mode("append").parquet(_docs_path(root))
+    if _has_sigs(root):
+        sig.withColumnRenamed("__sig", "sig").write.mode("append").parquet(
+            _sigs_path(root)
+        )
 
 
 def probe_minhash_index(
@@ -223,6 +252,7 @@ def probe_minhash_index(
     bands: int = 32,
     rows_per_band: int = 2,
     parallelism: int | None = None,
+    prefilter_margin: float | None = 0.15,
 ) -> DataFrame:
     """Near-dup pairs between a written index and an incoming batch:
     (corpus_id, probe_id, jaccard ≥ threshold).
@@ -231,13 +261,18 @@ def probe_minhash_index(
     partition filter on the index scan (recall/IO knob; None = all).
     The banding parameters must match the ones the index was written
     with (they are part of the layout contract, like IVF centroids).
+    Candidates pass the signature-estimate prefilter (persisted ``sigs``
+    store vs the batch's in-flight signatures — see
+    dedup.minhash_dedup_pairs for the cut and its recall pricing)
+    before any corpus shingle is read; ``prefilter_margin=None``, or an
+    index written before the ``sigs`` store existed, disables it.
 
     The manifest is resolved ONCE here, so the candidate scan and the
     verify join read the same version even if a compaction flips the
     pointer mid-query."""
     root = _resolve_root(path)
     _check_lsh_params(root, k, num_hashes, bands, rows_per_band)
-    p_sh, p_banded = banded_minhash(
+    p_sh, p_sig, p_banded = banded_minhash(
         probe, id_col, text_col, id_alias="probe_id", sh_name="sh_probe",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
         parallelism=parallelism,
@@ -257,6 +292,37 @@ def probe_minhash_index(
         .select("corpus_id", "probe_id")
         .distinct()
     )
+    cut = prefilter_min_agree(threshold, num_hashes, prefilter_margin)
+    if cut > 0 and _has_sigs(root):
+        # signature-estimate prefilter (dedup.minhash_agreement): the
+        # corpus side reads the persisted 512 B/doc signature store —
+        # never the shingle store — so only prefilter survivors pull
+        # document shingles.  Legacy bands+docs-only indexes skip this
+        # stage (superset semantics: every banded candidate verifies);
+        # rebuild the index to pick the prefilter up.
+        from ubw_spark.functions.hof import fence
+
+        # the corpus side is a materialized parquet column (inferred
+        # null-checks on it are cheap scan filters); only the batch's
+        # in-flight signatures need the pushdown fence — see
+        # dedup.minhash_dedup_pairs
+        c_sig = spark.read.parquet(_sigs_path(root))
+        cands = (
+            cands.join(c_sig, "corpus_id")
+            .join(
+                maybe_bc(
+                    p_sig.select(
+                        "probe_id", fence(F.col("__sig")).alias("sigp")
+                    )
+                ),
+                "probe_id",
+            )
+            .where(
+                minhash_agreement(F.col("sig"), F.col("sigp"), num_hashes)
+                >= cut
+            )
+            .select("corpus_id", "probe_id")
+        )
     c_sh = spark.read.parquet(_docs_path(root))
     inter = F.size(F.array_intersect("sh", "sh_probe"))
     union = F.size(F.array_union("sh", "sh_probe"))
@@ -276,11 +342,12 @@ def compacted_index_frames(
     id_col: str = "corpus_id",
     *,
     broadcast_drops: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """The (bands, docs) frames of the index at ``path`` with
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """The (bands, docs, sigs) frames of the index at ``path`` with
     ``drop_ids`` anti-joined out — the lazy core of
     :func:`compact_minhash_index`, exposed so plan tests can assert the
-    join strategy without executing a rewrite.
+    join strategy without executing a rewrite.  ``sigs`` is None for a
+    legacy index without the signature store.
 
     ``broadcast_drops=True`` broadcasts the drop set into both
     anti-joins — right when the drop set is an eval-set-sized blocklist.
@@ -299,7 +366,14 @@ def compacted_index_frames(
     docs_kept = spark.read.parquet(_docs_path(root)).join(
         maybe_bc(drops), id_col, "left_anti"
     )
-    return bands_kept, docs_kept
+    sigs_kept = (
+        spark.read.parquet(_sigs_path(root)).join(
+            maybe_bc(drops), id_col, "left_anti"
+        )
+        if _has_sigs(root)
+        else None
+    )
+    return bands_kept, docs_kept, sigs_kept
 
 
 def compact_minhash_index(
@@ -332,7 +406,7 @@ def compact_minhash_index(
     old_root = _resolve_root(path)
     stored_params = read_sidecar(old_root, PARAMS_FILE, "minhash index")
     cur, new_v, new_root = begin_rewrite(path)
-    bands_kept, docs_kept = compacted_index_frames(
+    bands_kept, docs_kept, sigs_kept = compacted_index_frames(
         spark, path, drop_ids, id_col, broadcast_drops=broadcast_drops
     )
     (
@@ -342,12 +416,14 @@ def compact_minhash_index(
         .parquet(_bands_path(new_root))
     )
     docs_kept.write.mode("overwrite").parquet(_docs_path(new_root))
+    if sigs_kept is not None:
+        sigs_kept.write.mode("overwrite").parquet(_sigs_path(new_root))
     # the layout params carry verbatim — compaction changes membership,
     # never the banding scheme
     write_sidecar(new_root, PARAMS_FILE, stored_params)
     # Flip + GC + legacy flat-store cleanup, shared contract:
     # operators/versioned.py::commit_rewrite.
-    commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs"))
+    commit_rewrite(path, cur, new_v, legacy_names=("bands", "docs", "sigs"))
 
 
 def bless_minhash_index(

