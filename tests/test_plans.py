@@ -97,9 +97,12 @@ def test_topk_global_is_take_ordered_not_sort(q):
 
 def test_minhash_shuffles_bounded(q):
     # signature computation is map-only; shuffles come only from the
-    # band self-join + distinct + verify joins
+    # band self-join + distinct + the signature-prefilter joins (round
+    # 13: two id-hashed exchanges of 512 B/doc signature rows, the
+    # price of thinning the candidate stream before KB-scale shingles
+    # move) + verify joins
     df = q("dedup_minhash_lsh")
-    assert shuffle_count(df) <= 8
+    assert shuffle_count(df) <= 10
 
 
 def test_window_topk_single_shuffle(q):
