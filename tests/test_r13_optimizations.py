@@ -1,0 +1,205 @@
+"""Focused tests for the round-13 optimization internals.
+
+Each test pins an equivalence the optimization relies on: the fast
+path must produce exactly what the slow path produced, or the change
+is a rewrite, not an optimization.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# literal_frame: JVM-literal construction == createDataFrame, no Python scan
+
+
+def test_literal_frame_matches_createdataframe_values(spark):
+    from ubw_spark.functions.literals import literal_frame
+
+    schema = (
+        "a bigint, b int, c double, d string, e boolean, "
+        "f timestamp, g date, h array<double>, i float"
+    )
+    rows = [
+        (
+            1, 2, 0.1, "plain", True,
+            datetime.datetime(2024, 5, 5, 6, 7, 8),
+            datetime.date(2024, 5, 5), [1.5, -2.25], 0.5,
+        ),
+        (
+            -9, None, 1e-05, "quo'te\\back\nline", False,
+            datetime.datetime(2031, 1, 2, 3, 4, 5),
+            datetime.date(2031, 1, 2), [], None,
+        ),
+        (None, 0, None, None, None, None, None, None, 3.25),
+    ]
+    fast = literal_frame(spark, rows, schema)
+    slow = spark.createDataFrame(rows, schema)
+    assert fast.schema == slow.schema
+    assert sorted(map(repr, fast.collect())) == sorted(
+        map(repr, slow.collect())
+    )
+
+
+def test_literal_frame_plans_without_python_scan(spark):
+    from ubw_spark.functions.literals import literal_frame
+    from ubw_spark.plans import formatted_plan
+
+    df = literal_frame(spark, [(1, "x")], "k bigint, v string")
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" not in plan
+
+
+def test_literal_frame_falls_back_for_unsupported(spark):
+    from ubw_spark.functions.literals import literal_frame
+
+    # map type has no literal rendering → createDataFrame fallback
+    df = literal_frame(
+        spark, [({"a": 1},)], "m map<string,int>"
+    )
+    assert df.collect()[0]["m"] == {"a": 1}
+    # empty rows keep the schema
+    empty = literal_frame(spark, [], "k bigint")
+    assert empty.count() == 0 and empty.columns == ["k"]
+
+
+# ---------------------------------------------------------------------------
+# hll_rho: generated-SQL rank == the definition (1 + #{j: w < 2^(32-j)})
+
+
+def test_hll_rho_expr_matches_definition(spark):
+    import hashlib
+
+    from ubw_spark.operators.hll import hll_rho
+
+    items = ["a", "b", "hello world", "", "7", "zzz"]
+    df = spark.createDataFrame([(s,) for s in items], "item string")
+    got = {
+        r["item"]: r["rho"]
+        for r in df.select(
+            "item", hll_rho(F.col("item")).alias("rho")
+        ).collect()
+    }
+    for s in items:
+        w = int(hashlib.md5(f"hll:r:{s}".encode()).hexdigest()[:8], 16)
+        expected = 1 + sum(1 for j in range(1, 33) if w < (1 << (32 - j)))
+        assert got[s] == expected, (s, w)
+
+
+# ---------------------------------------------------------------------------
+# minhash generated-SQL builders: equal to the Column-composed forms
+
+
+def test_minhash_signature_expr_matches_python(spark):
+    import hashlib
+
+    from ubw_spark.operators.dedup import (
+        MERSENNE_P,
+        _hash_params,
+        minhash_signature,
+        portable_hash,
+    )
+
+    df = spark.createDataFrame(
+        [(["x y z", "y z w"],), (["solo gram here"],)], "sh array<string>"
+    )
+    hashed = df.select(
+        F.transform("sh", portable_hash).alias("__hv"), "sh"
+    )
+    rows = hashed.select(
+        minhash_signature("__hv", 8).alias("sig"), "sh"
+    ).collect()
+    for r in rows:
+        hvs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+            for g in r["sh"]
+        ]
+        for i in range(8):
+            a, b = _hash_params(i)
+            assert r["sig"][i] == min((a * h + b) % MERSENNE_P for h in hvs)
+
+
+def test_minhash_agreement_expr_counts(spark):
+    from ubw_spark.operators.dedup import minhash_agreement
+
+    df = spark.createDataFrame(
+        [([1, 2, 3, 4], [1, 9, 3, 7])], "a array<bigint>, b array<bigint>"
+    )
+    n = df.select(
+        minhash_agreement(F.col("a"), F.col("b"), 4).alias("n")
+    ).collect()[0]["n"]
+    assert n == 2
+
+
+# ---------------------------------------------------------------------------
+# minhash_frames: materialized and full-lineage paths agree exactly
+
+
+def test_minhash_pairs_materialized_equals_unmaterialized(spark, sf_dir):
+    from ubw_spark.operators.dedup import minhash_dedup_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kw = dict(k=3, num_hashes=64, bands=32, rows_per_band=2, threshold=0.4)
+    mat = sorted(
+        map(tuple, minhash_dedup_pairs(d, "doc_id", "text", **kw).collect())
+    )
+    unmat = sorted(
+        map(
+            tuple,
+            minhash_dedup_pairs(
+                d, "doc_id", "text", checkpoint=None, **kw
+            ).collect(),
+        )
+    )
+    assert mat == unmat and len(mat) > 0
+
+
+# ---------------------------------------------------------------------------
+# Observation-based term-index stats == the two-pass _corpus_stats
+
+
+def test_doc_postings_observation_matches_corpus_stats(spark):
+    from pyspark.sql import Observation
+
+    from ubw_spark.operators.retrieval import _corpus_stats, doc_postings
+
+    # includes a whitespace-only doc (trims to "" which the shared
+    # tokenizer splits to [""] — ONE empty token, counted in stats)
+    # and a NULL-text doc (excluded everywhere)
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta"), (2, "   "), (3, None), (4, "gamma")],
+        "doc_id bigint, text string",
+    )
+    obs = Observation()
+    postings = doc_postings(df, "doc_id", "text", stats_observation=obs)
+    postings.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    want = _corpus_stats(df, "text").collect()[0]
+    assert got["n_docs"] == want["n_docs"] == 3
+    assert got["total_tokens"] == want["total_tokens"] == 5
+
+
+# ---------------------------------------------------------------------------
+# stream_shuffle_partitions: env override wins, default is bounded
+
+
+def test_stream_shuffle_partitions(spark, monkeypatch):
+    from ubw_spark.streaming.stages import (
+        shuffle_partitions_override,
+        stream_shuffle_partitions,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_PARTITIONS", raising=False)
+    n = stream_shuffle_partitions(spark)
+    assert 1 <= n <= 4
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_PARTITIONS", "13")
+    assert stream_shuffle_partitions(spark) == 13
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with shuffle_partitions_override(spark, 3):
+        assert spark.conf.get(key) == "3"
+    assert spark.conf.get(key) == before

@@ -51,7 +51,10 @@ def connected_components(
     )
     # sym lives for the WHOLE loop (every round joins it): no slot, its
     # durable copy is reclaimed by the checkpoint dir's retention policy.
-    sym = truncate(sym, checkpoint)
+    # eager=False: blocks materialize inside round 1's first job instead
+    # of a dedicated driver-blocking job (one fewer job per operator
+    # call; round-13 driver-overhead sweep).
+    sym = truncate(sym, checkpoint, eager=False)
     _slot = TruncateSlot()  # the labels chain: round k frees round k-1
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -88,7 +91,11 @@ def connected_components(
             )
             .withColumnRenamed("__new", "component")
         )
-        updated = truncate(updated, checkpoint, slot=_slot)
+        # eager=False folds the materialization into the convergence
+        # probe: the agg below is the round's ONE job, computing and
+        # persisting the labels' blocks on the way to the changed-count
+        # (was two jobs per round: an eager checkpoint, then the agg).
+        updated = truncate(updated, checkpoint, slot=_slot, eager=False)
         changed = updated.agg(F.sum("__changed")).first()[0]
         labels = updated.drop("__changed")
         if not changed:

@@ -31,6 +31,14 @@ from ubw_spark.functions.text import tokens
 
 MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
+#: Partition count for the recall audits' m²-by-design truth joins:
+#: the audit slice is constant-size by contract (~250 docs), so the
+#: nested-loop kernel is bounded — a few partitions parallelize it
+#: across cores without task-scheduling overhead dominating, and the
+#: count is deliberately NOT the session parallelism (the slice does
+#: not grow with the corpus or the cluster).
+_AUDIT_TRUTH_PARTITIONS = 8
+
 #: Default hot-bucket cap for banded candidate generation.  A bucket of
 #: occupancy m emits m·(m-1)/2 pairs, so one degenerate bucket (shared
 #: boilerplate on a web corpus) can single-handedly go quadratic; buckets
@@ -126,35 +134,48 @@ def _hash_params(i: int) -> tuple[int, int]:
     return 2 * i + 1, 104_729 * i + 17
 
 
-def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
+def _col_sql(c: Column | str) -> str:
+    """SQL text of a column reference/expression, for the generated-SQL
+    expression builders below (the pq.py `_adc_sum_sql` pattern): a bare
+    name is backtick-quoted; a Column renders through Catalyst's own
+    ``Expression.sql`` — one py4j call instead of one per subterm."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    return c._jc.node().sql()
+
+
+def minhash_signature(hashes: Column | str, num_hashes: int = 64) -> Column:
     """MinHash signature (array<bigint>, length num_hashes) from a
     column of shingle hashes.
 
     sig[i] = min over shingle hashes h of (a_i·h + b_i) mod P.
 
-    The input is LET-BOUND (functions/hof.py), so ``hashes`` is
-    evaluated exactly once no matter what expression the caller passes:
-    the signature references it num_hashes times, and before the
-    binding an inline ``transform(shingles, portable_hash)`` argument
-    was re-hashed by every one of the 64 lambdas (measured 100+ s at
-    5k docs vs ~2 s) — callers had to know to pre-materialize, a
-    contract that rode on CollapseProject's multi-reference heuristic.
-    Now the guarantee is structural."""
+    The input is LET-BOUND (functions/hof.py — here spelled directly in
+    the generated SQL as ``element_at(transform(array(<hashes>), h ->
+    ...), 1)``), so ``hashes`` is evaluated exactly once no matter what
+    expression the caller passes: the signature references it num_hashes
+    times, and before the binding an inline ``transform(shingles,
+    portable_hash)`` argument was re-hashed by every one of the 64
+    lambdas (measured 100+ s at 5k docs vs ~2 s).  The guarantee is
+    structural (lambda-bound value), identical to ``let``.
 
-    def sig(h: Column) -> Column:
-        mins = []
-        for i in range(num_hashes):
-            a, b = _hash_params(i)
-            mins.append(
-                F.array_min(
-                    F.transform(
-                        h, lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P
-                    )
-                )
-            )
-        return F.array(*mins)
-
-    return let(hashes, sig)
+    Emitted as ONE generated-SQL string rather than composed Column
+    objects (round-13 optimization, guide §1.2 "per-task work" applied
+    to the DRIVER): the 64 array_min/transform terms cost ~0.8 s of
+    py4j round trips PER CALL at plan-build time — pure driver stall,
+    paid again for every branch and every invocation — vs ~3 ms for the
+    string.  The string is generated from module literals and the
+    caller's column only; no user input reaches it."""
+    ref = _col_sql(hashes)
+    terms = ",".join(
+        "array_min(transform(h, x -> ({a} * x + {b}) % {p}))".format(
+            a=a, b=b, p=MERSENNE_P
+        )
+        for a, b in (_hash_params(i) for i in range(num_hashes))
+    )
+    return F.expr(
+        f"element_at(transform(array({ref}), h -> array({terms})), 1)"
+    )
 
 
 def lsh_candidate_pairs(
@@ -200,28 +221,89 @@ def lsh_candidate_pairs(
     )
 
 
-def shingle_pair_frames(
-    df: DataFrame, id_col: str, text_col: str, k: int
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Shared shingle-set frames for exact-Jaccard verification: the
-    ≥k-token base corpus, its (id, __sh) shingle table, and the
-    pair-aliased (id_a, __sha) / (id_b, __shb) sides.  ONE definition
-    serves both :func:`minhash_dedup_pairs`' candidate verify and
-    :func:`lsh_recall_report`'s ground truth — the audit measures the
-    production pipeline only if the two compute the same sets, so they
-    must not be free to drift."""
+def minhash_frames(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    parallelism: int | None = None,
+    checkpoint: str | None = "local",
+) -> DataFrame:
+    """The shared MinHash base frame ``(id, __sh, __sig)`` — shingle
+    set and 64-long signature — computed in ONE corpus pass and
+    MATERIALIZED (operators/iterate.py::truncate), so every consumer
+    branch (banding, the signature-estimate prefilter's two sides, the
+    exact-Jaccard verify's two sides, an audit's ground truth) reads
+    the materialized rows instead of re-running the shingle→md5→
+    signature pipeline per branch.
+
+    Round-13 optimization rationale (guide §1.2 step 1 — don't compute
+    things twice): the pre-materialization pipeline re-derived this
+    subtree up to 5× per query (two ~equal 32-task signature jobs
+    visible in the job profile of ``dedup_minhash_lsh`` alone), and
+    every branch ALSO re-paid plan analysis of the 64-term signature
+    tree.  One definition serving both the production pairs and the
+    recall audit additionally pins them to identical sets structurally
+    (the old shingle_pair_frames contract, now by shared data).
+
+    ``checkpoint``: ``"local"`` (default — executor-storage blocks,
+    MEMORY_AND_DISK, the single-box/bench posture), ``"reliable"``
+    (durable parquet round-trip under the context's checkpoint dir —
+    the 100 TB posture where an executor loss must not kill the
+    pipeline and the corpus-sized frame belongs on storage), or
+    ``None`` (no materialization — full-lineage plan, used by the plan
+    lints to certify the unmaterialized pipeline's shape).
+
+    Docs shorter than k words are dropped BEFORE shingling: they can't
+    be near-dups under this metric, and their all-null signatures would
+    band together and 0/0 in the Jaccard verify.  Filtering on the raw
+    token count keeps the guard out of the shingle expression (a
+    where(size(__sh)>0) after the projection gets pushed down and
+    re-evaluates the whole shingle pipeline — measured 4× on the sf0.1
+    bench).
+
+    ``parallelism``: signature computation is CPU-heavy per row; when
+    the input has fewer splits than cores (small/unsplittable files),
+    pass the target partition count to repartition BEFORE hashing —
+    one cheap shuffle of raw text buys full-width compute."""
+    from ubw_spark.operators.iterate import truncate
+
+    if parallelism:
+        df = df.repartition(parallelism)
     base = df.where(F.size(tokens(F.col(text_col))) >= k)
     sh = base.select(
         F.col(id_col), word_shingles(F.col(text_col), k).alias("__sh")
     )
-    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha"))
-    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb"))
-    return base, sh, a, b
+    hashed = sh.select(
+        id_col, "__sh", F.transform("__sh", portable_hash).alias("__hv")
+    )
+    combined = hashed.select(
+        id_col, "__sh", minhash_signature("__hv", num_hashes).alias("__sig")
+    )
+    if checkpoint is not None:
+        combined = truncate(combined, checkpoint)
+    return combined
+
+
+def _pair_sides(
+    combined: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(id_a, __sha) / (id_b, __shb) shingle sides of the shared frame,
+    for exact-Jaccard verification."""
+    a = combined.select(
+        F.col(id_col).alias("id_a"), F.col("__sh").alias("__sha")
+    )
+    b = combined.select(
+        F.col(id_col).alias("id_b"), F.col("__sh").alias("__shb")
+    )
+    return a, b
 
 
 def exact_jaccard() -> Column:
     """0-guarded exact Jaccard over the pair-aliased shingle columns
-    (``__sha``/``__shb`` from :func:`shingle_pair_frames`).  The guard
+    (``__sha``/``__shb`` from :func:`_pair_sides`).  The guard
     is unreachable after the ≥k-token filter (both sets non-empty) but
     keeps the expression total."""
     inter = F.size(F.array_intersect("__sha", "__shb"))
@@ -230,7 +312,7 @@ def exact_jaccard() -> Column:
 
 
 def minhash_agreement(
-    sig_a: Column, sig_b: Column, num_hashes: int = 64
+    sig_a: Column | str, sig_b: Column | str, num_hashes: int = 64
 ) -> Column:
     """Number of agreeing components between two MinHash signatures —
     64·Ĵ, the classic unbiased Jaccard estimator (each component agrees
@@ -241,11 +323,19 @@ def minhash_agreement(
     predicate, and a ``lambdafunction`` there is both the interpreted
     re-evaluation hazard plans/inspect.py::hof_filter_violations lints
     for and invisible to whole-stage codegen.  64 flat comparisons over
-    two materialized arrays codegen to straight-line JVM ints."""
-    agree = (sig_a[0] == sig_b[0]).cast("int")
-    for i in range(1, num_hashes):
-        agree = agree + (sig_a[i] == sig_b[i]).cast("int")
-    return agree
+    two materialized arrays codegen to straight-line JVM ints.
+
+    Emitted as ONE generated-SQL string (see :func:`minhash_signature`):
+    the chained Column arithmetic cost ~0.5 s of py4j round trips per
+    call at plan-build time, ~1 ms as text.  Identical expression tree
+    after parsing (``a[i]`` is the same 0-based ``getItem``)."""
+    a_ref, b_ref = _col_sql(sig_a), _col_sql(sig_b)
+    return F.expr(
+        " + ".join(
+            f"cast({a_ref}[{i}] = {b_ref}[{i}] as int)"
+            for i in range(num_hashes)
+        )
+    )
 
 
 def prefilter_min_agree(
@@ -278,6 +368,7 @@ def minhash_dedup_pairs(
     parallelism: int | None = None,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     prefilter_margin: float | None = 0.15,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → signature-estimate prefilter → exact-Jaccard
@@ -314,34 +405,49 @@ def minhash_dedup_pairs(
     input has fewer splits than cores (small/unsplittable files), pass
     the target partition count to repartition BEFORE hashing — one cheap
     shuffle of raw text buys full-width compute.  Default None keeps the
-    input partitioning (right when the lake already has many splits)."""
-    if parallelism:
-        df = df.repartition(parallelism)
-    # shingle_pair_frames drops docs shorter than k words BEFORE
-    # shingling: they can't be near-dups under this metric, and their
-    # all-null signatures would band together and 0/0 in the Jaccard
-    # verify.  Filtering on the raw token count (not on the shingle
-    # array) keeps the guard out of the shingle expression — a
-    # where(size(__sh)>0) after the projection gets pushed down and
-    # re-evaluates the whole shingle pipeline (measured 4x on the
-    # sf0.1 bench).
-    _, sh, a, b = shingle_pair_frames(df, id_col, text_col, k)
-    hashed = sh.select(
-        id_col, "__sh", F.transform("__sh", portable_hash).alias("__hv")
+    input partitioning (right when the lake already has many splits).
+
+    ``checkpoint``: materialization policy for the shared shingle+
+    signature frame — see :func:`minhash_frames`."""
+    combined = minhash_frames(
+        df, id_col, text_col,
+        k=k, num_hashes=num_hashes, parallelism=parallelism,
+        checkpoint=checkpoint,
     )
-    sig = hashed.select(
-        id_col, "__sh", minhash_signature(F.col("__hv"), num_hashes).alias("__sig")
+    return _pairs_from_frames(
+        combined, id_col,
+        num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+        threshold=threshold, max_bucket=max_bucket,
+        prefilter_margin=prefilter_margin,
     )
+
+
+def _pairs_from_frames(
+    combined: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    threshold: float,
+    max_bucket: int | None,
+    prefilter_margin: float | None,
+) -> DataFrame:
+    """Banded candidates → signature-estimate prefilter → exact-Jaccard
+    verify, all reading a shared :func:`minhash_frames` frame.  Split
+    out so :func:`lsh_recall_report` can score the production pipeline
+    over the SAME materialized frame its ground truth reads."""
+    sig = combined.select(id_col, "__sig")
     cands = lsh_candidate_pairs(
-        sig.select(id_col, "__sig"), id_col, "__sig", bands, rows_per_band,
-        max_bucket=max_bucket,
+        sig, id_col, "__sig", bands, rows_per_band, max_bucket=max_bucket
     )
     cut = prefilter_min_agree(threshold, num_hashes, prefilter_margin)
     if cut > 0:
         # fence: the agreement predicate's inferred null-checks would
-        # otherwise push below this projection and rebuild the whole
-        # shingle→hash→sign pipeline per input row (the exact hazard
-        # plans/inspect.py::hof_filter_violations lints for)
+        # otherwise push below this projection and (in the
+        # unmaterialized checkpoint=None shape) rebuild the whole
+        # shingle→hash→sign pipeline per input row — the exact hazard
+        # plans/inspect.py::hof_filter_violations lints for
         siga = sig.select(
             F.col(id_col).alias("id_a"),
             fence(F.col("__sig")).alias("__siga"),
@@ -354,13 +460,11 @@ def minhash_dedup_pairs(
             cands.join(siga, "id_a")
             .join(sigb, "id_b")
             .where(
-                minhash_agreement(
-                    F.col("__siga"), F.col("__sigb"), num_hashes
-                )
-                >= cut
+                minhash_agreement("__siga", "__sigb", num_hashes) >= cut
             )
             .select("id_a", "id_b")
         )
+    a, b = _pair_sides(combined, id_col)
     jac = exact_jaccard()
     return (
         cands.join(a, "id_a")
@@ -382,6 +486,7 @@ def lsh_recall_report(
     threshold: float = 0.4,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     prefilter_margin: float | None = 0.15,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """MEASURED MinHash-LSH recall against exact-Jaccard ground truth
     per Jaccard bucket — run it on a FIXED-SIZE audit slice (the truth
@@ -389,22 +494,34 @@ def lsh_recall_report(
 
     Ground truth = every pair with exact shingle-set Jaccard ≥
     ``threshold``; found = the production pipeline
-    (:func:`minhash_dedup_pairs`) with the same parameters — banding
-    AND the signature-estimate prefilter, so this report prices the
-    FULL candidate-thinning stack, not just the band S-curve — which
-    verifies the same Jaccard, so found ⊆ truth.  The bucket is
-    integer-exact cross-engine: ``(10·|∩|) div |∪|`` never sits on a
-    float boundary.  Returns (jac_bucket, n_truth, n_found, recall) —
-    the empirical S-curve 1-(1-j^r)^b (times the prefilter's
+    (:func:`_pairs_from_frames` — banding AND the signature-estimate
+    prefilter, so this report prices the FULL candidate-thinning
+    stack, not just the band S-curve) which verifies the same Jaccard,
+    so found ⊆ truth.  Truth and found read the SAME materialized
+    :func:`minhash_frames` frame, so the two cannot drift — they are
+    one dataset, not two pipelines that happen to agree.  The bucket
+    is integer-exact cross-engine: ``(10·|∩|) div |∪|`` never sits on
+    a float boundary.  Returns (jac_bucket, n_truth, n_found, recall)
+    — the empirical S-curve 1-(1-j^r)^b (times the prefilter's
     boundary-bucket pass rate) that a banding-parameter regression
     (fewer bands, broken hash, over-aggressive cap or margin) would
     visibly dent."""
-    base, _, a, b = shingle_pair_frames(df, id_col, text_col, k)
+    combined = minhash_frames(
+        df, id_col, text_col,
+        k=k, num_hashes=num_hashes, checkpoint=checkpoint,
+    )
+    a, b = _pair_sides(combined, id_col)
     # Same cartesian-over-partition-pairs hazard as
-    # simhash_recall_report: the slice is small by contract, so pin it
-    # to one partition and broadcast the inner side — the m² truth join
-    # must cost m² ROW comparisons, not splits² SCAN re-runs.
-    a, b = a.repartition(1), F.broadcast(b.repartition(1))
+    # simhash_recall_report: broadcast the inner side so the m² truth
+    # join costs m² ROW comparisons, not splits² SCAN re-runs.  The
+    # outer side is pinned to a SMALL FIXED partition count (not 1):
+    # the slice is constant-size by contract, and a handful of
+    # partitions parallelizes the m² nested loop — with the shared
+    # frame materialized, extra partitions are block reads, never
+    # pipeline re-runs (round 13; was repartition(1) = one serial
+    # task doing the whole m² kernel).
+    a = a.repartition(_AUDIT_TRUTH_PARTITIONS)
+    b = F.broadcast(b.repartition(1))
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .where(exact_jaccard() >= threshold)
@@ -417,11 +534,11 @@ def lsh_recall_report(
             ).alias("__bucket"),
         )
     )
-    found = minhash_dedup_pairs(
-        base, id_col, text_col,
-        k=k, num_hashes=num_hashes, bands=bands,
-        rows_per_band=rows_per_band, threshold=threshold,
-        max_bucket=max_bucket, prefilter_margin=prefilter_margin,
+    found = _pairs_from_frames(
+        combined, id_col,
+        num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
+        threshold=threshold, max_bucket=max_bucket,
+        prefilter_margin=prefilter_margin,
     ).select("id_a", "id_b", F.lit(1).alias("__hit"))
     return (
         truth.join(found, ["id_a", "id_b"], "left")
@@ -571,6 +688,7 @@ def simhash_recall_report(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """MEASURED SimHash recall against exact-Hamming ground truth per
     Hamming distance — :func:`lsh_recall_report`'s bitwise sibling
@@ -597,10 +715,18 @@ def simhash_recall_report(
     # 2.7 s → 66 s sf3 → sf10 before this pin).  One repartition(1) of
     # the ≤~300-row signature frame + a broadcast hint makes the truth
     # join a single-task nested loop regardless of corpus layout.
+    # The signature frame is additionally MATERIALIZED (round 13, same
+    # rationale as minhash_frames): truth's two sides and the banded
+    # found pipeline otherwise re-run the per-token md5 pandas_udf once
+    # per branch — 4 UDF passes for one audit.
+    from ubw_spark.operators.iterate import truncate
+
     sig = simhash_signature(df, id_col, text_col).repartition(1)
+    if checkpoint is not None:
+        sig = truncate(sig, checkpoint)
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa")
-    )
+    ).repartition(_AUDIT_TRUTH_PARTITIONS)
     b = sig.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb")
     )
@@ -644,6 +770,7 @@ def banded_minhash(
     bands: int = 32,
     rows_per_band: int = 2,
     parallelism: int | None = None,
+    checkpoint: str | None = "local",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """The shared MinHash banding pipeline: filter short docs, shingle,
     hash, sign, band.  Returns ``(shingles, signatures, banded)`` where
@@ -660,23 +787,22 @@ def banded_minhash(
     full-width compute — same knob and rationale as
     :func:`minhash_dedup_pairs` (measured 3-4× on the sf0.1
     contamination bench, whose one-file input otherwise bands on a
-    couple of tasks)."""
-    out_id = id_alias or id_col
-    if parallelism:
-        df = df.repartition(parallelism)
-    from ubw_spark.functions.text import tokens
+    couple of tasks).
 
-    df = df.where(F.size(tokens(F.col(text_col))) >= k)
-    sh = df.select(
+    ``checkpoint``: materialization policy for the shared frame all
+    three returned frames derive from — see :func:`minhash_frames`."""
+    out_id = id_alias or id_col
+    combined = minhash_frames(
+        df, id_col, text_col,
+        k=k, num_hashes=num_hashes, parallelism=parallelism,
+        checkpoint=checkpoint,
+    ).select(
         F.col(id_col).alias(out_id),
-        word_shingles(F.col(text_col), k).alias(sh_name),
+        F.col("__sh").alias(sh_name),
+        "__sig",
     )
-    hashed = sh.select(
-        out_id, sh_name, F.transform(sh_name, portable_hash).alias("__hv")
-    )
-    sig = hashed.select(
-        out_id, minhash_signature(F.col("__hv"), num_hashes).alias("__sig")
-    )
+    sh = combined.select(out_id, sh_name)
+    sig = combined.select(out_id, "__sig")
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
     banded = sig.select(out_id, "__sig", band_idx).select(
         out_id,
@@ -707,6 +833,7 @@ def minhash_contamination_pairs(
     large_probe: bool = False,
     parallelism: int | None = None,
     prefilter_margin: float | None = 0.15,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Cross-dataset near-dup detection (decontamination): probe rows
     (an eval/test set) that near-duplicate corpus rows (training data).
@@ -742,6 +869,7 @@ def minhash_contamination_pairs(
             id_alias=f"{side}_id", sh_name=f"__sh_{side}",
             k=k, num_hashes=num_hashes, bands=bands,
             rows_per_band=rows_per_band, parallelism=parallelism,
+            checkpoint=checkpoint,
         )
 
     c_sh, c_sig, c_banded = prep(corpus, "corpus")

@@ -85,6 +85,7 @@ def dsir_log_weights(
     n: int = 2,
     buckets: int = 1024,
     smoothing: float = 1.0,
+    checkpoint: str | None = "local",
 ) -> DataFrame:
     """Per-source-document importance log-weight:
     (id, n_feats, log_weight) with
@@ -112,8 +113,21 @@ def dsir_log_weights(
     per_doc_bucket = s_feats.groupBy(id_col, "__bucket").agg(
         F.count(F.lit(1)).alias("__k")
     )
+    # Materialize the two feature aggregates (round 13): the source
+    # (doc, bucket) frame feeds BOTH the bucket-count rollup and the
+    # final per-doc join, and the target counts feed both the ratio
+    # and the totals — without truncation each reference re-executes
+    # the whole tokenize→hash→explode lineage (Catalyst has no
+    # cross-branch CSE).  Both frames are bounded: (doc, distinct
+    # buckets ≤ 1024) and exactly ``buckets`` rows.
+    if checkpoint is not None:
+        from ubw_spark.operators.iterate import truncate
+
+        per_doc_bucket = truncate(per_doc_bucket, checkpoint, eager=False)
     sc = per_doc_bucket.groupBy("__bucket").agg(F.sum("__k").alias("__cs"))
     tc = _bucket_counts(t_feats, "__ct")
+    if checkpoint is not None:
+        tc = truncate(tc, checkpoint, eager=False)
     totals = sc.agg(F.sum("__cs").alias("__ts")).crossJoin(
         tc.agg(F.sum("__ct").alias("__tt"))
     )

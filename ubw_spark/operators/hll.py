@@ -60,24 +60,35 @@ def hll_bucket(item_col: Column, p: int) -> Column:
     return portable_hash(F.concat(F.lit("hll:b:"), item_col)) % (1 << p)
 
 
-def hll_rho(item_col: Column) -> Column:
+def hll_rho(item_col: Column | str) -> Column:
     """Rank = leading zeros of the 32-bit ``hll:r:`` hash, plus one
     (w = 0 → 33).  Exact integer logic — a sum of 32 comparisons
     against power-of-two literals, mirrored term-for-term by the SQL
-    oracle — instead of float log2, whose rounding at exact powers of
-    two differs across engines."""
-    def rank(w: Column) -> Column:
-        out = F.lit(1)
-        for j in range(1, _HASH_BITS + 1):
-            out = out + F.when(w < F.lit(1 << (_HASH_BITS - j)), 1).otherwise(0)
-        return out
+    oracle (:func:`rho_sql` generates the identical CASE chain) —
+    instead of float log2, whose rounding at exact powers of two
+    differs across engines.
 
-    # let-bind the hash: 32 references to a bound value, ONE md5 per row
-    # (an inline variable would embed 32 copies of the md5 tree — the
-    # no-CSE trap, functions/hof.py).
-    from ubw_spark.functions.hof import let
+    The hash is let-bound (``transform(array(h), w -> ...)`` — 32
+    references to a bound value, ONE md5 per row; an inline variable
+    would embed 32 copies of the md5 tree, the no-CSE trap of
+    functions/hof.py), and the whole expression is emitted as ONE
+    generated-SQL string: building the 32-term chain through the Column
+    API cost ~0.45 s of py4j round trips per ``hll_build`` call at
+    plan-build time (round-13 measurement), ~1 ms as text."""
+    from ubw_spark.operators.dedup import _col_sql
 
-    return let(portable_hash(F.concat(F.lit("hll:r:"), item_col)), rank)
+    ref = _col_sql(item_col)
+    hash_sql = (
+        "cast(conv(substring(md5(concat('hll:r:', "
+        f"{ref})), 1, 8), 16, 10) as bigint)"
+    )
+    rank = "1 + " + " + ".join(
+        f"(CASE WHEN w < {1 << (_HASH_BITS - j)} THEN 1 ELSE 0 END)"
+        for j in range(1, _HASH_BITS + 1)
+    )
+    return F.expr(
+        f"element_at(transform(array({hash_sql}), w -> ({rank})), 1)"
+    )
 
 
 def rho_sql(expr: str) -> str:

@@ -314,7 +314,13 @@ def probe_ivf_index(
     ]
     from pyspark.sql.types import StructField, StructType
 
-    probes = spark.createDataFrame(
+    from ubw_spark.functions.literals import literal_frame
+
+    # literal_frame, not createDataFrame: the probe rows join every
+    # consuming job, and a pickled local RDD would launch a Python
+    # worker per job (round-13 measurement: ~0.3-0.5 s each warm)
+    probes = literal_frame(
+        spark,
         probe_rows,
         StructType(
             [
@@ -374,7 +380,10 @@ def ivf_ann_topk(
         ).collect()
         from pyspark.sql.types import IntegerType, StructField, StructType
 
-        probes = spark.createDataFrame(
+        from ubw_spark.functions.literals import literal_frame
+
+        probes = literal_frame(
+            spark,
             [
                 (r["qid"], r["__qv"], cell)
                 for r in q_rows

@@ -215,7 +215,21 @@ def with_zvalue(
             for c in cols
         ]
     keep = [f for f in df.columns]
-    return j.select(*keep, interleave(buckets, bits).alias(out_col))
+    # Buckets land as NAMED columns and the interleave is one parsed
+    # zvalue_sql expression over them (round 13): the Column-composed
+    # interleave() references each bucket subtree ``bits`` times — no
+    # CSE inside an expression tree, so bucketize re-ran per reference
+    # — and cost ndims×bits py4j round trips at plan-build time.  The
+    # named projection evaluates each bucket once; the SQL text mirrors
+    # interleave token for token (``>>`` ≡ shiftrightunsigned for the
+    # non-negative bucket ids), CAST to BIGINT matching interleave's
+    # long accumulator.
+    bnames = [f"__bk_{i}" for i in range(len(buckets))]
+    named = j.select(
+        *keep, *[b.alias(n) for b, n in zip(buckets, bnames)]
+    )
+    z = F.expr(f"CAST(({zvalue_sql(bnames, bits)}) AS BIGINT)")
+    return named.select(*keep, z.alias(out_col))
 
 
 def zorder_layout(

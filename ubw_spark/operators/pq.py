@@ -34,20 +34,29 @@ def seed_pq_codebooks(
     ksub: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    rows: list | None = None,
 ) -> list[list[list[float]]]:
     """Deterministic, SQL-expressible codebooks: subspace j's centroids
     are the j-th subvectors of the ksub corpus vectors with smallest
     md5(id) — reproducible in any engine with md5, like ivf.py's seed
     centroids.  Collect is bounded: ksub × dim floats.  Returns
-    ``codebooks[j][c] = list[dsub floats]``."""
-    rows = (
-        emb.select(
-            id_col, vec_col, F.md5(F.col(id_col).cast("string")).alias("__h")
+    ``codebooks[j][c] = list[dsub floats]``.
+
+    ``rows``: pre-collected md5-ordered seed rows (≥ ksub, see
+    queries.scale_ops.seed_rows) — one shared driver collect for
+    callers seeding several quantizer families."""
+    if rows is not None:
+        rows = rows[:ksub]
+    else:
+        rows = (
+            emb.select(
+                id_col, vec_col,
+                F.md5(F.col(id_col).cast("string")).alias("__h"),
+            )
+            .orderBy("__h", id_col)
+            .limit(ksub)
+            .collect()
         )
-        .orderBy("__h", id_col)
-        .limit(ksub)
-        .collect()
-    )
     dim = len(rows[0][vec_col])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

@@ -118,16 +118,38 @@ def query_terms(query: str) -> list[str]:
 
 
 def doc_postings(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    stats_observation=None,
 ) -> DataFrame:
     """(id, term, tf, dl) — the posting rows BM25 scores from.  dl is
     denormalized onto every posting (8 bytes) so scoring never joins
     back to the corpus; tf comes from one hash aggregate with map-side
     partials over the exploded tokens.  NULL-text rows are excluded
-    (module contract)."""
-    toks = df.where(F.col(text_col).isNotNull()).select(
+    (module contract).
+
+    ``stats_observation``: a ``pyspark.sql.Observation`` to attach at
+    the one-row-per-doc stage (BEFORE the explode drops zero-token
+    docs), collecting (n_docs, total_tokens) — the exact population
+    :func:`_corpus_stats` aggregates — as a side product of whatever
+    action executes the postings.  Lets the index writers fold the
+    stats pass into the postings pass: one corpus/batch scan, not two
+    (round 13; guide §1.2).  An Observation is single-use — pass a
+    fresh one per call."""
+    toks0 = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__t")
-    ).select(
+    )
+    if stats_observation is not None:
+        toks0 = toks0.observe(
+            stats_observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.size("__t")), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+    toks = toks0.select(
         id_col,
         F.size("__t").alias("dl"),
         F.explode("__t").alias("term"),
@@ -375,11 +397,16 @@ def read_term_stats(path: str) -> dict:
 
 
 def _bucketed_postings(
-    df: DataFrame, id_col: str, text_col: str, buckets: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    *,
+    stats_observation=None,
 ) -> DataFrame:
-    return doc_postings(df, id_col, text_col).withColumn(
-        "tb", portable_hash(F.col("term")) % buckets
-    )
+    return doc_postings(
+        df, id_col, text_col, stats_observation=stats_observation
+    ).withColumn("tb", portable_hash(F.col("term")) % buckets)
 
 
 def write_term_index(
@@ -396,19 +423,23 @@ def write_term_index(
     pinned modulus).  ``repartition("tb")`` before ``partitionBy``
     keeps each bucket in O(1) files (the write_minhash_index
     rationale).  Versioned-manifest lifecycle throughout
-    (operators/versioned.py)."""
+    (operators/versioned.py).  The stats ride an Observation on the
+    postings write (see :func:`doc_postings`): one corpus scan, not
+    two."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
     cur, new_v, root = begin_rewrite(path)
     (
-        _bucketed_postings(df, id_col, text_col, buckets)
+        _bucketed_postings(
+            df, id_col, text_col, buckets, stats_observation=obs
+        )
         .repartition("tb")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(root)
     )
-    st = (
-        _corpus_stats(df, text_col)
-        .collect()[0]  # one row: two bigints
-    )
+    st = obs.get  # {n_docs, total_tokens} observed during the write
     _write_stats(root, st["n_docs"], st["total_tokens"], buckets)
     commit_rewrite(path, cur, new_v)
 
@@ -460,14 +491,19 @@ def append_term_batch(
 
     _shutil.rmtree(new_root, ignore_errors=True)
     link_carryover(old_root, new_root, skip_files=(STATS_FILE,))
+    from pyspark.sql import Observation
+
+    obs = Observation()
     (
-        _bucketed_postings(batch, id_col, text_col, old["buckets"])
+        _bucketed_postings(
+            batch, id_col, text_col, old["buckets"], stats_observation=obs
+        )
         .repartition("tb")
         .write.mode("append")
         .partitionBy("tb")
         .parquet(new_root)
     )
-    st = _corpus_stats(batch, text_col).collect()[0]
+    st = obs.get  # {n_docs, total_tokens} observed during the write
     merged = {
         "n_docs": old["n_docs"] + st["n_docs"],
         "total_tokens": old["total_tokens"] + st["total_tokens"],

@@ -92,6 +92,39 @@ def hyperplane_lsh_buckets(
     every sign bit fell to 0, and ALL corrupt rows piled into bucket 0
     of every table — a silent |corpus|×|queries| candidate blowup (or,
     capped, a silent recall-0 drop of the whole bucket)."""
+    return (
+        hyperplane_bucket_array(df, vec_col, dim, bits, tables, seed)
+        .withColumn("__e", F.explode(F.col("__tb")))
+        .withColumn("lsh_table", F.col("__e.t"))
+        .withColumn("lsh_bucket", F.col("__e.b"))
+        .drop("__tb", "__e")
+    )
+
+
+def hyperplane_bucket_array(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    out_col: str = "__tb",
+) -> DataFrame:
+    """The UNEXPLODED bucket stage of :func:`hyperplane_lsh_buckets`:
+    adds ``out_col`` = array<struct<t,b>> of every table's bucket, one
+    output row per input row.  Split out (round 13) so a consumer that
+    wants several per-row kernels in ONE corpus pass (sim_recall_report
+    materializes cells + buckets + PQ codes together) can compose this
+    with assign_ivf_cells/pq_encode before a single explode.
+
+    Carries both guards of the exploded form: NULL/wrong-dim vectors
+    raise at execution (see :func:`hyperplane_lsh_buckets`), and the
+    bucket expressions are emitted as SQL TEXT, not composed via
+    F.lit/F.array — the literal form costs tables×bits×dim py4j round
+    trips at PLAN BUILD time (measured ~6 s for 16×4×64), while one
+    F.expr per table parses in milliseconds to the IDENTICAL Catalyst
+    tree (same zip_with → aggregate fold, same cast, same fold order →
+    same values)."""
     df = df.withColumn(
         vec_col,
         F.when(
@@ -112,12 +145,6 @@ def hyperplane_lsh_buckets(
         ).otherwise(F.col(vec_col)),
     )
     planes = _hyperplanes(dim, bits, tables, seed)
-    # Bucket expressions are emitted as SQL TEXT, not composed via
-    # F.lit/F.array: the literal form costs tables×bits×dim py4j round
-    # trips at PLAN BUILD time (measured ~6 s for 16×4×64 — it dominated
-    # the whole query at small sf), while one F.expr per table parses in
-    # milliseconds to the IDENTICAL Catalyst tree (same zip_with →
-    # aggregate fold, same cast, same fold order → same values).
     per_table = []
     for t in range(tables):
         bit_terms = []
@@ -135,12 +162,15 @@ def hyperplane_lsh_buckets(
                 f"struct({t} as t, ({' + '.join(bit_terms)}) as b)"
             )
         )
-    return (
-        df.withColumn("__tb", F.explode(F.array(*per_table)))
-        .withColumn("lsh_table", F.col("__tb.t"))
-        .withColumn("lsh_bucket", F.col("__tb.b"))
-        .drop("__tb")
-    )
+    # fence: consumers explode (or join through) the array, and the
+    # inferred size()>0 / isnotnull predicates would otherwise be
+    # pushdown-substituted below this projection, re-running the whole
+    # 16-table bucket kernel per row inside a Filter (the exact hazard
+    # plans/inspect.py::hof_filter_violations lints for — it caught
+    # this shape when the array stage was first split out).
+    from ubw_spark.functions.hof import fence
+
+    return df.withColumn(out_col, fence(F.array(*per_table)))
 
 
 def lsh_ann_topk(

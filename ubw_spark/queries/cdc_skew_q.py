@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ubw_spark.queries.registry import register, table
+from ubw_spark.functions.literals import literal_frame
 
 
 @register(
@@ -209,7 +210,7 @@ def engine_properties_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for p in properties_catalog(spec, df)
     ]
-    return spark.createDataFrame(rows, schema)
+    return literal_frame(spark, rows, schema)
 
 
 @register(

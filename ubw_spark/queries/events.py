@@ -340,17 +340,17 @@ def _stage_out_of_order_arrivals(spark: SparkSession, ev: DataFrame, base: str) 
     # effective during a data batch
     for i, sent_day in enumerate(sentinel_days):
         sent_ts = f"{sent_day.isoformat()} 00:00:00"
-        sent = spark.createDataFrame(
+        # literal_frame, not createDataFrame: a pickled one-row local
+        # RDD makes every sentinel write launch a Python worker —
+        # measured ~4-7 s across the two sentinel writes per run
+        # (round 13); the JVM-literal plan writes in ~0.2 s.
+        from ubw_spark.functions.literals import literal_frame
+
+        sent = literal_frame(
+            spark,
             [(10_000_000 + i, sent_ts, 10_000_000 + i, "__flush__", 0.0, "{}")],
-            "event_id bigint, ts string, user_id bigint, "
+            "event_id bigint, ts timestamp, user_id bigint, "
             "event_type string, value double, props string",
-        ).select(
-            "event_id",
-            F.to_timestamp("ts").alias("ts"),
-            "user_id",
-            "event_type",
-            "value",
-            "props",
         )
         sstage = f"{base}/stage_s{i}"
         sent.coalesce(1).write.mode("overwrite").parquet(sstage)
@@ -387,6 +387,11 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended exactly once (checkpointed offsets + idempotent sink)."""
     import uuid
 
+    from ubw_spark.streaming.stages import (
+        shuffle_partitions_override,
+        stream_shuffle_partitions,
+    )
+
     ev = table(spark, sf_dir, "events")
     run = uuid.uuid4().hex[:10]
     base = f"/tmp/ubw_spark_stream_wm_{run}"
@@ -412,18 +417,27 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_cents",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(300)
-    finally:
-        q.stop()
+    # State/sink partition count sized for streaming, not inherited
+    # from the batch session (stream_shuffle_partitions: AQE cannot
+    # coalesce stateful shuffles, and every state partition costs a
+    # store commit + checkpoint delta + sink file PER MICRO-BATCH).
+    # Partitioning never changes the aggregation's values, only where
+    # rows are summed — the DuckDB oracle pins that.
+    with shuffle_partitions_override(
+        spark, stream_shuffle_partitions(spark)
+    ):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(300)
+        finally:
+            q.stop()
     if not finished:
         raise RuntimeError(
             "stream_tumbling_watermark: ingest did not finish within "
@@ -496,6 +510,11 @@ def stream_session_window_stateful(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_streaming.py)."""
     import uuid
 
+    from ubw_spark.streaming.stages import (
+        shuffle_partitions_override,
+        stream_shuffle_partitions,
+    )
+
     ev = table(spark, sf_dir, "events")
     run = uuid.uuid4().hex[:10]
     base = f"/tmp/ubw_spark_stream_sess_{run}"
@@ -523,18 +542,24 @@ def stream_session_window_stateful(spark: SparkSession, sf_dir: str) -> DataFram
             "session_cents",
         )
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(300)
-    finally:
-        q.stop()
+    # Streaming-sized state partitions — see stream_tumbling_watermark;
+    # session merging is per-user, so partitioning cannot change which
+    # sessions form, only which state store holds each user.
+    with shuffle_partitions_override(
+        spark, stream_shuffle_partitions(spark)
+    ):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(300)
+        finally:
+            q.stop()
     if not finished:
         raise RuntimeError(
             "stream_session_window_stateful: ingest did not finish "

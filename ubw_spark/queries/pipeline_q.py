@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from ubw_spark.pipeline import Pipeline
 from ubw_spark.queries.registry import register, table
+from ubw_spark.functions.literals import literal_frame
 
 
 @register(
@@ -99,7 +100,8 @@ def engine_observe_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = p.run(table(spark, sf_dir, "lineitem"))
     out.write.format("noop").mode("overwrite").save()
     m = p.summaries()["qty_filter"]
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         [(int(m["n_rows"]), float(m["sum_price"]), int(m["max_order"]))],
         "n_rows bigint, sum_price double, max_order bigint",
     )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ubw_spark.operators.retrieval import bm25_topk, probe_term_index
 from ubw_spark.queries.registry import register, table
+from ubw_spark.functions.literals import literal_frame
 
 #: The shared benchmark query — terms chosen from the synthetic corpus
 #: vocabulary so tf/df/dl all vary across the hit set.
@@ -153,19 +154,47 @@ def stream_term_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     os.makedirs(incoming, exist_ok=True)
 
-    # seed the store with slice 0, stream slices 1..3 as one file each
+    # seed the store with slice 0, stream slices 1..3 as one file each.
+    # ONE repartition-by-slice pass writes all three arrival files (the
+    # events-staging pattern): the per-slice filter-and-write loop
+    # re-scanned the corpus once per slice — 3× the read volume for a
+    # headline query (round 13; guide §1.2 don't repeat passes).
     seed = d.where(F.col("doc_id") % 4 == 0)
     write_term_index(seed, "doc_id", "text", store)
-    for i in (1, 2, 3):
-        (
-            d.where(F.col("doc_id") % 4 == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{base}/stage_{i}")
-        )
-        for f in os.listdir(f"{base}/stage_{i}"):
-            if f.endswith(".parquet"):
-                os.rename(f"{base}/stage_{i}/{f}", f"{incoming}/b{i}.parquet")
+    stage = f"{base}/stage"
+    (
+        d.where(F.col("doc_id") % 4 != 0)
+        .withColumn("__slice", F.pmod(F.col("doc_id"), F.lit(4)).cast("int"))
+        .repartition(F.col("__slice"))
+        .write.mode("overwrite")
+        .partitionBy("__slice")
+        .parquet(stage)
+    )
+    for d_name in sorted(os.listdir(stage)):
+        if not d_name.startswith("__slice="):
+            continue
+        i = int(d_name.split("=", 1)[1])
+        parts = [
+            f for f in os.listdir(f"{stage}/{d_name}")
+            if f.endswith(".parquet")
+        ]
+        if len(parts) != 1:
+            # repartition(col) puts a slice's rows in one partition →
+            # exactly one file; a split would stream a slice as TWO
+            # micro-batches and change the batch_id bookkeeping under
+            # test — fail loud (same guard as the events staging).
+            raise RuntimeError(
+                f"stream_term_index_ingest: slice {i} wrote "
+                f"{len(parts)} files; expected exactly 1"
+            )
+        dst = f"{incoming}/b{i}.parquet"
+        os.rename(f"{stage}/{d_name}/{parts[0]}", dst)
+        # pin (mtime, path) batch order: the one-pass write's tasks
+        # finish in arbitrary order, and the file source sorts by
+        # mtime first (append order is semantically commutative here —
+        # add-merge postings + batch_id high-water mark — but the
+        # staged order should stay deterministic like events staging)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
     def handle(bdf: DataFrame, batch_id: int) -> None:
         append_term_batch(bdf, "doc_id", "text", store, batch_id=batch_id)
@@ -175,16 +204,29 @@ def stream_term_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(incoming)
     )
-    q = (
-        stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
+    # Streaming-sized shuffle partitions for the per-micro-batch
+    # postings build inside foreachBatch (see
+    # streaming/stages.py::stream_shuffle_partitions): stateless here,
+    # but each batch still pays per-partition task + sink-file cost
+    # that AQE cannot coalesce under the streaming runner.
+    from ubw_spark.streaming.stages import (
+        shuffle_partitions_override,
+        stream_shuffle_partitions,
     )
-    try:
-        finished = q.awaitTermination(300)
-    finally:
-        q.stop()
+
+    with shuffle_partitions_override(
+        spark, stream_shuffle_partitions(spark)
+    ):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(300)
+        finally:
+            q.stop()
     if not finished:
         # a timed-out availableNow stream means some slice was never
         # folded — probing the partial store would return silently
@@ -358,7 +400,8 @@ def search_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir.encode()
     ).hexdigest()[:10]
     write_term_index(d, "doc_id", "text", path)
-    queries = spark.createDataFrame(
+    queries = literal_frame(
+        spark,
         [(1, "hash join"), (2, "slow scan"), (3, "stream merge window")],
         "qid int, query string",
     )

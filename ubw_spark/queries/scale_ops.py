@@ -438,24 +438,41 @@ _IVF_ORACLE = """
     """
 
 
-def seed_ivf_centroids(emb: DataFrame, k: int = 8) -> list[list[float]]:
+def seed_ivf_centroids(
+    emb: DataFrame, k: int = 8, *, rows: list | None = None
+) -> list[list[float]]:
     """Deterministic, SQL-expressible coarse quantizer: the k corpus
     vectors with smallest md5(vec_id).  Used by the REGISTERED query so
     the full IVF path (cell assign → probe → exact re-rank) is oracled
     end-to-end in DuckDB; production training stays
     operators.ivf.train_ivf_centroids (distributed KMeans — not SQL).
-    Collect is bounded: k × dim floats."""
-    rows = (
+    Collect is bounded: k × dim floats.
+
+    ``rows``: pre-collected md5-ordered seed rows (≥ k, from
+    :func:`seed_rows`) — lets a caller seeding several families
+    (sim_recall_report: IVF k=8 + PQ ksub=16 from the SAME ordering)
+    pay ONE driver collect instead of one per family."""
+    if rows is None:
+        rows = seed_rows(emb, k)
+    return [[float(x) for x in r["embedding"]] for r in rows[:k]]
+
+
+def seed_rows(emb: DataFrame, n: int) -> list:
+    """The shared md5-ordered seed collect: the n corpus rows with
+    smallest (md5(vec_id), vec_id) — the ONE ordering every seeded
+    quantizer family (IVF centroids, PQ codebooks) slices prefixes of,
+    so a family needing k ≤ n seeds reads rows[:k] bit-identically to
+    its own limit(k) collect."""
+    return (
         emb.select(
             "vec_id",
             "embedding",
             F.md5(F.col("vec_id").cast("string")).alias("__h"),
         )
         .orderBy("__h", "vec_id")
-        .limit(k)
+        .limit(n)
         .collect()
     )
-    return [[float(x) for x in r["embedding"]] for r in rows]
 
 
 @register("sim_ivf_ann_topk", oracle=_IVF_ORACLE, tags=("similarity", "ivf"))
@@ -734,9 +751,11 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce as _reduce
 
     from pyspark.sql import Window as _W
+    from pyspark.sql import types as T
     from pyspark.sql.functions import broadcast
 
-    from ubw_spark.operators.ivf import _nearest_cells, assign_ivf_cells
+    from ubw_spark.functions.literals import literal_frame
+    from ubw_spark.operators.ivf import assign_ivf_cells, nearest_cells_py
     from ubw_spark.operators.pq import (
         _adc_sum_sql,
         pq_encode,
@@ -745,59 +764,82 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubw_spark.operators.similarity import (
         brute_force_topk,
         cosine_col,
-        hyperplane_lsh_buckets,
+        hyperplane_bucket_array,
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    centroids = seed_ivf_centroids(emb, k=8)
-    q = emb.where(F.col("vec_id") < 5)
     n_queries = 5
-    # Every intermediate cached below is BOUNDED: brute = 5·10 ids,
-    # scored candidate sets ≤ 5·N small rows (ids + one double), never
-    # vectors.  Sharing them collapses what would otherwise be 7
-    # independent subplans (each rebuilding ground truth, plan-literal
-    # hyperplanes, and ADC tables) into one probe + one score pass per
-    # family — measured 64 s → single-digit s at sf0.01, almost all of
-    # it plan-build overhead, not data.
-    brute = brute_force_topk(emb, q, k=10).select("qid", "vec_id").cache()
-    e_q = q.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv"))
+    # Round-13 driver-overhead restructure (guide §1.2 / §7.3): the
+    # pre-restructure shape ran 25 one-task jobs totalling <1 s of
+    # execution inside ~7 s wall — per-branch plan analysis of the
+    # literal-heavy kernels (16-table hyperplane folds, 8×16 ADC
+    # tables, centroid distances) was the cost, paid once per seed
+    # collect, per side, per family.  Now: ONE md5-ordered seed collect
+    # serves both quantizer families (IVF k=8 is a prefix of PQ
+    # ksub=16 under the shared seed_rows ordering), ONE corpus pass
+    # computes every per-row kernel (cell + 16 bucket keys + PQ code)
+    # into a single materialized frame, and ONE union materializes all
+    # four scored candidate sets together — 5 jobs instead of 25.
+    # Every materialized frame is BOUNDED: seed rows = 16×dim floats,
+    # enriched = corpus rows + a few small kernel columns, the scored
+    # union ≤ 5·N small rows + 5·10 brute ids, never joined vectors.
+    # localCheckpoint, NOT .cache(): CacheManager keys cached plans
+    # canonically, so .cache() would let a SECOND invocation of this
+    # query in the same session (bench warmup → timed passes) silently
+    # reuse the first invocation's blocks — cross-invocation result
+    # memoization the bench must never measure.  localCheckpoint
+    # blocks belong to this invocation's RDD alone.
+    rows16 = seed_rows(emb, 16)
+    centroids = seed_ivf_centroids(emb, k=8, rows=rows16)
+    books = seed_pq_codebooks(emb, m=8, ksub=16, rows=rows16)
+
+    enriched = hyperplane_bucket_array(
+        pq_encode(assign_ivf_cells(emb, centroids), books),
+        "embedding", dim=64, bits=4, tables=16,
+    ).localCheckpoint()
+    q = enriched.where(F.col("vec_id") < 5)
+    e_q = q.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+    )
+    vectors = enriched.select("vec_id", "embedding")
     rerank_w = _W.partitionBy("qid").orderBy(
         F.col("cos_sim").desc(), F.col("vec_id")
     )
 
-    def report_row(variant, param, cells_read, n_cand, top):
-        hits = top.join(brute, ["qid", "vec_id"]).agg(
-            F.count(F.lit(1)).alias("hits")
+    queries_list = [
+        (r["vec_id"], r["embedding"])
+        for r in q.select("vec_id", "embedding").collect()
+    ]
+    # Probe cells computed DRIVER-side for the 5 collected queries
+    # (nearest_cells_py ≡ the _nearest_cells plan fold bit-for-bit —
+    # the probe_ivf_index contract) and shipped as a JVM literal frame:
+    # no second centroid kernel planned for the query side.  probe_rank
+    # r means "this cell is the query's r-th nearest", so the nprobe=p
+    # candidate set is exactly probe_rank <= p (each corpus row lives
+    # in ONE cell — no dedup needed).  Same 4-dp + id-tiebreak rerank
+    # contract as ivf_ann_topk.
+    probe_rows = [
+        (qid, rank + 1, cell)
+        for qid, vec in queries_list
+        for rank, cell in enumerate(
+            nearest_cells_py([float(x) for x in vec], centroids, 8)
         )
-        return n_cand.crossJoin(hits).select(
-            F.lit(variant).alias("variant"),
-            F.lit(param).cast("int").alias("param"),
-            F.lit(cells_read).cast("long").alias("cells_read"),
-            F.col("n_candidates").cast("long"),
-            F.col("hits").cast("long"),
-            (F.col("hits") * 20).cast("long").alias("recall_milli"),
-        )
-
-    # ONE probe pass covers the whole nprobe sweep: probe_rank r means
-    # "this corpus row's cell is the query's r-th nearest", so the
-    # nprobe=p candidate set is exactly probe_rank <= p (each corpus
-    # row lives in ONE cell — no dedup needed).  Same _nearest_cells /
-    # assign_ivf_cells kernels as ivf_ann_topk, same 4-dp + id-tiebreak
-    # rerank contract.
-    probes = q.select(
-        F.col("vec_id").alias("qid"),
-        F.posexplode(
-            _nearest_cells(F.col("embedding"), centroids, 8)
-        ).alias("__pos", "ivf_cell"),
-    ).select("qid", (F.col("__pos") + 1).alias("probe_rank"), "ivf_cell")
-    corpus_cells = assign_ivf_cells(emb, centroids).select(
-        "vec_id", "ivf_cell"
+    ]
+    probes = literal_frame(
+        spark,
+        probe_rows,
+        T.StructType(
+            [
+                T.StructField("qid", emb.schema["vec_id"].dataType, True),
+                T.StructField("probe_rank", T.IntegerType(), True),
+                T.StructField("ivf_cell", T.IntegerType(), True),
+            ]
+        ),
     )
-    scored_ivf = (
-        corpus_cells.join(broadcast(probes), "ivf_cell")
+    scored_ivf_raw = (
+        enriched.join(broadcast(probes), "ivf_cell")
         .where(F.col("vec_id") != F.col("qid"))
         .join(broadcast(e_q), "qid")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
         .select(
             "qid",
             "vec_id",
@@ -806,34 +848,29 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine_col(F.col("__qv"), F.col("embedding")), 4
             ).alias("cos_sim"),
         )
-        .cache()
     )
-
-    parts = []
-    for p in (1, 2, 4, 8):
-        filt = scored_ivf.where(F.col("probe_rank") <= p)
-        n_cand = filt.agg(F.count(F.lit(1)).alias("n_candidates"))
-        top = (
-            filt.withColumn("__rn", F.row_number().over(rerank_w))
-            .where(F.col("__rn") <= 10)
-            .select("qid", "vec_id")
-        )
-        parts.append(report_row("ivf", p, p * n_queries, n_cand, top))
 
     # LSH: same seeded planes as sim_lsh_ann_topk (64-dim, 4 bits, 16
-    # tables), buckets built ONCE for corpus and queries; candidates
-    # scored once, count and top-10 both read the cached set
-    cb = hyperplane_lsh_buckets(emb, dim=64, bits=4, tables=16)
-    qb = hyperplane_lsh_buckets(q, dim=64, bits=4, tables=16).select(
+    # tables); the bucket kernel ran once in `enriched`, and the query
+    # side derives by FILTER — bucketing is row-wise, so buckets(q) ≡
+    # buckets(emb).where(vec_id < 5) value-for-value.
+    cb = enriched.select(
+        "vec_id", F.explode(F.col("__tb")).alias("__e")
+    ).select(
+        "vec_id",
+        F.col("__e.t").alias("lsh_table"),
+        F.col("__e.b").alias("lsh_bucket"),
+    )
+    qb = cb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), "lsh_table", "lsh_bucket"
     )
-    scored_lsh = (
+    scored_lsh_raw = (
         cb.join(broadcast(qb), ["lsh_table", "lsh_bucket"])
         .where(F.col("vec_id") != F.col("qid"))
         .dropDuplicates(["qid", "vec_id"])
         .select("qid", "vec_id")
         .join(broadcast(e_q), "qid")
-        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(vectors, "vec_id")
         .select(
             "qid",
             "vec_id",
@@ -841,24 +878,13 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cosine_col(F.col("__qv"), F.col("embedding")), 4
             ).alias("cos_sim"),
         )
-        .cache()
     )
-    lsh_n_cand = scored_lsh.agg(F.count(F.lit(1)).alias("n_candidates"))
-    lsh_top = (
-        scored_lsh.withColumn("__rn", F.row_number().over(rerank_w))
-        .where(F.col("__rn") <= 10)
-        .select("qid", "vec_id")
-    )
-    parts.append(report_row("lsh", 16, 16 * n_queries, lsh_n_cand, lsh_top))
 
     # PQ / IVFPQ: md5-seeded codebooks shared with sim_pq/ivfpq_ann_topk;
-    # ADC scores computed ONCE over the full code table with the same
-    # _adc_sum_sql kernel those operators use (per-query lookup tables
-    # as plan literals), then PQ ranks everything and IVFPQ ranks the
-    # probed-cell subset — one expression tree instead of two
-    books = seed_pq_codebooks(emb, m=8, ksub=16)
-    codes = pq_encode(emb, books).select("vec_id", "pq_code")
-    queries_list = [(r["vec_id"], r["embedding"]) for r in q.collect()]
+    # ADC scores computed ONCE over the enriched code column with the
+    # same _adc_sum_sql kernel those operators use (per-query lookup
+    # tables as plan literals), then PQ ranks everything and IVFPQ
+    # ranks the probed-cell subset — one expression tree instead of two
     per_query = [
         F.struct(
             F.lit(qid).alias("qid"),
@@ -868,42 +894,154 @@ def sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for qid, vec in queries_list
     ]
-    adc = (
-        codes.select("vec_id", F.explode(F.array(*per_query)).alias("__q"))
+    adc_raw = (
+        enriched.select("vec_id", F.explode(F.array(*per_query)).alias("__q"))
         .select(
             F.col("__q.qid").alias("qid"),
             "vec_id",
             F.col("__q.approx_ip").alias("approx_ip"),
         )
         .where(F.col("vec_id") != F.col("qid"))
-        .cache()
     )
-    adc_w = _W.partitionBy("qid").orderBy(
-        F.col("approx_ip").desc(), F.col("vec_id")
+    brute_raw = brute_force_topk(vectors, q, k=10).select("qid", "vec_id")
+
+    # ONE materialization of all four candidate families (kind-tagged
+    # union): ground truth + three scored sets land in a single job.
+    _rank_null = F.lit(None).cast("int")
+    _score_null = F.lit(None).cast("double")
+    u = (
+        brute_raw.select(
+            F.lit("brute").alias("kind"), "qid", "vec_id",
+            _rank_null.alias("probe_rank"), _score_null.alias("score"),
+        )
+        .unionByName(
+            scored_ivf_raw.select(
+                F.lit("ivf").alias("kind"), "qid", "vec_id",
+                "probe_rank", F.col("cos_sim").alias("score"),
+            )
+        )
+        .unionByName(
+            scored_lsh_raw.select(
+                F.lit("lsh").alias("kind"), "qid", "vec_id",
+                _rank_null.alias("probe_rank"),
+                F.col("cos_sim").alias("score"),
+            )
+        )
+        .unionByName(
+            adc_raw.select(
+                F.lit("adc").alias("kind"), "qid", "vec_id",
+                _rank_null.alias("probe_rank"),
+                F.col("approx_ip").alias("score"),
+            )
+        )
+    ).localCheckpoint()
+    brute = u.where(F.col("kind") == "brute").select("qid", "vec_id")
+    scored_ivf = u.where(F.col("kind") == "ivf").select(
+        "qid", "vec_id", "probe_rank", F.col("score").alias("cos_sim")
     )
-    pq_top = (
-        adc.withColumn("__rn", F.row_number().over(adc_w))
-        .where(F.col("__rn") <= 10)
-        .select("qid", "vec_id")
+    scored_lsh = u.where(F.col("kind") == "lsh").select(
+        "qid", "vec_id", F.col("score").alias("cos_sim")
     )
-    pq_n_cand = emb.agg(
-        ((F.count(F.lit(1)) - 1) * n_queries).alias("n_candidates")
+    adc = u.where(F.col("kind") == "adc").select(
+        "qid", "vec_id", F.col("score").alias("approx_ip")
     )
-    parts.append(report_row("pq", 8, 8 * n_queries, pq_n_cand, pq_top))
+
+    # Report assembly in ONE plan: a (variant, param)-tagged union of
+    # all seven candidate sets, ONE window pass reranking every config
+    # at once, two grouped counts, and a left join back onto the
+    # literal config table (which pins a 0-candidate config to an
+    # explicit zero row, as the old per-part crossJoin did).  The old
+    # ten-part assembly planned ~25 AQE stage-jobs of driver latency
+    # for <1 s of execution.
+    def tag(variant, param, df):
+        return df.select(
+            F.lit(variant).alias("variant"),
+            F.lit(param).cast("int").alias("param"),
+            "qid",
+            "vec_id",
+            "score",
+        )
 
     ipq_keys = scored_ivf.where(F.col("probe_rank") <= 4).select(
         "qid", "vec_id"
     )
-    ipq_n_cand = ipq_keys.agg(F.count(F.lit(1)).alias("n_candidates"))
-    ipq_top = (
-        adc.join(ipq_keys, ["qid", "vec_id"])
-        .withColumn("__rn", F.row_number().over(adc_w))
-        .where(F.col("__rn") <= 10)
-        .select("qid", "vec_id")
+    cands_all = _reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            tag(
+                "ivf", p,
+                scored_ivf.where(F.col("probe_rank") <= p).select(
+                    "qid", "vec_id", F.col("cos_sim").alias("score")
+                ),
+            )
+            for p in (1, 2, 4, 8)
+        ]
+        + [
+            tag(
+                "lsh", 16,
+                scored_lsh.select(
+                    "qid", "vec_id", F.col("cos_sim").alias("score")
+                ),
+            ),
+            tag(
+                "pq", 8,
+                adc.select(
+                    "qid", "vec_id", F.col("approx_ip").alias("score")
+                ),
+            ),
+            tag(
+                "ivfpq", 4,
+                adc.join(ipq_keys, ["qid", "vec_id"]).select(
+                    "qid", "vec_id", F.col("approx_ip").alias("score")
+                ),
+            ),
+        ],
     )
-    parts.append(report_row("ivfpq", 4, 4 * n_queries, ipq_n_cand, ipq_top))
-
-    return _reduce(lambda a, b: a.unionByName(b), parts)
+    w_all = _W.partitionBy("variant", "param", "qid").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    top_all = (
+        cands_all.withColumn("__rn", F.row_number().over(w_all))
+        .where(F.col("__rn") <= 10)
+        .select("variant", "param", "qid", "vec_id")
+    )
+    n_cand = cands_all.groupBy("variant", "param").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    hits = (
+        top_all.join(broadcast(brute), ["qid", "vec_id"])
+        .groupBy("variant", "param")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    config_df = literal_frame(
+        spark,
+        [
+            ("ivf", 1, 1 * n_queries),
+            ("ivf", 2, 2 * n_queries),
+            ("ivf", 4, 4 * n_queries),
+            ("ivf", 8, 8 * n_queries),
+            ("lsh", 16, 16 * n_queries),
+            ("pq", 8, 8 * n_queries),
+            ("ivfpq", 4, 4 * n_queries),
+        ],
+        "variant string, param int, cells_read bigint",
+    )
+    return (
+        config_df.join(broadcast(n_cand), ["variant", "param"], "left")
+        .join(broadcast(hits), ["variant", "param"], "left")
+        .select(
+            "variant",
+            "param",
+            "cells_read",
+            F.coalesce(F.col("n_candidates"), F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            (F.coalesce(F.col("hits"), F.lit(0)) * 20).cast("long").alias(
+                "recall_milli"
+            ),
+        )
+    )
 
 
 @register(

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from ubw_spark.functions.text import tokens
 from ubw_spark.operators.sketches import cms_build, cms_estimate
 from ubw_spark.queries.registry import register, table
+from ubw_spark.functions.literals import literal_frame
 
 _PROBES = ["key", "table", "spark", "row", "zz_absent_zz"]
 
@@ -72,7 +73,7 @@ def sketch_cms_wordfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
     matter the corpus; the truth side exists only for the audit and
     filters to the probe set BEFORE aggregating."""
     toks = _en_tokens(spark, sf_dir)
-    probes = spark.createDataFrame([(w,) for w in _PROBES], "word string")
+    probes = literal_frame(spark, [(w,) for w in _PROBES], "word string")
     sk = cms_build(toks, "word", width=1024, depth=4)
     est = cms_estimate(sk, probes, "word", width=1024, depth=4)
     tru = _truth_for_probes(spark, sf_dir, probes)
@@ -172,7 +173,7 @@ def sketch_cms_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_cms_store(cms_build(half(0), "word", width=1024, depth=4), path)
     append_cms_batch(spark, half(1), "word", path)
 
-    probes = spark.createDataFrame([(w,) for w in _PROBES], "word string")
+    probes = literal_frame(spark, [(w,) for w in _PROBES], "word string")
     est = probe_cms_store(spark, probes, "word", path)
     tru = _truth_for_probes(spark, sf_dir, probes)
     return est.join(tru, "word", "left").select(

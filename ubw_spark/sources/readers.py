@@ -91,8 +91,15 @@ def literal_rows(
     rows: Sequence[tuple],
     schema: T.StructType | str,
 ) -> DataFrame:
-    """S3: in-memory seed rows with an explicit schema."""
-    return spark.createDataFrame(list(rows), schema)
+    """S3: in-memory seed rows with an explicit schema.
+
+    JVM-literal plan (functions/literals.py): a pickled local RDD
+    launches a Python worker per consuming job — measured ~0.3-0.5 s
+    per action at the round-13 bench; falls back to createDataFrame
+    for value types without a literal rendering."""
+    from ubw_spark.functions.literals import literal_frame
+
+    return literal_frame(spark, list(rows), schema)
 
 
 def read_jdbc(
