@@ -67,6 +67,7 @@ def packed_bloom_words(
     n: int = 3,
     m: int = M_DEFAULT,
     k: int = K_DEFAULT,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """SPARSE packed filter ``(word_idx: bigint, bits: bigint)`` — one
     row per 64-bit word with at least one set bit (≤ m/64 rows).
@@ -75,9 +76,15 @@ def packed_bloom_words(
     distinct (shuffle bounded by m, NOT by benchmark cardinality);
     (2) pack 64 positions per word via bit_or.  This sparse form is
     what the persisted store holds — and what two filters UNION through
-    (bitwise OR is the exact Bloom union, see append_bloom_store)."""
+    (bitwise OR is the exact Bloom union, see append_bloom_store).
+
+    ``parallelism``: gram hashing on the BUILD side runs before the
+    distinct's exchange — with fewer benchmark input splits than cores
+    it is serial (same knob and rationale as bloom_probe's)."""
     if m % 64:
         raise ValueError(f"m must be a multiple of 64, got {m}")
+    if parallelism:
+        bench = bench.repartition(parallelism)
     pos = (
         bench.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("gram")
@@ -120,11 +127,15 @@ def build_bloom(
     n: int = 3,
     m: int = M_DEFAULT,
     k: int = K_DEFAULT,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """ONE-row dense filter built from the benchmark's word-n-grams —
     ``dense_bloom_row(packed_bloom_words(...))``."""
     return dense_bloom_row(
-        packed_bloom_words(bench, text_col, n=n, m=m, k=k), m
+        packed_bloom_words(
+            bench, text_col, n=n, m=m, k=k, parallelism=parallelism
+        ),
+        m,
     )
 
 
@@ -343,6 +354,7 @@ def write_bloom_store(
     n: int = 3,
     m: int = M_DEFAULT,
     k: int = K_DEFAULT,
+    parallelism: int | None = None,
 ) -> None:
     """Persist the sparse packed filter as a versioned store: write the
     ``(word_idx, bits)`` parquet + params sidecar into a fresh version
@@ -350,7 +362,9 @@ def write_bloom_store(
     version grace-kept — operators/versioned.py)."""
     from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
 
-    packed = packed_bloom_words(bench, text_col, n=n, m=m, k=k)
+    packed = packed_bloom_words(
+        bench, text_col, n=n, m=m, k=k, parallelism=parallelism
+    )
     cur, new_v, new_root = begin_rewrite(path)
     # ≤ m/64 rows of two bigints: one file reads in one footer+scan
     packed.coalesce(1).write.mode("overwrite").parquet(new_root)
@@ -363,6 +377,8 @@ def append_bloom_store(
     batch: DataFrame,
     text_col: str,
     path: str,
+    *,
+    parallelism: int | None = None,
 ) -> None:
     """Fold a new benchmark batch into the persisted filter WITHOUT
     rebuilding: bloom(A ∪ B) == bloom(A) | bloom(B) bit-for-bit (both
@@ -379,7 +395,8 @@ def append_bloom_store(
     p = read_bloom_params(path)
     old = spark.read.parquet(resolve_root(path))
     new = packed_bloom_words(
-        batch, text_col, n=p["n"], m=p["m"], k=p["k"]
+        batch, text_col, n=p["n"], m=p["m"], k=p["k"],
+        parallelism=parallelism,
     ).withColumnRenamed("bits", "mask")
     merged = (
         old.withColumnRenamed("bits", "mask")

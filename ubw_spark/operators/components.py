@@ -16,10 +16,56 @@ convergence is typically 2-4 rounds; ``max_iter`` is the runaway guard.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ubw_spark.operators.iterate import TruncateSlot, truncate
+
+
+def _loop_partitions(spark) -> int:
+    """Shuffle-partition count for the label-propagation loop.
+
+    The per-round state (symmetrized near-dup edges + one label row per
+    touched node) is orders of magnitude smaller than the corpus that
+    produced the pairs, so inheriting the corpus-sized session shuffle
+    count just multiplies tiny tasks; and per-round ADAPTIVE planning
+    costs one driver replan + one job PER MATERIALIZED STAGE per round
+    (measured round 13: ~4 stage-jobs of 10-40 ms execution each per
+    round — the loop was driver-bound, not compute-bound).  Same knob
+    pattern as streaming/stages.stream_shuffle_partitions:
+    ``SPARK_GRAFT_CC_PARTITIONS`` is the production lever (set to the
+    parallelism the EDGE LIST needs — pair graphs from banded dedup are
+    ~duplicate-count-sized); locally defaults to
+    min(defaultParallelism, 8)."""
+    env = os.environ.get("SPARK_GRAFT_CC_PARTITIONS", "")
+    if env.isdigit() and int(env) > 0:
+        return int(env)
+    return max(1, min(spark.sparkContext.defaultParallelism, 8))
+
+
+@contextmanager
+def _loop_conf(spark, n_partitions: int):
+    """Pin shuffle partitions and disable adaptive execution for the
+    duration of the iterative loop, restoring both on exit.  AQE's
+    per-stage materialization turns each round's single logical pass
+    into several driver-synchronized jobs; with a known-small, fixed
+    per-round state the static plan is strictly cheaper.  Partition
+    count and planner mode cannot change aggregation values."""
+    keys = {
+        "spark.sql.shuffle.partitions": str(n_partitions),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def connected_components(
@@ -61,59 +107,64 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["a"] == labels["node"])
-            .groupBy(F.col("b").alias("node2"))
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # The convergence flag is computed IN the update projection (new
-        # label < old label — labels only ever decrease), so one
-        # localCheckpoint materializes labels AND flags together; the
-        # convergence probe is then a cheap sum over checkpointed rows
-        # instead of a second join + full subtree recompute per round.
-        updated = (
-            labels.join(
-                neighbor_min, labels["node"] == neighbor_min["node2"], "left"
+    spark = edges.sparkSession
+    with _loop_conf(spark, _loop_partitions(spark)):
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["a"] == labels["node"])
+                .groupBy(F.col("b").alias("node2"))
+                .agg(F.min("component").alias("nbr_min"))
             )
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce(F.col("nbr_min"), F.col("component")),
-                ).alias("__new"),
-                (
-                    F.coalesce(F.col("nbr_min"), F.col("component"))
-                    < F.col("component")
+            # The convergence flag is computed IN the update projection
+            # (new label < old label — labels only ever decrease), so one
+            # localCheckpoint materializes labels AND flags together; the
+            # convergence probe is then a cheap sum over checkpointed rows
+            # instead of a second join + full subtree recompute per round.
+            updated = (
+                labels.join(
+                    neighbor_min,
+                    labels["node"] == neighbor_min["node2"],
+                    "left",
                 )
-                .cast("int")
-                .alias("__changed"),
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"),
+                        F.coalesce(F.col("nbr_min"), F.col("component")),
+                    ).alias("__new"),
+                    (
+                        F.coalesce(F.col("nbr_min"), F.col("component"))
+                        < F.col("component")
+                    )
+                    .cast("int")
+                    .alias("__changed"),
+                )
+                .withColumnRenamed("__new", "component")
             )
-            .withColumnRenamed("__new", "component")
-        )
-        # eager=False folds the materialization into the convergence
-        # probe: the agg below is the round's ONE job, computing and
-        # persisting the labels' blocks on the way to the changed-count
-        # (was two jobs per round: an eager checkpoint, then the agg).
-        updated = truncate(updated, checkpoint, slot=_slot, eager=False)
-        changed = updated.agg(F.sum("__changed")).first()[0]
-        labels = updated.drop("__changed")
-        if not changed:
-            break
-    else:
-        # Exhausting max_iter with labels still moving means the
-        # returned labels are min-of-max_iter-hop neighborhoods, NOT
-        # components — downstream canonical-keep would then split one
-        # cluster into several "components" and let duplicates survive
-        # dedup, silently.  A graph needing more rounds than the guard
-        # is a loud error, not a result.
-        raise ValueError(
-            f"connected_components did not converge in {max_iter} "
-            f"rounds ({changed} labels still changing) — the graph's "
-            "diameter exceeds max_iter; raise max_iter (near-dup "
-            "graphs converging this slowly usually mean the pair "
-            "generator is linking non-duplicates)"
-        )
+            # eager=False folds the materialization into the convergence
+            # probe: the agg below is the round's ONE job, computing and
+            # persisting the labels' blocks on the way to the
+            # changed-count (was two jobs per round: an eager checkpoint,
+            # then the agg).
+            updated = truncate(updated, checkpoint, slot=_slot, eager=False)
+            changed = updated.agg(F.sum("__changed")).first()[0]
+            labels = updated.drop("__changed")
+            if not changed:
+                break
+        else:
+            # Exhausting max_iter with labels still moving means the
+            # returned labels are min-of-max_iter-hop neighborhoods, NOT
+            # components — downstream canonical-keep would then split one
+            # cluster into several "components" and let duplicates
+            # survive dedup, silently.  A graph needing more rounds than
+            # the guard is a loud error, not a result.
+            raise ValueError(
+                f"connected_components did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing) — the graph's "
+                "diameter exceeds max_iter; raise max_iter (near-dup "
+                "graphs converging this slowly usually mean the pair "
+                "generator is linking non-duplicates)"
+            )
     return labels
 
 

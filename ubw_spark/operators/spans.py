@@ -56,12 +56,25 @@ from ubw_spark.functions.text import tokens
 
 
 def token_gram_table(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    *,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(id, __pos, __gh): every k-token gram start position with its
     64-bit gram hash.  0-based positions; docs shorter than k tokens
     contribute nothing (the ``n >= k`` guard also keeps
     ``F.sequence(0, n-k)`` from counting DOWN when n < k).
+
+    ``parallelism``: tokenize + k-window hashing is the CPU-heavy map
+    stage, and it runs BEFORE any consumer's ``__gh`` exchange — with
+    fewer input splits than cores (small/unsplittable files) it is
+    serial.  Same knob as bloom_probe/minhash: one cheap repartition of
+    the raw (id, text) rows buys full-width hashing.  Default None
+    keeps the input partitioning (and the probe plans' zero-extra-
+    Exchange assertions).
 
     The gram key is the xxhash64 of the k-long TOKEN-HASH window, not
     of the joined gram string: each token is hashed once per document
@@ -73,6 +86,8 @@ def token_gram_table(
     iff their token sequences match, up to the same 64-bit birthday
     bound documented above (a token-hash collision folds into the same
     budget)."""
+    if parallelism:
+        df = df.repartition(parallelism)
     toks = tokens(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("__toks")).where(
         F.size("__toks") >= k
@@ -98,6 +113,7 @@ def duplicate_gram_positions(
     *,
     k: int = 8,
     min_docs: int = 2,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """(id, __pos) of every gram start whose k-gram occurs in
     >= min_docs distinct documents.
@@ -117,7 +133,9 @@ def duplicate_gram_positions(
     corpus scale where dup outgrows broadcast, both sides are already
     hash-partitioned on ``__gh`` and the sort-merge join needs no new
     exchange."""
-    grams = token_gram_table(df, id_col, text_col, k).repartition("__gh")
+    grams = token_gram_table(
+        df, id_col, text_col, k, parallelism=parallelism
+    ).repartition("__gh")
     dup = (
         grams.groupBy("__gh")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -136,6 +154,7 @@ def duplicate_spans(
     *,
     k: int = 8,
     min_docs: int = 2,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Maximal duplicated token spans per document:
     (id, span_start, span_end, span_tokens), positions 0-based
@@ -146,7 +165,8 @@ def duplicate_spans(
     position starts past (running max end) + 1 — overlapping OR
     adjacent covered regions merge into one contiguous span."""
     pos = duplicate_gram_positions(
-        df, id_col, text_col, k=k, min_docs=min_docs
+        df, id_col, text_col, k=k, min_docs=min_docs,
+        parallelism=parallelism,
     )
     prev = (
         Window.partitionBy(id_col)
@@ -202,6 +222,7 @@ def cut_duplicate_spans(
     k: int = 8,
     min_docs: int = 2,
     out_col: str = "clean_text",
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Apply the ExactSubstr policy: remove every NON-OWNER occurrence
     of duplicated text, keeping exactly one copy corpus-wide.
@@ -229,7 +250,9 @@ def cut_duplicate_spans(
     # same explicit-repartition shape as duplicate_gram_positions: the
     # owner aggregate runs one clustered pass instead of a no-op
     # map-side combine over ~unique (gh, id) pairs
-    grams = token_gram_table(df, id_col, text_col, k).repartition("__gh")
+    grams = token_gram_table(
+        df, id_col, text_col, k, parallelism=parallelism
+    ).repartition("__gh")
     owners = (
         grams.groupBy("__gh")
         .agg(
@@ -306,11 +329,17 @@ def _coverage_report(
 
 
 def _gram_index_rows(
-    df: DataFrame, id_col: str, text_col: str, k: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """The index schema, defined ONCE for write and append:
     one row per distinct gram hash — (gh, owner, n_docs)."""
-    grams = token_gram_table(df, id_col, text_col, k)
+    grams = token_gram_table(
+        df, id_col, text_col, k, parallelism=parallelism
+    )
     return (
         grams.groupBy("__gh")
         .agg(
@@ -358,6 +387,7 @@ def write_gram_index(
     *,
     k: int = 8,
     num_buckets: int = 32,
+    parallelism: int | None = None,
 ) -> None:
     """Persist the corpus's distinct gram hashes as a BUCKETED table
     (gh, owner, n_docs) — the incremental / streaming counterpart of
@@ -379,7 +409,7 @@ def write_gram_index(
         raise ValueError(
             f"gram index table must be unqualified, got {table_name!r}"
         )
-    idx = _gram_index_rows(df, id_col, text_col, k)
+    idx = _gram_index_rows(df, id_col, text_col, k, parallelism)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
     _clear_orphaned_location(spark, table_name)
@@ -441,13 +471,16 @@ def probe_gram_index(
     text_col: str,
     *,
     k: int = 8,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-batch-document contamination vs the indexed corpus:
     (id, n_tokens, dup_tokens, dup_fraction), where dup_tokens counts
     tokens covered by any gram already present in the index.  Every
     batch row appears, zero-filled."""
     _check_index_k(spark, table_name, k)
-    bg = token_gram_table(batch, id_col, text_col, k)
+    bg = token_gram_table(
+        batch, id_col, text_col, k, parallelism=parallelism
+    )
     idx = spark.table(table_name).select(F.col("gh").alias("__gh"))
     # Skew guard: pre-aggregate the batch to ONE row per (doc, gram)
     # before the bucket-aligned join.  A degenerate document repeating
@@ -488,6 +521,7 @@ def append_gram_index(
     text_col: str,
     *,
     k: int = 8,
+    parallelism: int | None = None,
 ) -> None:
     """Add a new batch's NOVEL grams to the index (anti-join on gh,
     bucketed append) so the next batch dedups against this one too —
@@ -502,7 +536,7 @@ def append_gram_index(
     alignment) — the table's layout is the single source of truth."""
     _check_index_k(spark, table_name, k)
     num_buckets = _table_num_buckets(spark, table_name) or 32
-    novel = _gram_index_rows(batch, id_col, text_col, k).join(
+    novel = _gram_index_rows(batch, id_col, text_col, k, parallelism).join(
         spark.table(table_name).select("gh"), "gh", "left_anti"
     )
     (
@@ -647,13 +681,17 @@ def duplicated_token_fraction(
     *,
     k: int = 8,
     min_docs: int = 2,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Per-document duplication summary:
     (id, n_tokens, dup_tokens, dup_fraction) — every document appears,
     zero-filled when it has no duplicated span.  ``dup_fraction`` is
     the removal-policy input (ExactSubstr cuts the spans; a cruder
     policy drops docs above a fraction threshold)."""
-    spans = duplicate_spans(df, id_col, text_col, k=k, min_docs=min_docs)
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, min_docs=min_docs,
+        parallelism=parallelism,
+    )
     per_doc = spans.groupBy(id_col).agg(
         F.sum("span_tokens").alias("__dup")
     )

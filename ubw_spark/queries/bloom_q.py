@@ -88,7 +88,10 @@ def dedup_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     only (over-removal is safe); rate audited by
     ``dedup_bloom_fpr_audit``."""
     d = table(spark, sf_dir, "documents")
-    bloom = build_bloom(d.where(F.col("doc_id") % 10 == 0), "text", n=3)
+    bloom = build_bloom(
+        d.where(F.col("doc_id") % 10 == 0), "text", n=3,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
     return bloom_probe(
         d.where(F.col("doc_id") % 10 != 0), "doc_id", "text", bloom, n=3,
         parallelism=spark.sparkContext.defaultParallelism,
@@ -169,9 +172,14 @@ def dedup_bloom_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/tmp/ubw_spark_bloom_store_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
-    write_bloom_store(d.where(F.col("doc_id") % 20 == 0), "text", path, n=3)
+    par = spark.sparkContext.defaultParallelism
+    write_bloom_store(
+        d.where(F.col("doc_id") % 20 == 0), "text", path, n=3,
+        parallelism=par,
+    )
     append_bloom_store(
-        spark, d.where(F.col("doc_id") % 20 == 10), "text", path
+        spark, d.where(F.col("doc_id") % 20 == 10), "text", path,
+        parallelism=par,
     )
     return probe_bloom_store(
         spark, d.where(F.col("doc_id") % 10 != 0), "doc_id", "text", path,

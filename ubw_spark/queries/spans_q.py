@@ -63,7 +63,10 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents — the ExactSubstr cut list.  O(total tokens), no pair
     join; see operators/spans.py for the 100 TB argument."""
     d = table(spark, sf_dir, "documents")
-    return duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+    return duplicate_spans(
+        d, "doc_id", "text", k=8, min_docs=2,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -87,7 +90,10 @@ def dedup_duplicated_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     input (cut spans, or drop docs above a threshold).  Every document
     appears, zero-filled."""
     d = table(spark, sf_dir, "documents")
-    return duplicated_token_fraction(d, "doc_id", "text", k=8, min_docs=2)
+    return duplicated_token_fraction(
+        d, "doc_id", "text", k=8, min_docs=2,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 @register(
@@ -139,11 +145,14 @@ def dedup_span_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     tbl = "ubw_gram_idx_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    par = spark.sparkContext.defaultParallelism
     write_gram_index(
-        d.where(F.col("doc_id") < 250), "doc_id", "text", tbl, k=8
+        d.where(F.col("doc_id") < 250), "doc_id", "text", tbl, k=8,
+        parallelism=par,
     )
     return probe_gram_index(
-        spark, d.where(F.col("doc_id") >= 250), tbl, "doc_id", "text", k=8
+        spark, d.where(F.col("doc_id") >= 250), tbl, "doc_id", "text", k=8,
+        parallelism=par,
     )
 
 
@@ -187,4 +196,7 @@ def dedup_cut_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram), keeping exactly one copy corpus-wide — ExactSubstr dedup
     run end to end, output ready to replace the documents table."""
     d = table(spark, sf_dir, "documents")
-    return cut_duplicate_spans(d, "doc_id", "text", k=8, min_docs=2)
+    return cut_duplicate_spans(
+        d, "doc_id", "text", k=8, min_docs=2,
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
