@@ -203,3 +203,77 @@ def test_stream_shuffle_partitions(spark, monkeypatch):
     with shuffle_partitions_override(spark, 3):
         assert spark.conf.get(key) == "3"
     assert spark.conf.get(key) == before
+
+
+# ---------------------------------------------------------------------------
+# table() memo: same lazy plan per (session, dir, name); UTC guard
+# re-fires on memo HITS for NTZ-normalized events
+
+
+def test_table_memo_returns_same_plan_per_key(spark, tmp_path):
+    from ubw_spark.queries.registry import table
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (p1, p2):
+        spark.range(3).toDF("k").write.parquet(f"{p}/t.parquet")
+    d1 = table(spark, p1, "t")
+    assert table(spark, p1, "t") is d1  # memo hit: identical object
+    assert table(spark, p2, "t") is not d1  # different dir, own plan
+    # the memo holds a PLAN, not results: actions still read the files
+    assert d1.count() == 3
+
+
+def test_table_memo_utc_guard_fires_on_hits(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ubw_spark.queries.registry import table
+
+    # an NTZ-encoded events table (timestamp[us], no timezone)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, 12, 0, 0)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = table(spark, str(tmp_path), "events")
+        assert table(spark, str(tmp_path), "events") is df  # memoized
+        # a later zone change must fail the HIT, not serve the plan
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(AssertionError, match="UTC"):
+            table(spark, str(tmp_path), "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+# ---------------------------------------------------------------------------
+# rolling_zscore: one Window node (single pass), pinned key exchange
+
+
+def test_rolling_zscore_single_window_pinned_exchange(spark):
+    from ubw_spark.operators.anomaly import rolling_zscore
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("t"),
+        (F.col("id") % 17).alias("v"),
+    )
+    out = rolling_zscore(
+        df, ["k"], ["t"], "v", window=4, min_periods=2, parallelism=8
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # all three sufficient statistics ride ONE Window operator
+    assert plan.count("Window (") == 1, plan
+    # the key exchange is user-pinned (AQE must not coalesce it away)
+    assert "REPARTITION_BY_NUM" in plan, plan

@@ -34,11 +34,21 @@ def rolling_zscore(
     min_periods: int = 8,
     threshold: float = 3.0,
     dp: int = 6,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Score each point against the trailing ``window`` observations of
     ITS OWN series (current row excluded, so a spike can't mask
     itself): appends exact context sums ``(n_ctx, s1, s2)``, the
     z-score, and an ``is_anomaly`` flag (|z| ≥ threshold).
+
+    ``parallelism``: the decimal rolling sums are the CPU-heavy stage,
+    and AQE's byte-based coalescing collapses the window's key exchange
+    to one partition when the keyed rows are small on disk but
+    expensive per row.  Passing N replaces that exchange with an
+    explicit ``repartition(N, *key_cols)`` — same clustering, so the
+    window adds no second exchange, but the partition count is pinned
+    (AQE leaves user-specified repartitions alone).  Default None keeps
+    the AQE-planned exchange.
 
     ``value_col`` must already be integer-grain (e.g. cents — see
     module docstring).  z is computed entirely from exact integers:
@@ -49,6 +59,8 @@ def rolling_zscore(
     variance is zero (a constant series makes every deviation
     infinite — flagging those is a policy choice this operator
     refuses to hardcode)."""
+    if parallelism:
+        df = df.repartition(parallelism, *[F.col(c) for c in key_cols])
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*[F.col(c) for c in order_cols])
@@ -60,10 +72,17 @@ def rolling_zscore(
     # exceeds Long.MAX across a 24-row frame — ANSI mode would throw,
     # non-ANSI would silently wrap (same rationale as regression._DEC).
     xd = x.cast("decimal(38,0)")
-    df = (
-        df.withColumn("n_ctx", F.count(x).over(w))
-        .withColumn("s1", F.sum(xd).over(w))
-        .withColumn("s2", F.sum(xd * xd).over(w))
+    # One select, ONE Window node: chained withColumn puts a Project
+    # between consecutive window expressions and Catalyst then plans
+    # three separate Window operators — three passes over every
+    # partition, each re-evaluating its sliding frame.  Expressed
+    # together over the same spec they collapse into a single Window
+    # that computes all three sufficient statistics in one pass.
+    df = df.select(
+        "*",
+        F.count(x).over(w).alias("n_ctx"),
+        F.sum(xd).over(w).alias("s1"),
+        F.sum(xd * xd).over(w).alias("s2"),
     )
     n = F.col("n_ctx").cast("double")
     n_dec = F.col("n_ctx").cast("decimal(38,0)")

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import os
+import weakref
 from dataclasses import dataclass
 from typing import Callable
 
@@ -53,7 +54,64 @@ def _is_utc_equivalent(tz: str) -> bool:
     )
 
 
+#: Lazy-plan memo: (sf_dir, name) → DataFrame, per live SparkSession.
+#: Returning the same DataFrame object is NOT result caching — a
+#: DataFrame is an immutable logical plan, and every action on it
+#: re-reads the parquet input.  What the memo removes is the 60-95 ms
+#: per ``spark.read.parquet`` call (file listing + footer schema read +
+#: py4j round-trips), which a full bench pass paid ~89 times (~6.7 s).
+#: Keyed weakly on the session so a stopped/recreated session (tests)
+#: never serves plans bound to a dead JVM context; keyed on the exact
+#: ``(sf_dir, name)`` so distinct datasets never collide.  Callers that
+#: rewrite files IN PLACE at a previously read path within one session
+#: would see the old file listing — the repo convention (per-test tmp
+#: dirs, immutable testdata) makes that a non-case.
+_TABLE_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    try:
+        per = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stand-in (tests/mocks)
+        return _read_table(spark, sf_dir, name)[0]
+    key = (sf_dir, name)
+    entry = per.get(key)
+    if entry is None:
+        entry = per[key] = _read_table(spark, sf_dir, name)
+    df, needs_utc = entry
+    if needs_utc:
+        # The NTZ→TIMESTAMP plan was built (and is only value-
+        # preserving) under a UTC-equivalent session zone; re-assert on
+        # every hit so a session whose timezone was changed later still
+        # fails loudly instead of serving a plan whose guard no longer
+        # holds (the memoized plan froze the BUILD-time zone, which is
+        # not what a caller reading "session-local cast" expects).
+        _assert_utc_session(spark)
+    return df
+
+
+def _assert_utc_session(spark: SparkSession) -> None:
+    """Raise unless the session timezone is UTC by OFFSET RULES (any
+    alias passes, a DST zone that merely straddles UTC does not) — see
+    the NTZ branch below for why the cast demands it."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if not _is_utc_equivalent(tz):
+        raise AssertionError(
+            f"events.ts is TIMESTAMP_NTZ and the session timezone "
+            f"is {tz!r}; the cast to TIMESTAMP is only "
+            "value-preserving under UTC — build the session via "
+            "ubw_spark.session.get_session or set "
+            "spark.sql.session.timeZone=UTC"
+        )
+
+
+def _read_table(
+    spark: SparkSession, sf_dir: str, name: str
+) -> tuple[DataFrame, bool]:
+    """(DataFrame, needs_utc_recheck) — the bool marks plans whose
+    correctness depends on the session timezone staying UTC."""
     if name == "events":
         # events.parquet has shipped with two encodings for `ts`:
         #   - TIMESTAMP(NANOS): Spark rejects it by default; read the nanos
@@ -75,20 +133,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # the SESSION timezone: value-preserving only when that zone
             # is UTC.  A session built outside get_session()/conftest on
             # a non-UTC box would silently shift every event timestamp by
-            # the local offset — fail loudly instead.  "UTC" must be
-            # judged by OFFSET RULES, not by name: boxes legitimately pin
-            # "Etc/UTC"/"GMT"/"Zulu" (a name-equality check here rejected
-            # a real Etc/UTC machine), while a DST zone that merely
-            # straddles UTC in winter is NOT safe.
-            tz = spark.conf.get("spark.sql.session.timeZone")
-            if not _is_utc_equivalent(tz):
-                raise AssertionError(
-                    f"events.ts is TIMESTAMP_NTZ and the session timezone "
-                    f"is {tz!r}; the cast to TIMESTAMP is only "
-                    "value-preserving under UTC — build the session via "
-                    "ubw_spark.session.get_session or set "
-                    "spark.sql.session.timeZone=UTC"
-                )
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+            # the local offset — fail loudly instead (_assert_utc_session,
+            # re-checked on every memo hit).
+            _assert_utc_session(spark)
+            return df.withColumn("ts", F.col("ts").cast("timestamp")), True
+        return df, False
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")), False
