@@ -277,3 +277,45 @@ def test_rolling_zscore_single_window_pinned_exchange(spark):
     assert plan.count("Window (") == 1, plan
     # the key exchange is user-pinned (AQE must not coalesce it away)
     assert "REPARTITION_BY_NUM" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# doc_postings_local: shuffle-free postings == exploded postings
+
+
+def test_doc_postings_local_matches_exploded_form(spark):
+    from ubw_spark.operators.retrieval import doc_postings, doc_postings_local
+
+    rows = [
+        (1, "the quick brown fox the the"),
+        (2, ""),            # "" tokenizes to one empty token
+        (3, None),          # NULL text: dropped by both forms
+        (4, "a a a a a"),   # single repeated term
+        (5, "  spaced   out   words "),
+        (6, "dup dup nodup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    a = doc_postings(df, "doc_id", "text")
+    b = doc_postings_local(df, "doc_id", "text")
+    assert a.columns == b.columns
+    assert [f.dataType.simpleString() for f in a.schema.fields] == [
+        f.dataType.simpleString() for f in b.schema.fields
+    ]
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_bucketed_postings_single_exchange_and_fenced_kernel(spark):
+    """The store-write frame has ONE exchange (the bucket repartition)
+    and the sort+run-length kernel is fenced: the explode's inferred
+    size() predicate must not re-run it at the scan."""
+    from pyspark.sql import functions as F
+
+    from ubw_spark.operators.retrieval import _bucketed_postings
+
+    df = spark.createDataFrame(
+        [(1, "x y x"), (2, "z")], "doc_id int, text string"
+    )
+    frame = _bucketed_postings(df, "doc_id", "text", 32).repartition("tb")
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("array_sort") == 1, plan

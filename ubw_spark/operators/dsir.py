@@ -51,14 +51,21 @@ def hashed_ngram_features(
     *,
     n: int = 2,
     buckets: int = 1024,
+    carry: list[tuple[str, "F.Column"]] | None = None,
 ) -> DataFrame:
     """(id, __bucket) — one row per n-gram OCCURRENCE, bucketed by the
     portable md5 hash.  n=2 (bigrams) is the paper's default feature
-    class; docs shorter than n tokens contribute nothing."""
+    class; docs shorter than n tokens contribute nothing.
+
+    ``carry``: extra (name, expression-over-``df``) columns replicated
+    onto every feature row — lets one featurization pass serve several
+    downstream aggregates (e.g. a target-membership flag) instead of
+    tokenizing the corpus once per consumer."""
+    extra = carry or []
     toks = tokens(F.col(text_col))
-    d = df.select(F.col(id_col), toks.alias("__toks")).where(
-        F.size("__toks") >= n
-    )
+    d = df.select(
+        F.col(id_col), toks.alias("__toks"), *[c.alias(a) for a, c in extra]
+    ).where(F.size("__toks") >= n)
     grams = F.transform(
         F.sequence(F.lit(0), F.size("__toks") - n),
         lambda i: F.concat_ws(
@@ -66,9 +73,13 @@ def hashed_ngram_features(
         ),
     )
     return d.select(
-        F.col(id_col), F.explode(grams).alias("__gram")
+        F.col(id_col),
+        F.explode(grams).alias("__gram"),
+        *[F.col(a) for a, _ in extra],
     ).select(
-        id_col, (portable_hash(F.col("__gram")) % buckets).alias("__bucket")
+        id_col,
+        (portable_hash(F.col("__gram")) % buckets).alias("__bucket"),
+        *[F.col(a) for a, _ in extra],
     )
 
 
@@ -78,7 +89,7 @@ def _bucket_counts(feats: DataFrame, name: str) -> DataFrame:
 
 def dsir_log_weights(
     source: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     id_col: str,
     text_col: str,
     *,
@@ -86,6 +97,8 @@ def dsir_log_weights(
     buckets: int = 1024,
     smoothing: float = 1.0,
     checkpoint: str | None = "local",
+    target_predicate: "F.Column | None" = None,
+    include_featureless: bool = True,
 ) -> DataFrame:
     """Per-source-document importance log-weight:
     (id, n_feats, log_weight) with
@@ -98,21 +111,55 @@ def dsir_log_weights(
 
     The log-ratio table has ``buckets`` rows and is broadcast; the
     (T, V)-style totals are a one-row broadcast.  The only shuffle
-    keyed by document id is the final per-doc aggregate."""
-    s_feats = hashed_ngram_features(
-        source, id_col, text_col, n=n, buckets=buckets
-    )
-    t_feats = hashed_ngram_features(
-        target, id_col, text_col, n=n, buckets=buckets
-    )
-    # The (doc, bucket) aggregate is the ONE pass over the pool's
-    # features; the source bucket counts roll up FROM it (sum of __k)
-    # rather than re-aggregating s_feats — numerically identical, and
-    # the expensive tokenize/hash/explode lineage is shared instead of
-    # executing twice.
-    per_doc_bucket = s_feats.groupBy(id_col, "__bucket").agg(
-        F.count(F.lit(1)).alias("__k")
-    )
+    keyed by document id is the final per-doc aggregate.
+
+    ``target_predicate``: when the target corpus is a SUBSET of the
+    source pool selected by a row predicate (the common DSIR setup —
+    "docs that look like Wikipedia/English/..."), pass the predicate
+    instead of a ``target`` frame (``target=None``) and the target
+    bucket counts roll up from the SAME featurization pass as the
+    source counts — the tokenize→n-gram→hash→explode kernel runs once
+    over the pool instead of once per corpus.  Numerically identical:
+    counting a doc's feature rows then filtering by membership commutes
+    with filtering the doc first.
+
+    ``include_featureless=False`` skips the left join back onto the
+    source id table that reports never-featurized docs as (id, 0, 0.0)
+    rows — callers that immediately drop n_feats = 0 (dsir_select)
+    save a full source-id scan and a shuffle."""
+    if target_predicate is not None:
+        if target is not None:
+            raise ValueError(
+                "dsir_log_weights: pass target=None with target_predicate "
+                "— the predicate DEFINES the target subset"
+            )
+        s_feats = hashed_ngram_features(
+            source, id_col, text_col, n=n, buckets=buckets,
+            carry=[("__is_t", target_predicate)],
+        )
+        # Membership is constant per document, so max() over its
+        # feature rows is the flag itself; counting target occurrences
+        # via the flagged rows equals featurizing the filtered corpus.
+        per_doc_bucket = s_feats.groupBy(id_col, "__bucket").agg(
+            F.count(F.lit(1)).alias("__k"),
+            F.max("__is_t").alias("__is_t"),
+        )
+        t_feats = None
+    else:
+        s_feats = hashed_ngram_features(
+            source, id_col, text_col, n=n, buckets=buckets
+        )
+        t_feats = hashed_ngram_features(
+            target, id_col, text_col, n=n, buckets=buckets
+        )
+        # The (doc, bucket) aggregate is the ONE pass over the pool's
+        # features; the source bucket counts roll up FROM it (sum of __k)
+        # rather than re-aggregating s_feats — numerically identical, and
+        # the expensive tokenize/hash/explode lineage is shared instead of
+        # executing twice.
+        per_doc_bucket = s_feats.groupBy(id_col, "__bucket").agg(
+            F.count(F.lit(1)).alias("__k")
+        )
     # Materialize the two feature aggregates (round 13): the source
     # (doc, bucket) frame feeds BOTH the bucket-count rollup and the
     # final per-doc join, and the target counts feed both the ratio
@@ -125,9 +172,18 @@ def dsir_log_weights(
 
         per_doc_bucket = truncate(per_doc_bucket, checkpoint, eager=False)
     sc = per_doc_bucket.groupBy("__bucket").agg(F.sum("__k").alias("__cs"))
-    tc = _bucket_counts(t_feats, "__ct")
-    if checkpoint is not None:
-        tc = truncate(tc, checkpoint, eager=False)
+    if t_feats is None:
+        # Subset-target path: target counts roll up from the shared
+        # (doc, bucket) aggregate — no second corpus featurization.
+        tc = (
+            per_doc_bucket.where(F.col("__is_t"))
+            .groupBy("__bucket")
+            .agg(F.sum("__k").alias("__ct"))
+        )
+    else:
+        tc = _bucket_counts(t_feats, "__ct")
+        if checkpoint is not None:
+            tc = truncate(tc, checkpoint, eager=False)
     totals = sc.agg(F.sum("__cs").alias("__ts")).crossJoin(
         tc.agg(F.sum("__ct").alias("__tt"))
     )
@@ -175,6 +231,11 @@ def dsir_log_weights(
             F.sum(F.col("__k") * F.col("__lr")).alias("log_weight"),
         )
     )
+    if not include_featureless:
+        # Every weights row aggregates ≥1 feature occurrence, so
+        # n_feats ≥ 1 > 0 by construction — this is exactly the frame a
+        # ``where(n_feats > 0)`` consumer sees after the left join.
+        return weights.select(id_col, "n_feats", "log_weight")
     base = source.select(F.col(id_col))
     return base.join(weights, id_col, "left").select(
         id_col,
@@ -203,6 +264,7 @@ def dsir_select(
     buckets: int = 1024,
     smoothing: float = 1.0,
     salt: str = "dsir",
+    target_predicate: "F.Column | None" = None,
 ) -> DataFrame:
     """Gumbel top-k importance resampling: keep the k source documents
     with the largest (log_weight + Gumbel noise) — a without-
@@ -224,6 +286,11 @@ def dsir_select(
     lw = dsir_log_weights(
         source, target, id_col, text_col,
         n=n, buckets=buckets, smoothing=smoothing,
+        target_predicate=target_predicate,
+        # This .where(n_feats > 0) drops exactly the rows the
+        # featureless left-join would add back — skip both the base
+        # id scan and its shuffle.
+        include_featureless=False,
     ).where(F.col("n_feats") > 0)
     keyed = lw.withColumn(
         "sel_key",

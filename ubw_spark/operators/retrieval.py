@@ -159,6 +159,97 @@ def doc_postings(
     )
 
 
+def doc_postings_local(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    stats_observation=None,
+) -> DataFrame:
+    """Shuffle-free twin of :func:`doc_postings` — identical
+    (id, term, dl, tf) rows, but tf is computed INSIDE each document's
+    token array (sort + run-length over the sorted runs, all JVM
+    higher-order functions) instead of explode → hash aggregate.
+
+    Why both exist: the exploded form lets a query-term filter land on
+    the raw tokens BEFORE the tf aggregate — right when only a handful
+    of terms matter (bm25_topk).  The index writers need EVERY posting,
+    and there the exploded form's (id, term, dl) aggregation exchange
+    moves exactly the same rows the bucket repartition moves again one
+    operator later; this form emits finished postings map-side so the
+    bucket exchange is the ONLY shuffle in the store write
+    (guide §2.4: remove shuffles outright — round 13).
+
+    Equivalence: a term's tf is the length of its run in the sorted
+    token array; runs are delimited by the positions where the sorted
+    array changes value.  Zero-token docs yield an empty run list and
+    drop out, exactly as explode drops them."""
+    toks0 = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    )
+    if stats_observation is not None:
+        toks0 = toks0.observe(
+            stats_observation,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum(F.size("__t")), F.lit(0))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+    # Separate selects keep __s/__st let-bound: CollapseProject will
+    # not inline a non-trivial expression referenced more than once,
+    # so array_sort runs once per doc, the run-start positions once.
+    sorted_ = toks0.select(
+        F.col(id_col),
+        F.size("__t").alias("dl"),
+        F.array_sort("__t").alias("__s"),
+    )
+    # 1-based positions where a new run starts.  sequence() needs the
+    # empty-array guard: sequence(1, 0) counts DOWN ([1, 0]) and would
+    # fabricate a posting from nothing.
+    starts = sorted_.select(
+        id_col,
+        "dl",
+        "__s",
+        F.expr(
+            # try_element_at: ANSI element_at throws on index 0 (the
+            # i = 1 probe's left neighbour) and on the lookahead past
+            # the last run below.
+            "CASE WHEN size(__s) = 0 THEN array() "
+            "ELSE filter(sequence(1, size(__s)), "
+            "i -> i = 1 OR element_at(__s, i) != try_element_at(__s, i - 1)) "
+            "END"
+        ).alias("__st"),
+    )
+    from ubw_spark.functions.hof import fence
+
+    posts = starts.select(
+        id_col,
+        "dl",
+        # fence: explode infers a size(__posts) > 0 filter that would
+        # otherwise be pushed to the scan and re-run the whole
+        # sort+run-length kernel per row (the _nearest_cells shape).
+        fence(
+            F.expr(
+                # (p, j): p = this run's 1-based start, j = 0-based
+                # index into __st; the run ends where the next run
+                # starts (or at size + 1 for the last run).
+                "transform(__st, (p, j) -> named_struct("
+                "'term', element_at(__s, p), "
+                "'tf', CAST(coalesce(try_element_at(__st, j + 2), "
+                "size(__s) + 1) - p AS BIGINT)))"
+            )
+        ).alias("__posts"),
+    )
+    return posts.select(
+        id_col, "dl", F.explode("__posts").alias("__p")
+    ).select(
+        id_col,
+        F.col("__p.term").alias("term"),
+        "dl",
+        F.col("__p.tf").alias("tf"),
+    )
+
+
 def _corpus_stats(df: DataFrame, text_col: str) -> DataFrame:
     """One row: (n_docs, total_tokens) over every non-NULL-text doc
     (BM25's avgdl averages every retrievable document, matched or
@@ -404,7 +495,10 @@ def _bucketed_postings(
     *,
     stats_observation=None,
 ) -> DataFrame:
-    return doc_postings(
+    # The writers need every posting (no term filter to push down), so
+    # the shuffle-free form applies: the bucket repartition that
+    # follows is the ONLY exchange in the store write.
+    return doc_postings_local(
         df, id_col, text_col, stats_observation=stats_observation
     ).withColumn("tb", portable_hash(F.col("term")) % buckets)
 

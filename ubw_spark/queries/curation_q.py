@@ -281,9 +281,13 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ubw_spark.operators.dsir import dsir_log_weights
 
     d = table(spark, sf_dir, "documents")
+    # Subset-target one-pass form: the English-target bucket counts
+    # roll up from the same featurization pass as the pool counts
+    # (operators/dsir.py target_predicate) — one tokenize/hash/explode
+    # kernel over the corpus instead of two.
     lw = dsir_log_weights(
-        d, d.where(F.col("lang") == "en"), "doc_id", "text",
-        n=2, buckets=1024,
+        d, None, "doc_id", "text",
+        n=2, buckets=1024, target_predicate=F.col("lang") == "en",
     )
     return lw.select(
         "doc_id", "n_feats", F.round("log_weight", 4).alias("log_weight")
@@ -321,8 +325,8 @@ def curation_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return dsir_select(
-        d, d.where(F.col("lang") == "en"), "doc_id", "text", 25,
-        n=2, buckets=1024,
+        d, None, "doc_id", "text", 25,
+        n=2, buckets=1024, target_predicate=F.col("lang") == "en",
     )
 
 
