@@ -102,21 +102,27 @@ def packed_bloom_words(
 
 def dense_bloom_row(packed: DataFrame, m: int = M_DEFAULT) -> DataFrame:
     """ONE-row ``(bloom_bits: array<bigint>)`` — dense length m/64 —
-    assembled from the sparse packed words in a final single-row
-    aggregate: the same cardinality a driver-side bitset would hold,
-    which is the point of a Bloom filter — it fits one node by design
-    (m=2^27 → 16 MB)."""
-    return packed.agg(
-        F.map_from_entries(
+    assembled from the sparse packed words: the same cardinality a
+    driver-side bitset would hold, which is the point of a Bloom
+    filter — it fits one node by design (m=2^27 → 16 MB).
+
+    Assembly is a broadcast join of the sparse words onto a JVM range
+    of every slot, then one sorted extract.  The previous form built a
+    map and probed it once per slot — Spark map lookup is a LINEAR
+    scan, so densifying was O(slots × set-words) interpreted
+    comparisons (measured as a 1.4 s single-task job at m=2^18 with a
+    full filter); the join + array_sort is O(slots log slots)."""
+    spark = packed.sparkSession
+    idx = spark.range(m // 64).select(F.col("id").alias("word_idx"))
+    filled = idx.join(F.broadcast(packed), "word_idx", "left").select(
+        "word_idx", F.coalesce(F.col("bits"), F.lit(0)).alias("bits")
+    )
+    return filled.agg(
+        F.array_sort(
             F.collect_list(F.struct("word_idx", "bits"))
-        ).alias("__bm")
+        ).alias("__e")
     ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(m // 64 - 1)),
-            lambda i: F.coalesce(
-                F.try_element_at("__bm", i.cast("long")), F.lit(0)
-            ),
-        ).alias("bloom_bits")
+        F.transform(F.col("__e"), lambda s: s["bits"]).alias("bloom_bits")
     )
 
 

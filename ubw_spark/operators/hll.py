@@ -288,14 +288,33 @@ def append_hll_batch(spark, batch: DataFrame, item_col: str, path: str) -> None:
     semantic no-op and no batch_id bookkeeping exists here (contrast
     ``append_cms_batch``).  Precision comes from the store's sidecar;
     the batch cannot override it."""
+    old, params = load_hll(spark, path)
+    new = hll_build(batch, item_col, p=params["p"])
+    _merge_and_flip(spark, old, new, params, path)
+
+
+def append_hll_registers(spark, registers: DataFrame, path: str) -> None:
+    """:func:`append_hll_batch` for ALREADY-BUILT registers — the same
+    MAX-merge + versioned flip, minus the batch scan.  Lets one grouped
+    corpus pass (``hll_build(group_cols=[...])``, or registers derived
+    from a materialized distinct-item table) feed several lifecycle
+    steps instead of re-scanning the corpus per step (round 13, guide
+    §1.2).  Precision safety is unchanged: ``hll_merge`` raises when
+    the registers' pinned p differs from the store sidecar's, and
+    rejects grouped inputs (extra columns)."""
+    old, params = load_hll(spark, path)
+    _merge_and_flip(spark, old, registers, params, path)
+
+
+def _merge_and_flip(
+    spark, old: DataFrame, new: DataFrame, params: dict, path: str
+) -> None:
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
         write_sidecar,
     )
 
-    old, params = load_hll(spark, path)
-    new = hll_build(batch, item_col, p=params["p"])
     merged = hll_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)

@@ -318,12 +318,6 @@ def append_hist_batch(
     ADD-merge is not replay-idempotent: at-least-once callers
     (foreachBatch) MUST pass ``batch_id`` — the sidecar keeps the
     high-water mark and an already-folded id is a no-op."""
-    from ubw_spark.operators.versioned import (
-        begin_rewrite,
-        commit_rewrite,
-        write_sidecar,
-    )
-
     old, p = load_hist(spark, path)
     if batch_id is not None:
         last = p.get("last_batch_id")
@@ -332,6 +326,36 @@ def append_hist_batch(
     new = hist_build(
         batch, value_col, lo=p["lo"], hi=p["hi"], nbins=p["nbins"]
     )
+    _hist_merge_and_flip(spark, old, new, p, path, batch_id)
+
+
+def append_hist_cells(
+    spark, cells: DataFrame, path: str, *, batch_id: int | None = None
+) -> None:
+    """:func:`append_hist_batch` for ALREADY-BUILT cells — the same
+    ADD-merge + versioned flip, minus the batch scan.  Lets one
+    ``grouped_hist_build`` corpus pass feed several lifecycle steps
+    (round 13, guide §1.2).  Shape safety is unchanged: ``hist_merge``
+    raises when the cells' pinned (lo, hi, nbins) differ from the
+    store sidecar's."""
+    old, p = load_hist(spark, path)
+    if batch_id is not None:
+        last = p.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded in
+    _hist_merge_and_flip(spark, old, cells, p, path, batch_id)
+
+
+def _hist_merge_and_flip(
+    spark, old: DataFrame, new: DataFrame, p: dict, path: str,
+    batch_id: int | None,
+) -> None:
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
+
     merged = hist_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)

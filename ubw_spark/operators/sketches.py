@@ -266,12 +266,6 @@ def append_cms_batch(
     callers (foreachBatch is at-least-once) MUST pass the framework's
     ``batch_id`` — the sidecar records the high-water mark and an
     already-folded id becomes a no-op on replay."""
-    from ubw_spark.operators.versioned import (
-        begin_rewrite,
-        commit_rewrite,
-        write_sidecar,
-    )
-
     old, p = load_cms(spark, path)
     if batch_id is not None:
         last = p.get("last_batch_id")
@@ -281,6 +275,38 @@ def append_cms_batch(
         batch, item_col,
         width=p["width"], depth=p["depth"], weight_col=weight_col,
     )
+    _cms_merge_and_flip(spark, old, new, p, path, batch_id)
+
+
+def append_cms_cells(
+    spark, cells: DataFrame, path: str, *, batch_id: int | None = None
+) -> None:
+    """:func:`append_cms_batch` for an ALREADY-BUILT sketch — the same
+    ADD-merge + versioned flip, minus the batch scan.  Lets one corpus
+    pass (e.g. a materialized word-count table feeding
+    ``cms_build(weight_col=...)``) serve several lifecycle steps
+    (round 13, guide §1.2).  Shape safety is unchanged: ``cms_merge``
+    raises when the cells' pinned (width, depth) differ from the store
+    sidecar's.  The batch_id replay contract is the caller's to honour
+    exactly as with raw batches."""
+    old, p = load_cms(spark, path)
+    if batch_id is not None:
+        last = p.get("last_batch_id")
+        if last is not None and batch_id <= last:
+            return  # replayed micro-batch: already folded in
+    _cms_merge_and_flip(spark, old, cells, p, path, batch_id)
+
+
+def _cms_merge_and_flip(
+    spark, old: DataFrame, new: DataFrame, p: dict, path: str,
+    batch_id: int | None,
+) -> None:
+    from ubw_spark.operators.versioned import (
+        begin_rewrite,
+        commit_rewrite,
+        write_sidecar,
+    )
+
     merged = cms_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)

@@ -105,25 +105,46 @@ def sketch_hll_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     from ubw_spark.operators.hll import (
-        append_hll_batch,
+        append_hll_registers,
         estimate_hll_store,
         write_hll_store,
     )
+    from ubw_spark.operators.iterate import truncate
 
     path = "/tmp/ubw_spark_hll_store_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
     d = table(spark, sf_dir, "documents").where(F.col("lang") == "en")
     parity_col = F.coalesce(F.pmod(F.col("doc_id"), F.lit(2)), F.lit(0))
-    half = lambda parity: d.where(parity_col == parity).select(  # noqa: E731
-        F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
+    # ONE corpus pass (round 13, guide §1.2/§8): the distinct-bigram
+    # table with per-parity presence flags serves every lifecycle step
+    # AND the exact truth count — previously the corpus was tokenized
+    # four times (each half's build, the replayed build, the truth).
+    # Registers from distinct items equal registers from occurrences
+    # (MAX-aggregation; rho depends only on the item), and the replayed
+    # delivery is BY DEFINITION the same batch again, so re-deriving
+    # its registers from the materialized vocabulary is exact.  The
+    # vocabulary is bounded by |distinct bigrams| — the same
+    # vocabulary-sized state the BPE/term-drift operators stage.
+    vocab = (
+        d.select(
+            parity_col.alias("__par"),
+            F.explode(word_shingles(F.col("text"), 2)).alias("bigram"),
+        )
+        .groupBy("bigram")
+        .agg(
+            F.max(F.col("__par") == 0).alias("__p0"),
+            F.max(F.col("__par") == 1).alias("__p1"),
+        )
     )
-    write_hll_store(hll_build(half(0), "bigram", p=12), path)
-    append_hll_batch(spark, half(1), "bigram", path)
-    append_hll_batch(spark, half(1), "bigram", path)  # replayed delivery
+    vocab = truncate(vocab, "local", eager=False)
+    write_hll_store(hll_build(vocab.where("__p0"), "bigram", p=12), path)
+    regs1 = hll_build(vocab.where("__p1"), "bigram", p=12)
+    append_hll_registers(spark, regs1, path)
+    append_hll_registers(spark, regs1, path)  # replayed delivery
 
     est = estimate_hll_store(spark, path)
-    tru = d.select(
-        F.explode(word_shingles(F.col("text"), 2)).alias("bigram")
-    ).agg(F.count_distinct("bigram").alias("true_distinct"))
+    tru = vocab.where(F.col("bigram").isNotNull()).agg(
+        F.count(F.lit(1)).alias("true_distinct")
+    )
     return est.crossJoin(F.broadcast(tru))

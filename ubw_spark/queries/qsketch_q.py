@@ -119,18 +119,31 @@ def sketch_quantile_store_probe(
     once to build its own cells and never re-read."""
     import hashlib
 
+    from ubw_spark.operators.iterate import truncate
+    from ubw_spark.operators.qsketch import (
+        append_hist_cells,
+        grouped_hist_build,
+    )
+
     path = "/tmp/ubw_spark_qh_store_" + hashlib.md5(
         sf_dir.encode()
     ).hexdigest()[:10]
     o = _cents_orders(spark, sf_dir)
     parity = F.coalesce(F.pmod(F.col("o_orderkey"), F.lit(2)), F.lit(0))
-    write_hist_store(
-        hist_build(
-            o.where(parity == 0), "cents", lo=_LO, hi=_HI, nbins=_NBINS
-        ),
-        path,
+    # ONE corpus pass (round 13, guide §1.2): both halves' cells come
+    # from a single parity-grouped histogram build (≤ 2·nbins rows
+    # materialized) instead of two full orders scans; filtering the
+    # grouped cells by parity is cell-for-cell the per-half build.
+    cells = grouped_hist_build(
+        o.withColumn("__par", parity), ["__par"], "cents",
+        lo=_LO, hi=_HI, nbins=_NBINS,
     )
-    append_hist_batch(spark, o.where(parity == 1), "cents", path)
+    cells = truncate(cells, "local", eager=False)
+    half = lambda p: cells.where(F.col("__par") == p).select(  # noqa: E731
+        "bin", "cnt"
+    )
+    write_hist_store(half(0), path)
+    append_hist_cells(spark, half(1), path)
     return probe_hist_quantiles(spark, path, [500, 900, 990])
 
 

@@ -153,8 +153,9 @@ def sketch_cms_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     append."""
     import hashlib
 
+    from ubw_spark.operators.iterate import truncate
     from ubw_spark.operators.sketches import (
-        append_cms_batch,
+        append_cms_cells,
         probe_cms_store,
         write_cms_store,
     )
@@ -167,15 +168,49 @@ def sketch_cms_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL — either would silently drop docs from BOTH halves while the
     # oracle sketches the full corpus
     parity_col = F.coalesce(F.pmod(F.col("doc_id"), F.lit(2)), F.lit(0))
-    half = lambda parity: d.where(parity_col == parity).select(  # noqa: E731
-        F.explode(tokens(F.col("text"))).alias("word")
+    # ONE corpus pass (round 13, guide §1.2/§8): the word-count table
+    # with per-parity counts feeds both halves' sketches (weighted
+    # cms_build — Σ weights over distinct words == Σ 1 over
+    # occurrences, cell-for-cell) and the probe truth — previously the
+    # corpus was tokenized three times.  State is the word-frequency
+    # table, the standard vocabulary-sized intermediate.
+    counts = (
+        d.select(
+            parity_col.alias("__par"),
+            F.explode(tokens(F.col("text"))).alias("word"),
+        )
+        .groupBy("word")
+        .agg(
+            F.sum(F.when(F.col("__par") == 0, 1).otherwise(0)).alias("__c0"),
+            F.sum(F.when(F.col("__par") == 1, 1).otherwise(0)).alias("__c1"),
+        )
     )
-    write_cms_store(cms_build(half(0), "word", width=1024, depth=4), path)
-    append_cms_batch(spark, half(1), "word", path)
+    counts = truncate(counts, "local", eager=False)
+    write_cms_store(
+        cms_build(
+            counts.where(F.col("__c0") > 0), "word",
+            width=1024, depth=4, weight_col="__c0",
+        ),
+        path,
+    )
+    append_cms_cells(
+        spark,
+        cms_build(
+            counts.where(F.col("__c1") > 0), "word",
+            width=1024, depth=4, weight_col="__c1",
+        ),
+        path,
+    )
 
     probes = literal_frame(spark, [(w,) for w in _PROBES], "word string")
     est = probe_cms_store(spark, probes, "word", path)
-    tru = _truth_for_probes(spark, sf_dir, probes)
+    tru = (
+        counts.join(F.broadcast(probes), "word")
+        .select(
+            "word",
+            (F.col("__c0") + F.col("__c1")).cast("long").alias("true_cnt"),
+        )
+    )
     return est.join(tru, "word", "left").select(
         "word",
         "est",
