@@ -57,28 +57,37 @@ def train_ivf_centroids(
 
 def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     """Indices of the n nearest centroids (squared L2), as an array
-    expression over centroid literals."""
-    dists = []
+    expression over centroid literals.
+
+    The whole ranking is ONE generated-SQL expression (the pq.py
+    `_adc_sum_sql` pattern): building it through F.aggregate/F.zip_with
+    cost 2 py4j lambda round-trips per centroid — ~1 s of driver time
+    per assign_ivf_cells call in sim_recall_report (cProfile: 9.7 s of
+    `_create_lambda` across one bench pass) — where one expr() parse is
+    ~2 ms.  The parsed tree is identical (same casts, same fold order,
+    same lowest-cid tie-break), so assignments are bit-for-bit
+    unchanged (pinned by test_semdedup_assign_paths_agree)."""
+    from ubw_spark.operators.dedup import _col_sql
+
+    v = _col_sql(vec)
+    structs = []
     for ci, c in enumerate(centroids):
-        # one parsed SQL array literal per centroid, not dim F.lit py4j
-        # round trips (same plan-build-cost fix as pq_encode/LSH buckets)
-        lit = F.expr(
-            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        lit = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        structs.append(
+            "named_struct('d', aggregate(zip_with("
+            f"{v}, {lit}, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)"
+            "), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), "
+            f"'c', {ci})"
         )
-        d = F.aggregate(
-            F.zip_with(
-                vec, lit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        dists.append(F.struct(d.alias("d"), F.lit(ci).alias("c")))
-    ranked = F.array_sort(F.array(*dists))
+    ranked = "array_sort(array(" + ", ".join(structs) + "))"
     # fence: every caller joins or explodes on the result, and the
     # inferred isnotnull predicates would otherwise be pushdown-
     # substituted, re-running the full centroid-distance pipeline per
     # row just to check a null (hof_filter_violations)
-    return fence(F.transform(F.slice(ranked, 1, n), lambda s: s["c"]))
+    return fence(
+        F.expr(f"transform(slice({ranked}, 1, {int(n)}), s -> s.c)")
+    )
 
 
 #: Above this k, single-cell assignment switches from inlined centroid
