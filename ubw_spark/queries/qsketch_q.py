@@ -6,7 +6,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ubw_spark.operators.qsketch import (
-    append_hist_batch,
     hist_build,
     hist_quantiles,
     probe_hist_quantiles,
