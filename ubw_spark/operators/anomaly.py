@@ -59,6 +59,18 @@ def rolling_zscore(
     variance is zero (a constant series makes every deviation
     infinite — flagging those is a policy choice this operator
     refuses to hardcode)."""
+    # The single-Window select below appends n_ctx/s1/s2 via
+    # select('*', ...): an input already carrying one of those names
+    # would yield duplicate columns and an ambiguous-reference error at
+    # the first F.col('n_ctx') — where the pre-round-13 withColumn form
+    # silently REPLACED the caller's column, which is no better.  Refuse
+    # loudly instead (round 14, ADVICE r13).
+    clash = [c for c in ("n_ctx", "s1", "s2", "z") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"rolling_zscore: input already has column(s) {clash}, which "
+            "this operator appends — rename them upstream"
+        )
     if parallelism:
         df = df.repartition(parallelism, *[F.col(c) for c in key_cols])
     w = (

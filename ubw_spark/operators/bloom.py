@@ -374,6 +374,9 @@ def write_bloom_store(
     cur, new_v, new_root = begin_rewrite(path)
     # ≤ m/64 rows of two bigints: one file reads in one footer+scan
     packed.coalesce(1).write.mode("overwrite").parquet(new_root)
+    from ubw_spark.operators.versioned import pin_schema
+
+    pin_schema(new_root, packed.schema)
     _write_params(new_root, n, m, k)
     commit_rewrite(path, cur, new_v)
 
@@ -395,11 +398,13 @@ def append_bloom_store(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
+        read_pinned_parquet,
         resolve_root,
     )
 
     p = read_bloom_params(path)
-    old = spark.read.parquet(resolve_root(path))
+    old = read_pinned_parquet(spark, resolve_root(path))
     new = packed_bloom_words(
         batch, text_col, n=p["n"], m=p["m"], k=p["k"],
         parallelism=parallelism,
@@ -412,16 +417,20 @@ def append_bloom_store(
     )
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, merged.schema)
     _write_params(new_root, p["n"], p["m"], p["k"])
     commit_rewrite(path, cur, new_v)
 
 
 def load_bloom(spark, path: str) -> tuple[DataFrame, dict]:
     """(one-row dense filter, params) from the live store version."""
-    from ubw_spark.operators.versioned import resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        resolve_root,
+    )
 
     p = read_bloom_params(path)
-    packed = spark.read.parquet(resolve_root(path))
+    packed = read_pinned_parquet(spark, resolve_root(path))
     return dense_bloom_row(packed, p["m"]), p
 
 

@@ -97,10 +97,17 @@ def connected_components(
     )
     # sym lives for the WHOLE loop (every round joins it): no slot, its
     # durable copy is reclaimed by the checkpoint dir's retention policy.
-    # eager=False: blocks materialize inside round 1's first job instead
-    # of a dedicated driver-blocking job (one fewer job per operator
-    # call; round-13 driver-overhead sweep).
-    sym = truncate(sym, checkpoint, eager=False)
+    # eager=True, and BEFORE _loop_conf below: the edge-generation
+    # lineage above this point is corpus-scale (at scale the full
+    # MinHash/LSH pipeline), so its one materializing shuffle must run
+    # under the session's normal conf (AQE on, corpus-sized shuffle
+    # partitions).  A lazy truncate here would defer that shuffle into
+    # round 1's first job — INSIDE the loop's pinned
+    # shuffle.partitions≤8/AQE-off scope, which is sized for the tiny
+    # per-round label state and would under-partition the one big
+    # shuffle (spill/OOM at scale).  Costs one extra driver-blocking
+    # job vs the lazy form (round-14, ADVICE r13).
+    sym = truncate(sym, checkpoint, eager=True)
     _slot = TruncateSlot()  # the labels chain: round k frees round k-1
     labels = (
         sym.select(F.col("a").alias("node"))

@@ -137,11 +137,28 @@ def _hash_params(i: int) -> tuple[int, int]:
 def _col_sql(c: Column | str) -> str:
     """SQL text of a column reference/expression, for the generated-SQL
     expression builders below (the pq.py `_adc_sum_sql` pattern): a bare
-    name is backtick-quoted; a Column renders through Catalyst's own
-    ``Expression.sql`` — one py4j call instead of one per subterm."""
+    name is backtick-quoted (embedded backticks doubled, per the SQL
+    identifier-quoting rule); a Column renders through Catalyst's own
+    ``Expression.sql`` — one py4j call instead of one per subterm.
+
+    ``_jc.node().sql()`` is a classic-mode private API (Spark 4.x
+    internals; absent under Spark Connect), so it is probed with
+    fallbacks (round 14, ADVICE r13): ``node().sql()`` →
+    ``expr().sql()`` → a clear error telling the caller to pass the
+    column by NAME, which needs no JVM expression handle at all."""
     if isinstance(c, str):
-        return f"`{c}`"
-    return c._jc.node().sql()
+        return "`" + c.replace("`", "``") + "`"
+    for path in ("node", "expr"):
+        try:
+            return getattr(c._jc, path)().sql()
+        except AttributeError:
+            continue
+    raise TypeError(
+        "cannot render this Column to SQL text on this PySpark backend "
+        "(no classic-mode expression handle — Spark Connect?); pass the "
+        "column by name (str) instead, e.g. after aliasing it in a "
+        "projection"
+    )
 
 
 def minhash_signature(hashes: Column | str, num_hashes: int = 64) -> Column:
@@ -519,8 +536,14 @@ def lsh_recall_report(
     # partitions parallelizes the m² nested loop — with the shared
     # frame materialized, extra partitions are block reads, never
     # pipeline re-runs (round 13; was repartition(1) = one serial
-    # task doing the whole m² kernel).
-    a = a.repartition(_AUDIT_TRUTH_PARTITIONS)
+    # task doing the whole m² kernel).  The widening is CONDITIONAL on
+    # materialization: under checkpoint=None (the documented plan-lint
+    # mode) the frame is a full-lineage plan, and the conservative
+    # single partition keeps that mode's cost profile exactly what the
+    # original repartition(1) guaranteed (round 14, ADVICE r13).
+    a = a.repartition(
+        _AUDIT_TRUTH_PARTITIONS if checkpoint is not None else 1
+    )
     b = F.broadcast(b.repartition(1))
     truth = (
         a.join(b, F.col("id_a") < F.col("id_b"))

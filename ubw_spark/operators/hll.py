@@ -260,6 +260,9 @@ def write_hll_store(registers: DataFrame, path: str) -> None:
         )
     cur, new_v, new_root = begin_rewrite(path)
     registers.coalesce(1).write.mode("overwrite").parquet(new_root)
+    from ubw_spark.operators.versioned import pin_schema
+
+    pin_schema(new_root, registers.schema)
     write_sidecar(new_root, PARAMS_FILE, {"p": p})
     commit_rewrite(path, cur, new_v)
 
@@ -269,11 +272,15 @@ def load_hll(spark, path: str) -> tuple[DataFrame, dict]:
     ONCE for sidecar + data (a double resolve could straddle a rewrite),
     precision re-pinned from the sidecar (the authority) onto the ``r``
     metadata."""
-    from ubw_spark.operators.versioned import read_sidecar, resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        read_sidecar,
+        resolve_root,
+    )
 
     root = resolve_root(path)
     params = read_sidecar(root, PARAMS_FILE, "hll")
-    df = spark.read.parquet(root)
+    df = read_pinned_parquet(spark, root)
     regs = df.select(
         "bucket", F.col("r").alias("r", metadata={"hll_p": params["p"]})
     )
@@ -312,12 +319,14 @@ def _merge_and_flip(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
         write_sidecar,
     )
 
     merged = hll_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, merged.schema)
     write_sidecar(new_root, PARAMS_FILE, {"p": params["p"]})
     commit_rewrite(path, cur, new_v)
 

@@ -256,11 +256,13 @@ def write_agg_store(state: DataFrame, path: str) -> None:
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
         write_sidecar,
     )
 
     cur, new_v, new_root = begin_rewrite(path)
     state.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, state.schema)
     write_sidecar(new_root, AGG_PARAMS_FILE, {})
     commit_rewrite(path, cur, new_v)
 
@@ -268,11 +270,15 @@ def write_agg_store(state: DataFrame, path: str) -> None:
 def load_agg_store(spark, path: str) -> tuple[DataFrame, dict]:
     """(state, params) from the live version — root resolved ONCE for
     sidecar + data (the double-resolve compaction race rule)."""
-    from ubw_spark.operators.versioned import read_sidecar, resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        read_sidecar,
+        resolve_root,
+    )
 
     root = resolve_root(path)
     params = read_sidecar(root, AGG_PARAMS_FILE, "agg")
-    return spark.read.parquet(root), params
+    return read_pinned_parquet(spark, root), params
 
 
 def fold_batch_into_agg_store(
@@ -295,6 +301,7 @@ def fold_batch_into_agg_store(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
         write_sidecar,
     )
 
@@ -308,6 +315,7 @@ def fold_batch_into_agg_store(
     )
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, merged.schema)
     out_params = {}
     if batch_id is not None:
         out_params["last_batch_id"] = batch_id

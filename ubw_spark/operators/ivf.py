@@ -257,15 +257,16 @@ def write_ivf_index(
     from ubw_spark.operators.versioned import begin_rewrite, commit_rewrite
 
     cur, new_v, root = begin_rewrite(path)
+    assigned = assign_ivf_cells(corpus, centroids, vec_col)
     (
-        assign_ivf_cells(corpus, centroids, vec_col)
-        .repartition("ivf_cell")
+        assigned.repartition("ivf_cell")
         .write.mode("overwrite")
         .partitionBy("ivf_cell")
         .parquet(root)
     )
-    from ubw_spark.operators.versioned import write_sidecar
+    from ubw_spark.operators.versioned import pin_schema, write_sidecar
 
+    pin_schema(root, assigned.schema, ("ivf_cell",))
     write_sidecar(root, IVF_PARAMS_FILE, centroid_params(centroids))
     commit_rewrite(path, cur, new_v, legacy_prefixes=("ivf_cell=",))
 
@@ -300,7 +301,10 @@ def probe_ivf_index(
     candidates when queries was non-deterministic (sample(), unordered
     limit, re-read of mutable storage) AND paid the k·dim literal
     expression build per call at paper-scale k."""
-    from ubw_spark.operators.versioned import resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        resolve_root,
+    )
 
     root = resolve_root(path)
     _check_ivf_params(root, centroids)
@@ -328,6 +332,7 @@ def probe_ivf_index(
     # literal_frame, not createDataFrame: the probe rows join every
     # consuming job, and a pickled local RDD would launch a Python
     # worker per job (round-13 measurement: ~0.3-0.5 s each warm)
+    indexed_all = read_pinned_parquet(spark, root)
     probes = literal_frame(
         spark,
         probe_rows,
@@ -337,14 +342,14 @@ def probe_ivf_index(
                 StructField("__qv", queries.schema[vec_col].dataType, True),
                 StructField(
                     "ivf_cell",
-                    spark.read.parquet(root).schema["ivf_cell"].dataType,
+                    indexed_all.schema["ivf_cell"].dataType,
                     True,
                 ),
             ]
         ),
     )
     cells = sorted({c for _, _, c in probe_rows})
-    indexed = spark.read.parquet(root).where(F.col("ivf_cell").isin(cells))
+    indexed = indexed_all.where(F.col("ivf_cell").isin(cells))
     cands = (
         indexed.join(broadcast(probes), "ivf_cell")
         .where(F.col(id_col) != F.col("qid"))

@@ -67,6 +67,8 @@ from ubw_spark.operators.versioned import (
     begin_rewrite,
     commit_rewrite,
     current_version,  # re-exported: part of this module's public API
+    pin_schema,
+    read_pinned_parquet,
     read_sidecar,
     resolve_root as _resolve_root,
     write_sidecar,
@@ -162,21 +164,24 @@ def write_minhash_index(
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
         parallelism=parallelism,
     )
+    banded_out = banded.withColumnRenamed("__band", "band").withColumnRenamed(
+        "__key", "key"
+    )
     (
-        banded.withColumnRenamed("__band", "band")
-        .withColumnRenamed("__key", "key")
-        .repartition("band")
+        banded_out.repartition("band")
         .write.mode("overwrite")
         .partitionBy("band")
         .parquet(_bands_path(root))
     )
+    pin_schema(_bands_path(root), banded_out.schema, ("band",))
     sh.write.mode("overwrite").parquet(_docs_path(root))
+    pin_schema(_docs_path(root), sh.schema)
     # the signature store backs the prefilter between the band join and
     # the shingle verify: ~512 B/doc vs KBs/doc of shingles, rewritten
     # alongside docs, read with a two-column pruned scan at probe time
-    sig.withColumnRenamed("__sig", "sig").write.mode("overwrite").parquet(
-        _sigs_path(root)
-    )
+    sig_out = sig.withColumnRenamed("__sig", "sig")
+    sig_out.write.mode("overwrite").parquet(_sigs_path(root))
+    pin_schema(_sigs_path(root), sig_out.schema)
     write_sidecar(
         root,
         PARAMS_FILE,
@@ -280,7 +285,7 @@ def probe_minhash_index(
     p_banded = p_banded.withColumnRenamed("__band", "band").withColumnRenamed(
         "__key", "key"
     )
-    idx = spark.read.parquet(_bands_path(root))
+    idx = read_pinned_parquet(spark, _bands_path(root))
     if probe_bands is not None:
         idx = idx.where(F.col("band") < probe_bands)
         p_banded = p_banded.where(F.col("band") < probe_bands)
@@ -306,7 +311,7 @@ def probe_minhash_index(
         # null-checks on it are cheap scan filters); only the batch's
         # in-flight signatures need the pushdown fence — see
         # dedup.minhash_dedup_pairs
-        c_sig = spark.read.parquet(_sigs_path(root))
+        c_sig = read_pinned_parquet(spark, _sigs_path(root))
         cands = (
             cands.join(c_sig, "corpus_id")
             .join(
@@ -323,7 +328,7 @@ def probe_minhash_index(
             )
             .select("corpus_id", "probe_id")
         )
-    c_sh = spark.read.parquet(_docs_path(root))
+    c_sh = read_pinned_parquet(spark, _docs_path(root))
     inter = F.size(F.array_intersect("sh", "sh_probe"))
     union = F.size(F.array_union("sh", "sh_probe"))
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -360,14 +365,14 @@ def compacted_index_frames(
     drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
     maybe_bc = broadcast if broadcast_drops else (lambda d: d)
     root = _resolve_root(path)
-    bands_kept = spark.read.parquet(_bands_path(root)).join(
+    bands_kept = read_pinned_parquet(spark, _bands_path(root)).join(
         maybe_bc(drops), id_col, "left_anti"
     )
-    docs_kept = spark.read.parquet(_docs_path(root)).join(
+    docs_kept = read_pinned_parquet(spark, _docs_path(root)).join(
         maybe_bc(drops), id_col, "left_anti"
     )
     sigs_kept = (
-        spark.read.parquet(_sigs_path(root)).join(
+        read_pinned_parquet(spark, _sigs_path(root)).join(
             maybe_bc(drops), id_col, "left_anti"
         )
         if _has_sigs(root)
@@ -415,9 +420,12 @@ def compact_minhash_index(
         .partitionBy("band")
         .parquet(_bands_path(new_root))
     )
+    pin_schema(_bands_path(new_root), bands_kept.schema, ("band",))
     docs_kept.write.mode("overwrite").parquet(_docs_path(new_root))
+    pin_schema(_docs_path(new_root), docs_kept.schema)
     if sigs_kept is not None:
         sigs_kept.write.mode("overwrite").parquet(_sigs_path(new_root))
+        pin_schema(_sigs_path(new_root), sigs_kept.schema)
     # the layout params carry verbatim — compaction changes membership,
     # never the banding scheme
     write_sidecar(new_root, PARAMS_FILE, stored_params)

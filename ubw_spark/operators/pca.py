@@ -248,6 +248,7 @@ def write_moments_store(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
         write_sidecar,
     )
 
@@ -258,6 +259,7 @@ def write_moments_store(
     )
     cur, new_v, root = begin_rewrite(path)
     agg.coalesce(1).write.mode("overwrite").parquet(root)
+    pin_schema(root, agg.schema)
     write_sidecar(root, MOMENTS_PARAMS, {})
     commit_rewrite(path, cur, new_v)
 
@@ -287,6 +289,8 @@ def append_moments_batch(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
+        read_pinned_parquet,
         read_sidecar,
         resolve_root,
         write_sidecar,
@@ -308,7 +312,7 @@ def append_moments_batch(
     )
     spark = batch.sparkSession
     merged = (
-        spark.read.parquet(old_root)
+        read_pinned_parquet(spark, old_root)
         .unionByName(agg)
         .groupBy("i", "j")
         .agg(
@@ -320,6 +324,7 @@ def append_moments_batch(
     )
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, merged.schema)
     if batch_id is not None:
         params["last_batch_id"] = batch_id
     write_sidecar(new_root, MOMENTS_PARAMS, params)
@@ -330,10 +335,13 @@ def pca_fit_from_store(spark, path: str, r: int) -> dict:
     """Fit from the persisted moments alone (no corpus access): one
     (i, j) re-aggregation over ≤ |appends| × d(d+1)/2 rows, then the
     shared driver-side eigh tail."""
-    from ubw_spark.operators.versioned import resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        resolve_root,
+    )
 
     merged = (
-        spark.read.parquet(resolve_root(path))
+        read_pinned_parquet(spark, resolve_root(path))
         .groupBy("i", "j")
         .agg(
             F.sum("sxy").alias("sxy"),

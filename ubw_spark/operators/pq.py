@@ -395,8 +395,9 @@ def write_ivfpq_index(
         .partitionBy("ivf_cell")
         .parquet(root)
     )
-    from ubw_spark.operators.versioned import write_sidecar
+    from ubw_spark.operators.versioned import pin_schema, write_sidecar
 
+    pin_schema(root, coded.schema, ("ivf_cell",))
     write_sidecar(root, PQ_PARAMS_FILE, _ivfpq_params(cell_centroids, codebooks))
     commit_rewrite(path, cur, new_v, legacy_prefixes=("ivf_cell=",))
 
@@ -418,18 +419,23 @@ def probe_ivfpq_index(
     plan — the same pattern as ivf.probe_ivf_index), and the per-query
     cell bound + ADC scoring then run exactly as :func:`ivf_pq_topk`.
     Corpus text/vectors are never read — only m-int codes."""
-    from ubw_spark.operators.versioned import resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        resolve_root,
+    )
 
     root = resolve_root(path)
     _check_ivfpq_params(root, cell_centroids, codebooks)
     if not queries:
-        return _empty_adc_result(spark.read.parquet(root), id_col, qid_type)
+        return _empty_adc_result(
+            read_pinned_parquet(spark, root), id_col, qid_type
+        )
     probes = {
         qid: _nearest_cells_py([float(x) for x in vec], cell_centroids, nprobe)
         for qid, vec in queries
     }
     all_cells = sorted({c for cells in probes.values() for c in cells})
-    coded = spark.read.parquet(root).where(
+    coded = read_pinned_parquet(spark, root).where(
         F.col("ivf_cell").isin(all_cells)
     )
     per_query = []

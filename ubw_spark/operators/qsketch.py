@@ -278,6 +278,9 @@ def write_hist_store(cells: DataFrame, path: str) -> None:
     lo, hi, nb = _check_shape(cells, "write_hist_store")
     cur, new_v, new_root = begin_rewrite(path)
     cells.coalesce(1).write.mode("overwrite").parquet(new_root)
+    from ubw_spark.operators.versioned import pin_schema
+
+    pin_schema(new_root, cells.schema)
     write_sidecar(new_root, PARAMS_FILE, {"lo": lo, "hi": hi, "nbins": nb})
     commit_rewrite(path, cur, new_v)
 
@@ -286,11 +289,15 @@ def load_hist(spark, path: str) -> tuple[DataFrame, dict]:
     """(cells, params) from the live version — root resolved ONCE for
     sidecar + data (the load_cms rule), range re-pinned from the
     sidecar (the authority) onto the column metadata."""
-    from ubw_spark.operators.versioned import read_sidecar, resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        read_sidecar,
+        resolve_root,
+    )
 
     root = resolve_root(path)
     p = read_sidecar(root, PARAMS_FILE, "qh")
-    df = spark.read.parquet(root)
+    df = read_pinned_parquet(spark, root)
     cells = df.select(
         "bin",
         F.col("cnt").alias(
@@ -353,12 +360,14 @@ def _hist_merge_and_flip(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
         write_sidecar,
     )
 
     merged = hist_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, merged.schema)
     params = {"lo": p["lo"], "hi": p["hi"], "nbins": p["nbins"]}
     if batch_id is not None:
         params["last_batch_id"] = batch_id

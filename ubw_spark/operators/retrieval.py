@@ -524,15 +524,18 @@ def write_term_index(
 
     obs = Observation()
     cur, new_v, root = begin_rewrite(path)
+    posts = _bucketed_postings(
+        df, id_col, text_col, buckets, stats_observation=obs
+    )
     (
-        _bucketed_postings(
-            df, id_col, text_col, buckets, stats_observation=obs
-        )
-        .repartition("tb")
+        posts.repartition("tb")
         .write.mode("overwrite")
         .partitionBy("tb")
         .parquet(root)
     )
+    from ubw_spark.operators.versioned import pin_schema
+
+    pin_schema(root, posts.schema, ("tb",))
     st = obs.get  # {n_docs, total_tokens} observed during the write
     _write_stats(root, st["n_docs"], st["total_tokens"], buckets)
     commit_rewrite(path, cur, new_v)
@@ -629,10 +632,12 @@ def probe_term_index(
     buckets of the index; the term ``isin`` predicate pushes into the
     parquet scan of those partitions.  The version root is resolved
     ONCE — stats and postings always come from the same version."""
+    from ubw_spark.operators.versioned import read_pinned_parquet
+
     qts = query_terms(query)
     root = resolve_root(path)
     stats = _read_stats_at(root, path)
-    idx = spark.read.parquet(root)
+    idx = read_pinned_parquet(spark, root)
     # Empty query OR fully-retired store → empty result up front: with
     # n_docs = 0 the avgdl literal is total/0, which ANSI constant
     # folding rejects at PLAN time even though no row would evaluate it.
@@ -687,12 +692,14 @@ def probe_term_index_batch(
     in one task — the _score_topk skew rationale)."""
     from pyspark.sql import Window
 
+    from ubw_spark.operators.versioned import read_pinned_parquet
+
     root = resolve_root(path)
     stats = _read_stats_at(root, path)
     if stats["n_docs"] == 0:
         # fully-retired store: same plan-time ANSI divide-by-zero guard
         # as probe_term_index
-        idx0 = spark.read.parquet(root)
+        idx0 = read_pinned_parquet(spark, root)
         return queries.select(
             F.col(qid_col).alias("qid"),
             F.lit(None).cast(idx0.schema[id_col].dataType).alias(id_col),
@@ -714,7 +721,7 @@ def probe_term_index_batch(
     )
     # bounded: ≤ `buckets` distinct values regardless of batch size
     bs = sorted(r["tb"] for r in qt.select("tb").distinct().collect())
-    idx = spark.read.parquet(root)
+    idx = read_pinned_parquet(spark, root)
     hit = idx.where(F.col("tb").isin(bs)).join(
         broadcast(qt.select("term").distinct()), "term", "left_semi"
     )
@@ -765,7 +772,9 @@ def compact_term_index(
     # zero part files, and a schema-INFERRING read of it throws before
     # the commit, making "retire the last documents" (takedown/GDPR)
     # permanently impossible.
-    schema = spark.read.parquet(old_root).schema
+    from ubw_spark.operators.versioned import read_pinned_parquet
+
+    schema = read_pinned_parquet(spark, old_root).schema
 
     def restat(new_root: str) -> None:
         kept = spark.read.schema(schema).parquet(new_root)

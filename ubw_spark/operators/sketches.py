@@ -217,6 +217,9 @@ def write_cms_store(sketch: DataFrame, path: str) -> None:
     w, d = _check_shape(sketch, "write_cms_store")
     cur, new_v, new_root = begin_rewrite(path)
     sketch.coalesce(1).write.mode("overwrite").parquet(new_root)
+    from ubw_spark.operators.versioned import pin_schema
+
+    pin_schema(new_root, sketch.schema)
     write_sidecar(new_root, PARAMS_FILE, {"width": w, "depth": d})
     commit_rewrite(path, cur, new_v)
 
@@ -230,11 +233,15 @@ def load_cms(spark, path: str) -> tuple[DataFrame, dict]:
     from the sidecar (the authority) onto the ``cnt`` metadata, so a
     store whose files were produced elsewhere still carries the
     guard."""
-    from ubw_spark.operators.versioned import read_sidecar, resolve_root
+    from ubw_spark.operators.versioned import (
+        read_pinned_parquet,
+        read_sidecar,
+        resolve_root,
+    )
 
     root = resolve_root(path)
     p = read_sidecar(root, PARAMS_FILE, "cms")
-    df = spark.read.parquet(root)
+    df = read_pinned_parquet(spark, root)
     sk = df.select(
         "i",
         "bucket",
@@ -304,12 +311,14 @@ def _cms_merge_and_flip(
     from ubw_spark.operators.versioned import (
         begin_rewrite,
         commit_rewrite,
+        pin_schema,
         write_sidecar,
     )
 
     merged = cms_merge(old, new)
     cur, new_v, new_root = begin_rewrite(path)
     merged.coalesce(1).write.mode("overwrite").parquet(new_root)
+    pin_schema(new_root, merged.schema)
     params = {"width": p["width"], "depth": p["depth"]}
     if batch_id is not None:
         params["last_batch_id"] = batch_id

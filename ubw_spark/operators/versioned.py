@@ -194,7 +194,7 @@ def compact_partitioned_store(
     old_root = resolve_root(path)
     drops = drop_ids.select(F.col(drop_ids.columns[0]).alias(id_col))
     maybe_bc = broadcast if broadcast_drops else (lambda d: d)
-    kept = spark.read.parquet(old_root).join(
+    kept = read_pinned_parquet(spark, old_root).join(
         maybe_bc(drops), id_col, "left_anti"
     )
     cur, new_v, new_root = begin_rewrite(path)
@@ -204,6 +204,7 @@ def compact_partitioned_store(
         .partitionBy(partition_col)
         .parquet(new_root)
     )
+    pin_schema(new_root, kept.schema, (partition_col,))
     if pre_commit is not None:
         pre_commit(new_root)
     commit_rewrite(path, cur, new_v, legacy_prefixes=legacy_prefixes)
@@ -237,6 +238,84 @@ def store_stats(path: str) -> dict:
         "versions": versions,
         "legacy_dirs": legacy,
     }
+
+
+#: Read-back schema sidecar written next to a store's data files.
+#: Leading underscore keeps it out of Spark's data-file listing (the
+#: ``_SUCCESS`` convention).
+SCHEMA_FILE = "_SCHEMA"
+
+
+def readback_schema(written_schema, partition_cols: tuple[str, ...] = ()):
+    """The schema ``spark.read.parquet`` would INFER for a store just
+    written with ``written_schema`` (optionally ``partitionBy``-ed on
+    ``partition_cols``) — constructed without reading any footer, so a
+    writer can pin it as a sidecar and spare every later reader the
+    schema-inference job (guide §6: a per-``spark.read`` driver job of
+    ~0.1-0.3 s that a store-lifecycle query pays up to 9×).
+
+    Rules mirrored from Spark's parquet read path, pinned per store by
+    tests/test_store_schema_pin.py against actual inference:
+
+    - data columns keep their written order and dtype;
+    - partition columns move to the END (partition discovery appends
+      them) and integral ones read back as ``IntegerType`` (partition
+      TYPE inference parses the directory-name string, and every
+      partition value in this repo's stores — band, ivf_cell, tb — is
+      a small int).  Stores with >2^31 partition values would need a
+      LongType pin; none exists here and the pin test would catch one.
+    """
+    from pyspark.sql import types as T
+
+    integral = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    data = [
+        T.StructField(f.name, f.dataType, f.nullable, f.metadata)
+        for f in written_schema
+        if f.name not in partition_cols
+    ]
+    parts = []
+    for c in partition_cols:
+        f = written_schema[c]
+        t = T.IntegerType() if isinstance(f.dataType, integral) else f.dataType
+        parts.append(T.StructField(c, t, True))
+    return T.StructType(data + parts)
+
+
+def pin_schema(
+    data_dir: str, written_schema, partition_cols: tuple[str, ...] = ()
+) -> None:
+    """Persist the read-back schema of the store at ``data_dir`` so
+    :func:`read_pinned_parquet` can skip footer inference.  Call AFTER
+    the data write with the schema of the frame that was written (and
+    the ``partitionBy`` columns, if any)."""
+    import json
+    import os
+
+    os.makedirs(data_dir, exist_ok=True)
+    schema = readback_schema(written_schema, partition_cols)
+    tmp = posixpath.join(data_dir, SCHEMA_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(schema.jsonValue(), f)
+    os.replace(tmp, posixpath.join(data_dir, SCHEMA_FILE))
+
+
+def read_pinned_parquet(spark, data_dir: str):
+    """``spark.read.parquet(data_dir)`` minus the schema-inference job
+    when the writer pinned a ``_SCHEMA`` sidecar (guide §6 — predicate
+    pushdown, partition discovery and pruning are unchanged; only the
+    footer-read inference pass is skipped).  Stores written before
+    pinning existed fall back to plain inference, so this is always
+    safe to call on a store directory."""
+    import json
+
+    from pyspark.sql import types as T
+
+    try:
+        with open(posixpath.join(data_dir, SCHEMA_FILE)) as f:
+            schema = T.StructType.fromJson(json.load(f))
+    except FileNotFoundError:
+        return spark.read.parquet(data_dir)
+    return spark.read.schema(schema).parquet(data_dir)
 
 
 def write_sidecar(root: str, filename: str, params: dict) -> None:

@@ -235,10 +235,14 @@ def engine_literal_rows_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ubw_spark.sources.readers import literal_rows
 
+    # trusted=True: these three rows are engine-written literals in
+    # this file, exactly the scope functions/literals.py reserves for
+    # the JVM-literal rendering (no Python-RDD scan per consuming job).
     seeds = literal_rows(
         spark,
         [(3, "bronze"), (4, "silver"), (5, "gold")],
         "grade bigint, label string",
+        trusted=True,
     )
     cust = table(spark, sf_dir, "customer")
     return (

@@ -90,16 +90,25 @@ def literal_rows(
     spark: SparkSession,
     rows: Sequence[tuple],
     schema: T.StructType | str,
+    *,
+    trusted: bool = False,
 ) -> DataFrame:
     """S3: in-memory seed rows with an explicit schema.
 
+    Default path is ``createDataFrame``: this is a PUBLIC source API,
+    and functions/literals.py's scope contract reserves SQL-text
+    rendering for engine-controlled values (round 14, ADVICE r13 —
+    rendering caller data into expression strings widens the SQL-text
+    surface and loosens type checking).  ``trusted=True`` opts a
+    caller whose rows are engine-controlled literals into the
     JVM-literal plan (functions/literals.py): a pickled local RDD
     launches a Python worker per consuming job — measured ~0.3-0.5 s
-    per action at the round-13 bench; falls back to createDataFrame
-    for value types without a literal rendering."""
-    from ubw_spark.functions.literals import literal_frame
+    per action at the round-13 bench."""
+    if trusted:
+        from ubw_spark.functions.literals import literal_frame
 
-    return literal_frame(spark, list(rows), schema)
+        return literal_frame(spark, list(rows), schema)
+    return spark.createDataFrame(list(rows), schema)
 
 
 def read_jdbc(
