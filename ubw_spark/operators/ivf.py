@@ -70,17 +70,26 @@ def _nearest_cells(vec: Column, centroids: list[list[float]], n: int) -> Column:
     from ubw_spark.operators.dedup import _col_sql
 
     v = _col_sql(vec)
-    structs = []
-    for ci, c in enumerate(centroids):
-        lit = "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-        structs.append(
-            "named_struct('d', aggregate(zip_with("
-            f"{v}, {lit}, "
-            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)"
-            "), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), "
-            f"'c', {ci})"
-        )
-    ranked = "array_sort(array(" + ", ".join(structs) + "))"
+    # ONE flat centroid constant looked up by the transform index
+    # lambda (round 14, the hyperplane_bucket_array hoist): the
+    # round-13 form built k separate named_struct subtrees each with
+    # its own zip_with over inline centroid literals — k HOF subtrees
+    # to analyze and fold per action.  Values bit-identical: same
+    # (a−b)² products, same left-to-right fold, same (d, c) struct
+    # sort with lowest-cid tie-break (still pinned by
+    # test_semdedup_assign_paths_agree).
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in centroids
+    ) + ")"
+    ranked = (
+        f"array_sort(transform({cents_sql}, (c, i) -> "
+        "named_struct('d', aggregate(zip_with("
+        f"{v}, c, "
+        "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)"
+        "), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x), "
+        "'c', i)))"
+    )
     # fence: every caller joins or explodes on the result, and the
     # inferred isnotnull predicates would otherwise be pushdown-
     # substituted, re-running the full centroid-distance pipeline per

@@ -167,21 +167,46 @@ def write_minhash_index(
     banded_out = banded.withColumnRenamed("__band", "band").withColumnRenamed(
         "__key", "key"
     )
-    (
-        banded_out.repartition("band")
-        .write.mode("overwrite")
-        .partitionBy("band")
-        .parquet(_bands_path(root))
-    )
-    pin_schema(_bands_path(root), banded_out.schema, ("band",))
-    sh.write.mode("overwrite").parquet(_docs_path(root))
-    pin_schema(_docs_path(root), sh.schema)
     # the signature store backs the prefilter between the band join and
     # the shingle verify: ~512 B/doc vs KBs/doc of shingles, rewritten
     # alongside docs, read with a two-column pruned scan at probe time
     sig_out = sig.withColumnRenamed("__sig", "sig")
-    sig_out.write.mode("overwrite").parquet(_sigs_path(root))
-    pin_schema(_sigs_path(root), sig_out.schema)
+
+    def _write_bands() -> None:
+        (
+            banded_out.repartition("band")
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(_bands_path(root))
+        )
+        pin_schema(_bands_path(root), banded_out.schema, ("band",))
+
+    def _write_docs() -> None:
+        sh.write.mode("overwrite").parquet(_docs_path(root))
+        pin_schema(_docs_path(root), sh.schema)
+
+    def _write_sigs() -> None:
+        sig_out.write.mode("overwrite").parquet(_sigs_path(root))
+        pin_schema(_sigs_path(root), sig_out.schema)
+
+    # The three stores are INDEPENDENT projections of the one
+    # materialized minhash frame (banded_minhash truncates it eagerly
+    # before returning), so their write jobs overlap instead of running
+    # back-to-back (guide §2.6): each write's tail (commit protocol,
+    # small last tasks) back-fills with the next store's tasks.  Jobs
+    # submitted from driver threads are the documented Spark pattern;
+    # nothing here mutates shared state — each thread owns its store
+    # subdirectory, and the manifest flip below happens after ALL three
+    # landed.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [
+            pool.submit(_write_bands),
+            pool.submit(_write_docs),
+            pool.submit(_write_sigs),
+        ]:
+            fut.result()
     write_sidecar(
         root,
         PARAMS_FILE,
@@ -226,19 +251,36 @@ def append_minhash_batch(
         df, id_col, text_col, id_alias="corpus_id", sh_name="sh",
         k=k, num_hashes=num_hashes, bands=bands, rows_per_band=rows_per_band,
     )
-    (
-        banded.withColumnRenamed("__band", "band")
-        .withColumnRenamed("__key", "key")
-        .repartition("band")
-        .write.mode("append")
-        .partitionBy("band")
-        .parquet(_bands_path(root))
-    )
-    sh.write.mode("append").parquet(_docs_path(root))
-    if _has_sigs(root):
+
+    def _append_bands() -> None:
+        (
+            banded.withColumnRenamed("__band", "band")
+            .withColumnRenamed("__key", "key")
+            .repartition("band")
+            .write.mode("append")
+            .partitionBy("band")
+            .parquet(_bands_path(root))
+        )
+
+    def _append_docs() -> None:
+        sh.write.mode("append").parquet(_docs_path(root))
+
+    def _append_sigs() -> None:
         sig.withColumnRenamed("__sig", "sig").write.mode("append").parquet(
             _sigs_path(root)
         )
+
+    # Independent projections of the one materialized batch frame into
+    # three disjoint store directories: overlap the append jobs (guide
+    # §2.6) exactly as in write_minhash_index.
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [_append_bands, _append_docs]
+    if _has_sigs(root):
+        jobs.append(_append_sigs)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(j) for j in jobs]:
+            fut.result()
 
 
 def probe_minhash_index(

@@ -138,6 +138,14 @@ def pq_encode(
     fold is the same left-to-right (x−y)² sum the DuckDB oracle
     mirrors."""
 
+    # NOTE (round 14): hoisting the m codebooks into one flat constant
+    # indexed by an outer transform lambda (the
+    # similarity.hyperplane_bucket_array form) was tried and REVERTED —
+    # values identical, but execution got SLOWER (sim_pq_ann_topk
+    # alternating A/B: 1.58/1.87 s per-subspace form vs 2.66/2.72 s
+    # hoisted; sim_ivfpq 1.91/2.02 vs 2.40/3.27).  The per-subspace
+    # form keeps slice() bounds constant, which the interpreted HOF
+    # path evaluates measurably faster than the lambda-indexed lookup.
     def book_sql(book: list[list[float]]) -> str:
         return "array(" + ",".join(
             "array(" + ",".join(f"{float(c)!r}D" for c in cent) + ")"

@@ -145,23 +145,33 @@ def hyperplane_bucket_array(
         ).otherwise(F.col(vec_col)),
     )
     planes = _hyperplanes(dim, bits, tables, seed)
-    per_table = []
-    for t in range(tables):
-        bit_terms = []
-        for j in range(bits):
-            arr = "array(" + ",".join(f"{float(c)!r}D" for c in planes[t, j]) + ")"
-            dot = (
-                f"aggregate(zip_with({vec_col}, {arr}, "
-                "(x, c) -> cast(x as double) * c), 0.0D, (acc, x) -> acc + x)"
-            )
-            bit_terms.append(
-                f"(case when {dot} >= 0.0D then {1 << j} else 0 end)"
-            )
-        per_table.append(
-            F.expr(
-                f"struct({t} as t, ({' + '.join(bit_terms)}) as b)"
-            )
-        )
+    # ONE kernel expression over ONE flat plane constant (round 14):
+    # the round-13 form emitted `tables` separate F.expr strings, each
+    # carrying bits×dim inline literals inside its own zip_with —
+    # tables×bits HOF subtrees for the analyzer/optimizer to resolve
+    # and fold PER ACTION (~0.5-0.6 s of driver stall per consuming
+    # action at 16×4×64, measured).  Hoisting the planes into a single
+    # nested array constant looked up by lambda index collapses that to
+    # ~4 HOF nodes + one flat constant; values are bit-identical (same
+    # zip_with element products, same left-to-right aggregate fold,
+    # same bit weights summed in the same j order — parity asserted on
+    # real testdata in tests/test_r14_optimizations.py).
+    planes_sql = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(c)!r}D" for c in planes[t, j]) + ")"
+            for j in range(bits)
+        ) + ")"
+        for t in range(tables)
+    ) + ")"
+    kernel = (
+        f"transform(sequence(0, {tables - 1}), t -> named_struct("
+        "'t', t, 'b', "
+        f"aggregate(sequence(0, {bits - 1}), 0, (bacc, j) -> bacc + "
+        f"(case when aggregate(zip_with({vec_col}, "
+        f"element_at(element_at({planes_sql}, t + 1), j + 1), "
+        "(x, c) -> cast(x as double) * c), 0.0D, (acc, x) -> acc + x) "
+        ">= 0.0D then shiftleft(1, j) else 0 end))))"
+    )
     # fence: consumers explode (or join through) the array, and the
     # inferred size()>0 / isnotnull predicates would otherwise be
     # pushdown-substituted below this projection, re-running the whole
@@ -170,7 +180,7 @@ def hyperplane_bucket_array(
     # this shape when the array stage was first split out).
     from ubw_spark.functions.hof import fence
 
-    return df.withColumn(out_col, fence(F.array(*per_table)))
+    return df.withColumn(out_col, fence(F.expr(kernel)))
 
 
 def lsh_ann_topk(
