@@ -494,10 +494,18 @@ def _bucketed_postings(
     buckets: int,
     *,
     stats_observation=None,
+    parallelism: int | None = None,
 ) -> DataFrame:
     # The writers need every posting (no term filter to push down), so
     # the shuffle-free form applies: the bucket repartition that
-    # follows is the ONLY exchange in the store write.
+    # follows is the ONLY exchange in the store write — plus, when
+    # ``parallelism`` is passed, one cheap raw-text repartition FIRST:
+    # tokenize + run-length tf is the CPU-heavy map, and a one-file
+    # micro-batch (the foreachBatch append case) otherwise runs it on a
+    # single task (round 14; the spans/bloom/minhash widening knob —
+    # measured ~1.2 s/append serial vs ~0.5 s widened at sf0.1).
+    if parallelism:
+        df = df.repartition(parallelism)
     return doc_postings_local(
         df, id_col, text_col, stats_observation=stats_observation
     ).withColumn("tb", portable_hash(F.col("term")) % buckets)
@@ -510,6 +518,7 @@ def write_term_index(
     path: str,
     *,
     buckets: int = 32,
+    parallelism: int | None = None,
 ) -> None:
     """Materialize the inverted index: posting rows partitioned by the
     term's portable hash bucket (``tb``), plus the stats sidecar (which
@@ -525,7 +534,8 @@ def write_term_index(
     obs = Observation()
     cur, new_v, root = begin_rewrite(path)
     posts = _bucketed_postings(
-        df, id_col, text_col, buckets, stats_observation=obs
+        df, id_col, text_col, buckets, stats_observation=obs,
+        parallelism=parallelism,
     )
     (
         posts.repartition("tb")
@@ -548,6 +558,7 @@ def append_term_batch(
     path: str,
     *,
     batch_id: int | None = None,
+    parallelism: int | None = None,
 ) -> None:
     """Fold a new document batch into the index: the batch's posting
     files land in the bucket partitions (under the sidecar's pinned
@@ -593,7 +604,8 @@ def append_term_batch(
     obs = Observation()
     (
         _bucketed_postings(
-            batch, id_col, text_col, old["buckets"], stats_observation=obs
+            batch, id_col, text_col, old["buckets"], stats_observation=obs,
+            parallelism=parallelism,
         )
         .repartition("tb")
         .write.mode("append")

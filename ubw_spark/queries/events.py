@@ -339,26 +339,40 @@ def _stage_out_of_order_arrivals(spark: SparkSession, ev: DataFrame, base: str) 
     # watermark past every real aggregate, the SECOND makes the advance
     # effective during a data batch
     for i, sent_day in enumerate(sentinel_days):
-        sent_ts = f"{sent_day.isoformat()} 00:00:00"
-        # literal_frame, not createDataFrame: a pickled one-row local
-        # RDD makes every sentinel write launch a Python worker —
-        # measured ~4-7 s across the two sentinel writes per run
-        # (round 13); the JVM-literal plan writes in ~0.2 s.
-        from ubw_spark.functions.literals import literal_frame
+        # The sentinel is ONE engine-written row with known values: the
+        # round-13 form planned a JVM-literal frame and ran a Spark
+        # write job per sentinel (~0.2-0.4 s each: plan + job + commit
+        # protocol); writing the parquet file directly with pyarrow
+        # costs ~10 ms and produces the identical physical layout the
+        # staged arrival files carry (int64 event_id/user_id,
+        # timestamp[us] UTC-adjusted ts — matching the Spark-written
+        # files — string/double payloads).  The stream reads every
+        # arrival file under the EXPLICIT events schema, so no
+        # inference path ever sees this file, and sentinel rows never
+        # reach the output (their own windows sit past the final
+        # watermark; the oracle pins that).
+        import datetime as _dt
 
-        sent = literal_frame(
-            spark,
-            [(10_000_000 + i, sent_ts, 10_000_000 + i, "__flush__", 0.0, "{}")],
-            "event_id bigint, ts timestamp, user_id bigint, "
-            "event_type string, value double, props string",
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        sent_dt = _dt.datetime(
+            sent_day.year, sent_day.month, sent_day.day,
+            tzinfo=_dt.timezone.utc,
         )
-        sstage = f"{base}/stage_s{i}"
-        sent.coalesce(1).write.mode("overwrite").parquet(sstage)
-        for fname in os.listdir(sstage):
-            if fname.endswith(".parquet"):
-                dst = f"{incoming}/s{i}.parquet"
-                os.rename(f"{sstage}/{fname}", dst)
-                os.utime(dst, (mtime + n_slots + i, mtime + n_slots + i))
+        tbl = pa.table(
+            {
+                "event_id": pa.array([10_000_000 + i], pa.int64()),
+                "ts": pa.array([sent_dt], pa.timestamp("us", tz="UTC")),
+                "user_id": pa.array([10_000_000 + i], pa.int64()),
+                "event_type": pa.array(["__flush__"], pa.string()),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array(["{}"], pa.string()),
+            }
+        )
+        dst = f"{incoming}/s{i}.parquet"
+        papq.write_table(tbl, dst)
+        os.utime(dst, (mtime + n_slots + i, mtime + n_slots + i))
     return incoming
 
 
