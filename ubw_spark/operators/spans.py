@@ -76,6 +76,16 @@ def token_gram_table(
     keeps the input partitioning (and the probe plans' zero-extra-
     Exchange assertions).
 
+    The widening is CONDITIONAL on the input's split count (round 14,
+    VERDICT r13 item 3): gram hashing is light enough per row that the
+    repartition exchange only pays for itself when the input is
+    genuinely narrow.  With ≥ parallelism/4 input splits the knob is a
+    measured net LOSS at bench scale (driver 32-core r13 recording
+    spans 0.71→1.36 / probe 1.74→2.32; round-14 A/B widened
+    1.70/2.58 s vs unwidened 1.30/2.26 s at 16 splits on 32 cores), so
+    those inputs keep their own partitioning; a 1-2-split input (one
+    unsplittable file — the case the knob was built for) still widens.
+
     The gram key is the xxhash64 of the k-long TOKEN-HASH window, not
     of the joined gram string: each token is hashed once per document
     (let-bound — functions/hof.py — so the token-hash array is computed
@@ -86,7 +96,7 @@ def token_gram_table(
     iff their token sequences match, up to the same 64-bit birthday
     bound documented above (a token-hash collision folds into the same
     budget)."""
-    if parallelism:
+    if parallelism and df.rdd.getNumPartitions() * 4 < parallelism:
         df = df.repartition(parallelism)
     toks = tokens(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("__toks")).where(
