@@ -55,6 +55,39 @@ from pyspark.sql import functions as F
 from ubw_spark.functions.text import tokens
 
 
+#: Inputs whose optimizer-estimated size is below this never widen:
+#: the repartition exchange costs ~0.3-0.5 s fixed, and serial gram
+#: hashing clears sub-MB inputs faster than that (round-14 A/B in
+#: token_gram_table's docstring).  Estimates are roughly on-disk
+#: (compressed) bytes for file scans.
+_WIDEN_MIN_BYTES = 4 * 1024 * 1024
+
+
+def _should_widen(df: DataFrame, parallelism: int) -> bool:
+    """Whether the gram-hashing map stage should be repartitioned to
+    ``parallelism`` first — only when the input is BOTH big enough that
+    breaking up the serial map pays for the exchange AND narrow (fewer
+    than parallelism/4 splits).  Size is checked FIRST: the estimate
+    reuses the already-analyzed plan (~1 ms), while ``.rdd`` forces a
+    separate physical planning pass (~0.2 s on a fresh frame) that
+    small inputs — the common bench case — should never pay.
+
+    The size estimate is trustworthy for FILE-BACKED inputs (on-disk
+    bytes; filters pass it through) — which is every call site in this
+    repo.  A non-file source whose stats understate the data (e.g. a
+    Range projected into long strings) would skip widening; callers
+    with such inputs should pre-repartition themselves."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size < _WIDEN_MIN_BYTES:
+            return False
+    except Exception:
+        pass  # no estimate: assume large (pre-round-14 behavior)
+    return df.rdd.getNumPartitions() * 4 < parallelism
+
+
 def token_gram_table(
     df: DataFrame,
     id_col: str,
@@ -76,15 +109,21 @@ def token_gram_table(
     keeps the input partitioning (and the probe plans' zero-extra-
     Exchange assertions).
 
-    The widening is CONDITIONAL on the input's split count (round 14,
-    VERDICT r13 item 3): gram hashing is light enough per row that the
-    repartition exchange only pays for itself when the input is
-    genuinely narrow.  With ≥ parallelism/4 input splits the knob is a
-    measured net LOSS at bench scale (driver 32-core r13 recording
-    spans 0.71→1.36 / probe 1.74→2.32; round-14 A/B widened
-    1.70/2.58 s vs unwidened 1.30/2.26 s at 16 splits on 32 cores), so
-    those inputs keep their own partitioning; a 1-2-split input (one
-    unsplittable file — the case the knob was built for) still widens.
+    The widening is CONDITIONAL on input size and split count (round
+    14, VERDICT r13 item 3 — guide §2: derive partitioning from input
+    size, don't pin a constant): gram hashing is light enough per row
+    that the repartition exchange only pays for itself when the serial
+    map it breaks up is genuinely long.  At bench scale (sf0.1
+    documents = ONE 0.6 MB split) the unconditional knob was a measured
+    net LOSS (driver 32-core r13 recording spans 0.71→1.36 / probe
+    1.74→2.32; round-14 A/B widened 1.70/2.58 s vs unwidened
+    1.30/2.26 s), while a single multi-MB unsplittable file — the case
+    the knob was built for — still widens: the exchange's ~0.3-0.5 s
+    fixed cost buys minutes of serial interpreted-HOF hashing there.
+    Inputs that already carry ≥ parallelism/4 splits never widen.
+    Size comes from the optimizer's own estimate (one py4j call, no
+    job); when no estimate is available the input is assumed large
+    (the conservative pre-round-14 behavior).
 
     The gram key is the xxhash64 of the k-long TOKEN-HASH window, not
     of the joined gram string: each token is hashed once per document
@@ -96,7 +135,7 @@ def token_gram_table(
     iff their token sequences match, up to the same 64-bit birthday
     bound documented above (a token-hash collision folds into the same
     budget)."""
-    if parallelism and df.rdd.getNumPartitions() * 4 < parallelism:
+    if parallelism and _should_widen(df, parallelism):
         df = df.repartition(parallelism)
     toks = tokens(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("__toks")).where(
